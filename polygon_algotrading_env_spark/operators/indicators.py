@@ -1,0 +1,127 @@
+"""Technical indicators over candle/price series (SURVEY.md §2.6 W4).
+
+The reference's stated project goal is "extraction and storage of technical
+indicators" (``README.md:4-8``) but it never implements them (delegated to
+absent Databricks jobs). Our engine provides them as window-frame
+expressions — JVM-side, whole-stage-codegen friendly; nothing here drops to
+Python except EMA-family smoothing, which is inherently recursive and runs
+as an Arrow-batched grouped-map (one group = one symbol's series).
+
+All row-frame indicators require a deterministic total order; callers pass
+``order_cols`` that uniquely order rows within a key (e.g. ts + sequence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _w(keys: Sequence[str], order_cols: Sequence[str]):
+    return Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+
+
+def with_sma(
+    df: DataFrame, price: str, n: int, keys: Sequence[str], order_cols: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    """Simple moving average over the trailing n rows."""
+    w = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out or f"sma_{n}", F.avg(price).over(w))
+
+
+def with_rolling_stddev(
+    df: DataFrame, price: str, n: int, keys: Sequence[str], order_cols: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    w = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out or f"stddev_{n}", F.stddev_samp(price).over(w))
+
+
+def with_bollinger(
+    df: DataFrame, price: str, n: int, k: float, keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    df = with_sma(df, price, n, keys, order_cols, out="bb_mid")
+    df = with_rolling_stddev(df, price, n, keys, order_cols, out="__sd")
+    return (
+        df.withColumn("bb_upper", F.col("bb_mid") + k * F.col("__sd"))
+        .withColumn("bb_lower", F.col("bb_mid") - k * F.col("__sd"))
+        .drop("__sd")
+    )
+
+
+def with_returns(
+    df: DataFrame, price: str, keys: Sequence[str], order_cols: Sequence[str],
+    log_returns: bool = False, out: str = "ret",
+) -> DataFrame:
+    """Per-row simple (or log) return vs the previous row."""
+    w = _w(keys, order_cols)
+    prev = F.lag(price).over(w)
+    expr = (
+        F.log(F.col(price) / prev) if log_returns else F.col(price) / prev - F.lit(1.0)
+    )
+    return df.withColumn(out, expr)
+
+
+def with_running_max_drawdown(
+    df: DataFrame, price: str, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    w = _w(keys, order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    running_max = F.max(price).over(w)
+    return df.withColumn("running_max", running_max).withColumn(
+        "drawdown", F.col(price) / F.col("running_max") - F.lit(1.0)
+    )
+
+
+def with_rsi(
+    df: DataFrame, price: str, n: int, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """RSI with simple (Cutler's) averaging — pure window expressions.
+
+    Wilder's original smoothing is an EMA; use :func:`with_ema` on the
+    gain/loss columns for that variant.
+    """
+    w = _w(keys, order_cols)
+    delta = F.col(price) - F.lag(price).over(w)
+    df = df.withColumn("__gain", F.when(delta > 0, delta).otherwise(F.lit(0.0)))
+    df = df.withColumn("__loss", F.when(delta < 0, -delta).otherwise(F.lit(0.0)))
+    frame = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    avg_gain = F.avg("__gain").over(frame)
+    avg_loss = F.avg("__loss").over(frame)
+    rsi = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+    )
+    return df.withColumn(f"rsi_{n}", rsi).drop("__gain", "__loss")
+
+
+def with_ema(
+    df: DataFrame,
+    price: str,
+    span: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    """Exponential moving average (pandas-equivalent ``ewm(span=...,
+    adjust=False)``), computed per key group as an Arrow-batched
+    grouped-map — the honest path for a recursive indicator.
+
+    At scale each group is one symbol's series; parallelism = number of
+    symbols, which is exactly how per-symbol state shards on a cluster.
+    """
+    out = out or f"ema_{span}"
+    schema = StructType(df.schema.fields + [StructField(out, DoubleType())])
+    alpha = 2.0 / (span + 1.0)
+    order_list = list(order_cols)
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list)
+        pdf[out] = pdf[price].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_ema, schema=schema)

@@ -1,0 +1,190 @@
+"""Embedding similarity search (extension surface, BASELINE.json north star).
+
+Two tiers, both DataFrame plans:
+
+- ``cosine_topk``      — brute-force scan: broadcast the query vector(s) as
+  literals, score with JVM-side ``zip_with``/``aggregate`` expressions, and
+  take top-k via ``orderBy(...).limit(k)`` (planned as
+  TakeOrderedAndProject: per-partition heap + tiny driver merge — no full
+  sort, no full shuffle). Exact; O(n·d) scan, the right baseline even at
+  scale for one-off queries.
+
+- ``lsh_ann_topk``     — random-hyperplane (signed random projection) LSH:
+  bucket vectors by the sign pattern of ``n_planes`` fixed pseudo-random
+  hyperplanes, probe only the query's bucket (optionally multi-probe with
+  Hamming-neighbor buckets). The scan becomes an equi-join on bucket key;
+  recall trades off with n_planes. Hyperplane components are generated
+  deterministically from xxhash64(seed, plane, dim) — reproducible across
+  runs and engines, no stored model.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from polygon_algotrading_env_spark.functions.vectors import cosine, dot
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    score = cosine(F.col(vec_col), _query_lit(query_vec))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = embeddings.select(F.col(id_col), score.alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(plane: int, dim: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane as an array literal expression.
+
+    Component j = xxhash64(seed, plane, j) mapped to [-1, 1). Uniform signs
+    are all LSH needs; gaussian components are unnecessary.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(seed), F.lit(plane), j).cast("double")
+            / F.lit(float(2**63))
+        ),
+    )
+
+
+def srp_bucket(
+    vec: Column | str, n_planes: int = 12, seed: int = 42, dim: int | None = None
+) -> Column:
+    """Signed-random-projection bucket id (bigint) of a vector column."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    d = F.size(vec) if dim is None else F.lit(dim)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(vec, lambda x: x.cast("double")),
+                    F.transform(
+                        F.sequence(F.lit(0), d - 1),
+                        lambda j: F.xxhash64(F.lit(seed), p, j).cast("double")
+                        / F.lit(float(2**63)),
+                    ),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    # Fold MSB-first into an integer bucket id (no shift-by-column in Spark).
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b
+    )
+
+
+def add_srp_buckets(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    out: str = "bucket",
+) -> DataFrame:
+    """Materialize bucket ids (do this once, write partitioned by bucket —
+    then every ANN probe is a partition-pruned scan)."""
+    return embeddings.withColumn(out, srp_bucket(F.col(vec_col), n_planes, seed))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket."""
+    dim = len(query_vec)
+    # Evaluate the query bucket with the same Spark expression on one row,
+    # keeping the hash definition single-sourced.
+    spark = embeddings.sparkSession
+    qdf = spark.range(1).select(
+        srp_bucket(_query_lit(query_vec), n_planes, seed, dim=dim).alias("b")
+    )
+    qbucket = qdf.collect()[0]["b"]
+    probe = {qbucket}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probe.add(qbucket ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbucket ^ (1 << i) ^ (1 << j))
+
+    bucketed = add_srp_buckets(embeddings, vec_col, n_planes, seed)
+    candidates = bucketed.filter(F.col("bucket").isin(*[int(b) for b in probe]))
+    score = cosine(F.col(vec_col), _query_lit(query_vec))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        candidates.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """All-pairs top-k neighbors (near-dup by embedding cosine).
+
+    Without ``block_col`` this is a cross join — only for small/medium
+    relations. At scale pass a blocking column (e.g. SRP bucket from
+    :func:`add_srp_buckets`, or a label/partition key): the join becomes an
+    equi-join on the block key.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    joined = a.join(b, on=(["blk"] if block_col else None), how="inner") if block_col else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") != F.col("id_b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = joined.select("id_a", "id_b", score.alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "score", "rank")
+    )

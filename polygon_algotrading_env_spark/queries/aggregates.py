@@ -1,0 +1,161 @@
+"""Aggregations (SURVEY.md §2.4 A1-A8 + declared extensions).
+
+Double-typed sums/averages are rounded identically on both engine sides:
+partial-aggregation order differs between Spark and DuckDB at the last ulp,
+so un-rounded doubles would hash-mismatch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- A1/A2: max watermark (old_source_op.py:129-137, dag:142-150) ---------
+@register(
+    "max_shipdate_watermark",
+    oracle="SELECT max(l_shipdate) AS max_shipdate FROM lineitem",
+)
+def max_shipdate_watermark(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.max("l_shipdate").alias("max_shipdate")
+    )
+
+
+# --- A3: argmax row (S3 LastModified argmax, dag_aggregates_etl.py:86-95) -
+@register(
+    "argmax_order_by_price",
+    oracle="""
+    SELECT arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           max(o_totalprice)                 AS top_price
+    FROM orders
+    """,
+)
+def argmax_order_by_price(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+# --- A4: multi-max (commented SQL, dag_aggregates_etl.py:182-190) ---------
+@register(
+    "multi_max_lineitem",
+    oracle="""
+    SELECT max(l_shipdate) AS max_shipdate,
+           min(l_shipdate) AS min_shipdate,
+           max(l_orderkey) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def multi_max_lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+
+
+# --- A5: min / first date with data (old_source_op.py:118-125) ------------
+@register(
+    "min_orderdate",
+    oracle="SELECT min(o_orderdate) AS first_orderdate FROM orders",
+)
+def min_orderdate(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderdate").alias("first_orderdate")
+    )
+
+
+# --- A6: count (len(df) / resultsCount) -----------------------------------
+@register("count_lineitem", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def count_lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# --- A8: grouped aggregation — TPC-H Q1 shape -----------------------------
+@register(
+    "pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                   AS sum_qty,
+           round(sum(l_extendedprice), 4)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(sum(l_quantity), 4) / count(*)                        AS avg_qty,
+           round(sum(l_extendedprice), 4) / count(*)                   AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """The canonical grouped-agg shape (per-ticker × per-bucket in the
+    reference's domain — SURVEY §2.4 A8). Partial+final hash aggregate:
+    one shuffle on a low-cardinality key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            # Averages as round(sum)/count — "stabilize then exact-op":
+            # the rounded sum is the same double in both engines (2-decimal
+            # inputs put true sums far from any rounding boundary), and
+            # IEEE-754 division of identical doubles is bit-identical.
+            # Rounding an avg directly risks exact round-half ties (dyadic
+            # group counts), where engines' tie-breaking differs.
+            (F.round(F.sum("l_quantity"), 4) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 4) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- extension: ROLLUP (declared in SURVEY §2.4 as engine capability) -----
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- extension: exact distinct-count per group ----------------------------
+@register(
+    "count_distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_parts_per_flag(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n_parts"))
+    )

@@ -1,0 +1,188 @@
+"""Text-analysis + dedup queries over ``documents`` (extension surface:
+the LLM-training-data operators, BASELINE.json north star).
+
+SQL-expressible features carry DuckDB oracles; hash-based operators
+(MinHash/SimHash/fingerprints use xxhash64, which DuckDB doesn't share)
+declare no oracle and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    quality_features,
+    stopword_hits,
+    token_count,
+)
+from polygon_algotrading_env_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- exact dedup profile (D1 generalized to content dedup) ----------------
+@register(
+    "dedup_docs_by_text",
+    oracle="""
+    SELECT source,
+           count(*)             AS n_docs,
+           count(DISTINCT text) AS n_unique_texts
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_docs_by_text(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("text").alias("n_unique_texts"),
+        )
+    )
+
+
+# --- token counting -------------------------------------------------------
+@register(
+    "token_count_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+           END AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("int").alias("n_tokens")
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+@register(
+    "doc_quality_features",
+    headline=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                 / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE), 6)
+             AS space_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE), 6)
+             AS digit_ratio
+    FROM documents
+    """,
+)
+def doc_quality_features(spark, sf_dir):
+    feats = quality_features(F.col("text"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_chars_calc"].cast("bigint").alias("n_chars_calc"),
+        F.round(feats["space_ratio"], 6).alias("space_ratio"),
+        F.round(feats["digit_ratio"], 6).alias("digit_ratio"),
+    )
+
+
+# --- language ID (stopword-marker heuristic) ------------------------------
+def _lang_oracle() -> str:
+    # Build the same marker-hit CASE cascade in portable SQL.
+    hits = {
+        lang: (
+            "CAST(length(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(ws)})\\b')) AS INT)"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # argmax with first-listed language winning ties, 'und' when all zero.
+    when = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if other != lang:
+                op = ">=" if j > i else ">"
+                conds.append(f"h_{lang} {op} h_{other}")
+        when.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ",\n           ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"""
+    SELECT doc_id,
+           CASE {' '.join(when)} ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+           {hit_cols}
+      FROM documents
+    )
+    """
+
+
+@register("lang_id_docs", oracle=_lang_oracle())
+def lang_id_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    langs = list(LANG_MARKERS)
+    hit_cols = [
+        stopword_hits("text", ws).cast("int").alias(f"h_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", *hit_cols)
+    pred = None
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = F.col(f"h_{lang}") > 0
+        for j, other in enumerate(langs):
+            if other != lang:
+                op = F.col(f"h_{lang}") >= F.col(f"h_{other}") if j > i else F.col(
+                    f"h_{lang}"
+                ) > F.col(f"h_{other}")
+                cond = cond & op
+        expr = F.when(cond, lang).otherwise(expr)
+    return scored.select("doc_id", expr.alias("lang_pred"))
+
+
+# --- fingerprint / hash-based ops: rows-only (engine-specific hashes) -----
+@register("doc_fingerprints", oracle=None)
+def doc_fingerprints(spark, sf_dir):
+    """64-bit normalized-content fingerprints (xxhash64 — no cross-engine
+    oracle; driver records rows-only)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register("simhash_docs", oracle=None)
+def simhash_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash64("text", shingle_n=4).alias("simhash")
+    )
+
+
+@register("minhash_near_dup_pairs", headline=True, oracle=None)
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5 — the
+    shuffle-bounded near-dup plan (shingle → minhash → band → bucket join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=5
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5)
+
+
+@register("ngram_jaccard_near_dup", oracle=None)
+def ngram_jaccard_near_dup(spark, sf_dir):
+    """Exact n-gram Jaccard verification of the LSH candidates (two-stage
+    near-dup: candidates from LSH, exact set similarity only on those)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, num_hashes=32, bands=8, shingle_n=5)
+    exact = ngram_jaccard_pairs(
+        pairs.select("id_a", "id_b"), docs, shingle_n=5
+    )
+    return exact.filter(F.col("jaccard") >= 0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

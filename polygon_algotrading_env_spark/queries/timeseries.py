@@ -1,0 +1,91 @@
+"""Time-series gold layer: OHLCV bar aggregation + resample ladder
+(SURVEY.md §2.4 A7, §2.6 W3) — the computation the reference delegates to
+Polygon's aggregates API and we own natively.
+
+``events`` stands in for the tick stream (FIXTURES.md role mapping):
+``value`` is the traded price, one row per trade, ``event_type`` the symbol.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.operators.bars import ohlcv_bars, resample_bars
+from polygon_algotrading_env_spark.queries import register
+
+_BAR_ORACLE = """
+    SELECT event_type,
+           time_bucket(INTERVAL '{minutes} minutes', CAST(ts AS TIMESTAMP))
+             AS bucket_start,
+           arg_min(value, ts)        AS open,
+           max(value)                AS high,
+           min(value)                AS low,
+           arg_max(value, ts)        AS close,
+           round(sum(value), 4)      AS volume,
+           count(*)                  AS n_trades
+    FROM events
+    GROUP BY event_type, bucket_start
+"""
+
+
+def _bars(spark, sf_dir, duration: str):
+    ev = load_table(spark, sf_dir, "events")
+    # `value` plays both price and size in the fixture mapping, so
+    # volume = Σ value per bucket (2-decimal inputs → round-4 is tie-free).
+    bars = ohlcv_bars(
+        ev,
+        ts_col="ts",
+        price_col="value",
+        duration=duration,
+        keys=("event_type",),
+        volume_col="value",
+        order_col="ts_ns",
+    )
+    return bars.select(
+        "event_type",
+        "bucket_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "n_trades",
+    )
+
+
+@register("ohlcv_bars_5m", headline=True, oracle=_BAR_ORACLE.format(minutes=5))
+def ohlcv_bars_5m(spark, sf_dir):
+    """Flagship: the reference's entire aggregates pipeline
+    (scan → dedup → 5-minute OHLCV per symbol — aggregates_etl.py:107-167 +
+    the API-side bar aggregation) as one declarative plan."""
+    return _bars(spark, sf_dir, "5 minutes")
+
+
+@register("ohlcv_bars_1h_resampled", oracle=_BAR_ORACLE.format(minutes=60))
+def ohlcv_bars_1h_resampled(spark, sf_dir):
+    """Resample ladder (old_source_op.py:18's 1m→…→1d period list): 1-hour
+    bars built FROM the 5-minute bars, not from raw ticks — the oracle
+    aggregates raw ticks directly, so a hash match proves the ladder's
+    re-aggregation consistency."""
+    ev = load_table(spark, sf_dir, "events")
+    five = ohlcv_bars(
+        ev,
+        ts_col="ts",
+        price_col="value",
+        duration="5 minutes",
+        keys=("event_type",),
+        volume_col="value",
+        order_col="ts_ns",
+    )
+    hourly = resample_bars(five, "1 hour", keys=("event_type",))
+    return hourly.select(
+        "event_type",
+        "bucket_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+        "n_trades",
+    )

@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("A", 5, "l1"), ("A", 10, "l2"), ("A", 20, "l3"), ("B", 7, "l4"),
+         ("C", 1, "l5")],
+        "k string, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("A", 5, "r5"), ("A", 10, "r10"), ("A", 15, "r15"), ("B", 8, "r8")],
+        "k string, t long, rv string",
+    )
+    return left, right
+
+
+def test_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", direction="backward"
+    )
+    got = {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+    assert got == {
+        ("A", 5): "r5",     # exact match allowed
+        ("A", 10): "r10",
+        ("A", 20): "r15",
+        ("B", 7): None,     # right exists only later
+        ("C", 1): None,     # no right rows at all
+    }
+
+
+def test_backward_strict(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        direction="backward", allow_exact_matches=False,
+    )
+    got = {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+    assert got[("A", 5)] is None
+    assert got[("A", 10)] == "r5"
+    assert got[("A", 20)] == "r15"
+
+
+def test_forward_inclusive_and_strict(spark):
+    left, right = _frames(spark)
+    inc = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", direction="forward"
+    )
+    got = {(r["k"], r["t"]): r["rv"] for r in inc.collect()}
+    assert got == {
+        ("A", 5): "r5",
+        ("A", 10): "r10",
+        ("A", 20): None,
+        ("B", 7): "r8",
+        ("C", 1): None,
+    }
+    strict = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        direction="forward", allow_exact_matches=False,
+    )
+    got = {(r["k"], r["t"]): r["rv"] for r in strict.collect()}
+    assert got[("A", 5)] == "r10"
+    assert got[("A", 10)] == "r15"
+
+
+def test_tie_break_deterministic(spark):
+    left = spark.createDataFrame([("A", 10, "l")], "k string, t long, lv string")
+    right = spark.createDataFrame(
+        [("A", 10, "first", 1), ("A", 10, "second", 2)],
+        "k string, t long, rv string, seq int",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", tie_break="seq"
+    )
+    assert out.collect()[0]["rv"] == "second"  # greatest tie_break wins
+
+
+def test_column_collision_suffix(spark):
+    left = spark.createDataFrame([("A", 10, 1.0)], "k string, t long, v double")
+    right = spark.createDataFrame([("A", 5, 2.0)], "k string, t long, v double")
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t")
+    assert set(out.columns) == {"k", "t", "v", "t_r", "v_r"}

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from polygon_algotrading_env_spark.operators.bars import ohlcv_bars, resample_bars
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    # One symbol, 2 hours of 1-minute ticks with a deterministic price walk,
+    # plus a second sparse symbol (empty buckets must simply not appear).
+    rows = []
+    for i in range(120):
+        ts = datetime(2024, 1, 1, 9 + i // 60, i % 60, 17)
+        rows.append(("SPY", ts, 100.0 + (i * 7 % 13) - 6, 10.0 + i % 3, i))
+    rows.append(("TLT", datetime(2024, 1, 1, 9, 59, 59), 50.0, 1.0, 1000))
+    return spark.createDataFrame(
+        rows, "ticker string, ts timestamp_ntz, price double, size double, seq long"
+    )
+
+
+def test_bar_semantics_single_bucket(spark):
+    rows = [
+        ("X", datetime(2024, 1, 1, 10, 0, 5), 10.0, 2.0, 1),
+        ("X", datetime(2024, 1, 1, 10, 2, 0), 15.0, 1.0, 2),
+        ("X", datetime(2024, 1, 1, 10, 4, 59), 12.0, 3.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, ts timestamp_ntz, price double, size double, seq long"
+    )
+    bars = ohlcv_bars(
+        df, "ts", "price", "5 minutes", keys=("ticker",),
+        volume_col="size", order_col="seq",
+    ).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (10.0, 15.0, 10.0, 12.0)
+    assert b["volume"] == 6.0
+    assert b["n_trades"] == 3
+    # vwap = (10*2 + 15*1 + 12*3) / 6
+    assert abs(b["vwap"] - (20 + 15 + 36) / 6.0) < 1e-12
+    assert b["bucket_start"] == datetime(2024, 1, 1, 10, 0, 0)
+
+
+def test_duplicate_timestamp_tiebreak(spark):
+    rows = [
+        ("X", datetime(2024, 1, 1, 10, 0, 5), 10.0, 1.0, 2),
+        ("X", datetime(2024, 1, 1, 10, 0, 5), 11.0, 1.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, ts timestamp_ntz, price double, size double, seq long"
+    )
+    b = ohlcv_bars(
+        df, "ts", "price", "5 minutes", keys=("ticker",),
+        volume_col="size", order_col="seq",
+    ).collect()[0]
+    assert b["open"] == 11.0 and b["close"] == 10.0  # seq decides, not ts
+
+
+def test_resample_ladder_consistency(spark, ticks):
+    """resample(1m→5m→1h) ≡ direct 1h aggregation (SURVEY §5 property)."""
+    one_m = ohlcv_bars(
+        ticks, "ts", "price", "1 minute", keys=("ticker",),
+        volume_col="size", order_col="seq",
+    )
+    via_5m = resample_bars(
+        resample_bars(one_m, "5 minutes", keys=("ticker",)),
+        "1 hour",
+        keys=("ticker",),
+    )
+    direct = ohlcv_bars(
+        ticks, "ts", "price", "1 hour", keys=("ticker",),
+        volume_col="size", order_col="seq",
+    )
+    cols = ["ticker", "bucket_start", "open", "high", "low", "close", "volume",
+            "n_trades"]
+    a = {tuple(r[c] for c in cols) for r in via_5m.collect()}
+    b = {tuple(r[c] for c in cols) for r in direct.collect()}
+    assert a == b
+
+
+def test_sparse_symbol_has_no_empty_buckets(spark, ticks):
+    bars = ohlcv_bars(
+        ticks, "ts", "price", "5 minutes", keys=("ticker",),
+        volume_col="size", order_col="seq",
+    )
+    tlt = bars.filter(F.col("ticker") == "TLT").collect()
+    assert len(tlt) == 1 and tlt[0]["n_trades"] == 1

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.functions.vectors import cosine, dot, norm
+from polygon_algotrading_env_spark.operators.similarity import (
+    add_srp_buckets,
+    cosine_topk,
+    lsh_ann_topk,
+)
+
+
+def test_dot_norm_cosine_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0], [3.0, 4.0, 0.5])],
+        "id int, a array<double>, b array<double>",
+    )
+    r = df.select(
+        dot("a", "b").alias("d"), norm("a").alias("na"), cosine("a", "a").alias("caa")
+    ).collect()[0]
+    assert r["d"] == 1 * 3 + 0 + 2 * 0.5
+    assert abs(r["na"] - 5 ** 0.5) < 1e-12
+    assert abs(r["caa"] - 1.0) < 1e-12
+
+
+def test_topk_self_query_is_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    top = cosine_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_ann_topk(
+            emb, q, k=10, n_planes=8, multiprobe_hamming=2
+        ).collect()
+    ]
+    # Approximate search must at least find the query itself plus a
+    # reasonable share of the true neighborhood.
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_srp_buckets_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
+    b = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert a.filter((F.col("bucket") < 0) | (F.col("bucket") >= 2 ** 8)).count() == 0
