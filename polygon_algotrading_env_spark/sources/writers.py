@@ -1,0 +1,58 @@
+"""Sinks (SURVEY.md §2.1 K1-K6) — partitioned parquet replaces the
+reference's hand-rolled S3 key layouts.
+
+- K1 bronze append        — verbatim landing zone (aggregates_etl.py:119-125).
+- K2 latest+history dual  — stable "latest" overwrite + timestamped history
+                            append (reference_endpoints_etl.py:57-62,
+                            aggregates_stocks_etl.py:90-93).
+- K3 dim overwrite        — full-refresh dimension (reference_data_etl.py:67).
+- K4/K5 fact append       — incremental fact (aggregates_etl.py:171-177,
+                            old_source_op.py:176).
+- K6 partitioned layout   — ``partitionBy`` replaces `{adjusted}/{ticker}`
+                            path building (aggregates_etl.py:79-85,124);
+                            partition pruning replaces manual S3 listing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bronze(df: DataFrame, path: str) -> None:
+    """K1: append-only raw landing (parquet, not JSON — same replayability,
+    columnar scan for free)."""
+    df.write.mode("append").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "append"
+) -> None:
+    """K6: hive-style partitioned layout. At 100 TB the partition columns
+    are the pruning keys (e.g. adjusted, ticker-bucket, date) — choose
+    cardinalities that keep files ≳100 MB."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def dual_write_latest_history(
+    df: DataFrame, latest_path: str, history_path: str, snapshot_id: str
+) -> None:
+    """K2: overwrite the stable 'latest' location and append a timestamped
+    snapshot to the history location (poor-man's time travel, exactly the
+    reference's latest/timestamped CSV pair)."""
+    df.write.mode("overwrite").parquet(latest_path)
+    df.write.mode("append").parquet(f"{history_path}/snapshot={snapshot_id}")
+
+
+def overwrite_dimension(df: DataFrame, path: str) -> None:
+    """K3: full-refresh dimension store (to_sql if_exists='replace')."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def read_latest(spark: SparkSession, latest_path: str) -> DataFrame:
+    return spark.read.parquet(latest_path)
+
+
+def read_snapshot(spark: SparkSession, history_path: str, snapshot_id: str) -> DataFrame:
+    return spark.read.parquet(f"{history_path}/snapshot={snapshot_id}")

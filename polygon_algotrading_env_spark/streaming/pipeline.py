@@ -1,0 +1,136 @@
+"""Streaming transforms (SURVEY.md §2.10 T1-T6).
+
+The reference's streaming story is daily incremental batch: Airflow
+watermarks (T1), overlap-then-dedup (T2, README.md:20), API-side bar
+buckets (T3), @daily triggers (T4), raw-zone replay (T5), full dim refresh
+(T6). Natively:
+
+- T1 → checkpointed source offsets (exactly-once bookkeeping is the
+  engine's, not an Airflow DAG's);
+- T2 → ``withWatermark + dropDuplicates`` keyed dedup with bounded state;
+- T3 → the same tumbling-window OHLCV aggregation as batch (one definition,
+  two execution modes);
+- T4 → ``trigger(availableNow=True)`` for daily catch-up, processingTime
+  for live;
+- T5 → bronze parquet replay through the same stream;
+- T6 → ``foreachBatch`` overwrite of dimension snapshots.
+
+These builders take and return (streaming) DataFrames so batch and
+streaming share operator definitions — tests run them on file sources with
+``availableNow`` into memory sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import TimestampNTZType
+
+
+def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time watermarks require TimestampType; NTZ event times are
+    cast (identity under the engine's pinned UTC session timezone)."""
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
+def stream_dedup(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T2: stateful exactly-once-per-key dedup with bounded state.
+
+    State is retained only within the watermark horizon — duplicates
+    arriving later than ``watermark_delay`` after the max seen event time
+    are dropped by the watermark, everything inside it by the dedup state.
+    (Unbounded dropDuplicates state is an OOM at 100 TB; the watermark
+    bound is what makes this deployable.)
+    """
+    stream = _watermarkable(stream, ts_col)
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_ohlcv_bars(
+    stream: DataFrame,
+    ts_col: str,
+    price_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    volume_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T3: windowed OHLCV bars over an event-time stream.
+
+    Same semantics as operators.bars.ohlcv_bars, expressed with streaming-
+    legal aggregates: open/close are min_by/max_by on event time (streaming
+    supports them in Spark 4), the watermark bounds window state and admits
+    late trades up to ``watermark_delay``.
+    """
+    stream = _watermarkable(stream, ts_col)
+    vol = F.col(volume_col) if volume_col else F.lit(1.0)
+    price = F.col(price_col)
+    order = F.col(ts_col)
+    out = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(*[F.col(k) for k in keys], F.window(F.col(ts_col), duration).alias("__w"))
+        .agg(
+            F.min_by(price, order).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order).alias("close"),
+            F.sum(vol).alias("volume"),
+            F.sum(price * vol).alias("notional"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    return out.select(
+        *keys,
+        F.col("__w.start").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        (F.col("notional") / F.col("volume")).alias("vwap"),
+        "n_trades",
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str
+):
+    """T4: drain everything currently available (the daily-batch trigger),
+    into an in-memory sink — the single-run test/dev harness path. The
+    memory sink does NOT support checkpoint recovery; for multi-run
+    incremental pipelines use :func:`run_available_now_to_parquet`."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame, checkpoint_dir: str, out_path: str
+):
+    """T4/T5: the production-shaped incremental sink — append-mode parquet
+    with exactly-once bookkeeping in the checkpoint, restartable across
+    runs (this is what replaces the reference's daily Airflow→ECS cycle)."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

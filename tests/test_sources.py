@@ -1,0 +1,156 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from polygon_algotrading_env_spark.sources.bookmarks import BookmarkStore
+from polygon_algotrading_env_spark.sources.readers import (
+    land_records,
+    paginate_date_cursor,
+    paginate_next_url,
+    read_csv_typed,
+)
+from polygon_algotrading_env_spark.sources.writers import (
+    dual_write_latest_history,
+    read_latest,
+    read_snapshot,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pae_spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# --- paginated scans (S1/S2 semantics, fetch injected) --------------------
+
+def _mk_pages(pages):
+    calls = []
+
+    def fetch(cursor):
+        calls.append(cursor)
+        return pages[len(calls) - 1]
+
+    return fetch, calls
+
+
+DAY_MS = 86_400_000
+
+
+def test_date_cursor_short_page_terminates():
+    # One short page → stop after yielding (rule 4).
+    fetch, calls = _mk_pages([{"results": [{"t": 0}, {"t": DAY_MS}]}])
+    out = list(paginate_date_cursor(fetch, "1970-01-01", "1970-01-10", limit=5))
+    assert [r["t"] for r in out] == [0, DAY_MS]
+    assert len(calls) == 1
+
+
+def test_date_cursor_advances_and_dedups_overlap():
+    # Full pages overlap at the boundary (the reference's by-design dup).
+    p1 = {"results": [{"t": 0}, {"t": DAY_MS}]}
+    p2 = {"results": [{"t": DAY_MS}, {"t": 2 * DAY_MS}]}  # overlap at DAY_MS
+    p3 = {"results": []}
+    fetch, calls = _mk_pages([p1, p2, p3])
+    out = list(paginate_date_cursor(fetch, "1970-01-01", "1970-01-10", limit=2))
+    assert [r["t"] for r in out] == [0, DAY_MS, 2 * DAY_MS]  # no dup
+    assert calls[1] is not None  # cursor advanced
+
+
+def test_date_cursor_watermark_skips_already_ingested():
+    fetch, _ = _mk_pages([{"results": [{"t": 0}, {"t": DAY_MS}, {"t": 2 * DAY_MS}]}])
+    out = list(
+        paginate_date_cursor(
+            fetch, "1970-01-01", "1970-01-10", limit=5, last_entry_ts=DAY_MS
+        )
+    )
+    assert [r["t"] for r in out] == [2 * DAY_MS]
+
+
+def test_next_url_pagination():
+    pages = [
+        {"results": [{"x": 1}], "next_url": "p2"},
+        {"results": [{"x": 2}], "next_url": "p3"},
+        {"results": [{"x": 3}]},
+    ]
+    fetch, calls = _mk_pages(pages)
+    out = list(paginate_next_url(fetch))
+    assert [r["x"] for r in out] == [1, 2, 3]
+    assert calls == [None, "p2", "p3"]
+
+
+def test_land_records_typed(spark):
+    df = land_records(
+        spark, [{"t": 1, "o": 1.5}, {"t": 2, "o": 2.5}], "t long, o double"
+    )
+    assert df.schema.simpleString() == "struct<t:bigint,o:double>"
+    assert df.count() == 2
+
+
+# --- typed CSV (S3) -------------------------------------------------------
+
+def test_read_csv_typed(spark, tmpdir):
+    p = f"{tmpdir}/in.csv"
+    with open(p, "w") as f:
+        f.write("ticker,ts,close\nSPY,2024-01-01 10:00:00,470.5\n")
+    df = read_csv_typed(spark, p, "ticker string, ts timestamp_ntz, close double")
+    row = df.collect()[0]
+    assert row["close"] == 470.5 and row["ticker"] == "SPY"
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+
+# --- writers (K2/K6) ------------------------------------------------------
+
+def test_dual_write_latest_history(spark, tmpdir):
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    dual_write_latest_history(df1, f"{tmpdir}/latest", f"{tmpdir}/hist", "s1")
+    dual_write_latest_history(df2, f"{tmpdir}/latest", f"{tmpdir}/hist", "s2")
+    assert [r["id"] for r in read_latest(spark, f"{tmpdir}/latest").collect()] == [2]
+    assert [r["id"] for r in read_snapshot(spark, f"{tmpdir}/hist", "s1").collect()] == [1]
+
+
+def test_partitioned_write_prunes(spark, tmpdir):
+    df = spark.createDataFrame(
+        [("SPY", True, 1.0), ("SPY", False, 2.0), ("TLT", True, 3.0)],
+        "ticker string, adjusted boolean, close double",
+    )
+    write_partitioned(df, f"{tmpdir}/candles", ["adjusted", "ticker"])
+    back = spark.read.parquet(f"{tmpdir}/candles")
+    q = back.filter("adjusted = true and ticker = 'SPY'")
+    assert q.count() == 1
+    # Partition pruning must reach the file source.
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "adjusted" in plan
+
+
+# --- bookmarks (T1) -------------------------------------------------------
+
+def test_bookmark_roundtrip_and_monotonicity(spark, tmpdir):
+    store = BookmarkStore(f"{tmpdir}/bm", key_cols=["ticker"])
+    batch1 = spark.createDataFrame(
+        [("SPY", 100), ("SPY", 200), ("TLT", 50)], "ticker string, t long"
+    )
+    assert store.filter_new(batch1, "t").count() == 3  # no bookmark yet
+    store.update(batch1, "t")
+
+    # Overlapping re-delivery + genuinely new rows.
+    batch2 = spark.createDataFrame(
+        [("SPY", 200), ("SPY", 300), ("TLT", 40)], "ticker string, t long"
+    )
+    fresh = store.filter_new(batch2, "t")
+    assert {(r["ticker"], r["t"]) for r in fresh.collect()} == {("SPY", 300)}
+    store.update(batch2, "t")
+
+    # Watermarks are monotone: the late TLT=40 must not regress TLT's mark.
+    wm = {r["ticker"]: r["max_ts"] for r in store.load(spark).collect()}
+    assert wm == {"SPY": 300, "TLT": 50}
+
+    # Idempotence: re-updating with already-seen data changes nothing.
+    store.update(batch1, "t")
+    wm2 = {r["ticker"]: r["max_ts"] for r in store.load(spark).collect()}
+    assert wm2 == wm

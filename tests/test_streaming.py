@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from polygon_algotrading_env_spark.streaming.pipeline import (
+    run_available_now,
+    run_available_now_to_parquet,
+    stream_dedup,
+    stream_ohlcv_bars,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pae_spark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+TICK_SCHEMA = "ticker string, ts timestamp_ntz, price double, trade_id long"
+
+
+def _write_ticks(spark, path, rows):
+    spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _ticks_stream(spark, path):
+    return spark.readStream.schema(TICK_SCHEMA).parquet(path)
+
+
+def test_stream_dedup_drops_redelivered_trades(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    rows = [
+        ("SPY", datetime(2024, 1, 1, 10, 0, 1), 100.0, 1),
+        ("SPY", datetime(2024, 1, 1, 10, 0, 2), 101.0, 2),
+        ("SPY", datetime(2024, 1, 1, 10, 0, 1), 100.0, 1),  # redelivery
+        ("SPY", datetime(2024, 1, 1, 10, 0, 3), 102.0, 3),
+    ]
+    _write_ticks(spark, src, rows)
+    deduped = stream_dedup(
+        _ticks_stream(spark, src), "ts", keys=["ticker", "trade_id"]
+    )
+    q = run_available_now(deduped, f"{tmpdir}/ckpt", "dedup_t", "append")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT trade_id FROM dedup_t").collect()
+    assert sorted(r["trade_id"] for r in out) == [1, 2, 3]
+
+
+def test_stream_bars_match_batch_semantics(spark, tmpdir):
+    """Complete mode shows every window — semantics must equal batch bars."""
+    src = f"{tmpdir}/src"
+    rows = [
+        ("SPY", datetime(2024, 1, 1, 10, 0, 5), 10.0, 1),
+        ("SPY", datetime(2024, 1, 1, 10, 2, 0), 15.0, 2),
+        ("SPY", datetime(2024, 1, 1, 10, 4, 59), 12.0, 3),
+        ("SPY", datetime(2024, 1, 1, 10, 6, 0), 20.0, 4),
+    ]
+    _write_ticks(spark, src, rows)
+    bars = stream_ohlcv_bars(
+        _ticks_stream(spark, src), "ts", "price", "5 minutes", keys=("ticker",)
+    )
+    q = run_available_now(bars, f"{tmpdir}/ckpt", "bars_t", "complete")
+    q.awaitTermination(120)
+    got = {
+        r["bucket_start"]: (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
+        for r in spark.sql("SELECT * FROM bars_t").collect()
+    }
+    assert got[datetime(2024, 1, 1, 10, 0)] == (10.0, 15.0, 10.0, 12.0, 3)
+    assert got[datetime(2024, 1, 1, 10, 5)] == (20.0, 20.0, 20.0, 20.0, 1)
+
+
+def test_stream_bars_append_emits_on_watermark_close(spark, tmpdir):
+    """Append mode: a window is emitted exactly once, in the first batch
+    whose INPUT watermark (set at the END of the previous batch) has passed
+    the window end — the T1/T2 exactly-once contract across restarts."""
+    src = f"{tmpdir}/src"
+    bars_for = lambda: stream_ohlcv_bars(  # noqa: E731
+        _ticks_stream(spark, src), "ts", "price", "5 minutes", keys=("ticker",),
+        watermark_delay="0 seconds",
+    )
+    sink = f"{tmpdir}/gold_bars"
+    _write_ticks(spark, src, [("SPY", datetime(2024, 1, 1, 10, 0, 5), 10.0, 1)])
+    q = run_available_now_to_parquet(bars_for(), f"{tmpdir}/ckpt", sink)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 0  # window still open
+
+    # Run 2 advances the watermark past 10:05 at its END; run 3's batch
+    # then evicts and emits the closed 10:00 window.
+    _write_ticks(spark, src, [("SPY", datetime(2024, 1, 1, 10, 30, 0), 11.0, 2)])
+    q = run_available_now_to_parquet(bars_for(), f"{tmpdir}/ckpt", sink)
+    q.awaitTermination(120)
+    _write_ticks(spark, src, [("SPY", datetime(2024, 1, 1, 10, 40, 0), 12.0, 3)])
+    q = run_available_now_to_parquet(bars_for(), f"{tmpdir}/ckpt", sink)
+    q.awaitTermination(120)
+    out = {r["bucket_start"]: r for r in spark.read.parquet(sink).collect()}
+    # Run 3 emits 10:00 in its data batch (input watermark 10:30 from run 2)
+    # and 10:30 in the trailing no-data batch (watermark advanced to 10:40).
+    # The still-open 10:40 window must NOT be emitted; nothing twice.
+    assert set(out) == {datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 30)}
+    b = out[datetime(2024, 1, 1, 10, 0)]
+    assert b["n_trades"] == 1 and b["open"] == 10.0
