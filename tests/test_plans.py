@@ -1,0 +1,70 @@
+"""Plan-shape regression tests (SURVEY.md §4): the properties that decide
+whether a query survives a 100× scale-up, pinned at the physical plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polygon_algotrading_env_spark.plans import plan_stats
+from polygon_algotrading_env_spark.queries import queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir, q):
+    st = plan_stats(q["filter_mktsegment"](spark, sf_dir))
+    assert any("EqualTo(c_mktsegment,BUILDING)" in f for f in st.pushed_filters)
+
+
+def test_column_pruning_projection(spark, sf_dir, q):
+    st = plan_stats(q["project_customer"](spark, sf_dir))
+    assert st.read_schemas and all(
+        set(rs.split(",")[0].split(":")[0:1])  # sanity: parseable
+        for rs in st.read_schemas
+    )
+    # Only the two projected columns are read — not the 5-column table.
+    assert "c_custkey" in st.read_schemas[0]
+    assert "c_acctbal" not in st.read_schemas[0]
+
+
+def test_bars_scan_prunes_unused_columns(spark, sf_dir, q):
+    st = plan_stats(q["ohlcv_bars_5m"](spark, sf_dir))
+    joined = ",".join(st.read_schemas)
+    assert "props" not in joined and "user_id" not in joined
+    assert st.shuffle_exchanges == 1  # one partial+final hash aggregate
+
+
+def test_topk_avoids_global_sort(spark, sf_dir, q):
+    st = plan_stats(q["topk_orders_by_price"](spark, sf_dir))
+    assert st.take_ordered == 1
+    assert st.shuffle_exchanges == 0
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir, q):
+    st = plan_stats(q["star_join_revenue_by_region"](spark, sf_dir))
+    assert st.broadcast_joins == 3
+    assert st.sort_merge_joins == 0
+    # The only shuffle is the final small-key aggregate.
+    assert st.shuffle_exchanges == 1
+
+
+def test_broadcast_dim_join(spark, sf_dir, q):
+    st = plan_stats(q["join_lineitem_part_broadcast"](spark, sf_dir))
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir, q):
+    """The union+LOCF as-of plan must cost ONE shuffle of |L|+|R| — a
+    range-join rewrite or row explosion would show up here."""
+    st = plan_stats(q["asof_latest_order_before_event"](spark, sf_dir))
+    assert st.shuffle_exchanges == 1
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_codegen_covers_scans(spark, sf_dir, q):
+    st = plan_stats(q["pricing_summary"](spark, sf_dir), execute=True)
+    assert st.codegen_spans >= 1
