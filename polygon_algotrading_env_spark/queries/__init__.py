@@ -69,4 +69,5 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     timeseries,
     text,
     vectors,
+    extended,
 )

@@ -1,0 +1,299 @@
+"""Extended capability corpus: engine surface beyond the reference's own
+operator set, declared in SURVEY.md §2 as built-in extensions (set ops,
+CUBE, ranking, percentiles, range frames, SQL API) plus the remaining
+scalar-function rows (F9 nonce, O5 shuffle, F3 audit columns, A7 vwap).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from polygon_algotrading_env_spark.catalog import load_table, register_views
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- A7 completion: vwap with hash-exact semantics ------------------------
+@register(
+    "vwap_5m",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,
+           round(sum(value * value), 6) / round(sum(value), 4) AS vwap
+    FROM events
+    GROUP BY event_type, bucket_start
+    """,
+)
+def vwap_5m(spark, sf_dir):
+    """VWAP per bucket (A7's Σ(p·v)/Σv with value as both price and size).
+    Both numerator and denominator are stabilized by rounding (their true
+    values have ≤4 decimals, so rounding is the identity), then divided —
+    IEEE division of identical doubles is bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "5 minutes").alias("__w"))
+        .agg(
+            (
+                F.round(F.sum(F.col("value") * F.col("value")), 6)
+                / F.round(F.sum("value"), 4)
+            ).alias("vwap")
+        )
+        .select("event_type", F.col("__w.start").alias("bucket_start"), "vwap")
+    )
+
+
+# --- §2.8: intersect / except ---------------------------------------------
+@register(
+    "intersect_order_slices",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_order_slices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return a.intersect(b)
+
+
+@register(
+    "except_order_slices",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_order_slices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return a.exceptAll(b).distinct()
+
+
+# --- CUBE -----------------------------------------------------------------
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# --- ranking: rank / dense_rank (deterministic under ties) ----------------
+@register(
+    "rank_orders_in_priority",
+    oracle="""
+    SELECT o_orderkey,
+           rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    """,
+)
+def rank_orders_in_priority(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --- percentiles (continuous interpolation) -------------------------------
+@register(
+    "median_qty_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6)  AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_qty_per_flag(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        )
+    )
+
+
+# --- date arithmetic ------------------------------------------------------
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY                              AS due_ts,
+           CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                         o_orderdate) AS INT)                         AS epoch_day,
+           CAST(datepart('quarter', o_orderdate) AS INT)              AS qtr
+    FROM orders
+    """,
+)
+def date_arithmetic(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.date_diff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("timestamp_ntz")
+        )
+        .cast("int")
+        .alias("epoch_day"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
+
+
+# --- string functions II: substring / pad / split / regexp_extract --------
+@register(
+    "string_funcs_extended",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 8)                           AS name8,
+           lpad(p_brand, 12, '_')                            AS brand_pad,
+           str_split(p_type, ' ')[1]                         AS type_head,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num
+    FROM part
+    """,
+)
+def string_funcs_extended(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.lpad("p_brand", 12, "_").alias("brand_pad"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+    )
+
+
+# --- null handling: coalesce / nullif / greatest / least ------------------
+@register(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_tax, l_discount)                 AS max_rate,
+           least(l_tax, l_discount)                    AS min_rate,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def null_handling(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+# --- time-range window frame (30-day trailing sum) ------------------------
+@register(
+    "range_frame_30d_qty",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                    l_shipdate) AS BIGINT)
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS qty_30d
+    FROM lineitem
+    """,
+)
+def range_frame_30d_qty(spark, sf_dir):
+    """Time-based RANGE frame (the technical-indicator 'trailing 30
+    calendar days' shape, distinct from W4's row frame): order by epoch-day
+    and bound the frame by value, not row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch_day = F.date_diff(
+        F.col("l_shipdate"), F.lit("1970-01-01").cast("timestamp_ntz")
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-29, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 4).alias("qty_30d"),
+    )
+
+
+# --- SQL API: the engine accepts textual SQL over registered views --------
+_SQL_TOP_CUSTOMERS = """
+    SELECT c.c_custkey, c.c_name, count(*) AS n_big_orders
+    FROM customer c
+    WHERE c.c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    )
+    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_custkey, c.c_name
+    HAVING count(*) >= 1
+"""
+
+
+@register("sql_api_in_exists_having", oracle=_SQL_TOP_CUSTOMERS)
+def sql_api_in_exists_having(spark, sf_dir):
+    """Same SQL text runs on both engines: IN-subquery (Catalyst rewrites
+    to semi join), correlated EXISTS, GROUP BY + HAVING — the spark.sql
+    entry point over registered views.
+
+    NB: the outer count(*) counts customer rows (1 per group), kept
+    deliberately so the identical SQL string is its own oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TOP_CUSTOMERS)
+
+
+# --- O5/F9/F3: nondeterministic surface (rows-only checks) ----------------
+@register("shuffled_work_order", oracle=None)
+def shuffled_work_order(spark, sf_dir):
+    """O5: random work-order shuffle (main.py:36 random.shuffle) — seeded
+    rand() is deterministic per plan but not across engines → rows-only."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.rand(seed=42).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+    )
+
+
+@register("audit_and_nonce_columns", oracle=None)
+def audit_and_nonce_columns(spark, sf_dir):
+    """F3 (ingestion audit timestamp, reference_data_etl.py:66) + F9
+    (5-char uppercase nonce, helper_functions.py:25-36) — value-
+    nondeterministic by design → rows-only."""
+    nonce = F.upper(F.substring(F.md5(F.rand(seed=7).cast("string")), 1, 5))
+    return load_table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.current_timestamp().alias("ingest_ts"),
+        nonce.alias("nonce"),
+    )
+
+
+@register("approx_distinct_parts", oracle=None)
+def approx_distinct_parts(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — engine-specific sketches →
+    rows-only (the exact variant is oracle-checked in
+    count_distinct_parts_per_flag)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
