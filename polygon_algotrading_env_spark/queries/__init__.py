@@ -70,4 +70,5 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     text,
     vectors,
     extended,
+    sessions,
 )

@@ -1,0 +1,155 @@
+"""Sliding windows, session windows, and a full indicator (RSI) as
+oracle-checked queries — completing the time-series surface (SURVEY.md
+§2.6 W3/W4, §2.10 T3 extensions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- sliding (hopping) windows: 10-minute bars every 5 minutes ------------
+@register(
+    "sliding_bars_10m_5m",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+             - k.k * INTERVAL '5 minutes'       AS bucket_start,
+           count(*)                             AS n_events,
+           round(sum(value), 4)                 AS volume
+    FROM events, (VALUES (0), (1)) AS k(k)
+    GROUP BY event_type, bucket_start
+    """,
+)
+def sliding_bars_10m_5m(spark, sf_dir):
+    """Hopping window: each event contributes to the two 10-minute windows
+    (slide 5 min) covering it. Spark's window() duplicates rows into their
+    windows; the oracle reproduces that with an explicit 2-row fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "10 minutes", "5 minutes").alias("__w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            "event_type", F.col("__w.start").alias("bucket_start"),
+            "n_events", "volume",
+        )
+    )
+
+
+# --- session windows: activity sessions with a 5-minute gap ---------------
+@register(
+    "session_windows_per_user",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(min(ts))       AS session_start_ms,
+           count(*)                AS n_events,
+           round(sum(value), 4)    AS volume
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_windows_per_user(spark, sf_dir):
+    """Session windows (gap timeout 5 min) — Spark's native session_window;
+    the oracle is the classic gaps-and-islands formulation. A new session
+    starts when the gap is ≥ the timeout (Spark's window end is exclusive:
+    [start, last_event + gap)). Session start is exposed as epoch millis
+    computed from the exact nanos (cross-engine timestamp-precision-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("__w"))
+        .agg(
+            # Integer DIV: float division on epoch-nanos loses precision
+            # above 2^53 and lands ±1 ms off.
+            F.expr("min(ts_ns) DIV 1000000").alias("session_start_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select("user_id", "session_start_ms", "n_events", "volume")
+    )
+
+
+# --- RSI (Cutler's) as a full oracle-checked indicator --------------------
+@register(
+    "rsi_14_per_event_type",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, event_id, value,
+             value - lag(value) OVER w AS d,
+             row_number() OVER w       AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), gl AS (
+      SELECT event_type, event_id, rn,
+             CASE WHEN d > 0 THEN d ELSE 0 END  AS gain,
+             CASE WHEN d < 0 THEN -d ELSE 0 END AS loss
+      FROM deltas
+    ), avgs AS (
+      SELECT event_type, event_id, rn,
+             round(sum(gain) OVER f, 6) / count(*) OVER f AS ag,
+             round(sum(loss) OVER f, 6) / count(*) OVER f AS al
+      FROM gl
+      WINDOW f AS (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           CASE WHEN al = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi_14
+    FROM avgs WHERE rn > 14
+    """,
+)
+def rsi_14_per_event_type(spark, sf_dir):
+    """RSI-14 (simple averaging) over the event stream, hash-exact via the
+    stabilize-then-exact-ops pattern: gains/losses are exact 2-decimal
+    differences, their windowed sums stabilized by round(·,6), and every
+    subsequent op (divide, 100−100/(1+x)) is identical IEEE arithmetic on
+    identical doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    gl = ev.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(d > 0, d).otherwise(F.lit(0.0)).alias("gain"),
+        F.when(d < 0, -d).otherwise(F.lit(0.0)).alias("loss"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-13, 0)
+    )
+    avgs = gl.select(
+        "event_type",
+        "event_id",
+        "rn",
+        (F.round(F.sum("gain").over(f), 6) / F.count(F.lit(1)).over(f)).alias("ag"),
+        (F.round(F.sum("loss").over(f), 6) / F.count(F.lit(1)).over(f)).alias("al"),
+    )
+    return avgs.filter(F.col("rn") > 14).select(
+        "event_type",
+        "event_id",
+        F.when(F.col("al") == 0, F.lit(100.0))
+        .otherwise(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")))
+        .alias("rsi_14"),
+    )

@@ -1,0 +1,116 @@
+"""Property-based tests (SURVEY.md §5.4): operator laws checked against
+brute-force reference implementations on randomized inputs.
+
+Spark round-trips are slow, so examples are few but structurally rich
+(duplicate timestamps, empty sides, singleton groups).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polygon_algotrading_env_spark.operators.asof import asof_join
+from polygon_algotrading_env_spark.operators.bars import ohlcv_bars, resample_bars
+from polygon_algotrading_env_spark.operators.dedup import exact_dedup
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+key_st = st.sampled_from(["A", "B"])
+ts_st = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(
+        st.lists(st.tuples(key_st, ts_st), min_size=0, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(key_st, ts_st), min_size=0, max_size=12, unique=True)
+    )
+    return left, right
+
+
+def _brute_asof(left, right, inclusive=True):
+    out = {}
+    for k, t in left:
+        cands = [
+            rt for rk, rt in right if rk == k and (rt <= t if inclusive else rt < t)
+        ]
+        out[(k, t)] = max(cands) if cands else None
+    return out
+
+
+@SLOW
+@given(asof_case())
+def test_asof_matches_bruteforce(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left] or [("Z", -1)], "k string, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, f"r{t}") for k, t in right] or [("Z", -2, "r")],
+        "k string, t long, rv string",
+    )
+    got = {
+        (r["k"], r["t"]): r["t_r"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t").collect()
+    }
+    expected = _brute_asof(left or [("Z", -1)], right or [("Z", -2)])
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3599),                      # second within the hour
+            st.floats(1.0, 100.0, allow_nan=False),    # price
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_ladder_property(spark, ticks):
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        ("X", base + timedelta(seconds=s), round(p, 2), float(i))
+        for i, (s, p) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, ts timestamp_ntz, price double, seq double"
+    )
+    one = ohlcv_bars(df, "ts", "price", "1 minute", ("ticker",), order_col="seq")
+    via = resample_bars(
+        resample_bars(one, "5 minutes", ("ticker",)), "1 hour", ("ticker",)
+    )
+    direct = ohlcv_bars(df, "ts", "price", "1 hour", ("ticker",), order_col="seq")
+    cols = ["bucket_start", "open", "high", "low", "close", "volume", "n_trades"]
+    assert {tuple(r[c] for c in cols) for r in via.collect()} == {
+        tuple(r[c] for c in cols) for r in direct.collect()
+    }
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["x", "y", "z"])),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_dedup_idempotent_and_set_semantics(spark, rows):
+    df = spark.createDataFrame(rows or [(99, "w")], "a int, b string")
+    once = exact_dedup(df)
+    assert once.count() == len(set(rows or [(99, "w")]))
+    assert exact_dedup(once).count() == once.count()
+    # Dedup of df ∪ df equals dedup of df (the page-overlap law).
+    assert exact_dedup(df.unionByName(df)).count() == once.count()
