@@ -71,47 +71,56 @@ def minhash_signature(
 ) -> Column:
     """Array of ``num_hashes`` minhash values over character shingles.
 
-    Hybrid plan, measured: shingle STRINGS are hashed exactly once with
-    JVM-side xxhash64 (cheap); the k permutations are multiply-shift
-    re-mixes of those 8-byte values, computed as a vectorized Arrow-batched
-    pandas UDF. A pure higher-order-function formulation
-    (k nested transforms) runs interpreted per element — ~100s for
-    5000 docs × 300 shingles × 32 perms — while the numpy matrix form is
-    sub-second on the same input; this is the one hot path where the
-    built-ins genuinely lose.
+    Fully vectorized Arrow-batched pandas UDF, chosen by measurement
+    (see ARCHITECTURE.md "Python is quarantined"): the declarative
+    formulation — per-char ``substr`` shingling + per-shingle hashing +
+    k permutation passes as nested higher-order functions — runs
+    interpreted per array element (~100 s for 5000 docs × 300 shingles ×
+    32 perms). Here shingling is a numpy sliding window over the utf-8
+    bytes, shingle hashing a polynomial dot product, and the k
+    permutations a (k × n) multiply-shift matrix — milliseconds for the
+    same input, deterministic for a fixed seed.
     """
-    shingles = F.array_distinct(char_ngrams(text, shingle_n))
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    return _minhash_perm_udf(num_hashes)(base)
+    return _minhash_text_udf(num_hashes, shingle_n)(
+        F.col(text) if isinstance(text, str) else text
+    )
 
 
-def _minhash_perm_udf(num_hashes: int, seed: int = 42):
-    """Vectorized permutation-min over precomputed shingle hashes.
-
-    Permutation i: h_i(x) = (a_i·x + b_i) mod 2⁶⁴ with odd a_i
-    (multiply-shift universal hashing; uint64 wraparound is the mod).
-    Deterministic for a fixed seed.
-    """
+def _minhash_text_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = (rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64) * 2 + 1).astype(
         np.uint64
     )
     b = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    # Polynomial rolling-hash coefficients over shingle bytes (odd base →
+    # full-period multiplicative mixing under uint64 wraparound).
+    pow_ = np.power(
+        np.uint64(1099511628211), np.arange(shingle_n, dtype=np.uint64)
+    ).astype(np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
-    def _perm_min(base: pd.Series) -> pd.Series:
+    def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for hashes in base:
-            if hashes is None or len(hashes) == 0:
-                out.append(None)
-                continue
-            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-            with np.errstate(over="ignore"):
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                bts = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+                if len(bts) == 0:
+                    out.append(None)
+                    continue
+                if len(bts) < shingle_n:  # whole text = single shingle
+                    h = (bts.astype(np.uint64) * pow_[: len(bts)]).sum(keepdims=True)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(bts, shingle_n)
+                    h = (win.astype(np.uint64) * pow_[None, :]).sum(axis=1)
+                h = np.unique(h)  # set semantics, like array_distinct
                 sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-            out.append(sig.astype(np.int64).tolist())
+                out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
-    return _perm_min
+    return _sig
 
 
 def lsh_band_keys(sig: Column | str, bands: int, rows_per_band: int) -> Column:

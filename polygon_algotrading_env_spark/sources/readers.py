@@ -36,6 +36,25 @@ def read_csv_typed(
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """S4: JDBC read (``SELECT ... FROM reference_db.tickers``,
+    ``dag_aggregates_etl.py:54``). Catalyst pushes filters/projections to
+    the database; ``predicates`` gives one partition per predicate for
+    parallel reads. Untested here (no RDBMS in this environment)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if predicates:
+        reader = reader.option("numPartitions", len(predicates))
+    return reader.load()
+
+
 def read_json_typed(
     spark: SparkSession, path: str, schema: StructType | str | None = None
 ) -> DataFrame:
