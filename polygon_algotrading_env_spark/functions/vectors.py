@@ -32,7 +32,8 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm vectors (try_divide), not an ANSI runtime error."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def scale(a: Column | str, s: Column) -> Column:

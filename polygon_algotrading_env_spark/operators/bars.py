@@ -68,7 +68,9 @@ def ohlcv_bars(
         "low",
         "close",
         "volume",
-        (F.col("notional") / F.col("volume")).alias("vwap"),
+        # try_divide: a zero-volume bucket yields NULL vwap instead of an
+        # ANSI divide-by-zero runtime error (ANSI is on by default in 4.x).
+        F.try_divide(F.col("notional"), F.col("volume")).alias("vwap"),
         "notional",
         "n_trades",
         F.col("__open_ord").alias("open_ord"),
@@ -109,7 +111,7 @@ def resample_bars(
         "low",
         "close",
         "volume",
-        (F.col("notional") / F.col("volume")).alias("vwap"),
+        F.try_divide(F.col("notional"), F.col("volume")).alias("vwap"),
         "notional",
         "n_trades",
         F.col("__open_ord").alias("open_ord"),

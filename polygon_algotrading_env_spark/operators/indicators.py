@@ -62,9 +62,8 @@ def with_returns(
     """Per-row simple (or log) return vs the previous row."""
     w = _w(keys, order_cols)
     prev = F.lag(price).over(w)
-    expr = (
-        F.log(F.col(price) / prev) if log_returns else F.col(price) / prev - F.lit(1.0)
-    )
+    ratio = F.try_divide(F.col(price), prev)  # NULL on zero prev, not ANSI error
+    expr = F.log(ratio) if log_returns else ratio - F.lit(1.0)
     return df.withColumn(out, expr)
 
 
@@ -74,7 +73,7 @@ def with_running_max_drawdown(
     w = _w(keys, order_cols).rowsBetween(Window.unboundedPreceding, 0)
     running_max = F.max(price).over(w)
     return df.withColumn("running_max", running_max).withColumn(
-        "drawdown", F.col(price) / F.col("running_max") - F.lit(1.0)
+        "drawdown", F.try_divide(F.col(price), F.col("running_max")) - F.lit(1.0)
     )
 
 
@@ -94,7 +93,7 @@ def with_rsi(
     avg_gain = F.avg("__gain").over(frame)
     avg_loss = F.avg("__loss").over(frame)
     rsi = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
-        100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+        100.0 - 100.0 / (1.0 + F.try_divide(avg_gain, avg_loss))
     )
     return df.withColumn(f"rsi_{n}", rsi).drop("__gain", "__loss")
 

@@ -19,7 +19,8 @@ from polygon_algotrading_env_spark.queries import register
     oracle="""
     SELECT event_type,
            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,
-           round(sum(value * value), 6) / round(sum(value), 4) AS vwap
+           round(sum(value * value), 6)
+             / nullif(round(sum(value), 4), 0) AS vwap
     FROM events
     GROUP BY event_type, bucket_start
     """,
@@ -28,14 +29,16 @@ def vwap_5m(spark, sf_dir):
     """VWAP per bucket (A7's Σ(p·v)/Σv with value as both price and size).
     Both numerator and denominator are stabilized by rounding (their true
     values have ≤4 decimals, so rounding is the identity), then divided —
-    IEEE division of identical doubles is bit-identical across engines."""
+    IEEE division of identical doubles is bit-identical across engines.
+    Zero-volume buckets (they exist at sf0.1) → NULL via NULLIF in both
+    engines; an unguarded divide is an ANSI runtime error in Spark 4."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.window("ts", "5 minutes").alias("__w"))
         .agg(
             (
                 F.round(F.sum(F.col("value") * F.col("value")), 6)
-                / F.round(F.sum("value"), 4)
+                / F.nullif(F.round(F.sum("value"), 4), F.lit(0.0))
             ).alias("vwap")
         )
         .select("event_type", F.col("__w.start").alias("bucket_start"), "vwap")

@@ -98,7 +98,7 @@ def stream_ohlcv_bars(
         "low",
         "close",
         "volume",
-        (F.col("notional") / F.col("volume")).alias("vwap"),
+        F.try_divide(F.col("notional"), F.col("volume")).alias("vwap"),
         "n_trades",
     )
 
