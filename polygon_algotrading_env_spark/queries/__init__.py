@@ -71,4 +71,5 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     vectors,
     extended,
     sessions,
+    reshape,
 )
