@@ -20,10 +20,12 @@ Two tiers, both DataFrame plans:
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 
 from polygon_algotrading_env_spark.functions.vectors import cosine, dot
 
@@ -144,6 +146,98 @@ def lsh_ann_topk(
         score = F.round(score, score_decimals)
     return (
         candidates.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Train a small IVF coarse quantizer: k-means on a driver-side sample.
+
+    At 100 TB you train the quantizer on a sample anyway (centroid count
+    ≪ data); the assignment pass is the distributed part. Returns a
+    (n_centroids × dim) numpy array, deterministic for a fixed seed.
+    """
+    sample = np.array(
+        [
+            list(r[0])
+            for r in embeddings.select(vec_col).limit(sample_rows).collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    # Spherical k-means (cosine ≙ dot on normalized vectors).
+    def _norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    s = _norm(sample)
+    for _ in range(iters):
+        c = _norm(cent)
+        assign = (s @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = s[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return _norm(cent)
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Distributed IVF assignment: argmax dot against the broadcast
+    centroid matrix, as a vectorized Arrow pandas UDF (a k×d matmul per
+    batch). Write the result partitioned by ``cell`` and every probe scans
+    only its cells."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series((mat / norms @ cent.T).argmax(axis=1).astype("int32"))
+
+    return embeddings.withColumn(out, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: score only rows in the ``n_probe`` cells
+    nearest the query. Recall rises with n_probe; n_probe = n_centroids
+    degenerates to the exact scan."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cent @ qn))[:n_probe].tolist()
+
+    cells = assign_ivf_cells(embeddings, cent, vec_col=vec_col)
+    cands = cells.filter(F.col("cell").isin([int(c) for c in probe]))
+    score = cosine(F.col(vec_col), _query_lit(query_vec))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        cands.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

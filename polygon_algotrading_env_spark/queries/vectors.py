@@ -107,6 +107,21 @@ def lsh_ann_topk_q(spark, sf_dir):
     )
 
 
+@register("ivf_ann_topk", oracle=None)
+def ivf_ann_topk(spark, sf_dir):
+    """IVF-bucketed ANN: spherical-k-means coarse quantizer (trained on a
+    driver sample), distributed cell assignment, n_probe-cell scan.
+    Approximate ⇒ rows-only; recall asserted vs brute force in tests."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=16)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=20, n_probe=4)
+
+
 @register("embedding_neighbors_blocked", oracle=None)
 def embedding_neighbors_blocked(spark, sf_dir):
     """All-pairs top-3 neighbors within ``label`` blocks (embedding-cosine

@@ -50,6 +50,28 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from polygon_algotrading_env_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    cents = ivf_centroids(emb, n_centroids=8)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, n_probe=3).collect()
+    ]
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 4
+    # n_probe = n_centroids degenerates to the exact scan.
+    full = [
+        r["vec_id"] for r in ivf_topk(emb, q, cents, k=10, n_probe=8).collect()
+    ]
+    assert full == exact
+
+
 def test_srp_buckets_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     a = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
