@@ -16,6 +16,7 @@ from polygon_algotrading_env_spark.queries import register
 # --- A7 completion: vwap with hash-exact semantics ------------------------
 @register(
     "vwap_5m",
+    headline=True,
     oracle="""
     SELECT event_type,
            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,

@@ -48,6 +48,7 @@ def sliding_bars_10m_5m(spark, sf_dir):
 # --- session windows: activity sessions with a 5-minute gap ---------------
 @register(
     "session_windows_per_user",
+    headline=True,
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
@@ -89,9 +90,58 @@ def session_windows_per_user(spark, sf_dir):
     )
 
 
+# --- EMA via grouped-map applyInPandas (recursive → no SQL oracle) --------
+@register("ema_20_per_event_type", oracle=None)
+def ema_20_per_event_type(spark, sf_dir):
+    """EMA-20 of value per event_type — the inherently recursive indicator,
+    run as an Arrow grouped-map (one symbol's series per group). Rows-only:
+    a recursive smoothing has no portable SQL formulation."""
+    from polygon_algotrading_env_spark.operators.indicators import with_ema
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts_ns", "value"
+    )
+    out = with_ema(
+        ev, "value", span=20, keys=["event_type"], order_cols=["ts_ns", "event_id"]
+    )
+    return out.select("event_type", "event_id", "ema_20")
+
+
+# --- multimodal plumbing over binary columns (decode faked, rows-only) ----
+@register("multimodal_features_from_docs", oracle=None)
+def multimodal_features_from_docs(spark, sf_dir):
+    """Multimodal column pipeline driven end-to-end on fixture data:
+    documents' text bytes stand in for media blobs (binary column + typed
+    metadata struct), features extracted via mapInPandas with the
+    deterministic fake decoder (real codecs are environment-injected)."""
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.named_struct(
+            F.lit("mime"), F.lit("text/plain"),
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("duration_s"), F.lit(None).cast("double"),
+            F.lit("fps"), F.lit(None).cast("double"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, decoder=deterministic_fake_decoder(dim=8))
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
 # --- RSI (Cutler's) as a full oracle-checked indicator --------------------
 @register(
     "rsi_14_per_event_type",
+    headline=True,
     oracle="""
     WITH deltas AS (
       SELECT event_type, event_id, value,

@@ -62,7 +62,7 @@ def ohlcv_bars_5m(spark, sf_dir):
     return _bars(spark, sf_dir, "5 minutes")
 
 
-@register("ohlcv_bars_1h_resampled", oracle=_BAR_ORACLE.format(minutes=60))
+@register("ohlcv_bars_1h_resampled", headline=True, oracle=_BAR_ORACLE.format(minutes=60))
 def ohlcv_bars_1h_resampled(spark, sf_dir):
     """Resample ladder (old_source_op.py:18's 1m→…→1d period list): 1-hour
     bars built FROM the 5-minute bars, not from raw ticks — the oracle

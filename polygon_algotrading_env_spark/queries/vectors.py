@@ -96,7 +96,7 @@ def cosine_topk_bruteforce(spark, sf_dir):
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
-@register("lsh_ann_topk", oracle=None)
+@register("lsh_ann_topk", headline=True, oracle=None)
 def lsh_ann_topk_q(spark, sf_dir):
     """SRP-LSH approximate top-k: scores only the probe bucket's Hamming-1
     neighborhood. Approximate ⇒ rows-only check; recall is asserted against
@@ -107,7 +107,7 @@ def lsh_ann_topk_q(spark, sf_dir):
     )
 
 
-@register("ivf_ann_topk", oracle=None)
+@register("ivf_ann_topk", headline=True, oracle=None)
 def ivf_ann_topk(spark, sf_dir):
     """IVF-bucketed ANN: spherical-k-means coarse quantizer (trained on a
     driver sample), distributed cell assignment, n_probe-cell scan.
