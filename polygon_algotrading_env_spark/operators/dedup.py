@@ -57,9 +57,32 @@ def dedup_keep_first(
 
 def dedup_report(df: DataFrame, deduped: DataFrame) -> dict[str, int]:
     """Rows before/after, mirroring the reference's dedup logging
-    (``old_source_op.py:106-109``). Two jobs; use observe() in pipelines."""
+    (``old_source_op.py:106-109``). Two jobs; prefer
+    :func:`observed_dedup` in pipelines (zero extra passes)."""
     before, after = df.count(), deduped.count()
     return {"rows_before": before, "rows_after": after, "dropped": before - after}
+
+
+def observed_dedup(
+    df: DataFrame, keys: Sequence[str] | None = None
+) -> tuple[DataFrame, "Observation", "Observation"]:
+    """Full-row dedup instrumented with ``observe()``: input and output
+    row counts are collected as metrics OF the one real job instead of two
+    extra count() jobs (D3's logging, Spark-native — at 100 TB a count()
+    is a full scan you don't want to pay twice).
+
+    Returns (deduped_df, obs_in, obs_out); read ``obs.get`` after the
+    first action on the returned DataFrame.
+    """
+    from pyspark.sql import Observation
+
+    obs_in, obs_out = Observation("dedup_in"), Observation("dedup_out")
+    observed = df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+    deduped = (
+        observed.dropDuplicates(list(keys)) if keys else observed.dropDuplicates()
+    )
+    deduped = deduped.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    return deduped, obs_in, obs_out
 
 
 # ---------------------------------------------------------------------------

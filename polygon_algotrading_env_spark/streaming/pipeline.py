@@ -120,6 +120,28 @@ def run_available_now(
     )
 
 
+def stream_dim_refresh(
+    stream_df: DataFrame, checkpoint_dir: str, latest_path: str
+):
+    """T6: full-refresh dimension stream — every micro-batch atomically
+    overwrites the 'latest' dimension snapshot via foreachBatch (the
+    streaming form of the reference's daily to_sql(if_exists='replace'),
+    ``reference_data_etl.py:67``)."""
+
+    def _overwrite(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.dropDuplicates().write.mode("overwrite").parquet(latest_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_overwrite)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now_to_parquet(
     stream_df: DataFrame, checkpoint_dir: str, out_path: str
 ):
