@@ -250,6 +250,85 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (MOSS-style) fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, window: int = 12
+) -> Column:
+    """Winnowing fingerprint set: min k-gram hash per sliding window of
+    ``window`` consecutive k-gram hashes (Schleimer/Wilkerson/Aiken's MOSS
+    scheme). Guarantees any shared substring of length ≥ window+k-1 yields
+    at least one shared fingerprint — the partial-overlap detector that
+    whole-document hashes miss.
+
+    Same quarantined-numpy shape as minhash: text → rolling polynomial
+    k-gram hashes → per-window min, all vectorized per Arrow batch.
+    Fingerprints come back as a sorted distinct array; explode + groupBy
+    fingerprint joins documents sharing any region.
+    """
+    return _winnow_udf(k, window)(F.col(text) if isinstance(text, str) else text)
+
+
+def _winnow_udf(k: int, window: int):
+    pow_ = np.power(
+        np.uint64(1099511628211), np.arange(k, dtype=np.uint64)
+    ).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                b = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+                if len(b) < k:
+                    out.append([])
+                    continue
+                grams = np.lib.stride_tricks.sliding_window_view(b, k)
+                h = (grams.astype(np.uint64) * pow_[None, :]).sum(axis=1)
+                if len(h) <= window:
+                    sel = np.array([h.min()])
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = wins.min(axis=1)
+                fps = np.unique(sel).astype(np.int64)
+                out.append(fps.tolist())
+        return pd.Series(out)
+
+    return _fp
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 12,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints. Explode → equi-join on fingerprint → count per
+    pair — shuffle-bounded like the MinHash plan, but sensitive to shared
+    REGIONS rather than whole-document similarity."""
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
+    ).persist()
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

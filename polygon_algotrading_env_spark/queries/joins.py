@@ -109,6 +109,61 @@ def star_join_revenue_by_region(spark, sf_dir):
     )
 
 
+# --- J3 forward: next event strictly after each order (backtest lookup) ---
+@register(
+    "asof_next_event_after_order",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           m.event_id AS next_event_id,
+           m.value    AS next_value
+    FROM orders o
+    LEFT JOIN LATERAL (
+      SELECT e.event_id, e.value
+      FROM events e
+      WHERE e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+      ORDER BY e.ts ASC, e.event_id ASC
+      LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def asof_next_event_after_order(spark, sf_dir):
+    """Forward-strict as-of: each order matched to the user's first event
+    strictly after the order date — the backtest primitive ('what happened
+    next'). Same union+LOCF plan, descending sort direction.
+
+    Tie-break note: the operator keeps the greatest tie_break among rights
+    at the same timestamp; for 'earliest event wins' the tie_break is
+    negated event_id. Event timestamps are nanos-unique, so this only
+    guards pathological inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey"), F.col("o_orderdate")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("ev_ts"),
+        "event_id",
+        "value",
+        (-F.col("event_id")).alias("neg_event_id"),
+    )
+    joined = asof_join(
+        orders,
+        ev,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ev_ts",
+        direction="forward",
+        allow_exact_matches=False,
+        tie_break="neg_event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id").alias("next_event_id"),
+        F.col("value").alias("next_value"),
+    )
+
+
 # --- J3: as-of join (split/dividend adjustment semantics) -----------------
 @register(
     "asof_latest_order_before_event",

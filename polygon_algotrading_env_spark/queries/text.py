@@ -22,6 +22,7 @@ from polygon_algotrading_env_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    winnow_candidate_pairs,
 )
 from polygon_algotrading_env_spark.queries import register
 
@@ -243,6 +244,18 @@ def embedding_near_dup_srp(spark, sf_dir):
     return pairwise_cosine_topk(emb, k=1, block_col="bucket").select(
         "id_a", "id_b", "score"
     )
+
+
+@register("winnow_overlap_pairs", oracle=None)
+def winnow_overlap_pairs(spark, sf_dir):
+    """Winnowing-fingerprint partial-overlap pairs (MOSS scheme): detects
+    shared REGIONS (≥ window+k-1 chars), which whole-document MinHash
+    similarity misses. Hash-based ⇒ rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The fixture corpus is word-salad over a tiny vocabulary, so short
+    # shared regions are ubiquitous — demand long k-grams and many shared
+    # fingerprints to keep the pair set meaningfully selective.
+    return winnow_candidate_pairs(docs, k=16, window=16, min_shared=8)
 
 
 @register("ngram_jaccard_near_dup", oracle=None)

@@ -131,6 +131,36 @@ def cumulative_factor_per_supplier(spark, sf_dir):
     )
 
 
+# --- first_value / nth_value over ordered frames --------------------------
+@register(
+    "first_nth_value_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def first_nth_value_per_customer(spark, sf_dir):
+    """first/nth/last_value over explicit deterministic frames (A5's
+    'first date with data' generalization). last_value uses an unbounded
+    frame — the default running frame would just echo the current row."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        F.last_value("o_orderkey").over(w_full).alias("last_orderkey"),
+    )
+
+
 # --- ranking extension: top-n per group via row_number --------------------
 @register(
     "top5_orders_per_priority",

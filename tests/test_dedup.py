@@ -63,6 +63,24 @@ def test_ngram_jaccard_exact_verification(spark, docs):
     assert 0.5 < jac[(0, 1)] < 1.0
 
 
+def test_winnowing_detects_partial_overlap(spark):
+    from polygon_algotrading_env_spark.operators.dedup import winnow_candidate_pairs
+
+    shared = "this exact long passage is copied verbatim between documents"
+    rows = [
+        (0, f"unique preamble alpha alpha alpha. {shared}. unique tail one"),
+        (1, f"completely different opening text here. {shared}. other ending"),
+        (2, "no overlap with the others at all, entirely distinct content x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow_candidate_pairs(docs, k=8, window=12, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs  # shared region found despite different docs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
 def test_simhash_hamming(spark, docs):
     sh = docs.select("doc_id", simhash64("text").alias("h"))
     a = sh.alias("a").join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
