@@ -16,4 +16,5 @@ express the semantics (and then Arrow-batched).
 
 __version__ = "0.1.0"
 
+from polygon_algotrading_env_spark.engine import Engine  # noqa: F401
 from polygon_algotrading_env_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,131 @@
+"""The user-facing facade: one object tying sources → silver → gold →
+analytics together (the "switch from the reference" surface).
+
+A reference user's workflow maps 1:1:
+
+    reference (Airflow/ECS/pandas)              engine
+    ------------------------------------------  ---------------------------
+    dag_reference_data_etl_* daily refresh      eng.refresh_dimension(...)
+    dag_aggregates_etl watermark dance + ECS    eng.ingest_candles(...)
+    Polygon 'aggregates' API bar resolutions    eng.bars(df, '5 minutes')
+    Polygon adjusted=true                       eng.adjust(candles, splits)
+    absent Databricks analytics                 eng.indicators / eng.dedup_corpus
+                                                / eng.search / registry queries
+
+Everything returns DataFrames; nothing is materialized unless you write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from polygon_algotrading_env_spark import catalog, pipelines
+from polygon_algotrading_env_spark.operators import adjust as _adjust
+from polygon_algotrading_env_spark.operators import bars as _bars
+from polygon_algotrading_env_spark.operators import dedup as _dedup
+from polygon_algotrading_env_spark.operators import similarity as _sim
+from polygon_algotrading_env_spark.session import ensure_runtime_confs, get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, lake_root: str | None = None):
+        self.spark = ensure_runtime_confs(spark or get_spark())
+        self.lake_root = lake_root
+
+    # -- catalog ----------------------------------------------------------
+    def table(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
+        return catalog.load_table(self.spark, sf_dir, name)
+
+    def register_views(self, sf_dir: str = catalog.DEFAULT_SF_DIR) -> None:
+        catalog.register_views(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- ingest (reference entry points A/B/C) ----------------------------
+    def refresh_dimension(self, fetch, schema: str, name: str, snapshot_id: str):
+        root = self._root()
+        return pipelines.refresh_reference_data(
+            self.spark, fetch, schema,
+            f"{root}/dims/{name}/latest", f"{root}/dims/{name}/history",
+            snapshot_id,
+        )
+
+    def ingest_candles(
+        self, symbols: Sequence[str], fetch_page, start_date: str, end_date: str,
+        adjusted: bool = True,
+    ) -> DataFrame:
+        return pipelines.ingest_aggregates(
+            self.spark, symbols, fetch_page, self._root(), start_date, end_date,
+            adjusted=adjusted,
+        )
+
+    # -- gold-layer analytics --------------------------------------------
+    def bars(self, ticks: DataFrame, duration: str, **kw) -> DataFrame:
+        kw.setdefault("ts_col", "ts")
+        kw.setdefault("price_col", "c")
+        kw.setdefault("keys", ("ticker",))
+        return _bars.ohlcv_bars(ticks, duration=duration, **kw)
+
+    def resample(self, bars: DataFrame, duration: str, keys=("ticker",)) -> DataFrame:
+        return _bars.resample_bars(bars, duration, keys=keys)
+
+    def adjust(self, candles: DataFrame, actions: DataFrame, **kw) -> DataFrame:
+        return _adjust.adjust_prices(candles, actions, **kw)
+
+    def gold(self, candles: DataFrame, **kw) -> dict[str, DataFrame]:
+        return pipelines.build_gold_bars(candles, **kw)
+
+    # -- corpus dedup / similarity (extension surface) --------------------
+    def dedup_corpus(
+        self, docs: DataFrame, method: str = "minhash", **kw
+    ) -> DataFrame:
+        """Candidate near-duplicate pairs by ``method``:
+        'exact' (keyed survivor rows), 'minhash' (whole-doc similarity),
+        'winnow' (shared regions), or 'jaccard' (exact verification of
+        minhash candidates)."""
+        if method == "exact":
+            return _dedup.dedup_keep_first(
+                docs, keys=kw.pop("keys", ["text"]), order_col=kw.pop("order_col", "doc_id")
+            )
+        if method == "minhash":
+            return _dedup.minhash_candidate_pairs(docs, **kw)
+        if method == "winnow":
+            return _dedup.winnow_candidate_pairs(docs, **kw)
+        if method == "jaccard":
+            cands = _dedup.minhash_candidate_pairs(docs).select("id_a", "id_b")
+            return _dedup.ngram_jaccard_pairs(cands, docs, **kw)
+        raise ValueError(f"unknown dedup method: {method!r}")
+
+    def search(
+        self, embeddings: DataFrame, query_vec: list[float], k: int = 10,
+        method: str = "exact", **kw,
+    ) -> DataFrame:
+        """Top-k similarity search: 'exact' scan, 'lsh' (SRP buckets), or
+        'ivf' (k-means cells; trains a quantizer unless ``centroids``
+        passed)."""
+        if method == "exact":
+            return _sim.cosine_topk(embeddings, query_vec, k=k, **kw)
+        if method == "lsh":
+            return _sim.lsh_ann_topk(embeddings, query_vec, k=k, **kw)
+        if method == "ivf":
+            cents = kw.pop("centroids", None)
+            if cents is None:
+                cents = _sim.ivf_centroids(embeddings, **{
+                    key: kw.pop(key) for key in list(kw) if key in ("n_centroids", "seed")
+                })
+            return _sim.ivf_topk(embeddings, query_vec, cents, k=k, **kw)
+        raise ValueError(f"unknown search method: {method!r}")
+
+    # -- declared corpus --------------------------------------------------
+    def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
+        from polygon_algotrading_env_spark.queries import queries
+
+        return queries()[name](self.spark, sf_dir)
+
+    def _root(self) -> str:
+        if not self.lake_root:
+            raise ValueError("Engine(lake_root=...) required for ingest APIs")
+        return self.lake_root

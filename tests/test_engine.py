@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from polygon_algotrading_env_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark=spark)
+
+
+def test_table_and_query(eng, sf_dir):
+    assert eng.table("customer", sf_dir).count() == 150
+    assert eng.query("pricing_summary", sf_dir).count() == 6
+
+
+def test_sql_over_views(eng, sf_dir):
+    eng.register_views(sf_dir)
+    assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] == 1500
+
+
+def test_bars_and_resample(eng, sf_dir):
+    ev = eng.table("events", sf_dir)
+    five = eng.bars(
+        ev, "5 minutes", ts_col="ts", price_col="value", keys=("event_type",),
+        order_col="ts_ns",
+    )
+    hourly = eng.resample(five, "1 hour", keys=("event_type",))
+    assert hourly.count() < five.count()
+
+
+def test_dedup_and_search_dispatch(eng, sf_dir):
+    docs = eng.table("documents", sf_dir)
+    pairs = eng.dedup_corpus(docs, method="minhash", bands=16)
+    assert "est_jaccard" in pairs.columns
+    emb = eng.table("embeddings", sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    exact = eng.search(emb, q, k=5, method="exact")
+    assert exact.collect()[0]["vec_id"] == 3
+    ivf = eng.search(emb, q, k=5, method="ivf", n_centroids=8, n_probe=8)
+    assert ivf.collect()[0]["vec_id"] == 3
+    with pytest.raises(ValueError):
+        eng.dedup_corpus(docs, method="nope")
+
+
+def test_ingest_requires_lake_root(eng):
+    with pytest.raises(ValueError):
+        eng.ingest_candles(["SPY"], lambda s, d: {"results": []}, "1970-01-01", "1970-01-02")

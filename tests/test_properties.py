@@ -101,6 +101,27 @@ def test_resample_ladder_property(spark, ticks):
 
 @SLOW
 @given(
+    st.text(alphabet="abcdefgh ", min_size=40, max_size=80),
+    st.text(alphabet="qrstuvwx ", min_size=40, max_size=80),
+    st.text(alphabet="ijklmnop ", min_size=30, max_size=50),
+)
+def test_winnowing_guarantee(spark, pre_a, pre_b, shared):
+    """The winnowing guarantee: any shared substring of length ≥
+    window+k-1 produces at least one shared fingerprint (min_shared=1),
+    regardless of surrounding content."""
+    from polygon_algotrading_env_spark.operators.dedup import winnow_candidate_pairs
+
+    k, window = 8, 12
+    assert len(shared) >= window + k - 1
+    docs = spark.createDataFrame(
+        [(0, pre_a + shared), (1, pre_b + shared)], "doc_id long, text string"
+    )
+    pairs = winnow_candidate_pairs(docs, k=k, window=window, min_shared=1).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs)
+
+
+@SLOW
+@given(
     st.lists(
         st.tuples(st.integers(0, 5), st.sampled_from(["x", "y", "z"])),
         min_size=0,
