@@ -81,6 +81,61 @@ def pivot_status_counts(spark, sf_dir):
 
 
 @register(
+    "array_higher_order_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)        AS max_c,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(abs(x) AS DOUBLE))), 6)              AS l1_norm
+    FROM embeddings
+    """,
+)
+def array_higher_order_ops(spark, sf_dir):
+    """Catalyst higher-order functions over array columns: filter/exists
+    semantics (positive-component count), element max, and an aggregate
+    fold (L1 norm) — all JVM-side, no explode."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_c"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l1_norm"),
+    )
+
+
+@register(
+    "levenshtein_adjacent_parts",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    """,
+)
+def levenshtein_adjacent_parts(spark, sf_dir):
+    """Edit-distance similarity (fuzzy entity matching — the dedup-family
+    string metric) over a deterministic pair set."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@register(
     "unpivot_rates",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'discount' AS rate_type, l_discount AS rate
