@@ -119,14 +119,14 @@ def topk_orders_by_price(spark, sf_dir):
     "limit_sorted_lineitem",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100
     """,
 )
 def limit_sorted_lineitem(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)
     )
 

@@ -66,11 +66,11 @@ def lag_value_per_user(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_extendedprice) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4)
            / count(*) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mavg_20
     FROM lineitem
     """,
@@ -81,7 +81,7 @@ def moving_avg_price_per_supplier(spark, sf_dir):
     rounding hits cross-engine round-half ties for dyadic window sizes)."""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-19, 0)
     )
     return load_table(spark, sf_dir, "lineitem").select(
@@ -102,7 +102,7 @@ def moving_avg_price_per_supplier(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(exp(sum(ln(1 + l_discount)) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_discount
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), 6)
              AS cum_factor
     FROM lineitem
@@ -118,7 +118,7 @@ def cumulative_factor_per_supplier(spark, sf_dir):
     only to double precision, not to a hash-exact decimal.)"""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_discount")
         .rowsBetween(-4, 0)
     )
     return load_table(spark, sf_dir, "lineitem").select(
