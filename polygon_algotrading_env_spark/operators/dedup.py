@@ -188,33 +188,33 @@ def minhash_candidate_pairs(
     sigs = docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    ).persist()
+    # Band join carries only (id, band) — the narrow shuffle; signatures
+    # re-attach to the (much smaller) deduped pair set afterwards.
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
             "band_idx", "band_key"
         ),
-    ).persist()
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_key"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    enriched = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return pairs.select(
+    return enriched.select(
         "id_a",
         "id_b",
         (agree.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard"),
