@@ -6,4 +6,7 @@
                   dual write, overwrite-dim refresh.
 - ``bookmarks`` — incremental-ingest watermark table (replaces the
                   reference's Airflow/S3/env-var watermark dance).
+- ``versioned`` — manifest-based versioned tables: atomic commits, time
+                  travel, change feed, rollback, vacuum (upgrades the
+                  reference's latest+timestamped dual write).
 """

@@ -1,0 +1,121 @@
+"""Versioned table (time travel / change feed) — sources/versioned.py.
+
+Extends the reference's latest+timestamped dual write
+(reference_endpoints_etl.py:57-62) into an atomic, append-only commit log.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from polygon_algotrading_env_spark.sources.versioned import (
+    SchemaMismatchError,
+    VersionConflictError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="pae_spark_vt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, tag string")
+
+
+def test_append_and_time_travel(spark, root):
+    t = VersionedTable(spark, root)
+    assert t.write(_df(spark, [1, 2])) == 0
+    assert t.write(_df(spark, [3])) == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2]
+
+
+def test_overwrite_keeps_history(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2]))
+    t.write(_df(spark, [9]), mode="overwrite")
+    assert [r.id for r in t.read().collect()] == [9]
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2]
+    modes = [c.mode for c in t.history()]
+    assert modes == ["append", "overwrite"]
+
+
+def test_as_of_timestamp(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    ts0 = t.history()[0].timestamp
+    t.write(_df(spark, [2]))
+    assert [r.id for r in t.read(as_of_timestamp=ts0).collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        t.read(as_of_timestamp=ts0 - 1000)
+
+
+def test_change_feed(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2]))
+    t.write(_df(spark, [3]))
+    t.write(_df(spark, [4]))
+    assert sorted(r.id for r in t.read_changes(1).collect()) == [3, 4]
+    assert sorted(r.id for r in t.read_changes(1, 1).collect()) == [3]
+    t.write(_df(spark, [0]), mode="overwrite")
+    with pytest.raises(ValueError, match="change feed"):
+        t.read_changes(1)
+
+
+def test_rollback_is_append_only(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    t.write(_df(spark, [2]))
+    v = t.rollback(0)
+    assert v == 2
+    assert [r.id for r in t.read().collect()] == [1]
+    assert sorted(r.id for r in t.read(version=1).collect()) == [1, 2]
+
+
+def test_append_schema_guard(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    bad = spark.createDataFrame([(1, 2.0)], "id long, other double")
+    with pytest.raises(SchemaMismatchError):
+        t.write(bad)
+    # overwrite may change schema
+    t.write(bad, mode="overwrite")
+    assert t.read().columns == ["id", "other"]
+
+
+def test_version_conflict(spark, root):
+    t1 = VersionedTable(spark, root)
+    t1.write(_df(spark, [1]))
+    # simulate a racing writer that already committed version 1
+    t1._commit(
+        {
+            "version": 1,
+            "parent": 0,
+            "mode": "append",
+            "timestamp": 0.0,
+            "live": ["data/v0"],
+            "schema": _df(spark, [1]).schema.json(),
+        }
+    )
+    with pytest.raises(VersionConflictError):
+        t1._commit({"version": 1, "parent": 0, "mode": "append", "timestamp": 0.0,
+                    "live": [], "schema": "{}"})
+
+
+def test_vacuum(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    t.write(_df(spark, [2]), mode="overwrite")
+    victims = t.vacuum(keep_versions=1)
+    assert victims == ["data/v0"]
+    t.vacuum(keep_versions=1, dry_run=False)
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
+    assert [r.id for r in t.read().collect()] == [2]
