@@ -185,10 +185,19 @@ def minhash_candidate_pairs(
     same effect comes from writing signatures to a silver table once.
     """
     rows_per_band = num_hashes // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    ).persist()
+    # Null/empty texts must not reach the band join: their (null) signature
+    # band keys all collapse to the hash of an empty slice, which would
+    # bucket every empty doc together — an artificial skew cluster. Guard
+    # on the text itself (pushable to the scan), not on the UDF output
+    # (filtering a UDF column measured ~+30% on this pipeline).
+    sigs = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        )
+        .persist()
+    )
     # Band join carries only (id, band) — the narrow shuffle; signatures
     # re-attach to the (much smaller) deduped pair set afterwards.
     banded = sigs.select(
@@ -208,6 +217,11 @@ def minhash_candidate_pairs(
     sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     enriched = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    # Agreement stays a JVM zip_with: interpreted HOF eval is fine at
+    # |pairs| × num_hashes scale (~1M ops), and measured FASTER than an
+    # Arrow pandas UDF here — the Python-worker round trip costs more than
+    # the interpreted comparisons it replaces. (Contrast minhash_signature,
+    # where the work is |docs| × |shingles| × num_hashes and numpy wins.)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
