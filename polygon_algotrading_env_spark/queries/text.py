@@ -225,6 +225,70 @@ def ngram_jaccard_adjacent(spark, sf_dir):
     )
 
 
+@register(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE 2 * length(list_intersect(a.s, b.s))
+            >= length(list_distinct(list_concat(a.s, b.s)))
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Pair→group dedup: exact-Jaccard edges (≥0.5 between lang-adjacent
+    doc_ids, integer comparison — no float threshold) fed into distributed
+    connected components; every document gets a cluster id (singletons
+    included). The oracle recomputes reachability with a recursive CTE."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from polygon_algotrading_env_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", F.array_distinct(char_ngrams("text", 5)).alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("s").alias("sb"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .filter(
+            2 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(edges, vertices=docs, id_col="doc_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
 @register("embedding_near_dup_srp", oracle=None)
 def embedding_near_dup_srp(spark, sf_dir):
     """Embedding-cosine near-dup at scale: SRP-bucket blocking (the 100 TB

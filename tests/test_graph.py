@@ -1,0 +1,70 @@
+"""Connected components — operators/graph.py."""
+
+from __future__ import annotations
+
+from polygon_algotrading_env_spark.operators.graph import connected_components
+
+
+def _clusters(rows):
+    return {r.id: r.component for r in rows}
+
+
+def test_chain_triangle_isolated(spark):
+    # chain 0-1-2-3-4, triangle 10-11-12, isolated vertex 20 (via vertices)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    vertices = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 20]],
+                                     "id long")
+    got = _clusters(connected_components(edges, vertices=vertices).collect())
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_direction_duplicates_self_loops_ignored(spark):
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 3), (7, 7)], "src long, dst long"
+    )
+    got = _clusters(connected_components(edges).collect())
+    assert got == {3: 3, 5: 3, 7: 7}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # 64-vertex chain: O(diameter) propagation would need 63 rounds;
+    # pointer jumping must finish well within max_rounds=10.
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _clusters(connected_components(edges, max_rounds=10).collect())
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_matches_bruteforce_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    n, m = 120, 90
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    # canonical label = min member id per root
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    expected = {i: min(members[find(i)]) for i in range(n)}
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = _clusters(connected_components(edges, vertices=vertices).collect())
+    assert got == expected
