@@ -121,3 +121,38 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Pick one canonical survivor per component: highest ``quality_col``
+    (ties → lowest id), plus the member count — the decision record a
+    dedup pass emits before dropping losers.
+
+    One join on the id and one window per component; with no quality
+    column the survivor is simply the min id (= the component label).
+    """
+    from pyspark.sql import Window
+
+    joined = docs.join(
+        labels.select(
+            F.col("id").alias(id_col), F.col("component").alias("cluster")
+        ),
+        id_col,
+    )
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col)]
+        if quality_col
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w.orderBy(*order)))
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .select("cluster", F.col(id_col).alias("survivor_doc_id"), "n_members")
+    )

@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting / packing for training-data curation.
+
+The reference's only sampling is `random.shuffle` of the work order
+(`main.py:36`, `old_source/old_source_op.py:211`); a training-data engine
+needs reproducible, engine-independent versions of the real curation ops:
+
+- ``hash_split``     — train/val/test assignment by content hash of a key:
+                       stable under reruns, insertions, repartitioning, and
+                       engine choice (md5 is identical everywhere, unlike
+                       seeded RNG sampling whose stream is engine-private).
+- ``per_group_downsample`` — cap each group (language, source, domain) at N
+                       rows, chosen by hash order — balanced corpora without
+                       a full sort.
+- ``pack_by_token_budget`` — assign documents to fixed-token context
+                       windows (greedy, in key order) with a window cumsum —
+                       no Python, no per-row state.
+
+All three are window/expression compositions — no shuffles beyond the
+one hash partition by group key, no UDFs, SQL-expressible (and therefore
+DuckDB-oracle-checked end to end).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _hex_hash(key: Column) -> Column:
+    """First 4 hex chars of md5 — a uniform label in ['0000','ffff'] that
+    any engine reproduces bit-for-bit from the same key string."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    cuts: Sequence[tuple[str, str]] = (("train", "cccc"), ("val", "e666")),
+    rest_label: str = "test",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic split assignment by hashed key.
+
+    ``cuts`` are (label, exclusive-upper-hex-bound) pairs over the first 4
+    md5 hex chars; rows at or past the last bound get ``rest_label``.  The
+    defaults approximate 80/10/10.  Rows hash to the same split in every
+    run, every engine, and regardless of what other rows exist — the
+    property that matters for leakage-free train/test separation.
+    """
+    h = _hex_hash(F.col(key_col))
+    expr = F.lit(rest_label)
+    for label, bound in reversed(list(cuts)):
+        expr = F.when(h < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def per_group_downsample(
+    df: DataFrame, group_cols: Sequence[str], key_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected by hash order of the
+    key (deterministic, unbiased w.r.t. any data ordering).
+
+    One shuffle on the group key; rank-within-group is a window, and the
+    cap predicate lets Spark stop tracking rank past ``cap``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hex_hash(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    group_cols: Sequence[str] = (),
+    order_col: str = "doc_id",
+    window_col: str = "context_window",
+) -> DataFrame:
+    """Assign each row to a context-window id by greedy accumulation in
+    ``order_col`` order: window k holds the rows whose running token total
+    BEFORE the row lies in [k·budget, (k+1)·budget).
+
+    The rule is a pure prefix-sum — ``floor(cumsum_before / budget)`` —
+    so it is one window pass (per group), engine-independent, and lets a
+    100 TB corpus pack in a single shuffle on the group key.  A document
+    longer than the budget gets its own window(s) boundary-aligned, same
+    as sequence-packing preprocessors handle oversized docs.
+    """
+    keys = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        if group_cols
+        else Window.partitionBy().orderBy(order_col)
+    )
+    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        window_col, F.floor(cum_before / F.lit(budget)).cast("long")
+    )

@@ -334,3 +334,184 @@ def ngram_jaccard_near_dup(spark, sf_dir):
     return exact.filter(F.col("jaccard") >= 0.3).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# --- deterministic curation ops (split / downsample / pack / redact) ------
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 'cccc' THEN 'train'
+                WHEN h < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+          FROM documents)
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Leakage-free 80/10/10 split by content hash of the key — stable
+    under reruns, insertions, and engine choice (seeded RNG sampling is
+    engine-private; md5 is not)."""
+    from polygon_algotrading_env_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "balanced_downsample_per_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def balanced_downsample_per_lang(spark, sf_dir):
+    """Language-balanced corpus: cap every language at 50 docs chosen by
+    hash order — deterministic, unbiased w.r.t. storage order."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        per_group_downsample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return per_group_downsample(docs, ["lang"], "doc_id", 50)
+
+
+@register(
+    "context_window_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 4096 AS BIGINT) AS context_window
+    FROM t
+    """,
+)
+def context_window_packing(spark, sf_dir):
+    """Greedy sequence packing: floor(prefix-token-total / 4096) assigns
+    each doc to a training context window in one window pass per lang."""
+    from polygon_algotrading_env_spark.functions.text import token_count
+    from polygon_algotrading_env_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        docs, "n_tokens", 4096, group_cols=["lang"], order_col="doc_id",
+        window_col="context_window",
+    )
+
+
+@register(
+    "redact_pii_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           regexp_replace(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def redact_pii_docs(spark, sf_dir):
+    """Email redaction + occurrence count — a PII scrub pass; the regex
+    stays in the RE2/Java-common dialect so both engines agree."""
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("int").alias("n_emails"),
+        F.regexp_replace("text", pat, "<EMAIL>").alias("redacted"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE 2 * length(list_intersect(a.s, b.s))
+            >= length(list_distinct(list_concat(a.s, b.s)))
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+    ),
+    lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+    ranked AS (
+      SELECT l.cluster, d.doc_id,
+             row_number() OVER (PARTITION BY l.cluster
+                                ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY l.cluster) AS n_members
+      FROM documents d JOIN lab l ON l.doc_id = d.doc_id
+    )
+    SELECT cluster, doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: per near-dup cluster, keep the longest
+    text (ties → lowest id) and record the cluster size."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from polygon_algotrading_env_spark.operators.graph import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", F.array_distinct(char_ngrams("text", 5)).alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("s").alias("sb"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .filter(
+            2 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(edges, vertices=docs, id_col="doc_id")
+    return cluster_survivors(
+        docs.withColumn("__q", F.length("text")), labels, quality_col="__q"
+    )

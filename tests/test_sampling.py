@@ -1,0 +1,73 @@
+"""Deterministic curation ops — operators/sampling.py, cluster_survivors."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.operators.sampling import (
+    hash_split,
+    pack_by_token_budget,
+    per_group_downsample,
+)
+
+
+def test_hash_split_stable_and_roughly_80_10_10(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k")
+    frac = {
+        r["split"]: r["n"] / 5000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.77 < frac["train"] < 0.83
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+    # same assignment on re-evaluation and independent of cohort membership
+    again = {r.k: r.split for r in hash_split(df, "k").collect()}
+    subset = spark.range(100).withColumnRenamed("id", "k")
+    sub = {r.k: r.split for r in hash_split(subset, "k").collect()}
+    assert all(again[k] == v for k, v in sub.items())
+
+
+def test_per_group_downsample_caps_each_group(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = per_group_downsample(df, ["g"], "k", 40)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 40, "b": 40}
+    # deterministic selection
+    assert sorted(r.k for r in out.collect()) == sorted(
+        r.k for r in per_group_downsample(df, ["g"], "k", 40).collect()
+    )
+
+
+def test_pack_by_token_budget_matches_prefix_rule(spark):
+    rows = [(i, "g", 100 + (i * 37) % 900) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, toks long")
+    out = pack_by_token_budget(df, "toks", 1000, group_cols=["g"], order_col="doc_id")
+    got = {r.doc_id: r.context_window for r in out.collect()}
+    cum = 0
+    for i, _, t in rows:  # rows already in doc_id order
+        assert got[i] == cum // 1000
+        cum += t
+    # windows are contiguous starting at 0
+    wins = sorted(set(got.values()))
+    assert wins == list(range(len(wins)))
+
+
+def test_cluster_survivors_picks_longest_then_lowest_id(spark):
+    from polygon_algotrading_env_spark.operators.graph import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [(0, "aa"), (1, "aaaa"), (2, "aaaa"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "id long, component long"
+    )
+    out = {
+        r.cluster: (r.survivor_doc_id, r.n_members)
+        for r in cluster_survivors(
+            docs.withColumn("q", F.length("text")), labels, quality_col="q"
+        ).collect()
+    }
+    assert out == {0: (1, 3), 3: (3, 1)}
