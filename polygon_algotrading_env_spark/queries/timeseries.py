@@ -89,3 +89,62 @@ def ohlcv_bars_1h_resampled(spark, sf_dir):
         F.round("volume", 4).alias("volume"),
         "n_trades",
     )
+
+
+@register(
+    "sma_crossover_backtest_5m",
+    headline=True,
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    w AS (
+      SELECT event_type, bucket_start, close,
+             round(sum(close) OVER f5, 4)  / count(*) OVER f5  AS sma_fast,
+             round(sum(close) OVER f20, 4) / count(*) OVER f20 AS sma_slow,
+             lag(close) OVER o AS prev_close
+      FROM bars
+      WINDOW o  AS (PARTITION BY event_type ORDER BY bucket_start),
+             f5 AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             f20 AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *, CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END AS signal
+      FROM w
+    ),
+    p AS (
+      SELECT *,
+             coalesce(lag(signal) OVER (PARTITION BY event_type
+                                        ORDER BY bucket_start), 0) AS position
+      FROM s
+    )
+    SELECT event_type, bucket_start, close, sma_fast, sma_slow,
+           CAST(signal AS INT) AS signal,
+           CAST(position AS INT) AS position,
+           CASE WHEN prev_close IS NULL OR prev_close = 0 THEN 0.0
+                ELSE close / prev_close - 1 END AS bar_return,
+           position * (CASE WHEN prev_close IS NULL OR prev_close = 0 THEN 0.0
+                            ELSE close / prev_close - 1 END) AS pnl
+    FROM p
+    """,
+)
+def sma_crossover_backtest_5m(spark, sf_dir):
+    """North-star backtest path: 5-min bars → SMA(5)/SMA(20) crossover →
+    next-bar position → per-bar P&L, all window expressions (see
+    operators/backtest.py for the float + lookahead discipline)."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    return sma_crossover_backtest(bars)

@@ -1,0 +1,38 @@
+"""SMA-crossover backtest — operators/backtest.py."""
+
+from __future__ import annotations
+
+from polygon_algotrading_env_spark.operators.backtest import sma_crossover_backtest
+
+
+def test_positions_lag_signals_and_pnl_matches(spark):
+    # price rises then falls; fast=2, slow=3 makes crossovers easy to hand-check
+    prices = [10.0, 11.0, 12.0, 13.0, 12.0, 11.0, 10.0, 9.0]
+    bars = spark.createDataFrame(
+        [("X", float(i), p) for i, p in enumerate(prices)],
+        "event_type string, bucket_start double, close double",
+    )
+    out = sorted(
+        sma_crossover_backtest(bars, fast=2, slow=3).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    for i, r in enumerate(out):
+        # next-bar execution: position t == signal t-1, flat at the start
+        assert r.position == (out[i - 1].signal if i > 0 else 0)
+        expected_ret = 0.0 if i == 0 else prices[i] / prices[i - 1] - 1
+        assert abs(r.bar_return - expected_ret) < 1e-12
+        assert abs(r.pnl - r.position * expected_ret) < 1e-12
+    # partial frames make fast == slow until the slow frame outgrows the
+    # fast one (bar 2); the downtrend flips the signal off at bar 5
+    assert [r.signal for r in out] == [0, 0, 1, 1, 1, 0, 0, 0]
+    # the strategy is long only on the bars after a long signal
+    assert [r.position for r in out] == [0, 0, 0, 1, 1, 1, 0, 0]
+
+
+def test_flat_strategy_never_earns(spark):
+    bars = spark.createDataFrame(
+        [("Y", float(i), 5.0) for i in range(10)],
+        "event_type string, bucket_start double, close double",
+    )
+    rows = sma_crossover_backtest(bars).collect()
+    assert all(r.signal == 0 and r.position == 0 and r.pnl == 0.0 for r in rows)
