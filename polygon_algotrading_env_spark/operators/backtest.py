@@ -71,3 +71,61 @@ def sma_crossover_backtest(
         .withColumn("pnl", F.col("position") * F.col("bar_return"))
         .drop("__prev")
     )
+
+
+def extract_trades(
+    bt: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "bucket_start",
+    price_col: str = "close",
+) -> DataFrame:
+    """Round-trip trades from the per-bar position series: consecutive
+    position=1 runs (gaps-and-islands — island id = running count of
+    position changes) collapse to one row with entry/exit bar, duration,
+    and the trade return from exact entry/exit prices.
+
+    Same single partition-by-key shuffle as the backtest itself; the
+    grouped reduction piggybacks on that partitioning.
+    """
+    ordered = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = (
+        F.col("position") != F.coalesce(F.lag("position").over(ordered), F.lit(0))
+    ).cast("int")
+    islands = bt.withColumn("__island", F.sum(changed).over(ordered))
+    return (
+        islands.filter(F.col("position") == 1)
+        .groupBy(key_col, "__island")
+        .agg(
+            F.min(ts_col).alias("entry_ts"),
+            F.max(ts_col).alias("exit_ts"),
+            F.count(F.lit(1)).alias("n_bars"),
+            F.min_by(price_col, F.col(ts_col)).alias("entry_price"),
+            F.max_by(price_col, F.col(ts_col)).alias("exit_price"),
+        )
+        .withColumn(
+            "trade_return", F.col("exit_price") / F.col("entry_price") - 1
+        )
+        .drop("__island")
+    )
+
+
+def equity_curve(
+    bt: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """Running P&L and drawdown per key via ordered-window prefix sums.
+
+    Unlike the per-bar columns, these ARE float accumulations, and
+    engines order the adds differently (DuckDB's windowed sum uses a
+    segment tree; Spark a running buffer), leaving ~1e-13 ulp noise —
+    consumers comparing across engines should round (the declared query
+    rounds to 6 decimals, far above the noise, and ratio-valued data
+    never sits on the rounding grid)."""
+    ordered = Window.partitionBy(key_col).orderBy(ts_col)
+    run = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bt.select(key_col, ts_col, "pnl")
+        .withColumn("cum_pnl", F.sum("pnl").over(run))
+        .withColumn("drawdown", F.max("cum_pnl").over(run) - F.col("cum_pnl"))
+    )

@@ -148,3 +148,130 @@ def sma_crossover_backtest_5m(spark, sf_dir):
         keys=("event_type",), volume_col="value", order_col="ts_ns",
     ).select("event_type", "bucket_start", "close")
     return sma_crossover_backtest(bars)
+
+
+_BT_CTE = """
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    w AS (
+      SELECT event_type, bucket_start, close,
+             round(sum(close) OVER f5, 4)  / count(*) OVER f5  AS sma_fast,
+             round(sum(close) OVER f20, 4) / count(*) OVER f20 AS sma_slow,
+             lag(close) OVER o AS prev_close
+      FROM bars
+      WINDOW o  AS (PARTITION BY event_type ORDER BY bucket_start),
+             f5 AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             f20 AS (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *, CASE WHEN sma_fast > sma_slow THEN 1 ELSE 0 END AS signal
+      FROM w
+    ),
+    p AS (
+      SELECT *,
+             coalesce(lag(signal) OVER (PARTITION BY event_type
+                                        ORDER BY bucket_start), 0) AS position
+      FROM s
+    ),
+    bt AS (
+      SELECT event_type, bucket_start, close, position,
+             position * (CASE WHEN prev_close IS NULL OR prev_close = 0
+                              THEN 0.0 ELSE close / prev_close - 1 END) AS pnl
+      FROM p
+    )
+"""
+
+
+@register(
+    "trades_from_crossover_5m",
+    oracle=_BT_CTE + """
+    , chg AS (
+      SELECT *,
+             CASE WHEN position != coalesce(
+                    lag(position) OVER (PARTITION BY event_type
+                                        ORDER BY bucket_start), 0)
+                  THEN 1 ELSE 0 END AS changed
+      FROM bt
+    ),
+    isl AS (
+      SELECT *,
+             sum(changed) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM chg
+    )
+    SELECT event_type,
+           min(bucket_start)            AS entry_ts,
+           max(bucket_start)            AS exit_ts,
+           count(*)                     AS n_bars,
+           arg_min(close, bucket_start) AS entry_price,
+           arg_max(close, bucket_start) AS exit_price,
+           arg_max(close, bucket_start) / arg_min(close, bucket_start) - 1
+                                        AS trade_return
+    FROM isl WHERE position = 1
+    GROUP BY event_type, island
+    """,
+)
+def trades_from_crossover_5m(spark, sf_dir):
+    """Backtest stage 2: collapse position runs into round-trip trades
+    (gaps-and-islands), with entry/exit price and per-trade return."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        extract_trades,
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    return extract_trades(sma_crossover_backtest(bars))
+
+
+@register(
+    "equity_curve_5m",
+    oracle=_BT_CTE + """
+    , eq AS (
+      SELECT event_type, bucket_start, pnl,
+             sum(pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pnl
+      FROM bt
+    )
+    SELECT event_type, bucket_start, pnl,
+           round(cum_pnl, 6) AS cum_pnl,
+           round(max(cum_pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cum_pnl, 6) AS drawdown
+    FROM eq
+    """,
+)
+def equity_curve_5m(spark, sf_dir):
+    """Backtest stage 3: running P&L + drawdown, rounded to 6 decimals:
+    engines accumulate window sums in different orders (DuckDB's segment
+    tree vs Spark's running buffer), leaving ~1e-13 ulp noise — far below
+    the round-6 grid, and ratio-valued data is never ON the grid, so the
+    rounding is tie-free."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        equity_curve,
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    eq = equity_curve(sma_crossover_backtest(bars))
+    return eq.select(
+        "event_type", "bucket_start", "pnl",
+        F.round("cum_pnl", 6).alias("cum_pnl"),
+        F.round("drawdown", 6).alias("drawdown"),
+    )

@@ -36,3 +36,34 @@ def test_flat_strategy_never_earns(spark):
     )
     rows = sma_crossover_backtest(bars).collect()
     assert all(r.signal == 0 and r.position == 0 and r.pnl == 0.0 for r in rows)
+
+
+def test_extract_trades_islands(spark):
+    from polygon_algotrading_env_spark.operators.backtest import extract_trades
+
+    # two long runs separated by a flat bar: bars 1-2 and 4-5
+    rows = [
+        ("Z", 0.0, 10.0, 0), ("Z", 1.0, 11.0, 1), ("Z", 2.0, 12.0, 1),
+        ("Z", 3.0, 11.0, 0), ("Z", 4.0, 12.0, 1), ("Z", 5.0, 13.0, 1),
+    ]
+    bt = spark.createDataFrame(
+        rows, "event_type string, bucket_start double, close double, position int"
+    )
+    trades = sorted(extract_trades(bt).collect(), key=lambda r: r.entry_ts)
+    assert len(trades) == 2
+    t1, t2 = trades
+    assert (t1.entry_ts, t1.exit_ts, t1.n_bars) == (1.0, 2.0, 2)
+    assert abs(t1.trade_return - (12.0 / 11.0 - 1)) < 1e-12
+    assert (t2.entry_ts, t2.exit_ts, t2.n_bars) == (4.0, 5.0, 2)
+
+
+def test_equity_curve_cum_and_drawdown(spark):
+    from polygon_algotrading_env_spark.operators.backtest import equity_curve
+
+    rows = [("W", 0.0, 0.0, 0.1), ("W", 1.0, 0.0, -0.05), ("W", 2.0, 0.0, 0.02)]
+    bt = spark.createDataFrame(
+        rows, "event_type string, bucket_start double, close double, pnl double"
+    )
+    out = sorted(equity_curve(bt).collect(), key=lambda r: r.bucket_start)
+    assert [round(r.cum_pnl, 10) for r in out] == [0.1, 0.05, 0.07]
+    assert [round(r.drawdown, 10) for r in out] == [0.0, 0.05, 0.03]
