@@ -68,3 +68,21 @@ def test_asof_join_is_single_shuffle(spark, sf_dir, q):
 def test_codegen_covers_scans(spark, sf_dir, q):
     st = plan_stats(q["pricing_summary"](spark, sf_dir), execute=True)
     assert st.codegen_spans >= 1
+
+
+def test_backtest_shares_one_partitioning(spark, sf_dir, q):
+    # bars agg shuffles once; ALL backtest window passes (SMA frames, lag,
+    # signal->position) then share the per-symbol partitioning — no
+    # re-shuffle between stages (the ARCHITECTURE.md claim).
+    st = plan_stats(q["sma_crossover_backtest_5m"](spark, sf_dir))
+    assert st.shuffle_exchanges <= 2  # bars hash-agg + one window partitioning
+
+
+def test_curation_window_ops_single_shuffle(spark, sf_dir, q):
+    st = plan_stats(q["balanced_downsample_per_lang"](spark, sf_dir))
+    assert st.shuffle_exchanges == 1  # partitionBy(lang) only
+    st = plan_stats(q["context_window_packing"](spark, sf_dir))
+    assert st.shuffle_exchanges == 1
+    # hash_split is a pure projection — zero shuffles
+    st = plan_stats(q["train_val_test_split"](spark, sf_dir))
+    assert st.shuffle_exchanges == 0
