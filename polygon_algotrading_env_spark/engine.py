@@ -119,6 +119,50 @@ class Engine:
             return _sim.ivf_topk(embeddings, query_vec, cents, k=k, **kw)
         raise ValueError(f"unknown search method: {method!r}")
 
+    def cluster_duplicates(
+        self, docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+        quality_col: str | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Pair→group: connected components over candidate pairs, plus the
+        per-cluster survivor table. Returns (labels, survivors)."""
+        from polygon_algotrading_env_spark.operators.graph import (
+            cluster_survivors,
+            connected_components,
+        )
+
+        labels = connected_components(
+            pairs, src="id_a", dst="id_b", vertices=docs, id_col=id_col
+        )
+        return labels, cluster_survivors(
+            docs, labels, id_col=id_col, quality_col=quality_col
+        )
+
+    def split(self, df: DataFrame, key_col: str, **kw) -> DataFrame:
+        """Deterministic train/val/test assignment by content hash."""
+        from polygon_algotrading_env_spark.operators.sampling import hash_split
+
+        return hash_split(df, key_col, **kw)
+
+    def backtest(self, bars: DataFrame, **kw) -> dict[str, DataFrame]:
+        """SMA-crossover backtest over (key, ts, price) bars: per-bar
+        signals/P&L, round-trip trades, and the equity curve."""
+        from polygon_algotrading_env_spark.operators import backtest as _bt
+
+        keys = {k: kw[k] for k in ("key_col", "ts_col") if k in kw}
+        bt = _bt.sma_crossover_backtest(bars, **kw)
+        return {
+            "bars": bt,
+            "trades": _bt.extract_trades(bt, **keys),
+            "equity": _bt.equity_curve(bt, **keys),
+        }
+
+    def versioned_table(self, root: str):
+        """Manifest-based versioned table handle (time travel, change
+        feed, rollback, vacuum)."""
+        from polygon_algotrading_env_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(self.spark, root)
+
     # -- declared corpus --------------------------------------------------
     def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
         from polygon_algotrading_env_spark.queries import queries

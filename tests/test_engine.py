@@ -48,3 +48,33 @@ def test_dedup_and_search_dispatch(eng, sf_dir):
 def test_ingest_requires_lake_root(eng):
     with pytest.raises(ValueError):
         eng.ingest_candles(["SPY"], lambda s, d: {"results": []}, "1970-01-01", "1970-01-02")
+
+
+def test_engine_cluster_split_backtest_versioned(spark, tmp_path):
+    from polygon_algotrading_env_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "aaab"), (2, "zzz")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    labels, survivors = eng.cluster_duplicates(
+        docs, pairs, quality_col="doc_id"
+    )
+    assert {r.id: r.component for r in labels.collect()} == {0: 0, 1: 0, 2: 2}
+    assert {r.cluster: r.survivor_doc_id for r in survivors.collect()} == {0: 1, 2: 2}
+
+    out = eng.split(docs, "doc_id")
+    assert set(out.columns) == {"doc_id", "text", "split"}
+
+    bars = spark.createDataFrame(
+        [("X", float(i), 10.0 + i) for i in range(30)],
+        "event_type string, bucket_start double, close double",
+    )
+    res = eng.backtest(bars)
+    assert set(res) == {"bars", "trades", "equity"}
+    assert res["equity"].columns == ["event_type", "bucket_start", "pnl", "cum_pnl", "drawdown"]
+
+    vt = eng.versioned_table(str(tmp_path / "vt"))
+    vt.write(docs)
+    assert vt.read(version=0).count() == 3
