@@ -515,3 +515,77 @@ def dedup_survivors(spark, sf_dir):
     return cluster_survivors(
         docs.withColumn("__q", F.length("text")), labels, quality_col="__q"
     )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH sh AS (
+      SELECT unnest(CASE WHEN length(text) < 8 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 8)
+                                      FOR i IN range(1, length(text) - 6)])
+             END) AS shingle
+      FROM documents WHERE length(text) >= 8
+    )
+    SELECT shingle, count(*) AS n_docs
+    FROM sh GROUP BY shingle
+    ORDER BY n_docs DESC, shingle
+    LIMIT 50
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: the 50 character-8-grams shared by the most
+    documents (per-doc distinct shingles, so repetition inside one doc
+    doesn't vote twice). Exact heavy-hitters: explode → count → top-k
+    (TakeOrderedAndProject — no global sort); deterministic tiebreak on
+    the shingle itself."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    return (
+        docs.select(
+            F.explode(F.array_distinct(char_ngrams("text", 8))).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "shingle")
+        .limit(50)
+    )
+
+
+@register(
+    "quality_filter_docs",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_tokens >= 5
+                 AND space_r <= 0.5
+                 AND digit_r <= 0.3 THEN 1 ELSE 0 END AS keep
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+             END AS n_tokens,
+             (length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+               / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE)
+               AS space_r,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE)
+               AS digit_r
+      FROM documents)
+    """,
+)
+def quality_filter_docs(spark, sf_dir):
+    """Composite quality gate (the filter a curation pipeline applies
+    before training): min token count + whitespace/digit ratio ceilings.
+    Thresholds compare raw ratios — no rounding enters the decision, and
+    only the integer verdict is emitted (ratio-valued features sit far
+    from the thresholds with probability 1)."""
+    feats = quality_features(F.col("text"))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            (feats["n_tokens"] >= 5)
+            & (feats["space_ratio"] <= 0.5)
+            & (feats["digit_ratio"] <= 0.3)
+        ).cast("int").alias("keep"),
+    )
