@@ -274,3 +274,43 @@ class VersionedTable:
             for d in victims:
                 shutil.rmtree(os.path.join(self.root, d))
         return victims
+
+
+    # ---- streaming ------------------------------------------------------
+
+    def stream_changes(self):
+        """Structured-Streaming change feed: a file-source stream over the
+        table's data directories — each append commit's files surface as
+        exactly one new micro-batch input (the Delta streaming-source
+        pattern, built from the stock parquet file source).
+
+        Contract: append-only tables. Overwrite/rollback rewrite
+        *visibility*, not files, so a file stream cannot express them —
+        we refuse to start if any non-append commit exists (same
+        restriction Delta places on streaming from a changed table
+        without ``ignoreChanges``).
+
+        The stream tracks its own progress in the query checkpoint, so a
+        restarted consumer resumes from the last processed commit — no
+        bookmark table needed.
+        """
+        from pyspark.sql.types import StructType
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        for v in range(latest + 1):
+            mode = self._read_manifest(v)["mode"]
+            if mode != "append":
+                raise ValueError(
+                    f"version {v} is {mode!r}; stream_changes requires an "
+                    "append-only history — consume snapshots instead"
+                )
+        schema = StructType.fromJson(
+            json.loads(self._read_manifest(latest)["schema"])
+        )
+        return (
+            self.spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(self.root, "data", "*"))
+        )

@@ -119,3 +119,35 @@ def test_vacuum(spark, root):
     with pytest.raises(Exception):
         t.read(version=0).collect()
     assert [r.id for r in t.read().collect()] == [2]
+
+
+def test_stream_changes_incremental(spark, root, tmp_path):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2]))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            t.stream_changes()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == [1, 2]
+    t.write(_df(spark, [3]))
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+
+def test_stream_changes_refuses_overwrites(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    t.write(_df(spark, [2]), mode="overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        t.stream_changes()
