@@ -301,3 +301,29 @@ def approx_distinct_parts(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(o_custkey) AS n_nonnull,
+           count(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def profile_orders_columns(spark, sf_dir):
+    """Data-quality profile (rows/nulls/cardinality per column) in ONE
+    aggregate pass + stack reshape — see operators/profile.py for the
+    exact-vs-HLL cost model at scale."""
+    from polygon_algotrading_env_spark.operators.profile import column_profile
+
+    return column_profile(
+        load_table(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -71,3 +71,18 @@ def test_cluster_survivors_picks_longest_then_lowest_id(spark):
         ).collect()
     }
     assert out == {0: (1, 3), 3: (3, 1)}
+
+
+def test_column_profile_exact_and_approx(spark):
+    from polygon_algotrading_env_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"v{i % 7}") for i in range(100)],
+        "k long, v string",
+    )
+    prof = {r.col_name: r for r in column_profile(df, ["k", "v"]).collect()}
+    assert prof["k"].n_rows == 100 and prof["k"].n_nonnull == 100
+    assert prof["k"].n_distinct == 100
+    assert prof["v"].n_nonnull == 80 and prof["v"].n_distinct == 7
+    approx = {r.col_name: r for r in column_profile(df, ["v"], exact=False).collect()}
+    assert abs(approx["v"].n_distinct - 7) <= 1
