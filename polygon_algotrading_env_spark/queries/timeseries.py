@@ -275,3 +275,50 @@ def equity_curve_5m(spark, sf_dir):
         F.round("cum_pnl", 6).alias("cum_pnl"),
         F.round("drawdown", 6).alias("drawdown"),
     )
+
+
+@register(
+    "strategy_summary_5m",
+    oracle=_BT_CTE + """
+    , eq AS (
+      SELECT event_type, bucket_start, pnl,
+             sum(pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pnl
+      FROM bt
+    ),
+    dd AS (
+      SELECT event_type, bucket_start, cum_pnl,
+             max(cum_pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cum_pnl AS drawdown
+      FROM eq
+    )
+    SELECT event_type,
+           count(*) AS n_bars,
+           round(arg_max(cum_pnl, bucket_start), 6) AS final_equity,
+           round(max(drawdown), 6) AS max_drawdown
+    FROM dd GROUP BY event_type
+    """,
+)
+def strategy_summary_5m(spark, sf_dir):
+    """Backtest scorecard per symbol: bars traded, final equity, max
+    drawdown. Reduces the (verified) equity curve with order-insensitive
+    aggregates only — argmax/max never re-accumulate floats, so the
+    round-6 policy from equity_curve_5m carries through unchanged."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        equity_curve,
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    eq = equity_curve(sma_crossover_backtest(bars))
+    return eq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.max_by("cum_pnl", "bucket_start"), 6).alias("final_equity"),
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+    )
