@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -28,6 +29,18 @@ DEFAULT_SCHEMA = (
     "ticker string, t long, o double, h double, l double, c double, "
     "v double, vw double, n long"
 )
+
+
+def _page_sort_key(name: str) -> tuple:
+    """Order page files by their numeric page index, not lexicographically.
+
+    ``sorted()`` on raw names reads ``page-10.json`` before ``page-2.json``;
+    the monotonic guard below would then silently drop every record of
+    pages 2-9 for any symbol with >=10 pages. Extract the first integer in
+    the filename and sort on it; names with no digits sort last, by name.
+    """
+    m = re.search(r"(\d+)", name)
+    return (0, int(m.group(1)), name) if m else (1, 0, name)
 
 
 class SymbolPartition(InputPartition):
@@ -54,7 +67,7 @@ class PolygonPagesReader(DataSourceReader):
             return
         fields = [f.name for f in self.schema.fields]
         prev_last_t = None
-        for page_name in sorted(os.listdir(sym_dir)):
+        for page_name in sorted(os.listdir(sym_dir), key=_page_sort_key):
             with open(os.path.join(sym_dir, page_name)) as f:
                 page = json.load(f)
             results = page.get("results") or []
