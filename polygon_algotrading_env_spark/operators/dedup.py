@@ -180,9 +180,13 @@ def minhash_candidate_pairs(
     The join key space is 64-bit hashes: uniformly distributed, so the
     shuffle is balanced; bucket sizes track true near-dup clusters.
 
-    The banded relation is persisted: a self-join otherwise re-executes the
-    signature scan (the dominant cost) once per side. At cluster scale the
-    same effect comes from writing signatures to a silver table once.
+    The signature relation is persisted while the (much smaller) pair set
+    is materialized — a self-join otherwise re-executes the signature scan
+    (the dominant cost) once per side — then unpersisted before returning,
+    so repeated calls don't accumulate executor cache. The returned frame
+    is an eager local checkpoint of the pair set: lineage is truncated, so
+    nothing downstream can re-trigger the signature scan. At cluster scale
+    the same effect comes from writing signatures to a silver table once.
     """
     rows_per_band = num_hashes // bands
     # Null/empty texts must not reach the band join: their (null) signature
@@ -228,10 +232,43 @@ def minhash_candidate_pairs(
             lambda eq: eq,
         )
     )
-    return enriched.select(
+    result = enriched.select(
         "id_a",
         "id_b",
         (agree.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard"),
+    ).localCheckpoint(eager=True)
+    sigs.unpersist()
+    return result
+
+
+def ngram_overlap_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact shingle-set overlap of candidate pairs, as integers.
+
+    Joins the (small) candidate set back to texts and evaluates exact
+    intersection/union sizes with array ops — cost bounded by the candidate
+    count, never by n². Integer outputs (``n_common``, ``n_union``) are the
+    cross-engine-safe face of Jaccard: thresholds become exact integer
+    comparisons (2*common >= union ⟺ jaccard >= 1/2) with no float grid.
+    """
+    texts = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    out = (
+        pairs.join(texts.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(texts.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_common"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("n_union"),
     )
 
 
@@ -242,24 +279,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs.
-
-    Joins the (small) candidate set back to texts and evaluates the exact
-    shingle-set Jaccard with array intersection — cost bounded by the
-    candidate count, never by n².
-    """
-    texts = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
-    )
-    out = (
-        pairs.join(texts.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(texts.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    """Exact n-gram Jaccard verification of candidate pairs (float ratio;
+    prefer :func:`ngram_overlap_pairs` where results cross engines)."""
+    out = ngram_overlap_pairs(pairs, docs, id_col, text_col, shingle_n)
     return out.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
+        "id_a",
+        "id_b",
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
     )
 
 
@@ -333,13 +359,18 @@ def winnow_candidate_pairs(
     ).persist()
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")
-    return (
+    pairs = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+    # Materialize the small pair set eagerly so the fingerprint cache can be
+    # released before returning (same hygiene as minhash_candidate_pairs).
+    result = pairs.localCheckpoint(eager=True)
+    fps.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -384,3 +415,59 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates via banded fingerprint chunks.
+
+    The 64-bit fingerprint is split into ``bands`` equal chunks; documents
+    sharing any chunk become a candidate pair (pigeonhole: every pair with
+    Hamming distance < ``bands`` is guaranteed caught — 8 bands ⇒ all pairs
+    within 7 bit flips). Same shuffle-bounded shape as the MinHash plan:
+    explode chunk keys → equi-join → distinct pairs, with Hamming distance
+    attached for downstream thresholding.
+    """
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fps = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), shingle_n=shingle_n).alias("fp"),
+    ).persist()
+    chunks = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk_idx", "chunk"
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("fp_a", "fp_b").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    result = pairs.localCheckpoint(eager=True)
+    fps.unpersist()
+    return result

@@ -21,7 +21,9 @@ from polygon_algotrading_env_spark.functions.text import (
 from polygon_algotrading_env_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
+    ngram_overlap_pairs,
     simhash64,
+    simhash_candidate_pairs,
     winnow_candidate_pairs,
 )
 from polygon_algotrading_env_spark.queries import register
@@ -320,6 +322,70 @@ def winnow_overlap_pairs(spark, sf_dir):
     # shared regions are ubiquitous — demand long k-grams and many shared
     # fingerprints to keep the pair set meaningfully selective.
     return winnow_candidate_pairs(docs, k=16, window=16, min_shared=8)
+
+
+# Exact whole-corpus near-dup truth (jaccard >= 1/2 on distinct 5-gram
+# sets, as the integer comparison 2*|A∩B| >= |A∪B|), computed sparsely:
+# explode shingles → co-occurrence join → per-pair common count → set sizes.
+# Candidate-generator queries below must reproduce this set EXACTLY, which
+# bakes a 100%-recall check on the generator into the hash match.
+_EXACT_NEAR_DUP_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT doc_id, length(s) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS BIGINT)                 AS n_common,
+           CAST(sa.n + sb.n - n_common AS BIGINT)   AS n_union
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * n_common >= sa.n + sb.n - n_common
+"""
+
+
+@register("minhash_verified_near_dups", oracle=_EXACT_NEAR_DUP_ORACLE)
+def minhash_verified_near_dups(spark, sf_dir):
+    """Two-stage MinHash near-dup with EXACT verification, certified against
+    an all-pairs ground-truth oracle: LSH candidates (shingle → minhash →
+    band → bucket join) are re-checked with exact 5-gram overlap and only
+    true near-dups (jaccard >= 1/2, integer comparison) survive. A hash
+    match here proves both verification correctness AND 100% LSH recall on
+    this corpus — the oracle is generator-free, so any pair the band join
+    missed would be a visible diff. This certifies the rows-only
+    ``minhash_near_dup_pairs`` plan end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=5
+    ).select("id_a", "id_b")
+    exact = ngram_overlap_pairs(cands, docs, shingle_n=5)
+    return exact.filter(2 * F.col("n_common") >= F.col("n_union"))
+
+
+@register("simhash_verified_near_dups", oracle=_EXACT_NEAR_DUP_ORACLE)
+def simhash_verified_near_dups(spark, sf_dir):
+    """SimHash-banded candidates (8 chunks of the 64-bit fingerprint —
+    pigeonhole-complete for Hamming < 8) re-checked with exact 5-gram
+    overlap, against the same generator-free ground-truth oracle as
+    ``minhash_verified_near_dups``. Certifies the rows-only ``simhash_docs``
+    fingerprints actually recall the true near-dup set."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = simhash_candidate_pairs(docs, shingle_n=4, bands=8).select(
+        "id_a", "id_b"
+    )
+    exact = ngram_overlap_pairs(cands, docs, shingle_n=5)
+    return exact.filter(2 * F.col("n_common") >= F.col("n_union"))
 
 
 @register("ngram_jaccard_near_dup", oracle=None)

@@ -122,9 +122,33 @@ def ivf_ann_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), cents, k=20, n_probe=4)
 
 
-@register("embedding_neighbors_blocked", oracle=None)
+@register(
+    "embedding_neighbors_blocked",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+    ),
+    r AS (
+      SELECT id_a, id_b, score,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rank
+      FROM s
+    )
+    SELECT id_a, id_b, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """,
+)
 def embedding_neighbors_blocked(spark, sf_dir):
     """All-pairs top-3 neighbors within ``label`` blocks (embedding-cosine
-    near-dup). Blocked equi-join, not a cross join."""
+    near-dup). Blocked equi-join, not a cross join; ties at the round-6
+    score grid break deterministically by neighbor id on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_cosine_topk(emb, k=3, block_col="label")
