@@ -60,7 +60,8 @@ def headline_queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}
 
 
-# Populate the registry (import order defines display order).
+# Populate the registry (import order defines initial order; the driver
+# window below defines the final order).
 from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     relational,
     aggregates,
@@ -72,4 +73,100 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     extended,
     sessions,
     reshape,
+    suites,
 )
+
+# ---------------------------------------------------------------------------
+# Driver correctness window.
+#
+# The verification driver records results for the FIRST 50 registered
+# queries only, so registration order is part of the engine's verification
+# contract. The window below is curated so that every SURVEY §2 operator
+# family and every LLM-pipeline capability is certified by at least one
+# ORACLE-BEARING query inside it (composite "suite" queries consolidate
+# single-table scalar variants to make room). Everything else follows in
+# stable order — oracle-bearing queries first, rows-only checks last.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # filters / projection / dedup / distinct (P1-P5, D1-D2)
+    "filter_mktsegment",
+    "filter_ship_after_watermark",
+    "project_customer",
+    "dedup_overlapping_batches",
+    "distinct_orderpriority",
+    # ordering / top-k (O1-O4)
+    "sort_by_name_length",
+    "topk_orders_by_price",
+    # set ops
+    "union_order_slices",
+    # scalar-function suites (F1-F12 + null handling)
+    "orders_scalar_suite",
+    "string_funcs_suite",
+    "lineitem_scalar_suite",
+    # JSON / SQL-text / reshape (F-ext)
+    "json_extract_props",
+    "sql_api_in_exists_having",
+    "pivot_status_counts",
+    "unpivot_rates",
+    "array_higher_order_ops",
+    # aggregates (A1-A8 + extensions)
+    "max_shipdate_watermark",
+    "argmax_order_by_price",
+    "multi_max_lineitem",
+    "min_orderdate",
+    "count_lineitem",
+    "pricing_summary",
+    "rollup_returnflag_status",
+    "count_distinct_parts_per_flag",
+    "median_qty_per_flag",
+    # joins (J1-J3)
+    "join_lineitem_part_broadcast",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "star_join_revenue_by_region",
+    "asof_latest_order_before_event",
+    # windows / indicators (W1-W4)
+    "rownum_recent_orders_per_customer",
+    "lag_value_per_user",
+    "moving_avg_price_per_supplier",
+    "range_frame_30d_qty",
+    "rsi_14_per_event_type",
+    # time-series bars / backtest / sessions (A7, W3)
+    "ohlcv_bars_5m",
+    "ohlcv_bars_1h_resampled",
+    "strategy_summary_5m",
+    "session_windows_per_user",
+    # LLM-pipeline: dedup / near-dup / clustering
+    "dedup_docs_by_text",
+    "minhash_verified_near_dups",
+    "simhash_verified_near_dups",
+    "near_dup_clusters",
+    "dedup_survivors",
+    # LLM-pipeline: similarity search
+    "cosine_topk_bruteforce",
+    "embedding_neighbors_blocked",
+    # LLM-pipeline: text analysis / sampling / profiling
+    "text_analysis_suite",
+    "train_val_test_split",
+    "context_window_packing",
+    "profile_orders_columns",
+)
+
+
+def _apply_registration_order() -> None:
+    assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"driver window names not registered: {missing}"
+    no_oracle = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert not no_oracle, f"rows-only queries in driver window: {no_oracle}"
+    window = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    rest_sql = {n: s for n, s in REGISTRY.items() if n not in window and s.oracle}
+    rest_rows = {
+        n: s for n, s in REGISTRY.items() if n not in window and not s.oracle
+    }
+    REGISTRY.clear()
+    REGISTRY.update(window)
+    REGISTRY.update(rest_sql)
+    REGISTRY.update(rest_rows)
+
+
+_apply_registration_order()
