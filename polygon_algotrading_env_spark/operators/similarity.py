@@ -162,16 +162,24 @@ def ivf_centroids(
     """Train a small IVF coarse quantizer: k-means on a driver-side sample.
 
     At 100 TB you train the quantizer on a sample anyway (centroid count
-    ≪ data); the assignment pass is the distributed part. Returns a
-    (n_centroids × dim) numpy array, deterministic for a fixed seed.
+    ≪ data); the assignment pass is the distributed part. The sample is a
+    seeded uniform ``sample()`` across ALL partitions — never ``limit()``,
+    which takes the head of the first partitions and, under any clustered
+    ingest ordering, would train the quantizer on one shard of the
+    distribution and collapse recall. Returns a (n_centroids × dim) numpy
+    array, deterministic for a fixed seed and layout.
     """
-    sample = np.array(
-        [
-            list(r[0])
-            for r in embeddings.select(vec_col).limit(sample_rows).collect()
-        ],
-        dtype=np.float64,
-    )
+    vecs = embeddings.select(vec_col)
+    n = vecs.count()
+    if n <= sample_rows:
+        rows = vecs.collect()
+    else:
+        # Oversample slightly so the post-sample limit (which trims the
+        # handful of excess rows) cannot come up short; 20% excess keeps
+        # the residual first-partition bias negligible.
+        frac = min(1.0, 1.2 * sample_rows / n)
+        rows = vecs.sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+    sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     # Spherical k-means (cosine ≙ dot on normalized vectors).

@@ -78,3 +78,38 @@ def test_srp_buckets_deterministic(spark, sf_dir):
     b = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
     assert a.filter((F.col("bucket") < 0) | (F.col("bucket") >= 2 ** 8)).count() == 0
+
+
+def test_ivf_centroids_unbiased_under_partition_skew(spark, sf_dir):
+    """Quantizer training must survive a clustered ingest layout: with the
+    data range-partitioned by label (each partition ≈ one label's cluster),
+    a head-of-first-partition sample would train centroids on one shard and
+    recall would collapse. The seeded uniform sample must not."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    skewed = emb.repartitionByRange(8, "label", "vec_id")
+    # Force sampling path (sample_rows < corpus size).
+    n = emb.count()
+    cents = ivf_centroids(skewed, n_centroids=8, sample_rows=max(64, n // 4))
+    # Probe with a query from the LAST label partition — the rows a
+    # limit()-based sample would never have seen.
+    last_label = emb.agg(F.max("label")).collect()[0][0]
+    probe_id = (
+        emb.filter(F.col("label") == last_label)
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    q = list(
+        emb.filter(F.col("vec_id") == probe_id).collect()[0]["embedding"]
+    )
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(skewed, q, cents, k=10, n_probe=3).collect()
+    ]
+    assert probe_id in approx
+    assert len(set(exact) & set(approx)) >= 4
