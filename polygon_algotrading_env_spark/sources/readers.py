@@ -65,6 +65,52 @@ def read_json_typed(
     return reader.json(path)
 
 
+class FetchRetriesExhausted(RuntimeError):
+    """A page fetch kept failing after the bounded retry budget.
+
+    Mirrors the reference's failure envelope: per-request status checking
+    (``reference_endpoints_etl.py:35-42``) plus task-level ``retries=3``
+    (``dag_reference_data_etl_splits.py:16-20``) — but applied per PAGE, so
+    a transient mid-scan failure retries the same cursor instead of
+    replaying the whole scan.
+    """
+
+    def __init__(self, cursor, attempts: int, last_error: Exception):
+        super().__init__(
+            f"fetch failed after {attempts} attempts at cursor {cursor!r}: "
+            f"{last_error!r}"
+        )
+        self.cursor = cursor
+        self.attempts = attempts
+        self.last_error = last_error
+
+
+def fetch_with_retries(
+    fetch: Callable,
+    cursor,
+    max_retries: int = 3,
+    retry_backoff: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """Call ``fetch(cursor)`` with bounded retries + exponential backoff.
+
+    Retrying the SAME cursor is safe for both scan shapes: the date-cursor
+    scan dedupes page overlap with its monotonic/watermark guards, and a
+    ``next_url`` cursor is idempotent by construction. Raises
+    :class:`FetchRetriesExhausted` once ``max_retries`` retries (so
+    ``max_retries + 1`` attempts) have failed.
+    """
+    last_error: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt and retry_backoff:
+            sleep(retry_backoff * (2 ** (attempt - 1)))
+        try:
+            return fetch(cursor)
+        except Exception as exc:  # injectable fetch: any failure is transport
+            last_error = exc
+    raise FetchRetriesExhausted(cursor, max_retries + 1, last_error)
+
+
 def paginate_date_cursor(
     fetch: Callable[[str], dict],
     start_date: str,
@@ -73,6 +119,9 @@ def paginate_date_cursor(
     last_entry_ts: int | None = None,
     rate_limit_sleep: float = 0.0,
     max_pages: int = 100_000,
+    max_retries: int = 3,
+    retry_backoff: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> Iterator[dict]:
     """S1: yield records page-by-page, advancing a date cursor.
 
@@ -85,11 +134,19 @@ def paginate_date_cursor(
     2. no cursor progress (last date == cursor date) → stop;
     3. cursor reached end_date → stop;
     4. short page (< limit rows) → stop after yielding.
+
+    Fetch failures retry the same cursor with exponential backoff
+    (``max_retries`` retries, then :class:`FetchRetriesExhausted`); records
+    already yielded are never re-yielded because the monotonic guard drops
+    the overlap from a re-fetched page.
     """
     from_date = start_date
     prev_last_t: int | None = None
     for _ in range(max_pages):
-        page = fetch(from_date)
+        page = fetch_with_retries(
+            fetch, from_date, max_retries=max_retries,
+            retry_backoff=retry_backoff, sleep=sleep,
+        )
         results = page.get("results") or []
         if not results:  # rule 1
             return
@@ -117,12 +174,19 @@ def paginate_next_url(
     fetch: Callable[[str | None], dict],
     rate_limit_sleep: float = 0.0,
     max_pages: int = 100_000,
+    max_retries: int = 3,
+    retry_backoff: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> Iterator[dict]:
     """S2: yield records following ``next_url`` until absent
-    (reference_data_etl.py:36-55)."""
+    (reference_data_etl.py:36-55). Failed fetches retry the same cursor
+    with backoff, then raise :class:`FetchRetriesExhausted`."""
     cursor: str | None = None
     for _ in range(max_pages):
-        page = fetch(cursor)
+        page = fetch_with_retries(
+            fetch, cursor, max_retries=max_retries,
+            retry_backoff=retry_backoff, sleep=sleep,
+        )
         for rec in page.get("results") or []:
             yield rec
         cursor = page.get("next_url")

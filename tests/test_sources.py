@@ -83,6 +83,81 @@ def test_next_url_pagination():
     assert calls == [None, "p2", "p3"]
 
 
+def test_date_cursor_retries_then_succeeds():
+    """Transient fetch failures retry the SAME cursor with backoff; the
+    record stream is unaffected (retry-then-succeed path)."""
+    from polygon_algotrading_env_spark.sources.readers import FetchRetriesExhausted
+
+    p1 = {"results": [{"t": 0}, {"t": DAY_MS}]}
+    p2 = {"results": [{"t": DAY_MS}, {"t": 2 * DAY_MS}]}
+    attempts, naps = [], []
+
+    def fetch(cursor):
+        attempts.append(cursor)
+        # First two tries of the second page fail.
+        if cursor == "1970-01-02" and attempts.count(cursor) <= 2:
+            raise ConnectionError("flaky")
+        return p1 if cursor == "1970-01-01" else p2
+
+    out = list(
+        paginate_date_cursor(
+            fetch, "1970-01-01", "1970-01-10", limit=2,
+            max_retries=3, retry_backoff=0.5, sleep=naps.append,
+        )
+    )
+    assert [r["t"] for r in out] == [0, DAY_MS, 2 * DAY_MS]
+    assert attempts.count("1970-01-02") == 3  # 2 failures + 1 success
+    assert naps == [0.5, 1.0]  # exponential backoff before each retry
+
+
+def test_date_cursor_retries_exhausted_raises():
+    from polygon_algotrading_env_spark.sources.readers import FetchRetriesExhausted
+
+    attempts = []
+
+    def fetch(cursor):
+        attempts.append(cursor)
+        raise TimeoutError("down")
+
+    with pytest.raises(FetchRetriesExhausted) as e:
+        list(
+            paginate_date_cursor(
+                fetch, "1970-01-01", "1970-01-10", limit=2,
+                max_retries=2, retry_backoff=0.0,
+            )
+        )
+    assert len(attempts) == 3  # 1 attempt + 2 retries
+    assert e.value.cursor == "1970-01-01"
+    assert isinstance(e.value.last_error, TimeoutError)
+
+
+def test_next_url_retry_same_cursor():
+    from polygon_algotrading_env_spark.sources.readers import FetchRetriesExhausted
+
+    attempts, naps = [], []
+    pages = {None: {"results": [{"x": 1}], "next_url": "p2"},
+             "p2": {"results": [{"x": 2}]}}
+
+    def fetch(cursor):
+        attempts.append(cursor)
+        if cursor == "p2" and attempts.count("p2") == 1:
+            raise ConnectionError("flaky")
+        return pages[cursor]
+
+    out = list(
+        paginate_next_url(fetch, max_retries=1, retry_backoff=2.0, sleep=naps.append)
+    )
+    assert [r["x"] for r in out] == [1, 2]
+    assert attempts == [None, "p2", "p2"]
+    assert naps == [2.0]
+
+    def always_fail(cursor):
+        raise ConnectionError("down")
+
+    with pytest.raises(FetchRetriesExhausted):
+        list(paginate_next_url(always_fail, max_retries=1, retry_backoff=0.0))
+
+
 def test_land_records_typed(spark):
     df = land_records(
         spark, [{"t": 1, "o": 1.5}, {"t": 2, "o": 2.5}], "t long, o double"
