@@ -17,8 +17,18 @@ scalable union + last-observation-carried-forward plan:
    frame carries the most recent right row forward onto each left row.
 
 Cost: ONE shuffle + sort of |L|+|R| rows — the same cost profile as a
-sort-merge join, with no row explosion. Skewed keys (hot tickers) are
-handled by AQE skew-split since the window partitions by join key.
+sort-merge join, with no row explosion.
+
+Hot keys: window partitioning is NOT covered by AQE's skew-join split
+(that optimization applies to sort-merge joins only) — a mega-hot ticker
+lands in ONE task's sort. Parallelism is bounded by the number of distinct
+keys and the hottest key's row count. When one key's rows exceed what a
+single task should sort (rule of thumb: keep per-task sort input under
+``spark.sql.files.maxPartitionBytes``-sized chunks), use
+:func:`asof_join_chunked`, which partitions each key's timeline into
+time buckets and carries boundary state across them — restoring
+parallelism ≈ keys × chunks at the cost of one tiny extra aggregate +
+window over per-(key, chunk) boundary rows.
 """
 
 from __future__ import annotations
@@ -117,3 +127,107 @@ def asof_join(
         *[F.col("__r_carry")[c].alias(out_names[c]) for c in right_payload_cols],
     )
     return out
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str,
+    right_ts: str,
+    chunk_seconds: int,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tie_break: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Hot-key-safe as-of join: LOCF within (key, time-chunk) partitions.
+
+    Identical results to :func:`asof_join` (equivalence is test-asserted),
+    but the big window partitions by (key, chunk) instead of key, so a
+    mega-hot key's timeline is sorted by ``timespan / chunk_seconds`` tasks
+    in parallel instead of one.
+
+    Boundary state is carried across chunks in three cheap steps on
+    per-(key, chunk) BOUNDARY rows (one row per key per chunk — thousands,
+    not billions, at 100 TB):
+
+    1. per (key, chunk) of the right side, reduce to the boundary row (the
+       winning right row under the as-of ordering) with one hash
+       ``max_by`` — no window, no sort of the full data;
+    2. one window over the tiny boundary relation computes each LEFT
+       chunk's carry-in: the winning boundary among strictly-earlier
+       (backward) / strictly-later (forward) chunks;
+    3. inject each carry-in as a synthetic right row into its left chunk,
+       then run the standard union+LOCF plan with ``chunk`` added to the
+       partition keys.
+
+    A carried-in row's timestamp lies strictly outside the receiving chunk
+    (earlier for backward, later for forward), so exact-match semantics
+    are unaffected.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if chunk_seconds <= 0:
+        raise ValueError("chunk_seconds must be positive")
+
+    chunk_of = lambda c: F.floor(F.col(c).cast("double") / chunk_seconds)  # noqa: E731
+    lc = left.withColumn("__chunk", chunk_of(left_ts))
+    rc = right.withColumn("__chunk", chunk_of(right_ts))
+
+    # 1. Right-side boundary row per (key, chunk): the row LOCF would carry
+    # out of the chunk. Backward: max (ts, tie); forward: min ts, max tie.
+    r_struct = F.struct(*[F.col(c) for c in right.columns])
+    tie = F.col(tie_break).cast("double") if tie_break else F.lit(0.0)
+    if direction == "backward":
+        order_key = F.struct(F.col(right_ts), tie)
+        reducer = F.max_by(r_struct, order_key)
+    else:
+        order_key = F.struct(F.col(right_ts), -tie)
+        reducer = F.min_by(r_struct, order_key)
+    boundaries = rc.groupBy(*keys, "__chunk").agg(reducer.alias("__b"))
+
+    # 2. Carry-in per left chunk: LOCF over the boundary relation itself,
+    # with same-chunk boundaries sorted AFTER the marker so only strictly
+    # prior (or later, forward) chunks are visible to it.
+    markers = lc.select(*keys, "__chunk").distinct().withColumn("__m", F.lit(1))
+    bm = boundaries.withColumn("__m", F.lit(0)).unionByName(
+        markers.withColumn("__b", F.lit(None).cast(boundaries.schema["__b"].dataType)),
+    )
+    chunk_order = F.col("__chunk").asc() if direction == "backward" else F.col("__chunk").desc()
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy(chunk_order, F.col("__m").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        bm.withColumn("__carry", F.last("__b", ignorenulls=True).over(wc))
+        .filter((F.col("__m") == 1) & F.col("__carry").isNotNull())
+        .select(*keys, "__chunk", "__carry")
+    )
+
+    # 3. Materialize carry-ins as synthetic right rows inside their target
+    # chunk; their real timestamps lie strictly outside the chunk, so they
+    # sort before (backward) / after (forward) every native row.
+    injected = carry.select(
+        *keys,
+        "__chunk",
+        *[F.col("__carry")[c].alias(c) for c in right.columns if c not in keys],
+    )
+    r_aug = rc.select(*keys, "__chunk", *[c for c in right.columns if c not in keys]).unionByName(
+        injected
+    )
+
+    out = asof_join(
+        lc,
+        r_aug,
+        on=[*keys, "__chunk"],
+        left_ts=left_ts,
+        right_ts=right_ts,
+        direction=direction,
+        allow_exact_matches=allow_exact_matches,
+        tie_break=tie_break,
+        suffix=suffix,
+    )
+    return out.drop("__chunk")

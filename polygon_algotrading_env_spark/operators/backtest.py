@@ -12,6 +12,14 @@ t-1 (``lag``) — the standard next-bar execution convention; computing
 P&L from same-bar signals is the classic backtest bug this operator makes
 unrepresentable.
 
+Sizing note (hot keys): per-key window sorts are NOT split by AQE (that
+applies to sort-merge joins), so one symbol's whole bar history is sorted
+by one task. Bars are ~5 orders of magnitude sparser than ticks (a decade
+of 5-minute bars for one symbol ≈ 5·10⁵ rows ≈ tens of MB), so a single
+per-symbol task is comfortably sized even at 100 TB of source ticks; only
+if backtesting on raw ticks per key would time-chunking (as in
+``asof.asof_join_chunked``) be needed.
+
 Float discipline (cross-engine reproducibility): SMAs are
 round(sum, 4)/count — stabilized sum, then exact IEEE divide; bar returns
 are a single divide of exact 2-decimal doubles; P&L is position × return,

@@ -84,3 +84,66 @@ def test_column_collision_suffix(spark):
     right = spark.createDataFrame([("A", 5, 2.0)], "k string, t long, v double")
     out = asof_join(left, right, on="k", left_ts="t", right_ts="t")
     assert set(out.columns) == {"k", "t", "v", "t_r", "v_r"}
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_chunked_equivalence_exhaustive(spark):
+    """asof_join_chunked ≡ asof_join across directions, exactness, tie
+    breaks, and chunk widths that split keys mid-stream (including width 1,
+    where nearly every row is its own chunk and everything flows through
+    the carry path)."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.asof import asof_join_chunked
+
+    rng = random.Random(7)
+    left_rows = [
+        (k, rng.randrange(0, 50), f"l{i}")
+        for i, k in enumerate(k for k in "AAB" * 10 for _ in range(2))
+    ]
+    right_rows = [
+        (k, rng.randrange(0, 50), f"r{i}", float(i % 5))
+        for i, k in enumerate(k for k in "ABC" * 8 for _ in range(2))
+    ]
+    left = spark.createDataFrame(left_rows, "k string, t long, lv string")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv string, w double")
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            base = asof_join(
+                left, right, on="k", left_ts="t", right_ts="t",
+                direction=direction, allow_exact_matches=exact, tie_break="w",
+            )
+            for chunk in (1, 7, 100):
+                chunked = asof_join_chunked(
+                    left, right, on="k", left_ts="t", right_ts="t",
+                    chunk_seconds=chunk, direction=direction,
+                    allow_exact_matches=exact, tie_break="w",
+                )
+                assert _rows_set(chunked) == _rows_set(base), (
+                    direction, exact, chunk,
+                )
+
+
+def test_chunked_hot_key_parallelism(spark):
+    """The big window's partition keys include the chunk: a single hot key
+    no longer serializes into one task's sort."""
+    from polygon_algotrading_env_spark.operators.asof import asof_join_chunked
+
+    left = spark.createDataFrame(
+        [("HOT", i, f"l{i}") for i in range(200)], "k string, t long, lv string"
+    )
+    right = spark.createDataFrame(
+        [("HOT", i, f"r{i}") for i in range(0, 200, 3)],
+        "k string, t long, rv string",
+    )
+    out = asof_join_chunked(
+        left, right, on="k", left_ts="t", right_ts="t", chunk_seconds=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan  # chunk participates in the window partitioning
+    got = {r["t"]: r["rv"] for r in out.collect()}
+    assert got[0] == "r0" and got[4] == "r3" and got[199] == "r198"
