@@ -46,12 +46,15 @@ def read_jdbc(
     """S4: JDBC read (``SELECT ... FROM reference_db.tickers``,
     ``dag_aggregates_etl.py:54``). Catalyst pushes filters/projections to
     the database; ``predicates`` gives one partition per predicate for
-    parallel reads. Untested here (no RDBMS in this environment)."""
+    parallel reads (each executor issues its own WHERE-sliced query).
+    Exercised in tests against the embedded Derby database that ships on
+    Spark's classpath."""
+    if predicates:
+        props = {k: str(v) for k, v in (properties or {}).items()}
+        return spark.read.jdbc(url, table, predicates=list(predicates), properties=props)
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    if predicates:
-        reader = reader.option("numPartitions", len(predicates))
     return reader.load()
 
 

@@ -50,6 +50,28 @@ def overwrite_dimension(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """K3/K4 to an RDBMS: the reference's ``DataFrame.to_sql`` writes
+    (``reference_data_etl.py:67`` with if_exists='replace' → overwrite;
+    ``aggregates_etl.py:171-177`` incremental → append).
+
+    Executors write partitions concurrently over JDBC; for a small dim
+    table ``df.coalesce(1)`` avoids hammering the database with one
+    connection per partition. Exercised in tests against the embedded
+    Derby database that ships on Spark's classpath.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

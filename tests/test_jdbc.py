@@ -1,0 +1,79 @@
+"""S4/K3/K4 JDBC round trip against embedded Derby (on Spark's classpath —
+no external RDBMS needed). Mirrors the reference's MySQL surface:
+``dag_aggregates_etl.py:54`` read, ``reference_data_etl.py:67`` replace
+write, ``aggregates_etl.py:171-177`` incremental append.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from polygon_algotrading_env_spark.sources.readers import read_jdbc
+from polygon_algotrading_env_spark.sources.writers import write_jdbc
+
+
+@pytest.fixture()
+def derby_url():
+    d = tempfile.mkdtemp(prefix="pae_derby_")
+    yield f"jdbc:derby:{d}/db;create=true"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, "AAPL", "XNAS"), (2, "MSFT", "XNAS"), (3, "SAP", "XETR")],
+        "id int, ticker string, mic string",
+    )
+
+
+# Derby maps StringType to CLOB by default, which its SQL layer cannot
+# compare against literals — pin VARCHAR like any production DDL would.
+_DDL = {"createTableColumnTypes": "ticker VARCHAR(32), mic VARCHAR(8)"}
+
+
+def test_jdbc_overwrite_then_read(spark, derby_url):
+    write_jdbc(_dim(spark), derby_url, "tickers", mode="overwrite", properties=_DDL)
+    # Full-refresh semantics: a second overwrite replaces, never accumulates.
+    write_jdbc(_dim(spark), derby_url, "tickers", mode="overwrite", properties=_DDL)
+    back = read_jdbc(spark, derby_url, "tickers")
+    assert back.count() == 3
+    assert {r["ticker"] for r in back.collect()} == {"AAPL", "MSFT", "SAP"}
+
+
+def test_jdbc_append_accumulates(spark, derby_url):
+    write_jdbc(_dim(spark), derby_url, "facts", mode="overwrite", properties=_DDL)
+    write_jdbc(
+        spark.createDataFrame([(4, "TSLA", "XNAS")], "id int, ticker string, mic string"),
+        derby_url,
+        "facts",
+        mode="append",
+    )
+    back = read_jdbc(spark, derby_url, "facts")
+    assert back.count() == 4
+
+
+def test_jdbc_predicate_partitioned_read(spark, derby_url):
+    write_jdbc(_dim(spark), derby_url, "tickers", mode="overwrite", properties=_DDL)
+    # Spark's JDBC writer creates quoted (case-exact) identifiers, so the
+    # predicate slices must quote them too.
+    back = read_jdbc(
+        spark,
+        derby_url,
+        "tickers",
+        predicates=['"mic" = \'XNAS\'', '"mic" = \'XETR\''],
+    )
+    # One input partition per predicate, union of slices = full table.
+    assert back.rdd.getNumPartitions() == 2
+    assert back.count() == 3
+
+
+def test_jdbc_filter_pushdown_plan(spark, derby_url):
+    write_jdbc(_dim(spark), derby_url, "tickers", mode="overwrite", properties=_DDL)
+    q = read_jdbc(spark, derby_url, "tickers").filter("mic = 'XNAS'").select("ticker")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # The filter must reach the JDBC scan, not run in Spark post-hoc.
+    assert "PushedFilters" in plan and "MIC" in plan.upper()
+    assert q.count() == 2
