@@ -12,7 +12,7 @@ directories are live at that version.
 Layout::
 
     <root>/_manifests/v000000000042.json   one small JSON per commit
-    <root>/data/v42/part-*.parquet         immutable files for commit 42
+    <root>/data/c<uuid>/part-*.parquet     immutable files for one commit
 
 Each manifest holds ``{version, parent, mode, timestamp, live, schema}``
 where ``live`` is the list of data directories visible at that version —
@@ -27,6 +27,12 @@ Scale notes (100 TB / 1000 executors):
   POSIX/HDFS; on S3 use a conditional PUT (if-none-match) for the same
   optimistic-concurrency guarantee.  Two writers racing to the same
   version: exactly one wins, the loser retries on the next version.
+- Write-then-commit: every commit's data lands in its own uniquely named
+  directory (``data/c<uuid>``) BEFORE the manifest names it, so a racing
+  loser can never clobber the winner's files — on conflict it just
+  recomputes the manifest (data already written once) and commits at the
+  next version.  Directories never referenced by any manifest (a writer
+  that died before committing) are exactly what :meth:`vacuum` reports.
 - Appends never rewrite data, so a day's 100 TB ingest is one manifest
   plus its own files; time travel to any prior day is free.
 - ``read_changes`` gives incremental consumers (training-data refresh)
@@ -119,44 +125,70 @@ class VersionedTable:
 
     # ---- writes ---------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self, df: DataFrame, mode: str = "append", max_commit_retries: int = 10
+    ) -> int:
         """Commit ``df`` as a new version; returns the version number.
 
         ``mode='append'`` adds the rows to the table; ``'overwrite'``
         replaces the visible contents.  Either way prior versions stay
         readable — data directories are immutable until :meth:`vacuum`.
+
+        Concurrency (the Delta/Iceberg write-then-commit protocol): data
+        lands once in a fresh uniquely named directory; only the manifest
+        commit races.  A loser never rewrites data — it re-reads the new
+        parent, recomputes ``live``, and retries the commit at the next
+        version, up to ``max_commit_retries`` times.  If the commit can
+        never land (or the writer errors), the orphaned data directory is
+        removed before re-raising.
         """
+        import shutil
+        import uuid
+
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        parent = self.latest_version()
-        version = 0 if parent is None else parent + 1
         schema_json = df.schema.json()
-        if parent is not None and mode == "append":
-            parent_fields = {
-                f["name"] for f in json.loads(self._read_manifest(parent)["schema"])["fields"]
-            }
-            fields = {f.name for f in df.schema.fields}
-            if fields != parent_fields:
-                raise SchemaMismatchError(
-                    f"append columns {sorted(fields)} != table columns {sorted(parent_fields)}"
-                )
-        data_dir = f"data/v{version}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, data_dir))
-        if mode == "append" and parent is not None:
-            live = list(self._read_manifest(parent)["live"]) + [data_dir]
-        else:
-            live = [data_dir]
-        self._commit(
-            {
-                "version": version,
-                "parent": parent,
-                "mode": mode,
-                "timestamp": time.time(),
-                "live": live,
-                "schema": schema_json,
-            }
-        )
-        return version
+        data_dir = f"data/c{uuid.uuid4().hex[:16]}"
+        df.write.parquet(os.path.join(self.root, data_dir))
+        try:
+            for _ in range(max_commit_retries + 1):
+                parent = self.latest_version()
+                version = 0 if parent is None else parent + 1
+                if parent is not None and mode == "append":
+                    parent_fields = {
+                        f["name"]
+                        for f in json.loads(self._read_manifest(parent)["schema"])["fields"]
+                    }
+                    fields = {f.name for f in df.schema.fields}
+                    if fields != parent_fields:
+                        raise SchemaMismatchError(
+                            f"append columns {sorted(fields)} != table columns "
+                            f"{sorted(parent_fields)}"
+                        )
+                if mode == "append" and parent is not None:
+                    live = list(self._read_manifest(parent)["live"]) + [data_dir]
+                else:
+                    live = [data_dir]
+                try:
+                    self._commit(
+                        {
+                            "version": version,
+                            "parent": parent,
+                            "mode": mode,
+                            "timestamp": time.time(),
+                            "live": live,
+                            "schema": schema_json,
+                        }
+                    )
+                    return version
+                except VersionConflictError:
+                    continue  # another writer landed this version; recompute
+            raise VersionConflictError(
+                f"could not commit after {max_commit_retries + 1} attempts"
+            )
+        except BaseException:
+            shutil.rmtree(os.path.join(self.root, data_dir), ignore_errors=True)
+            raise
 
     def _commit(self, manifest: dict) -> None:
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -252,9 +284,13 @@ class VersionedTable:
 
     def vacuum(self, keep_versions: int = 1, dry_run: bool = True) -> list[str]:
         """Data directories unreferenced by the newest ``keep_versions``
-        commits.  ``dry_run=True`` (default) only reports them; pass
-        ``False`` to delete.  Time travel older than the horizon stops
-        working — same contract as Delta's VACUUM."""
+        commits — including orphans from writers that died before their
+        manifest commit.  ``dry_run=True`` (default) only reports them;
+        pass ``False`` to delete.  Time travel older than the horizon
+        stops working — same contract as Delta's VACUUM.  Like Delta, do
+        not run a destructive vacuum while a writer is mid-flight: a
+        written-but-not-yet-committed directory looks identical to an
+        orphan (production deployments add a retention age check here)."""
         latest = self.latest_version()
         if latest is None:
             return []

@@ -114,7 +114,8 @@ def test_vacuum(spark, root):
     t.write(_df(spark, [1]))
     t.write(_df(spark, [2]), mode="overwrite")
     victims = t.vacuum(keep_versions=1)
-    assert victims == ["data/v0"]
+    v0_live = list(t._read_manifest(0)["live"])
+    assert victims == v0_live
     t.vacuum(keep_versions=1, dry_run=False)
     with pytest.raises(Exception):
         t.read(version=0).collect()
@@ -151,3 +152,49 @@ def test_stream_changes_refuses_overwrites(spark, root):
     t.write(_df(spark, [2]), mode="overwrite")
     with pytest.raises(ValueError, match="append-only"):
         t.stream_changes()
+
+
+def test_concurrent_writers_never_clobber(spark, root):
+    """Write-then-commit: a loser whose manifest commit conflicts must NOT
+    touch the winner's data files — it retries the commit at the next
+    version with its already-written unique directory."""
+    t1 = VersionedTable(spark, root)
+    t2 = VersionedTable(spark, root)
+    t1.write(_df(spark, [1]))
+
+    # Interleave: when t1 is about to commit its next write, t2 sneaks in a
+    # full write() that wins the version race.
+    orig_commit = t1._commit
+    injected = {"done": False}
+
+    def racing_commit(manifest):
+        if not injected["done"]:
+            injected["done"] = True
+            t2.write(_df(spark, [100]))  # wins version 1
+        orig_commit(manifest)  # t1's first attempt now conflicts
+
+    t1._commit = racing_commit
+    v = t1.write(_df(spark, [2]))
+    assert v == 2  # retried past the winner
+    # Both writers' rows are intact and visible.
+    assert sorted(r.id for r in t1.read().collect()) == [1, 2, 100]
+    # History: three appends, each with its own immutable directory.
+    dirs = [d for m in t1.history() for d in m.live]
+    assert len(set(dirs)) == 3
+
+
+def test_failed_commit_cleans_orphan_data(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+
+    def always_conflict(manifest):
+        raise VersionConflictError("simulated contention")
+
+    t._commit = always_conflict
+    import os
+
+    before = set(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(VersionConflictError):
+        t.write(_df(spark, [2]), max_commit_retries=2)
+    after = set(os.listdir(os.path.join(root, "data")))
+    assert after == before  # the orphaned unique directory was removed
