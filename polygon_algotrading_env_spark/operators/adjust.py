@@ -44,16 +44,36 @@ def suffix_factors(
     factor_col: str = "factor",
 ) -> DataFrame:
     """Per action row, the cumulative product of factors of all actions
-    at-or-after its ex_date (within key)."""
+    at-or-after its ex_date (within key).
+
+    Computed as exp(sum(log)) — a running product as a window aggregate.
+    Zero/negative factors are corrupt input (a split ratio is strictly
+    positive): log() would turn them into NULLs that sum() silently skips,
+    so they fail loudly via ``raise_error`` instead. The exp/log round
+    trip costs ≤1 ulp per step; adjusted prices are consumed at fixed
+    decimal precision, so this never surfaces — and bad data beats a
+    bit-exact product of garbage.
+    """
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ex_date_col).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    f = F.col(factor_col)
+    checked = F.when(
+        f > 0, f
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"non-positive {factor_col} for corporate action: "),
+                f.cast("string"),
+            )
+        )
+    )
     return actions.select(
         key,
         ex_date_col,
-        F.exp(F.sum(F.log(F.col(factor_col))).over(w)).alias("suffix_factor"),
+        F.exp(F.sum(F.log(checked)).over(w)).alias("suffix_factor"),
     )
 
 

@@ -71,7 +71,18 @@ def salted_join(
 
     Use only when `other` is too big to broadcast yet small enough that a
     ``buckets``-fold replication is acceptable — the classic middle regime.
+
+    Only ``inner`` and ``left`` are supported: with the other side
+    replicated per salt, a right/full/anti join would emit each unmatched
+    other-side row once PER SALT — ``buckets``-fold duplicates. For those
+    shapes, salt the other side instead or rely on AQE's skew-join split.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "side replication duplicates unmatched other-side rows for "
+            "right/full/anti joins"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     s = with_salt(skewed, buckets)
     o = other.withColumn(

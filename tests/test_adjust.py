@@ -64,3 +64,16 @@ def test_adjusted_equals_raw_when_no_actions(spark, candles):
     out = adjust_prices(candles, empty).collect()
     assert all(r["adj_factor"] == 1.0 for r in out)
     assert all(r["close"] == r["close_raw"] for r in out)
+
+
+def test_nonpositive_factor_raises(spark):
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.adjust import suffix_factors
+
+    bad = spark.createDataFrame(
+        [("A", "2024-01-02", 0.0), ("A", "2024-03-05", 2.0)],
+        "ticker string, ex_date string, factor double",
+    )
+    with pytest.raises(Exception, match="non-positive factor"):
+        suffix_factors(bad).collect()

@@ -42,3 +42,15 @@ def test_salted_join_matches_plain(spark):
         "ticker", "kind"
     ).count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_rejects_replicating_hows(spark):
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    for how in ("right", "full", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(a, b, on="k", how=how)
