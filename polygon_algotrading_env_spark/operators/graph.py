@@ -123,6 +123,98 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    contraction (the public two-phase MapReduce formulation, Kiveris et
+    al.) — same output contract as :func:`connected_components`.
+
+    Where hash-min label propagation shuffles the FULL adjacency every
+    round, star contraction rewires edges toward component minima so the
+    edge set itself collapses as rounds proceed — the better shape for
+    pathological huge components (one giant near-dup cluster), where
+    hash-min's per-round shuffle stays O(|E|) for every one of its
+    O(log d) rounds:
+
+    - large-star: every node points its larger neighbors at the minimum
+      of its closed neighborhood;
+    - small-star: every node and its smaller neighbors contract onto that
+      minimum;
+    - fixpoint: the edge set is a forest of stars rooted at component
+      minima — each round is two balanced hash shuffles (groupBy-min +
+      join), lineage truncated per round.
+
+    Equivalence with hash-min is test-asserted on chains, cliques,
+    forests, self-loops, and isolated vertices.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    if vertices is not None:
+        ids = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    else:
+        ids = e.select(F.col("u").alias("id")).union(
+            e.select(F.col("v").alias("id"))
+        ).distinct()
+    # Self-loop per vertex keeps singletons alive through contraction and
+    # makes every groupBy-min a min over the CLOSED neighborhood.
+    cur = (
+        e.filter(F.col("u") != F.col("v"))
+        .union(ids.select(F.col("id").alias("u"), F.col("id").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    for _ in range(max_rounds):
+        sym = _sym(cur)
+        mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+        # Large-star: (v, m(u)) for v > u, plus (u, m(u)) to keep u wired.
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sym2 = _sym(large)
+        mins2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
+        # Small-star: (v, m(u)) for v < u, plus (u, m(u)).
+        nxt = (
+            sym2.join(mins2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        same_size = nxt.count() == cur.count()
+        if same_size and nxt.subtract(cur).limit(1).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+    # Fixpoint edges are (vertex → component-min) stars incl. root
+    # self-loops: the label of u is its min neighbor in the closed
+    # neighborhood.
+    return (
+        _sym(cur)
+        .groupBy("u")
+        .agg(F.min("v").alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+
+
 def cluster_survivors(
     docs: DataFrame,
     labels: DataFrame,

@@ -68,3 +68,50 @@ def test_matches_bruteforce_on_random_graph(spark):
     vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
     got = _clusters(connected_components(edges, vertices=vertices).collect())
     assert got == expected
+
+
+def test_star_equivalence_with_hashmin(spark):
+    """large-star/small-star ≡ hash-min on chains, cliques, self-loops,
+    isolated vertices, and a random forest."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    cases = [
+        # chain + triangle + isolated (via vertices)
+        ([(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)],
+         [0, 1, 2, 3, 4, 10, 11, 12, 20]),
+        # duplicates / directions / self-loop only
+        ([(5, 3), (3, 5), (5, 3), (7, 7)], None),
+    ]
+    rng = random.Random(11)
+    random_edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    cases.append((random_edges, list(range(0, 60))))
+
+    for raw_edges, vs in cases:
+        edges = spark.createDataFrame(raw_edges, "src long, dst long")
+        vertices = (
+            spark.createDataFrame([(i,) for i in vs], "id long") if vs else None
+        )
+        a = _clusters(connected_components(edges, vertices=vertices).collect())
+        b = _clusters(
+            connected_components_star(edges, vertices=vertices).collect()
+        )
+        assert a == b, (sorted(set(a.items()) ^ set(b.items())))
+
+
+def test_star_long_chain_converges(spark):
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _clusters(connected_components_star(edges, max_rounds=12).collect())
+    assert got == {i: 0 for i in range(n)}
