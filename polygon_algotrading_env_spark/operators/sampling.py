@@ -103,3 +103,53 @@ def pack_by_token_budget(
     return df.withColumn(
         window_col, F.floor(cum_before / F.lit(budget)).cast("long")
     )
+
+
+def quality_cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    quality_col: str,
+    cap: int,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Keep the ``cap`` HIGHEST-``quality_col`` rows per group — the
+    frequency-cap curation rule ("at most N docs per domain, best first")
+    that balances a crawl corpus without discarding quality signal.
+
+    Same single-shuffle shape as :func:`per_group_downsample`; ties break
+    on ``tie_col`` (default: the quality column's row identity is left to
+    the caller — pass a unique column for deterministic output).
+    """
+    order = [F.col(quality_col).desc()]
+    if tie_col:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_stages: int,
+    group_cols: Sequence[str] = (),
+    stage_col: str = "stage",
+) -> DataFrame:
+    """Assign each row a curriculum stage 1..``n_stages`` by ``ntile`` over
+    ``order_cols`` (e.g. ascending document length: short/easy docs first).
+
+    ``ntile`` gives equal-size stages without computing quantile cut
+    points; one window pass (per group). Unpartitioned use funnels through
+    a single task — fine for driver-sized relations; pass ``group_cols``
+    (e.g. language) at corpus scale.
+    """
+    keys = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+        if group_cols
+        else Window.partitionBy().orderBy(*[F.col(c) for c in order_cols])
+    )
+    return df.withColumn(stage_col, F.ntile(n_stages).over(w).cast("int"))

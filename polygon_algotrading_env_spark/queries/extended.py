@@ -327,3 +327,29 @@ def profile_orders_columns(spark, sf_dir):
         load_table(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@register(
+    "exact_percentiles_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles_per_flag(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, both the linear-interpolation definition).
+    Exact quantiles fully sort each group — the correctness anchor for the
+    approx_percentile/median sketch queries; at 100 TB prefer
+    ``approx_distinct_parts``-style sketches and keep this for audits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(q)), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )

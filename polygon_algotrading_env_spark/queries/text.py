@@ -655,3 +655,55 @@ def quality_filter_docs(spark, sf_dir):
             & (feats["digit_ratio"] <= 0.3)
         ).cast("int").alias("keep"),
     )
+
+
+@register(
+    "quality_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 40
+    """,
+)
+def quality_cap_per_source(spark, sf_dir):
+    """Frequency cap, best-first: at most 40 docs per source, keeping the
+    longest (quality proxy) with deterministic id tie-break."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        quality_cap_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quality_cap_per_group(
+        docs, ["source"], "n_chars", cap=40, tie_col="doc_id"
+    )
+
+
+@register(
+    "curriculum_stages_by_length",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY n_chars ASC, doc_id ASC) AS INT) AS stage
+    FROM documents
+    """,
+)
+def curriculum_stages_by_length(spark, sf_dir):
+    """Curriculum assignment: 4 equal-size stages per language by
+    ascending document length (easy → hard), via one ntile window."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        curriculum_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return curriculum_buckets(
+        docs, ["n_chars", "doc_id"], n_stages=4, group_cols=["lang"]
+    ).select("doc_id", "lang", "stage")

@@ -86,3 +86,34 @@ def test_column_profile_exact_and_approx(spark):
     assert prof["v"].n_nonnull == 80 and prof["v"].n_distinct == 7
     approx = {r.col_name: r for r in column_profile(df, ["v"], exact=False).collect()}
     assert abs(approx["v"].n_distinct - 7) <= 1
+
+
+def test_quality_cap_keeps_best(spark):
+    from polygon_algotrading_env_spark.operators.sampling import (
+        quality_cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id int, q double",
+    )
+    out = quality_cap_per_group(df, ["g"], "q", cap=2, tie_col="id")
+    got = {(r["g"], r["id"]) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 4)}  # a keeps its top-2 by q
+
+
+def test_curriculum_buckets_monotone_and_balanced(spark):
+    from polygon_algotrading_env_spark.operators.sampling import (
+        curriculum_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i * 10) for i in range(12)], "g string, id int, size int"
+    )
+    out = curriculum_buckets(df, ["size", "id"], n_stages=4, group_cols=["g"])
+    rows = sorted((r["size"], r["stage"]) for r in out.collect())
+    stages = [s for _, s in rows]
+    assert stages == sorted(stages)  # stage is monotone in the order col
+    from collections import Counter
+
+    assert set(Counter(stages).values()) == {3}  # 12 rows -> 4 equal stages
