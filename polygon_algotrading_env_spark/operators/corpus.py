@@ -1,0 +1,73 @@
+"""Corpus-statistics operators — frequency models over the whole corpus
+applied back to each document.
+
+The CCNet/Gopher-style quality pipelines score documents against a
+corpus- (or reference-) level language model; the engine-native analogue
+is a token document-frequency model: one aggregation builds the model,
+one join + aggregate scores every document against it. Both stages are
+plain exploded-token shuffles — the same cost shape as the boilerplate
+n-gram pass, linear in corpus token count.
+
+Cross-engine verification note: scores are exposed as EXACT integer
+pairs (sum of document frequencies, token count) rather than a float
+mean-log — an unordered float sum over tokens is engine-order-dependent
+at the last ulp, integers are not. Downstream ranking/filtering divides
+or logs them as it pleases.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from polygon_algotrading_env_spark.functions.text import word_tokens
+
+
+def token_doc_frequency(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The corpus model: for every lowercased word token, the number of
+    documents containing it (per-doc distinct, so in-doc repetition does
+    not inflate the count). Returns ``(token, df)``."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def doc_rarity_scores(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against the token document-frequency model:
+    ``sum_df`` (total document frequency over the doc's distinct tokens)
+    and ``n_model_tokens``. Low ``sum_df / n_model_tokens`` ⇒ the document
+    is made of corpus-rare vocabulary (gibberish or exotic); high ⇒
+    common/boilerplate vocabulary — both tails are the usual curation
+    cut candidates.
+
+    ``model`` defaults to the corpus itself (self-scoring); pass a model
+    built from a clean reference corpus for CCNet-style filtering. The
+    join is token ⋈ token — a balanced hash shuffle; at 100 TB the model
+    is written once to a silver table and reused by every scoring run.
+    """
+    if model is None:
+        model = token_doc_frequency(docs, id_col=id_col, text_col=text_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("token"),
+    )
+    return (
+        toks.join(model, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("df"), F.lit(0))).cast("bigint").alias("sum_df"),
+            F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
+        )
+    )

@@ -707,3 +707,31 @@ def curriculum_stages_by_length(spark, sf_dir):
     return curriculum_buckets(
         docs, ["n_chars", "doc_id"], n_stages=4, group_cols=["lang"]
     ).select("doc_id", "lang", "stage")
+
+
+@register(
+    "doc_rarity_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text),
+                    '[\\p{L}\\p{N}]+'))) AS token
+      FROM documents
+    ),
+    model AS (SELECT token, count(*) AS df FROM toks GROUP BY token)
+    SELECT t.doc_id,
+           CAST(sum(m.df) AS BIGINT)   AS sum_df,
+           CAST(count(*) AS BIGINT)    AS n_model_tokens
+    FROM toks t JOIN model m USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_rarity_scores_q(spark, sf_dir):
+    """Corpus-frequency document scoring (CCNet-style, engine-native):
+    build the token document-frequency model in one aggregation, score
+    every document by exact integer (sum_df, n_model_tokens) — the
+    rare-vocabulary / boilerplate-vocabulary signal, no float in sight."""
+    from polygon_algotrading_env_spark.operators.corpus import doc_rarity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_rarity_scores(docs)
