@@ -711,6 +711,7 @@ def curriculum_stages_by_length(spark, sf_dir):
 
 @register(
     "doc_rarity_scores",
+    headline=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id,
