@@ -203,3 +203,40 @@ def rsi_14_per_event_type(spark, sf_dir):
         .otherwise(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")))
         .alias("rsi_14"),
     )
+
+
+@register(
+    "band_join_events_60s",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_ns(ts) // 1000000 AS ms
+      FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.event_type
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type
+     AND b.ms BETWEEN a.ms - 60000 AND a.ms + 60000
+     AND a.event_id < b.event_id
+    """,
+)
+def band_join_events_60s(spark, sf_dir):
+    """Range (band) join: pairs of same-type events within ±60 s — the
+    bucket-and-prune plan (quantize to 1 s cells → equi-join on cell →
+    exact band predicate), never BroadcastNestedLoopJoin. Times compare in
+    epoch millis (exact in doubles; raw nanos are not)."""
+    from polygon_algotrading_env_spark.operators.rangejoin import band_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", (F.col("ts_ns") / F.lit(1_000_000)).cast("bigint").alias("ms")
+    )
+    left = ev.select(F.col("event_id").alias("id_a"), "event_type", F.col("ms"))
+    right = ev.select(F.col("event_id").alias("id_b"), "event_type", F.col("ms").alias("ms_b"))
+    return (
+        band_join(
+            left, right, "ms", "ms_b", low=-60000, high=60000,
+            on="event_type", bucket_width=60000.0,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "event_type")
+    )
