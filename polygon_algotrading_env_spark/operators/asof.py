@@ -172,9 +172,19 @@ def asof_join_chunked(
     if chunk_seconds <= 0:
         raise ValueError("chunk_seconds must be positive")
 
-    chunk_of = lambda c: F.floor(F.col(c).cast("double") / chunk_seconds)  # noqa: E731
-    lc = left.withColumn("__chunk", chunk_of(left_ts))
-    rc = right.withColumn("__chunk", chunk_of(right_ts))
+    from pyspark.sql.types import DateType, TimestampNTZType
+
+    def chunk_of(df: DataFrame, c: str):
+        # TIMESTAMP_NTZ/DATE have no direct double cast; route through
+        # TIMESTAMP (session-TZ shift applies identically to both sides, so
+        # bucket alignment — which correctness never depends on — is moot).
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, (TimestampNTZType, DateType)):
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / chunk_seconds)
+
+    lc = left.withColumn("__chunk", chunk_of(left, left_ts))
+    rc = right.withColumn("__chunk", chunk_of(right, right_ts))
 
     # 1. Right-side boundary row per (key, chunk): the row LOCF would carry
     # out of the chunk. Backward: max (ts, tie); forward: min ts, max tie.

@@ -159,3 +159,45 @@ def count_distinct_parts_per_flag(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count_distinct("l_partkey").alias("n_parts"))
     )
+
+
+@register(
+    "salted_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)          AS sum_qty,
+           round(sum(l_extendedprice), 4)     AS sum_base_price,
+           count(*)                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def salted_pricing_summary(spark, sf_dir):
+    """The hot-key scale path for A8, certified against the SAME answer as
+    the plain aggregate: two-phase salted aggregation (groupBy key+salt →
+    groupBy key). Rounded at 4 after the final combine — 2-decimal inputs
+    keep true sums far from rounding boundaries, so the salted partial
+    order cannot flip the rounded value (same stabilization argument as
+    ``pricing_summary``)."""
+    from polygon_algotrading_env_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        partial_aggs={
+            "q": F.sum("l_quantity"),
+            "p": F.sum("l_extendedprice"),
+            "n": F.count(F.lit(1)),
+        },
+        final_aggs={
+            "sum_qty": F.round(F.sum("q"), 4),
+            "sum_base_price": F.round(F.sum("p"), 4),
+            "count_order": F.sum("n"),
+        },
+    ).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order"
+    )

@@ -212,3 +212,54 @@ def asof_latest_order_before_event(spark, sf_dir):
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_orderdate").alias("last_orderdate"),
     )
+
+
+@register(
+    "asof_chunked_order_before_event",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           m.o_orderkey  AS last_orderkey,
+           m.o_orderdate AS last_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o.o_orderkey, o.o_orderdate
+      FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def asof_chunked_order_before_event(spark, sf_dir):
+    """The hot-key-safe chunked as-of join certified against the SAME
+    lateral-top-1 oracle as ``asof_latest_order_before_event`` — per
+    (user, 90-day-chunk) LOCF with boundary carry-forward must be
+    indistinguishable from the single-window plan."""
+    from polygon_algotrading_env_spark.operators.asof import asof_join_chunked
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), F.col("ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts_right"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    joined = asof_join_chunked(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts_right",
+        chunk_seconds=90 * 86400,
+        direction="backward",
+        allow_exact_matches=True,
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
