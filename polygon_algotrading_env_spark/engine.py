@@ -121,18 +121,22 @@ class Engine:
 
     def cluster_duplicates(
         self, docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-        quality_col: str | None = None,
+        quality_col: str | None = None, algorithm: str = "hashmin",
     ) -> tuple[DataFrame, DataFrame]:
         """Pair→group: connected components over candidate pairs, plus the
-        per-cluster survivor table. Returns (labels, survivors)."""
+        per-cluster survivor table. Returns (labels, survivors).
+        ``algorithm='star'`` switches to large-star/small-star contraction
+        (better when one huge duplicate cluster dominates)."""
         from polygon_algotrading_env_spark.operators.graph import (
             cluster_survivors,
             connected_components,
+            connected_components_star,
         )
 
-        labels = connected_components(
-            pairs, src="id_a", dst="id_b", vertices=docs, id_col=id_col
-        )
+        cc = {"hashmin": connected_components, "star": connected_components_star}[
+            algorithm
+        ]
+        labels = cc(pairs, src="id_a", dst="id_b", vertices=docs, id_col=id_col)
         return labels, cluster_survivors(
             docs, labels, id_col=id_col, quality_col=quality_col
         )
@@ -162,6 +166,50 @@ class Engine:
         from polygon_algotrading_env_spark.sources.versioned import VersionedTable
 
         return VersionedTable(self.spark, root)
+
+    def asof(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+        """As-of join; pass ``chunk_seconds=`` to switch to the
+        hot-key-safe chunked plan (identical results)."""
+        from polygon_algotrading_env_spark.operators import asof as _asof
+
+        if kw.get("chunk_seconds"):
+            return _asof.asof_join_chunked(left, right, **kw)
+        kw.pop("chunk_seconds", None)
+        return _asof.asof_join(left, right, **kw)
+
+    def band_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+        """Range join within [low, high] of the left value — bucket-and-
+        prune plan, never a nested-loop join."""
+        from polygon_algotrading_env_spark.operators.rangejoin import band_join
+
+        return band_join(left, right, **kw)
+
+    def write_zordered(self, df: DataFrame, path: str, cols, **kw) -> None:
+        """Z-order layout write: parquet min/max skipping on every listed
+        column."""
+        from polygon_algotrading_env_spark.operators.layout import write_zordered
+
+        write_zordered(df, path, cols, **kw)
+
+    def score_corpus(
+        self, docs: DataFrame, model: DataFrame | None = None, **kw
+    ) -> DataFrame:
+        """Token document-frequency rarity scoring (optionally against an
+        external reference-corpus model)."""
+        from polygon_algotrading_env_spark.operators.corpus import doc_rarity_scores
+
+        return doc_rarity_scores(docs, model=model, **kw)
+
+    def curate(
+        self, df: DataFrame, group_cols, quality_col: str, cap: int, **kw
+    ) -> DataFrame:
+        """Best-first frequency cap: keep the top-``cap`` rows per group
+        by quality."""
+        from polygon_algotrading_env_spark.operators.sampling import (
+            quality_cap_per_group,
+        )
+
+        return quality_cap_per_group(df, group_cols, quality_col, cap, **kw)
 
     # -- declared corpus --------------------------------------------------
     def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:

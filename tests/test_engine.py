@@ -78,3 +78,42 @@ def test_engine_cluster_split_backtest_versioned(spark, tmp_path):
     vt = eng.versioned_table(str(tmp_path / "vt"))
     vt.write(docs)
     assert vt.read(version=0).count() == 3
+
+
+def test_engine_round2_surface(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.engine import Engine
+
+    eng = Engine(spark)
+    left = spark.createDataFrame([("A", 10, "l")], "k string, t long, lv string")
+    right = spark.createDataFrame([("A", 5, "r")], "k string, t long, rv string")
+    plain = eng.asof(left, right, on="k", left_ts="t", right_ts="t")
+    chunked = eng.asof(
+        left, right, on="k", left_ts="t", right_ts="t", chunk_seconds=3
+    )
+    assert plain.collect()[0]["rv"] == chunked.collect()[0]["rv"] == "r"
+
+    bj = eng.band_join(left, right, left_val="t", right_val="t", low=-6, high=0)
+    assert bj.count() == 1
+
+    df = spark.range(100).withColumn("x", F.col("id") % 10).withColumn(
+        "y", F.col("id") % 7
+    )
+    eng.write_zordered(df, str(tmp_path / "z"), ["x", "y"], n_files=2, bits=4)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 100
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 9.0, "s"), (2, "alpha", 1.0, "s")],
+        "doc_id int, text string, q double, src string",
+    )
+    scores = {r["doc_id"]: r["sum_df"] for r in eng.score_corpus(docs).collect()}
+    assert scores == {1: 3, 2: 2}
+    capped = eng.curate(docs, ["src"], "q", cap=1, tie_col="doc_id")
+    assert [r["doc_id"] for r in capped.collect()] == [1]
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    labels, survivors = eng.cluster_duplicates(
+        docs, pairs, quality_col="q", algorithm="star"
+    )
+    assert survivors.collect()[0]["survivor_doc_id"] == 1
