@@ -161,3 +161,98 @@ def build_gold_bars(
             price_cols=("open", "high", "low", "close"),
         )
     return out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_space_ratio: float = 0.5,
+    max_digit_ratio: float = 0.3,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    token_budget: int = 4096,
+    quality_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """The LLM-training-data curation pipeline, end to end (the extension
+    north star composed from its certified parts):
+
+    1. per-doc text analysis (tokens/quality features) — one projection;
+    2. quality gate (min tokens, whitespace/digit ceilings);
+    3. MinHash+LSH near-dup candidates with EXACT n-gram verification at
+       ``jaccard >= jaccard_num/jaccard_den`` (integer comparison);
+    4. pair→cluster connected components + best-quality survivors;
+    5. deduplicated corpus = gate survivors ∩ cluster survivors;
+    6. deterministic train/val/test hash split;
+    7. greedy context-window packing of the train split.
+
+    Returns every intermediate stage so callers can persist any of them as
+    silver tables; nothing is materialized here. Shuffle ledger: gate is
+    shuffle-free; dedup = signature scan + one band-key shuffle + bounded
+    verify join; clustering shuffles only the (tiny) pair graph; split is
+    a projection; packing shuffles once on the split key.
+    """
+    from polygon_algotrading_env_spark.functions.text import quality_features
+    from polygon_algotrading_env_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_overlap_pairs,
+    )
+    from polygon_algotrading_env_spark.operators.graph import (
+        cluster_survivors,
+        connected_components,
+    )
+    from polygon_algotrading_env_spark.operators.sampling import (
+        hash_split,
+        pack_by_token_budget,
+    )
+
+    feats = quality_features(F.col(text_col))
+    analyzed = docs.select(
+        "*",
+        feats["n_tokens"].cast("int").alias("__n_tokens"),
+        feats["space_ratio"].alias("__space_ratio"),
+        feats["digit_ratio"].alias("__digit_ratio"),
+    )
+    gated = analyzed.filter(
+        (F.col("__n_tokens") >= min_tokens)
+        & (F.col("__space_ratio") <= max_space_ratio)
+        & (F.col("__digit_ratio") <= max_digit_ratio)
+    )
+
+    cands = minhash_candidate_pairs(
+        gated, id_col=id_col, text_col=text_col
+    ).select("id_a", "id_b")
+    verified = ngram_overlap_pairs(cands, gated, id_col=id_col, text_col=text_col)
+    near_dups = verified.filter(
+        jaccard_den * F.col("n_common") >= jaccard_num * F.col("n_union")
+    )
+
+    labels = connected_components(
+        near_dups, src="id_a", dst="id_b", vertices=gated, id_col=id_col
+    )
+    survivors = cluster_survivors(
+        gated, labels, id_col=id_col,
+        quality_col=quality_col or "__n_tokens",
+    )
+    deduped = gated.join(
+        survivors.select(F.col("survivor_doc_id").alias(id_col)), id_col
+    )
+
+    split = hash_split(deduped, id_col)
+    packed = pack_by_token_budget(
+        split.filter(F.col("split") == "train"),
+        token_col="__n_tokens",
+        budget=token_budget,
+        order_col=id_col,
+    )
+    return {
+        "analyzed": analyzed,
+        "gated": gated,
+        "near_dup_pairs": near_dups,
+        "clusters": labels,
+        "survivors": survivors,
+        "deduped": deduped,
+        "split": split,
+        "packed_train": packed,
+    }

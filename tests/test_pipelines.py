@@ -145,3 +145,43 @@ def test_gold_adjusted_series(spark):
     # All candles precede the ex_date → every close halved, raw preserved.
     assert all(abs(r["close"] - 50.0) < 1e-9 for r in adj)
     assert all(r["close_raw"] == 100.0 for r in adj)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.pipelines import curate_corpus
+
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs)
+
+    n_docs = docs.count()
+    n_gated = out["gated"].count()
+    assert 0 < n_gated <= n_docs
+
+    # Near-dup pairs are verified (exact integers satisfy the threshold).
+    bad = out["near_dup_pairs"].filter(
+        2 * F.col("n_common") < F.col("n_union")
+    )
+    assert bad.count() == 0
+
+    # Every gated doc gets a cluster label; survivors ≤ gated; dedup keeps
+    # exactly the survivors.
+    assert out["clusters"].count() == n_gated
+    n_surv = out["survivors"].count()
+    assert 0 < n_surv <= n_gated
+    assert out["deduped"].count() == n_surv
+
+    # Split covers the deduped corpus; packing covers the train split with
+    # monotone window ids starting at 0.
+    splits = {
+        r["split"]: r["n"]
+        for r in out["split"].groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(splits.values()) == n_surv
+    packed = out["packed_train"]
+    assert packed.count() == splits.get("train", 0)
+    if packed.count():
+        assert packed.agg(F.min("context_window")).collect()[0][0] == 0
