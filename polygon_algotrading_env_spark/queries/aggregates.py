@@ -166,7 +166,7 @@ def count_distinct_parts_per_flag(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4)          AS sum_qty,
-           round(sum(l_extendedprice), 4)     AS sum_base_price,
+           round(sum(l_extendedprice), 2)     AS sum_base_price,
            count(*)                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -176,10 +176,11 @@ def count_distinct_parts_per_flag(spark, sf_dir):
 def salted_pricing_summary(spark, sf_dir):
     """The hot-key scale path for A8, certified against the SAME answer as
     the plain aggregate: two-phase salted aggregation (groupBy key+salt →
-    groupBy key). Rounded at 4 after the final combine — 2-decimal inputs
-    keep true sums far from rounding boundaries, so the salted partial
-    order cannot flip the rounded value (same stabilization argument as
-    ``pricing_summary``)."""
+    groupBy key). The price sum is rounded at 2 — its true value is an
+    exact multiple of 0.01, 0.005 from any round-2 boundary, while the
+    reordered accumulation error at ~1e9 magnitude reaches ~1e-4 and DOES
+    flip round-4 (observed at sf0.1); the quantity sum's magnitude keeps
+    round-4 safe."""
     from polygon_algotrading_env_spark.operators.skew import salted_aggregate
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -195,7 +196,7 @@ def salted_pricing_summary(spark, sf_dir):
         },
         final_aggs={
             "sum_qty": F.round(F.sum("q"), 4),
-            "sum_base_price": F.round(F.sum("p"), 4),
+            "sum_base_price": F.round(F.sum("p"), 2),
             "count_order": F.sum("n"),
         },
     ).select(
