@@ -156,3 +156,58 @@ def run_available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_ledger(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_path: str,
+    ledger_path: str,
+    key_cols: Sequence[str],
+):
+    """Cross-batch EXACT dedup with an unbounded ledger — the document-
+    ingest dedup that ``stream_dedup``'s watermark bound cannot express
+    (a duplicate document may arrive months later).
+
+    Each micro-batch anti-joins its (in-batch-deduped) rows against a
+    persistent key LEDGER, then writes the fresh rows and their keys into
+    ``batch_id=<id>`` partitions with OVERWRITE — the exactly-once
+    foreachBatch pattern on plain parquet: Structured Streaming replays an
+    interrupted batch under the SAME batch id, the replay overwrites the
+    partial partitions instead of appending duplicates, and the anti-join
+    excludes the current batch's own ledger partition so a replay can
+    never filter out its own half-written keys.
+
+    State lives in parquet, not the state store: the ledger scales to
+    corpus size on disk, scans column-pruned to the key columns, and
+    survives checkpoint loss. At 100 TB, additionally bucket the ledger by
+    key hash so the per-batch anti-join prunes to matching buckets.
+    """
+    keys = list(key_cols)
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            seen = (
+                spark.read.option("basePath", ledger_path)
+                .parquet(ledger_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select(*keys)
+            )
+            fresh = batch.join(seen, on=keys, how="left_anti")
+        except Exception:  # first batch: no ledger yet
+            fresh = batch
+        # Write even when empty: a replay must clear a stale partial.
+        fresh.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        fresh.select(*keys).write.mode("overwrite").parquet(
+            f"{ledger_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

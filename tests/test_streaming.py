@@ -105,3 +105,42 @@ def test_stream_bars_append_emits_on_watermark_close(spark, tmpdir):
     assert set(out) == {datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 30)}
     b = out[datetime(2024, 1, 1, 10, 0)]
     assert b["n_trades"] == 1 and b["open"] == 10.0
+
+
+def test_stream_dedup_ledger_cross_run(spark, tmp_path):
+    """Exact dedup across RUNS (not just within a watermark): a duplicate
+    arriving in a later drain is dropped by the parquet ledger."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_dedup_ledger,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_dedup_ledger(stream, ckpt, out, ledger, ["doc_id"])
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b-dup-in-batch")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    drain()
+    first = spark.read.parquet(out)
+    assert first.select("doc_id").distinct().count() == 2
+    assert first.count() == 2  # in-batch dup dropped
+
+    # Second run: one true duplicate (doc 1) + one new doc.
+    spark.createDataFrame(
+        [(1, "a-again"), (3, "c")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert {r["doc_id"] for r in final.collect()} == {1, 2, 3}
+    # Ledger holds exactly the distinct keys.
+    assert spark.read.parquet(ledger).select("doc_id").distinct().count() == 3
