@@ -8,7 +8,11 @@ insensitive value hash), so:
 
 - every computed column is aliased identically in the Spark code and SQL;
 - double-typed aggregates are rounded identically on both sides (partial
-  aggregation order differs between engines at the last ulp);
+  aggregation order differs between engines at the last ulp) — and the
+  rounding grid is magnitude-aware: accumulation error ≈ sqrt(n)·ulp(total),
+  so the grid spacing must dominate it (a ~4e9 sum of 600k 2-decimal values
+  carries ~4e-4 reorder error — round-4's 5e-5 boundary distance is NOT
+  safe there; round at the inputs' exact decimal width instead);
 - results involving ``events.ts`` (nanosecond parquet) expose epoch-millis
   bigints or bucket boundaries rather than raw nanosecond timestamps, since
   Spark truncates to microseconds while DuckDB keeps nanos.

@@ -353,3 +353,66 @@ def exact_percentiles_per_flag(spark, sf_dir):
             for q in (0.25, 0.50, 0.75, 0.99)
         ]
     )
+
+
+@register(
+    "grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_flag_status(spark, sf_dir):
+    """Explicit GROUPING SETS (the generalization rollup/cube specialize):
+    per-flag, per-status, and grand-total rows from one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(*)                  AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@register(
+    "rank_fractions_per_flag",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()   OVER w, 6)  AS cume,
+           CAST(ntile(10)      OVER w AS INT) AS decile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity ASC, l_extendedprice ASC,
+                          l_orderkey ASC, l_linenumber ASC)
+    """,
+)
+def rank_fractions_per_flag(spark, sf_dir):
+    """Fractional ranks (percent_rank/cume_dist/ntile) per group — the
+    score-normalization window family. Order includes the value columns
+    AND both id columns: (l_orderkey, l_linenumber) alone is not unique in
+    the fixture (sampled with replacement), so every tiebreak level is
+    explicit. percent_rank/cume_dist are exact small-integer ratios;
+    round-6 is far above any ulp divergence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(),
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
