@@ -282,15 +282,23 @@ class VersionedTable:
 
     # ---- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1, dry_run: bool = True) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        dry_run: bool = True,
+        min_age_seconds: float = 3600.0,
+    ) -> list[str]:
         """Data directories unreferenced by the newest ``keep_versions``
         commits — including orphans from writers that died before their
         manifest commit.  ``dry_run=True`` (default) only reports them;
         pass ``False`` to delete.  Time travel older than the horizon
-        stops working — same contract as Delta's VACUUM.  Like Delta, do
-        not run a destructive vacuum while a writer is mid-flight: a
-        written-but-not-yet-committed directory looks identical to an
-        orphan (production deployments add a retention age check here)."""
+        stops working — same contract as Delta's VACUUM.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta's
+        retention window): a directory younger than it is never collected,
+        because a written-but-not-yet-committed directory is
+        indistinguishable from an orphan.  Set it above the longest
+        plausible write-to-commit gap; 0 only in tests."""
         latest = self.latest_version()
         if latest is None:
             return []
@@ -303,7 +311,13 @@ class VersionedTable:
             if os.path.isdir(data_root)
             else set()
         )
-        victims = sorted(all_dirs - keep)
+        now = time.time()
+        old_enough = {
+            d
+            for d in all_dirs
+            if now - os.path.getmtime(os.path.join(self.root, d)) >= min_age_seconds
+        }
+        victims = sorted((all_dirs - keep) & old_enough)
         if not dry_run:
             import shutil
 

@@ -113,10 +113,10 @@ def test_vacuum(spark, root):
     t = VersionedTable(spark, root)
     t.write(_df(spark, [1]))
     t.write(_df(spark, [2]), mode="overwrite")
-    victims = t.vacuum(keep_versions=1)
+    victims = t.vacuum(keep_versions=1, min_age_seconds=0)
     v0_live = list(t._read_manifest(0)["live"])
     assert victims == v0_live
-    t.vacuum(keep_versions=1, dry_run=False)
+    t.vacuum(keep_versions=1, dry_run=False, min_age_seconds=0)
     with pytest.raises(Exception):
         t.read(version=0).collect()
     assert [r.id for r in t.read().collect()] == [2]
@@ -198,3 +198,12 @@ def test_failed_commit_cleans_orphan_data(spark, root):
         t.write(_df(spark, [2]), max_commit_retries=2)
     after = set(os.listdir(os.path.join(root, "data")))
     assert after == before  # the orphaned unique directory was removed
+
+
+def test_vacuum_retention_age_protects_young_dirs(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    t.write(_df(spark, [2]), mode="overwrite")
+    # v0's dir is unreferenced but too young to collect at default age.
+    assert t.vacuum(keep_versions=1) == []
+    assert len(t.vacuum(keep_versions=1, min_age_seconds=0)) == 1
