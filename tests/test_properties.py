@@ -135,3 +135,69 @@ def test_dedup_idempotent_and_set_semantics(spark, rows):
     assert exact_dedup(once).count() == once.count()
     # Dedup of df ∪ df equals dedup of df (the page-overlap law).
     assert exact_dedup(df.unionByName(df)).count() == once.count()
+
+
+# --- z-order: exact Morton round trip on grid data ------------------------
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15), st.integers(0, 15)),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_zorder_deinterleaves_exactly(spark, pts):
+    """On data spanning the full [0, 2^bits) grid, min/max scaling is the
+    identity and the Morton key must de-interleave back to the inputs."""
+    from polygon_algotrading_env_spark.operators.layout import zorder_value
+
+    # Pin the corners so bounds are exactly [0, 15] per dimension.
+    rows = sorted(set(pts) | {(0, 0, 0), (15, 15, 15)})
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    got = df.withColumn("m", zorder_value(df, ["x", "y", "z"], bits=4)).collect()
+
+    def deinterleave(m, j, bits=4, n=3):
+        return sum(((m >> (i * n + j)) & 1) << i for i in range(bits))
+
+    for r in got:
+        assert (
+            deinterleave(r["m"], 0),
+            deinterleave(r["m"], 1),
+            deinterleave(r["m"], 2),
+        ) == (r["x"], r["y"], r["z"])
+        assert 0 <= r["m"] < (1 << 12)
+
+
+# --- band join ≡ brute force under random bands ---------------------------
+@SLOW
+@given(
+    lvals=st.lists(st.integers(0, 60), min_size=0, max_size=10),
+    rvals=st.lists(st.integers(0, 60), min_size=0, max_size=10),
+    band=st.tuples(st.integers(-15, 15), st.integers(0, 20)),
+    width=st.sampled_from([1.0, 3.0, 8.0, None]),
+)
+def test_band_join_law(spark, lvals, rvals, band, width):
+    from polygon_algotrading_env_spark.operators.rangejoin import band_join
+
+    low, span = band
+    high = low + span
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lvals)], "lid int, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rvals)], "rid int, rv long"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in band_join(
+            left, right, "lv", "rv", low=low, high=high, bucket_width=width
+        ).collect()
+    }
+    expect = {
+        (li, ri)
+        for li, lv in enumerate(lvals)
+        for ri, rv in enumerate(rvals)
+        if lv + low <= rv <= lv + high
+    }
+    assert got == expect
