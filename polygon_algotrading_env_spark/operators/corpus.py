@@ -56,18 +56,32 @@ def doc_rarity_scores(
     built from a clean reference corpus for CCNet-style filtering. The
     join is token ⋈ token — a balanced hash shuffle; at 100 TB the model
     is written once to a silver table and reused by every scoring run.
+
+    Semantics are INNER-join (the certified oracle's): only model-matched
+    tokens count toward both ``sum_df`` and ``n_model_tokens``, so an
+    external reference model's out-of-vocabulary tokens never inflate the
+    denominator. A document whose tokens are ALL out-of-model therefore
+    has no output row. In self-scoring mode every token has df ≥ 1, so
+    inner ≡ left — and the token relation is computed ONCE (persisted) and
+    reused for both the model aggregation and the scoring join, instead of
+    re-exploding the corpus twice.
     """
-    if model is None:
-        model = token_doc_frequency(docs, id_col=id_col, text_col=text_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("token"),
     )
+    if model is None:
+        # Self-scoring: one explode serves both the model build and the
+        # scoring join. persist() makes the diamond plan evaluate the
+        # explode once and read the second branch from cache; at 100 TB
+        # the model side is written to a silver table instead.
+        toks = toks.persist()
+        model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
-        toks.join(model, "token", "left")
+        toks.join(model, "token", "inner")
         .groupBy(id_col)
         .agg(
-            F.sum(F.coalesce(F.col("df"), F.lit(0))).cast("bigint").alias("sum_df"),
+            F.sum("df").cast("bigint").alias("sum_df"),
             F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
         )
     )

@@ -204,6 +204,15 @@ def connected_components_star(
             cur = nxt
             break
         cur = nxt
+    else:
+        # Exiting via max_rounds would return silently-wrong labels for
+        # any still-unconverged edges — fail loudly instead. Star
+        # contraction converges in O(log n) rounds, so hitting this means
+        # either a pathological input or a too-small max_rounds.
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"{max_rounds} rounds; labels would be unreliable"
+        )
     # Fixpoint edges are (vertex → component-min) stars incl. root
     # self-loops: the label of u is its min neighbor in the closed
     # neighborhood.

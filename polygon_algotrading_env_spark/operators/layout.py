@@ -38,7 +38,11 @@ def zorder_value(
     a dimension as skew in its bucket occupancy — for heavy-tailed
     columns, pre-transform (log) or bucket by rank before z-ordering.
 
-    ``bits × len(cols)`` must fit in 63 bits.
+    ``bits × len(cols)`` must fit in 63 bits. Raises ``ValueError`` when a
+    bound comes back NULL (empty input, or an all-NULL column). Row-level
+    NULLs in a z-order column yield a NULL key, which
+    ``repartitionByRange`` groups into an arbitrary (but single) range —
+    acceptable for layout, just not co-located with any value range.
     """
     n = len(cols)
     if n < 2:
@@ -53,6 +57,11 @@ def zorder_value(
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         lo, hi = bounds[f"min_{j}"], bounds[f"max_{j}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order bounds for column {cols[j]!r} are NULL "
+                "(empty DataFrame or all-NULL column)"
+            )
         span = (hi - lo) or 1.0
         scaled = F.least(
             F.lit(top),

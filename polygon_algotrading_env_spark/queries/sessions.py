@@ -224,11 +224,13 @@ def band_join_events_60s(spark, sf_dir):
     """Range (band) join: pairs of same-type events within ±60 s — the
     bucket-and-prune plan (quantize to 1 s cells → equi-join on cell →
     exact band predicate), never BroadcastNestedLoopJoin. Times compare in
-    epoch millis (exact in doubles; raw nanos are not)."""
+    epoch millis via exact integer division (`DIV`): a double round-trip
+    of 2024-era epoch nanos (~1.7e18 > 2^53) truncates some rows to the
+    wrong millisecond and diverges from the oracle at band edges."""
     from polygon_algotrading_env_spark.operators.rangejoin import band_join
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", (F.col("ts_ns") / F.lit(1_000_000)).cast("bigint").alias("ms")
+        "event_id", "event_type", F.expr("ts_ns DIV 1000000").alias("ms")
     )
     left = ev.select(F.col("event_id").alias("id_a"), "event_type", F.col("ms"))
     right = ev.select(F.col("event_id").alias("id_b"), "event_type", F.col("ms").alias("ms_b"))

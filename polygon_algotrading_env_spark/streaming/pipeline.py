@@ -186,9 +186,19 @@ def stream_dedup_ledger(
     keys = list(key_cols)
     spark = stream_df.sparkSession
 
+    def _ledger_exists() -> bool:
+        # Probe through the Hadoop FS API so only a genuinely absent ledger
+        # (first batch) skips the anti-join; transient read failures must
+        # FAIL the batch so Structured Streaming retries it — swallowing
+        # them would silently disable dedup and break exactly-once.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(ledger_path)
+        return path.getFileSystem(hconf).exists(path)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(keys)
-        try:
+        if _ledger_exists():
             seen = (
                 spark.read.option("basePath", ledger_path)
                 .parquet(ledger_path)
@@ -196,7 +206,7 @@ def stream_dedup_ledger(
                 .select(*keys)
             )
             fresh = batch.join(seen, on=keys, how="left_anti")
-        except Exception:  # first batch: no ledger yet
+        else:  # first batch: no ledger yet
             fresh = batch
         # Write even when empty: a replay must clear a stale partial.
         fresh.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")

@@ -32,11 +32,18 @@ def test_doc_rarity_scores_integers(spark):
 
 
 def test_external_reference_model(spark):
-    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "qqq zzz")], "doc_id int, text string"
+    )
     ref = spark.createDataFrame(
         [(10, "alpha alpha"), (11, "alpha")], "doc_id int, text string"
     )
     model = token_doc_frequency(ref)
-    got = doc_rarity_scores(docs, model=model).collect()[0]
-    # alpha df=2 from the reference corpus; beta unseen -> 0.
-    assert (got["sum_df"], got["n_model_tokens"]) == (2, 2)
+    got = {
+        r["doc_id"]: (r["sum_df"], r["n_model_tokens"])
+        for r in doc_rarity_scores(docs, model=model).collect()
+    }
+    # INNER-join semantics (matches the certified oracle): alpha df=2 from
+    # the reference corpus; out-of-model 'beta' counts toward NEITHER
+    # sum_df nor n_model_tokens; doc 2 (all tokens OOV) has no row.
+    assert got == {1: (2, 1)}

@@ -115,3 +115,19 @@ def test_star_long_chain_converges(spark):
     )
     got = _clusters(connected_components_star(edges, max_rounds=12).collect())
     assert got == {i: 0 for i in range(n)}
+
+
+def test_star_raises_when_rounds_exhausted(spark):
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # A 64-chain cannot contract to a fixpoint in 1 round — must fail
+    # loudly, never return silently-wrong labels.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(edges, max_rounds=1)

@@ -47,6 +47,15 @@ def test_zorder_rejects_bad_shapes(spark):
         zorder_value(df, ["a", "b", "c"], bits=32)
 
 
+def test_zorder_rejects_null_bounds(spark):
+    empty = spark.createDataFrame([], "a int, b int")
+    with pytest.raises(ValueError, match="NULL"):
+        zorder_value(empty, ["a", "b"])
+    all_null = spark.createDataFrame([(1, None), (2, None)], "a int, b int")
+    with pytest.raises(ValueError, match="'b'"):
+        zorder_value(all_null, ["a", "b"])
+
+
 def _file_ranges(spark, path, col):
     """(max-min) spread of ``col`` within each parquet file."""
     df = (
