@@ -112,34 +112,35 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pivot_status_counts",
     "unpivot_rates",
     "array_higher_order_ops",
-    # aggregates (A1-A8 + extensions)
+    # aggregates (A1-A8 + extensions; exact_percentiles subsumes median=p50,
+    # pricing_summary subsumes count/min/multi-max — r2 VERDICT rotation)
     "max_shipdate_watermark",
     "argmax_order_by_price",
-    "multi_max_lineitem",
-    "min_orderdate",
-    "count_lineitem",
     "pricing_summary",
     "rollup_returnflag_status",
     "count_distinct_parts_per_flag",
-    "median_qty_per_flag",
-    # joins (J1-J3)
+    "exact_percentiles_per_flag",
+    # joins (J1-J3 + range join)
     "join_lineitem_part_broadcast",
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
     "star_join_revenue_by_region",
     "asof_latest_order_before_event",
+    "band_join_events_60s",
     # windows / indicators (W1-W4)
     "rownum_recent_orders_per_customer",
     "lag_value_per_user",
     "moving_avg_price_per_supplier",
     "range_frame_30d_qty",
     "rsi_14_per_event_type",
-    # time-series bars / backtest / sessions (A7, W3)
+    # time-series bars / backtest / adjusted gold / sessions (A7, W3, J3)
     "ohlcv_bars_5m",
     "ohlcv_bars_1h_resampled",
-    "strategy_summary_5m",
+    "sma_crossover_backtest_5m",
+    "adjusted_candles_5m",
     "session_windows_per_user",
-    # LLM-pipeline: dedup / near-dup / clustering
+    # LLM-pipeline: corpus rarity / dedup / near-dup / clustering
+    "doc_rarity_scores",
     "dedup_docs_by_text",
     "minhash_verified_near_dups",
     "simhash_verified_near_dups",

@@ -278,6 +278,125 @@ def equity_curve_5m(spark, sf_dir):
 
 
 @register(
+    "adjusted_candles_5m",
+    headline=True,
+    oracle="""
+    WITH ms AS (
+      SELECT event_type, epoch_ns(ts) // 1000000 AS ms FROM events
+    ),
+    rng AS (
+      SELECT event_type, min(ms) AS lo, max(ms) AS hi FROM ms
+      GROUP BY event_type
+    ),
+    actions AS (
+      SELECT event_type, epoch_ms(lo + (hi - lo) // 3) AS ex_ts,
+             0.5 AS factor
+      FROM rng
+      UNION ALL
+      SELECT event_type, epoch_ms(lo + ((hi - lo) * 2) // 3) AS ex_ts,
+             0.8 AS factor
+      FROM rng
+    ),
+    bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    fac AS (
+      SELECT b.event_type, b.bucket_start,
+             coalesce(exp(sum(ln(a.factor))), 1.0) AS adj_factor
+      FROM bars b
+      LEFT JOIN actions a
+        ON a.event_type = b.event_type AND a.ex_ts > b.bucket_start
+      GROUP BY b.event_type, b.bucket_start
+    )
+    SELECT b.event_type, b.bucket_start,
+           round(b.open  * f.adj_factor, 6) AS open,
+           round(b.high  * f.adj_factor, 6) AS high,
+           round(b.low   * f.adj_factor, 6) AS low,
+           round(b.close * f.adj_factor, 6) AS close,
+           b.close AS close_raw,
+           round(f.adj_factor, 6) AS adj_factor
+    FROM bars b
+    JOIN fac f ON f.event_type = b.event_type
+              AND f.bucket_start = b.bucket_start
+    """,
+)
+def adjusted_candles_5m(spark, sf_dir):
+    """End-to-end ``adjusted=true`` gold query (SURVEY §2.5 J3): the one
+    computation the reference delegates wholesale to Polygon's server
+    (``polygon-etl-container/src/main.py:43-44`` requests both adjusted and
+    raw runs), composed here as a single certified plan: raw ticks → 5-min
+    OHLCV bars → suffix-product of corporate-action factors (desc window
+    over the dim) → strict-forward as-of join → adjusted O/H/L/C.
+
+    The corporate-actions dim is derived deterministically from the fixture
+    (per symbol: a 2-for-1 split at 1/3 of its time range, a 0.8 dividend
+    factor at 2/3 — exact integer-millis arithmetic on both engines), so the
+    oracle can recreate it exactly; the oracle computes each bar's factor by
+    direct product over later actions, proving the operator's window+asof
+    suffix-product path against first-principles semantics. Round-6 is
+    tie-free: exact products of 2-decimal prices with {0.5, 0.8, 0.4}
+    factors sit ON the grid, ≥5e-7 from any half-boundary, vs ~1e-14
+    exp/ln cross-engine noise."""
+    from polygon_algotrading_env_spark.operators.adjust import adjust_prices
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    rng = ev.groupBy("event_type").agg(
+        F.min(ms).alias("lo"), F.max(ms).alias("hi")
+    )
+    actions = rng.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr("lo + (hi - lo) DIV 3").alias("ex_ms"),
+                    F.lit(0.5).alias("factor"),
+                ),
+                F.struct(
+                    F.expr("lo + ((hi - lo) * 2) DIV 3").alias("ex_ms"),
+                    F.lit(0.8).alias("factor"),
+                ),
+            )
+        ).alias("a"),
+    ).select(
+        "event_type",
+        F.expr(f"timestampadd(MILLISECOND, a.ex_ms, {epoch})").alias("ex_ts"),
+        F.col("a.factor").alias("factor"),
+    )
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "open", "high", "low", "close")
+    adj = adjust_prices(
+        bars,
+        actions,
+        key="event_type",
+        ts_col="bucket_start",
+        ex_date_col="ex_ts",
+        factor_col="factor",
+        price_cols=("open", "high", "low", "close"),
+    )
+    return adj.select(
+        "event_type",
+        "bucket_start",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "close_raw",
+        F.round("adj_factor", 6).alias("adj_factor"),
+    )
+
+
+@register(
     "strategy_summary_5m",
     oracle=_BT_CTE + """
     , eq AS (

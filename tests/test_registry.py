@@ -47,12 +47,13 @@ def test_every_capability_family_in_window():
         "agg_grouped": "pricing_summary",
         "agg_rollup": "rollup_returnflag_status",
         "agg_distinct": "count_distinct_parts_per_flag",
-        "agg_median": "median_qty_per_flag",
+        "agg_percentiles": "exact_percentiles_per_flag",
         "join_broadcast": "join_lineitem_part_broadcast",
         "join_semi": "semi_join_customers_with_orders",
         "join_anti": "anti_join_customers_without_orders",
         "join_star": "star_join_revenue_by_region",
         "join_asof": "asof_latest_order_before_event",
+        "join_range": "band_join_events_60s",
         "window_rownum": "rownum_recent_orders_per_customer",
         "window_lag": "lag_value_per_user",
         "window_moving": "moving_avg_price_per_supplier",
@@ -60,8 +61,10 @@ def test_every_capability_family_in_window():
         "indicator": "rsi_14_per_event_type",
         "bars": "ohlcv_bars_5m",
         "bars_resample": "ohlcv_bars_1h_resampled",
-        "backtest_chain": "strategy_summary_5m",
+        "backtest_chain": "sma_crossover_backtest_5m",
+        "adjusted_gold": "adjusted_candles_5m",
         "sessions": "session_windows_per_user",
+        "corpus_rarity": "doc_rarity_scores",
         "dedup_exact": "dedup_docs_by_text",
         "dedup_minhash": "minhash_verified_near_dups",
         "dedup_simhash": "simhash_verified_near_dups",
