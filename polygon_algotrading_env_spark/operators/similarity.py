@@ -97,6 +97,17 @@ def srp_bucket(
     )
 
 
+def hyperplane_matrix(spark, n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The (n_planes × dim) hyperplane matrix, evaluated ONCE with the same
+    Spark expression that buckets query vectors (:func:`_hyperplane`) so
+    the hash definition stays single-sourced — no stored model, no drift
+    between the bulk-assignment path and the per-query path."""
+    row = spark.range(1).select(
+        *[_hyperplane(p, dim, seed).alias(f"h{p}") for p in range(n_planes)]
+    ).collect()[0]
+    return np.array([list(row[f"h{p}"]) for p in range(n_planes)], dtype=np.float64)
+
+
 def add_srp_buckets(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -105,8 +116,76 @@ def add_srp_buckets(
     out: str = "bucket",
 ) -> DataFrame:
     """Materialize bucket ids (do this once, write partitioned by bucket —
-    then every ANN probe is a partition-pruned scan)."""
-    return embeddings.withColumn(out, srp_bucket(F.col(vec_col), n_planes, seed))
+    then every ANN probe is a partition-pruned scan).
+
+    Bulk assignment runs as an Arrow-batched matmul (signs of V·Hᵀ): the
+    equivalent pure-expression form (:func:`srp_bucket`) is an interpreted
+    higher-order-function chain — O(planes·d) interpreted lambda calls per
+    row, measured ~20× slower on the fixture — fine for the one query
+    vector, wrong for the corpus pass. Equivalence of the two paths is
+    pinned by a test."""
+    spark = embeddings.sparkSession
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:  # empty relation: nothing to bucket
+        return embeddings.withColumn(out, F.lit(None).cast("bigint"))
+    hmat = hyperplane_matrix(spark, n_planes, int(first["d"]), seed)
+    weights = 2 ** np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vecs.to_numpy()]
+        )
+        bits = (mat @ hmat.T) >= 0
+        return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
+
+    return embeddings.withColumn(out, _bucket(F.col(vec_col)))
+
+
+def srp_probe_buckets(
+    spark,
+    query_vec: list[float],
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> list[int]:
+    """The query's SRP bucket plus its Hamming-neighborhood — the probe set
+    shared by the scan-time and index-probe ANN paths. The query bucket is
+    evaluated with the same Spark expression on one row, keeping the hash
+    definition single-sourced."""
+    qdf = spark.range(1).select(
+        srp_bucket(
+            _query_lit(query_vec), n_planes, seed, dim=len(query_vec)
+        ).alias("b")
+    )
+    qbucket = qdf.collect()[0]["b"]
+    probe = {qbucket}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            probe.add(qbucket ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(int(b) for b in probe)
+
+
+def _score_topk(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int | None,
+) -> DataFrame:
+    score = cosine(F.col(vec_col), _query_lit(query_vec))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        candidates.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def lsh_ann_topk(
@@ -121,34 +200,64 @@ def lsh_ann_topk(
     score_decimals: int | None = 6,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
-    ``multiprobe_hamming`` bit flips of the query's bucket."""
-    dim = len(query_vec)
-    # Evaluate the query bucket with the same Spark expression on one row,
-    # keeping the hash definition single-sourced.
-    spark = embeddings.sparkSession
-    qdf = spark.range(1).select(
-        srp_bucket(_query_lit(query_vec), n_planes, seed, dim=dim).alias("b")
-    )
-    qbucket = qdf.collect()[0]["b"]
-    probe = {qbucket}
-    if multiprobe_hamming >= 1:
-        for i in range(n_planes):
-            probe.add(qbucket ^ (1 << i))
-    if multiprobe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probe.add(qbucket ^ (1 << i) ^ (1 << j))
+    ``multiprobe_hamming`` bit flips of the query's bucket.
 
-    bucketed = add_srp_buckets(embeddings, vec_col, n_planes, seed)
-    candidates = bucketed.filter(F.col("bucket").isin(*[int(b) for b in probe]))
-    score = cosine(F.col(vec_col), _query_lit(query_vec))
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
-    return (
-        candidates.select(F.col(id_col), score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
+    Scan-time variant: assigns buckets to every row per query (one O(n·d)
+    expression pass) — fine for one-off queries on an unindexed relation.
+    A query *service* must use :func:`build_srp_index` +
+    :func:`lsh_ann_topk_indexed`, where the probe is a partition-pruned
+    read instead."""
+    probe = srp_probe_buckets(
+        embeddings.sparkSession, query_vec, n_planes, seed, multiprobe_hamming
     )
+    bucketed = add_srp_buckets(embeddings, vec_col, n_planes, seed)
+    candidates = bucketed.filter(F.col("bucket").isin(probe))
+    return _score_topk(candidates, query_vec, k, id_col, vec_col, score_decimals)
+
+
+def build_srp_index(
+    embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the SRP-LSH index ONCE: bucket every vector and write
+    the relation ``partitionBy('bucket')``. Every subsequent probe
+    (:func:`lsh_ann_topk_indexed`) is then a partition-pruned scan of
+    ~``multiprobe+1`` buckets — at 100 TB the O(n·d) assignment cost is
+    paid at ingest, amortized over every query, exactly like the
+    reference's server-side index the ANN tier replaces.
+
+    The bucketed relation is shuffled on ``bucket`` before the write:
+    without it every input task writes one file per bucket it happens to
+    see (tasks × buckets small files — a listing-time disaster for every
+    future probe); with it each bucket is a handful of well-sized files."""
+    add_srp_buckets(embeddings, vec_col, n_planes, seed).repartition(
+        F.col("bucket")
+    ).write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Probe a :func:`build_srp_index` table: partition-pruned read of the
+    query's Hamming neighborhood (PartitionFilters on ``bucket`` — plan
+    asserted in tests), then score only those candidates. ``n_planes`` and
+    ``seed`` must match the values the index was built with."""
+    probe = srp_probe_buckets(spark, query_vec, n_planes, seed, multiprobe_hamming)
+    candidates = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
+    return _score_topk(candidates, query_vec, k, id_col, vec_col, score_decimals)
 
 
 def ivf_centroids(
@@ -221,6 +330,15 @@ def assign_ivf_cells(
     return embeddings.withColumn(out, _assign(F.col(vec_col)))
 
 
+def ivf_probe_cells(centroids, query_vec: list[float], n_probe: int) -> list[int]:
+    """The ``n_probe`` IVF cells nearest the query (driver-side: a k×d
+    matvec against the tiny centroid matrix)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    return [int(c) for c in np.argsort(-(cent @ qn))[:n_probe]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -233,22 +351,50 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: score only rows in the ``n_probe`` cells
     nearest the query. Recall rises with n_probe; n_probe = n_centroids
-    degenerates to the exact scan."""
-    cent = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    probe = np.argsort(-(cent @ qn))[:n_probe].tolist()
+    degenerates to the exact scan.
 
-    cells = assign_ivf_cells(embeddings, cent, vec_col=vec_col)
-    cands = cells.filter(F.col("cell").isin([int(c) for c in probe]))
-    score = cosine(F.col(vec_col), _query_lit(query_vec))
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
-    return (
-        cands.select(F.col(id_col), score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    Scan-time variant (per-query full assignment pass); a query service
+    must use :func:`build_ivf_index` + :func:`ivf_topk_indexed`."""
+    probe = ivf_probe_cells(centroids, query_vec, n_probe)
+    cells = assign_ivf_cells(embeddings, np.asarray(centroids), vec_col=vec_col)
+    cands = cells.filter(F.col("cell").isin(probe))
+    return _score_topk(cands, query_vec, k, id_col, vec_col, score_decimals)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index ONCE: distributed cell assignment (Arrow
+    matmul UDF), written ``partitionBy('cell')``. Persist the centroid
+    matrix alongside (caller's job — it's a tiny numpy array); probes need
+    the same centroids to pick cells. Shuffled on ``cell`` before the write
+    for the same small-file reason as :func:`build_srp_index`."""
+    assign_ivf_cells(embeddings, centroids, vec_col=vec_col).repartition(
+        F.col("cell")
+    ).write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` table: partition-pruned read of the
+    ``n_probe`` nearest cells (PartitionFilters on ``cell``, no assignment
+    UDF anywhere in the probe plan — asserted in tests), then score."""
+    probe = ivf_probe_cells(centroids, query_vec, n_probe)
+    cands = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
+    return _score_topk(cands, query_vec, k, id_col, vec_col, score_decimals)
 
 
 def pairwise_cosine_topk(

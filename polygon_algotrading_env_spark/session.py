@@ -30,6 +30,13 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Bucket-partitioned index tables (ANN SRP/IVF, z-order layouts) have
+    # O(1k) partition dirs; above the default threshold (32) Spark lists
+    # them with a cluster job — hundreds of listing tasks per probe, pure
+    # overhead for a pruned read of ~10 dirs. Driver-side listing handles
+    # thousands of dirs in milliseconds; beyond 4096 the job-based listing
+    # is genuinely the right tool again.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
 }
 
 

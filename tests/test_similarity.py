@@ -72,12 +72,77 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+def test_srp_arrow_bucket_equals_expression_bucket(spark, sf_dir):
+    """The vectorized (Arrow matmul) bulk assignment and the pure-expression
+    per-query path must agree row-for-row — the single-source-of-truth
+    guarantee that lets the query bucket be computed without the index."""
+    from polygon_algotrading_env_spark.operators.similarity import srp_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    both = add_srp_buckets(emb, n_planes=8, seed=7).withColumn(
+        "bucket_expr", srp_bucket(F.col("embedding"), n_planes=8, seed=7)
+    )
+    mismatched = both.filter(F.col("bucket") != F.col("bucket_expr")).count()
+    assert mismatched == 0
+
+
 def test_srp_buckets_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     a = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
     b = add_srp_buckets(emb, n_planes=8, seed=1).select("vec_id", "bucket")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
     assert a.filter((F.col("bucket") < 0) | (F.col("bucket") >= 2 ** 8)).count() == 0
+
+
+def test_srp_index_probe_equals_scan_and_prunes(spark, sf_dir, tmp_path):
+    """The materialized-index probe must return exactly the scan variant's
+    result AND its physical plan must be a partition-pruned read (the
+    bucket predicate reaches PartitionFilters; nothing rescans the
+    relation)."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        build_srp_index,
+        lsh_ann_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    idx = str(tmp_path / "srp_index")
+    build_srp_index(emb, idx, n_planes=8)
+    scan = lsh_ann_topk(emb, q, k=10, n_planes=8, multiprobe_hamming=1)
+    probe = lsh_ann_topk_indexed(
+        spark, idx, q, k=10, n_planes=8, multiprobe_hamming=1
+    )
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in scan.collect()
+    ]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_ivf_index_probe_equals_scan_no_udf_in_plan(spark, sf_dir, tmp_path):
+    """IVF indexed probe ≡ scan variant, with PartitionFilters on cell and
+    NO Arrow assignment UDF anywhere in the probe plan — the O(n·d)
+    assignment happened once at build time."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    cents = ivf_centroids(emb, n_centroids=8)
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, cents)
+    scan = ivf_topk(emb, q, cents, k=10, n_probe=3)
+    probe = ivf_topk_indexed(spark, idx, q, cents, k=10, n_probe=3)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in scan.collect()
+    ]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_ivf_centroids_unbiased_under_partition_skew(spark, sf_dir):
