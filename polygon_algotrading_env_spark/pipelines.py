@@ -174,24 +174,34 @@ def curate_corpus(
     jaccard_den: int = 2,
     token_budget: int = 4096,
     quality_col: str | None = None,
+    rarity_model: DataFrame | None = None,
+    rarity_model_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """The LLM-training-data curation pipeline, end to end (the extension
     north star composed from its certified parts):
 
     1. per-doc text analysis (tokens/quality features) — one projection;
     2. quality gate (min tokens, whitespace/digit ceilings);
-    3. MinHash+LSH near-dup candidates with EXACT n-gram verification at
+    3. corpus-rarity scoring (CCNet-style) against a document-frequency
+       model — an external reference model (``rarity_model``), a silver
+       table (``rarity_model_path``: built from the gated corpus and
+       WRITTEN ONCE if absent, then read back — so self-scoring never
+       re-explodes the corpus for the model side), or in-memory
+       self-scoring when neither is given;
+    4. MinHash+LSH near-dup candidates with EXACT n-gram verification at
        ``jaccard >= jaccard_num/jaccard_den`` (integer comparison);
-    4. pair→cluster connected components + best-quality survivors;
-    5. deduplicated corpus = gate survivors ∩ cluster survivors;
-    6. deterministic train/val/test hash split;
-    7. greedy context-window packing of the train split.
+    5. pair→cluster connected components + best-quality survivors;
+    6. deduplicated corpus = gate survivors ∩ cluster survivors;
+    7. deterministic train/val/test hash split;
+    8. greedy context-window packing of the train split.
 
     Returns every intermediate stage so callers can persist any of them as
-    silver tables; nothing is materialized here. Shuffle ledger: gate is
-    shuffle-free; dedup = signature scan + one band-key shuffle + bounded
-    verify join; clustering shuffles only the (tiny) pair graph; split is
-    a projection; packing shuffles once on the split key.
+    silver tables; nothing else is materialized here (the rarity model is
+    the exception, by request via ``rarity_model_path``). Shuffle ledger:
+    gate is shuffle-free; rarity = one exploded-token shuffle vs the model;
+    dedup = signature scan + one band-key shuffle + bounded verify join;
+    clustering shuffles only the (tiny) pair graph; split is a projection;
+    packing shuffles once on the split key.
     """
     from polygon_algotrading_env_spark.functions.text import quality_features
     from polygon_algotrading_env_spark.operators.dedup import (
@@ -219,6 +229,25 @@ def curate_corpus(
         & (F.col("__space_ratio") <= max_space_ratio)
         & (F.col("__digit_ratio") <= max_digit_ratio)
     )
+
+    from polygon_algotrading_env_spark.operators.corpus import (
+        doc_rarity_scores,
+        token_doc_frequency,
+    )
+
+    model = rarity_model
+    if model is None and rarity_model_path is not None:
+        from polygon_algotrading_env_spark.fsutil import hadoop_path_exists
+
+        spark = docs.sparkSession
+        # Explicit absence probe (never `except Exception` around the read:
+        # a transient failure must propagate, not silently rebuild).
+        if not hadoop_path_exists(spark, rarity_model_path):
+            token_doc_frequency(
+                gated, id_col=id_col, text_col=text_col
+            ).write.parquet(rarity_model_path)
+        model = spark.read.parquet(rarity_model_path)
+    rarity = doc_rarity_scores(gated, model=model, id_col=id_col, text_col=text_col)
 
     cands = minhash_candidate_pairs(
         gated, id_col=id_col, text_col=text_col
@@ -249,6 +278,7 @@ def curate_corpus(
     return {
         "analyzed": analyzed,
         "gated": gated,
+        "rarity": rarity,
         "near_dup_pairs": near_dups,
         "clusters": labels,
         "survivors": survivors,

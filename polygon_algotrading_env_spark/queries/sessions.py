@@ -107,34 +107,62 @@ def ema_20_per_event_type(spark, sf_dir):
     return out.select("event_type", "event_id", "ema_20")
 
 
-# --- multimodal plumbing over binary columns (decode faked, rows-only) ----
+# --- multimodal: real WAV decode over binary columns (rows-only) ----------
 @register("multimodal_features_from_docs", oracle=None)
 def multimodal_features_from_docs(spark, sf_dir):
-    """Multimodal column pipeline driven end-to-end on fixture data:
-    documents' text bytes stand in for media blobs (binary column + typed
-    metadata struct), features extracted via mapInPandas with the
-    deterministic fake decoder (real codecs are environment-injected)."""
+    """Multimodal column pipeline end-to-end with a REAL codec path: each
+    document becomes a deterministic mono PCM WAV blob (tone frequency and
+    duration parameterized by doc_id — synthesized executor-side with
+    :func:`encode_wav`, Arrow-batched), which the DEFAULT decoder then
+    header-parses and PCM-decodes back to samples for duration/RMS/ZCR/
+    spectral-band features. No fake decoder anywhere; binary column +
+    typed metadata struct conventions as in MEDIA_SCHEMA."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from polygon_algotrading_env_spark.operators.multimodal import (
-        deterministic_fake_decoder,
+        encode_wav,
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("text").alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                freq = 100.0 + (int(doc_id) % 40) * 10.0
+                dur_s = 0.05 + (int(doc_id) % 8) * 0.01
+                t = np.arange(int(rate * dur_s)) / rate
+                blobs.append(encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    ).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "content",
         F.named_struct(
-            F.lit("mime"), F.lit("text/plain"),
+            F.lit("mime"), F.lit("audio/wav"),
             F.lit("width"), F.lit(None).cast("int"),
             F.lit("height"), F.lit(None).cast("int"),
             F.lit("duration_s"), F.lit(None).cast("double"),
             F.lit("fps"), F.lit(None).cast("double"),
         ).alias("meta"),
     )
-    feats = extract_features(media, decoder=deterministic_fake_decoder(dim=8))
+    feats = extract_features(media)  # default decoder: real WAV parse
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("duration_s"),
+        F.round(F.element_at("feature", 3), 6).alias("rms"),
+        F.round(F.element_at("feature", 5), 6).alias("zcr"),
     )
 
 

@@ -191,10 +191,9 @@ def stream_dedup_ledger(
         # (first batch) skips the anti-join; transient read failures must
         # FAIL the batch so Structured Streaming retries it — swallowing
         # them would silently disable dedup and break exactly-once.
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(ledger_path)
-        return path.getFileSystem(hconf).exists(path)
+        from polygon_algotrading_env_spark.fsutil import hadoop_path_exists
+
+        return hadoop_path_exists(spark, ledger_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(keys)

@@ -44,10 +44,94 @@ def test_extract_features_via_mapinpandas(spark, media):
     assert again[1] != again[2]
 
 
-def test_default_decoder_is_explicit_stub(spark, media):
+def test_default_decoder_is_explicit_stub_for_codecless_kinds(spark, media):
+    imgs = media.filter("kind = 'image'")
     with pytest.raises(Exception) as ei:
-        extract_features(media, decoder=default_decoder).collect()
+        extract_features(imgs, decoder=default_decoder).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_default_decoder_rejects_malformed_audio(spark, media):
+    bad = media.filter("kind = 'audio'")  # b"fake-wav-bytes": not RIFF
+    with pytest.raises(Exception) as ei:
+        extract_features(bad, decoder=default_decoder).collect()
+    assert "RIFF" in str(ei.value) or "ValueError" in str(ei.value)
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 s
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    blob = encode_wav(sig, rate)
+    back, r = decode_wav(blob)
+    assert r == rate and len(back) == rate
+    assert float(np.max(np.abs(back - sig))) < 1e-3  # s16 quantization
+
+    dur, nrate, rms, peak, zcr, b_lo, b_mid, b_hi = wav_features(blob, dim=8)
+    assert abs(dur - 1.0) < 1e-9
+    assert abs(nrate - rate / 48000.0) < 1e-12
+    assert abs(rms - 0.5 / 2**0.5) < 1e-3  # sine RMS = A/sqrt(2)
+    assert abs(peak - 0.5) < 1e-3
+    # 440 Hz crosses zero 880 times/s → zcr ≈ 880/8000.
+    assert abs(zcr - 880.0 / rate) < 0.01
+    # A 440 Hz tone at 8 kHz lands in the lowest spectral third.
+    assert b_lo > 0.9 and b_lo + b_mid + b_hi <= 1.0 + 1e-9
+
+
+def test_wav_stereo_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import decode_wav
+
+    # Hand-build a stereo s16 WAV with an extra chunk before data.
+    rate, frames = 4000, 100
+    left = (np.ones(frames) * 16384).astype("<i2")
+    right = (np.zeros(frames)).astype("<i2")
+    inter = np.empty(2 * frames, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    body = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    junk = b"JUNK" + struct.pack("<I", 4) + b"zzzz"
+    data = b"data" + struct.pack("<I", len(body)) + body
+    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + junk + data
+    blob = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    samples, r = decode_wav(blob)
+    assert r == rate and len(samples) == frames
+    # Stereo averaged to mono: (0.5 + 0.0) / 2.
+    assert abs(samples[0] - 0.25) < 1e-3
+
+
+def test_extract_features_real_wav_end_to_end(spark):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import encode_wav
+
+    rate = 8000
+    rows = []
+    for i, freq in enumerate([220.0, 880.0]):
+        t = np.arange(rate // 2) / rate
+        blob = encode_wav(0.4 * np.sin(2 * np.pi * freq * t), rate)
+        rows.append((i, "audio", blob, ("audio/wav", None, None, 0.5, None)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media).collect()  # default (real) decoder
+    }
+    for i in (0, 1):
+        assert abs(feats[i][0] - 0.5) < 1e-9  # duration
+        assert abs(feats[i][2] - 0.4 / 2**0.5) < 1e-3  # rms
+    # Higher frequency → higher zero-crossing rate.
+    assert feats[1][4] > feats[0][4] * 2
 
 
 def test_frame_sampling_plan(spark, media):

@@ -185,3 +185,37 @@ def test_curate_corpus_end_to_end(spark, sf_dir):
     assert packed.count() == splits.get("train", 0)
     if packed.count():
         assert packed.agg(F.min("context_window")).collect()[0][0] == 0
+
+
+def test_curate_corpus_materialized_rarity_model(spark, sf_dir, tmp_path):
+    """With rarity_model_path the DF model is written ONCE as a silver
+    table, reused on re-runs (not rebuilt), and the scores match in-memory
+    self-scoring exactly (inner ≡ self-scoring: every token has df ≥ 1)."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.pipelines import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "rarity_model")
+    out = curate_corpus(docs, rarity_model_path=model_path)
+    materialized = {tuple(r) for r in out["rarity"].collect()}
+    import os
+
+    assert os.path.exists(os.path.join(model_path, "_SUCCESS"))
+    first_mtime = os.path.getmtime(model_path)
+
+    # Self-scoring (no path) must agree row-for-row.
+    self_scored = curate_corpus(docs)["rarity"]
+    assert {tuple(r) for r in self_scored.collect()} == materialized
+
+    # Re-run with the path: the model is read, not rebuilt.
+    out2 = curate_corpus(docs, rarity_model_path=model_path)
+    assert {tuple(r) for r in out2["rarity"].collect()} == materialized
+    assert os.path.getmtime(model_path) == first_mtime
+
+    # The plan scoring against the silver model scans the MODEL table
+    # (its (token, df) schema appears as a file-scan ReadSchema), not a
+    # second explode of the corpus.
+    plan = out2["rarity"]._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<token:string,df:bigint>" in plan
