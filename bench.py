@@ -48,16 +48,23 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    pass0: dict[str, float] = {}
     for pass_no in range(2):
         for name, fn in headline_queries().items():
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t = round(time.time() - t0, 3)
+            if pass_no == 0:
+                pass0[name] = t
             timings[name] = min(timings.get(name, t), t)
             print(f"# pass{pass_no} {name}: {t}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Both estimators in the JSON so round-over-round deltas are never
+    # methodology-confounded: `value`/`queries` = min-of-2 (steady state);
+    # `pass0` = first pass (includes per-query cold costs like index
+    # builds and plan compilation).
     print(
         json.dumps(
             {
@@ -65,6 +72,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pass0_total": round(sum(pass0.values()), 3),
+                "pass0": pass0,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

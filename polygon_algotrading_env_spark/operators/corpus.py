@@ -62,26 +62,27 @@ def doc_rarity_scores(
     external reference model's out-of-vocabulary tokens never inflate the
     denominator. A document whose tokens are ALL out-of-model therefore
     has no output row. In self-scoring mode every token has df ≥ 1, so
-    inner ≡ left — and the token relation is computed ONCE (persisted) and
-    reused for both the model aggregation and the scoring join, instead of
-    re-exploding the corpus twice.
+    inner ≡ left — and the whole computation collapses to ONE pass over
+    the exploded tokens: ``df = count() over (partition by token)`` then
+    the per-doc aggregate. Two shuffles (token, then doc), no join, no
+    second explode, no cache — the plan shape that holds at 100 TB, where
+    persisting the exploded relation is a non-starter. For REPEATED
+    scoring runs, materialize :func:`token_doc_frequency` to a silver
+    table once and pass it as ``model`` (``curate_corpus`` automates
+    this via ``rarity_model_path``).
     """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("token"),
     )
     if model is None:
-        # Self-scoring: one explode serves both the model build and the
-        # scoring join. persist() makes the diamond plan evaluate the
-        # explode once and read the second branch from cache; at 100 TB
-        # the model side is written to a silver table instead.
-        toks = toks.persist()
-        model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        toks.join(model, "token", "inner")
-        .groupBy(id_col)
-        .agg(
-            F.sum("df").cast("bigint").alias("sum_df"),
-            F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
-        )
+        from pyspark.sql import Window
+
+        df_over_token = F.count(F.lit(1)).over(Window.partitionBy("token"))
+        scored = toks.withColumn("df", df_over_token)
+    else:
+        scored = toks.join(model, "token", "inner")
+    return scored.groupBy(id_col).agg(
+        F.sum("df").cast("bigint").alias("sum_df"),
+        F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
     )

@@ -72,12 +72,13 @@ def refresh_reference_data(
 def ingest_aggregates(
     spark: SparkSession,
     symbols: Sequence[str],
-    fetch_page: Callable[[str, str], dict],
+    fetch_page: Callable[[str, str], dict] | None,
     lake_root: str,
     start_date: str,
     end_date: str,
     adjusted: bool = True,
     page_limit: int = 50_000,
+    page_store: str | None = None,
 ) -> DataFrame:
     """Incremental candle ingest for a symbol set.
 
@@ -85,6 +86,18 @@ def ingest_aggregates(
     date-cursor scan (overlap/monotonic guards), land to bronze, then
     per-(ticker, t) dedup → silver partitioned by (adjusted, ticker).
     Returns the silver increment.
+
+    Two ingestion routes share the publish tail:
+
+    - ``fetch_page`` (default): the driver-paced API loop — right for the
+      rate-limited daily increment, where the API (50k rows/s/worker
+      ceiling, reference README.md:20) is the bottleneck, not the driver.
+    - ``page_store``: LARGE BACKFILLS. Pages already landed under
+      ``{store}/{symbol}/page-N.json`` (flat-file dumps, an HTTP shim) are
+      read by the distributed ``PolygonPagesDataSource`` — one task per
+      symbol, per-symbol bookmark watermarks shipped to executors as a
+      serialized option, no driver-side row list. A month × 5000-ticker
+      backfill never fits a driver list; this route is why.
     """
     store = BookmarkStore(f"{lake_root}/bookmarks", key_cols=["ticker", "adjusted"])
     bookmarks = store.load(spark)
@@ -93,25 +106,46 @@ def ingest_aggregates(
         for r in bookmarks.filter(F.col("adjusted") == adjusted).collect():
             wm_by_symbol[r["ticker"]] = r["max_ts"]
 
-    all_rows: list[dict] = []
-    for sym in symbols:  # API-bound loop: the reference's fan-out (J1)
-        rows = paginate_date_cursor(
-            lambda from_date, sym=sym: fetch_page(sym, from_date),
-            start_date,
-            end_date,
-            limit=page_limit,
-            last_entry_ts=wm_by_symbol.get(sym),
-        )
-        all_rows.extend({**r, "ticker": sym} for r in rows)
+    if page_store is not None:
+        import json as _json
 
-    if not all_rows:
-        return spark.createDataFrame([], CANDLE_SCHEMA).withColumn(
+        from polygon_algotrading_env_spark.sources.restsource import (
+            PolygonPagesDataSource,
+        )
+
+        spark.dataSource.register(PolygonPagesDataSource)
+        landed = (
+            spark.read.format("polygon_pages")
+            .option("path", page_store)
+            .option("symbols", ",".join(symbols))
+            .option("lastentrybysymbol", _json.dumps(wm_by_symbol))
+            .load()
+            .withColumn("adjusted", F.lit(adjusted))
+        )
+        if landed.isEmpty():
+            return landed
+    else:
+        if fetch_page is None:
+            raise ValueError("provide fetch_page (API loop) or page_store (backfill)")
+        all_rows: list[dict] = []
+        for sym in symbols:  # API-bound loop: the reference's fan-out (J1)
+            rows = paginate_date_cursor(
+                lambda from_date, sym=sym: fetch_page(sym, from_date),
+                start_date,
+                end_date,
+                limit=page_limit,
+                last_entry_ts=wm_by_symbol.get(sym),
+            )
+            all_rows.extend({**r, "ticker": sym} for r in rows)
+
+        if not all_rows:
+            return spark.createDataFrame([], CANDLE_SCHEMA).withColumn(
+                "adjusted", F.lit(adjusted)
+            )
+        landed = land_records(spark, all_rows, CANDLE_SCHEMA).withColumn(
             "adjusted", F.lit(adjusted)
         )
 
-    landed = land_records(spark, all_rows, CANDLE_SCHEMA).withColumn(
-        "adjusted", F.lit(adjusted)
-    )
     write_bronze(landed, f"{lake_root}/bronze/candles")
 
     silver = dedup_keep_first(landed, keys=["ticker", "adjusted", "t"], order_col="t")

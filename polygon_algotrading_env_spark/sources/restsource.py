@@ -62,6 +62,13 @@ class PolygonPagesReader(DataSourceReader):
         self.last_entry_ts = (
             int(options["lastentryts"]) if "lastentryts" in options else None
         )
+        # Per-symbol watermarks (JSON {symbol: max_ts}) — options are
+        # strings, so the bookmark table travels serialized; falls back to
+        # the global lastentryts for symbols not in the map.
+        self.wm_by_symbol: dict[str, int] = {
+            k: int(v)
+            for k, v in json.loads(options.get("lastentrybysymbol", "{}")).items()
+        }
 
     def partitions(self):
         symbols = self.symbols or sorted(os.listdir(self.root))
@@ -72,6 +79,7 @@ class PolygonPagesReader(DataSourceReader):
         if not os.path.isdir(sym_dir):
             return
         fields = [f.name for f in self.schema.fields]
+        watermark = self.wm_by_symbol.get(partition.symbol, self.last_entry_ts)
         prev_last_t = None
         for page_name in sorted(os.listdir(sym_dir), key=_page_sort_key):
             with open(os.path.join(sym_dir, page_name)) as f:
@@ -81,7 +89,7 @@ class PolygonPagesReader(DataSourceReader):
                 break  # termination rule 1: empty page
             for rec in results:
                 t = rec["t"]
-                if self.last_entry_ts is not None and t <= self.last_entry_ts:
+                if watermark is not None and t <= watermark:
                     continue  # watermark guard
                 if prev_last_t is not None and t <= prev_last_t:
                     continue  # monotonic guard (page-overlap dup)

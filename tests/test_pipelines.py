@@ -4,6 +4,7 @@ gold bar/indicator build (the delegated analytics)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -106,6 +107,72 @@ def test_aggregates_ingest_incremental(spark, tmpdir):
     # Silver lake is partition-pruned by (adjusted, ticker).
     lake = spark.read.parquet(f"{tmpdir}/lake/silver/candles")
     assert lake.filter("ticker = 'SPY'").count() == 7
+
+
+def _write_page_store(root, symbols, days_per_symbol, per_page=3):
+    """Landed multi-symbol multi-page backfill fixture with the by-design
+    one-row page overlap."""
+    import json as _json
+
+    for sym in symbols:
+        os.makedirs(f"{root}/{sym}", exist_ok=True)
+        rows = [
+            {"t": i * DAY_MS, "o": 1.0 + i, "h": 2.0 + i, "l": 0.5 + i,
+             "c": 1.5 + i, "v": 10.0, "vw": 1.2, "n": 3}
+            for i in range(days_per_symbol)
+        ]
+        page_no, pos = 0, 0
+        while pos < len(rows):
+            chunk = rows[pos : pos + per_page]
+            with open(f"{root}/{sym}/page-{page_no}.json", "w") as f:
+                _json.dump({"results": chunk}, f)
+            pos += max(len(chunk) - 1, 1)  # overlap 1
+            page_no += 1
+            if len(chunk) < per_page:
+                break
+
+
+def test_aggregates_backfill_routes_to_distributed_source(spark, tmpdir):
+    """page_store backfills go through PolygonPagesDataSource (fetch_page
+    is None — the API loop is provably not involved), honoring per-symbol
+    bookmark watermarks on resume, sharing the bronze/silver/bookmark
+    publish tail."""
+    symbols = ["SPY", "TLT", "GLD"]
+    store_root = f"{tmpdir}/pages"
+    _write_page_store(store_root, symbols, days_per_symbol=7)
+
+    silver = ingest_aggregates(
+        spark, symbols, None, f"{tmpdir}/lake", "1970-01-01", "1970-01-31",
+        page_store=store_root,
+    )
+    counts = {r["ticker"]: r["n"] for r in
+              silver.groupBy("ticker").agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: 7 for s in symbols}  # overlap dups dropped
+
+    # New pages for ONE symbol; the other symbols' watermarks suppress all.
+    import json as _json
+
+    with open(f"{store_root}/SPY/page-9.json", "w") as f:
+        _json.dump({"results": [
+            {"t": i * DAY_MS, "o": 1.0, "h": 2.0, "l": 0.5, "c": 1.5,
+             "v": 10.0, "vw": 1.2, "n": 3} for i in (6, 7, 8)
+        ]}, f)
+    inc = ingest_aggregates(
+        spark, symbols, None, f"{tmpdir}/lake", "1970-01-01", "1970-01-31",
+        page_store=store_root,
+    )
+    got = sorted((r["ticker"], r["t"]) for r in inc.collect())
+    assert got == [("SPY", 7 * DAY_MS), ("SPY", 8 * DAY_MS)]
+
+    # Neither route given → loud error.
+    with pytest.raises(ValueError):
+        ingest_aggregates(
+            spark, symbols, None, f"{tmpdir}/lake", "1970-01-01", "1970-01-31"
+        )
+
+    # Full backfill + increment landed in the partitioned silver lake.
+    lake = spark.read.parquet(f"{tmpdir}/lake/silver/candles")
+    assert lake.filter("ticker = 'SPY'").count() == 9
 
 
 def test_gold_bars_ladder_and_indicators(spark):
