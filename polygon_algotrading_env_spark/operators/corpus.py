@@ -86,3 +86,65 @@ def doc_rarity_scores(
         F.sum("df").cast("bigint").alias("sum_df"),
         F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
     )
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_label: str = "train",
+    test_label: str = "test",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_train_df: int = 64,
+) -> DataFrame:
+    """Train→test contamination audit: for every test document, how many
+    of its character ``n``-gram shingles also occur in the train split,
+    and how many distinct train documents share at least one — the
+    benchmark-leakage check every training-data pipeline runs before a
+    split ships.
+
+    Shingles whose train-side document frequency exceeds ``max_train_df``
+    are ignored: ubiquitous boilerplate n-grams are not evidence of
+    leakage, and — the scale reason — an uncapped equi-join on a shingle
+    shared by 10⁵ train × 10⁴ test docs is a 10⁹-row hot key. With the
+    cap, join fan-out per shingle is ≤ ``max_train_df`` and the whole
+    audit is two shingle-key shuffles plus a per-test-doc aggregate.
+
+    Returns (test ``id_col``, n_shared_shingles, n_train_docs) — exact
+    integers, hash-comparable cross-engine. Test docs with no (capped)
+    overlap produce no row.
+    """
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from pyspark.sql import Window
+
+    sh = docs.filter(F.length(text_col) >= n).select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    tr = (
+        sh.filter(F.col(split_col) == train_label)
+        .select(F.col(id_col).alias("train_doc_id"), "shingle")
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= max_train_df)
+    )
+    te = sh.filter(F.col(split_col) == test_label).select(
+        F.col(id_col).alias("test_doc_id"), "shingle"
+    )
+    return (
+        te.join(tr, "shingle")
+        .groupBy("test_doc_id")
+        .agg(
+            F.count_distinct(F.col("shingle")).cast("bigint").alias(
+                "n_shared_shingles"
+            ),
+            F.count_distinct(F.col("train_doc_id")).cast("bigint").alias(
+                "n_train_docs"
+            ),
+        )
+    )

@@ -56,6 +56,54 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling at deterministic, engine-independent rates.
+
+    ``sampleBy`` draws from a seeded RNG — engine-private, order-sensitive
+    under retries. This instead keeps a row iff the first 4 md5 hex chars
+    of its key fall below ``fraction × 16⁴``: the same rows survive every
+    run, every engine, and (the property curation needs) a row's fate
+    never depends on what other rows exist. Zero shuffles — a pure filter.
+    """
+    h = _hex_hash(F.col(key_col))
+    expr = F.lit(format(int(default_fraction * 0x10000), "04x"))
+    for label, frac in fractions.items():
+        bound = format(min(int(frac * 0x10000), 0x10000), "04x")
+        expr = F.when(F.col(strata_col) == label, F.lit(bound)).otherwise(expr)
+    return df.filter(h < expr)
+
+
+def winsorize_per_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower, upper] exact quantiles —
+    the standard outlier guard before a numeric column feeds training or
+    indicator math.
+
+    One shuffle: the quantile pair is a window aggregate over the group
+    (no second scan, no join back); exact ``percentile`` keeps the clip
+    reproducible cross-engine (approx sketches are engine-private).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    lo = F.expr(f"percentile({value_col}, {lower})").over(w)
+    hi = F.expr(f"percentile({value_col}, {upper})").over(w)
+    return df.withColumn(
+        out_col or f"{value_col}_winsorized",
+        F.least(F.greatest(F.col(value_col), lo), hi),
+    )
+
+
 def per_group_downsample(
     df: DataFrame, group_cols: Sequence[str], key_col: str, cap: int
 ) -> DataFrame:

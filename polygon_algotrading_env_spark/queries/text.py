@@ -736,3 +736,78 @@ def doc_rarity_scores_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_rarity_scores(docs)
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents)
+    WHERE h < CASE lang WHEN 'en' THEN '8000'
+                        WHEN 'de' THEN '4000'
+                        ELSE '2000' END
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Per-language sampling at deterministic hash rates (50% en, 25% de,
+    12.5% rest) — the reproducible alternative to seeded sampleBy: a doc's
+    fate depends only on its own key, never on engine RNG or row order.
+    Pure filter, zero shuffles."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.25}, "lang", default_fraction=0.125
+    ).select("doc_id", "lang")
+
+
+@register(
+    "train_test_contamination",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN h < 'cccc' THEN 'train'
+                  WHEN h < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+            FROM documents)
+      WHERE length(text) >= 8
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct([substring(lower(text), i, 8)
+                                   FOR i IN range(1, length(text) - 6)]))
+               AS shingle
+      FROM base
+    ),
+    tr AS (
+      SELECT shingle, doc_id AS train_doc_id,
+             count(*) OVER (PARTITION BY shingle) AS df
+      FROM sh WHERE split = 'train'
+    ),
+    te AS (SELECT shingle, doc_id AS test_doc_id FROM sh WHERE split = 'test')
+    SELECT te.test_doc_id,
+           CAST(count(DISTINCT te.shingle) AS BIGINT)      AS n_shared_shingles,
+           CAST(count(DISTINCT tr.train_doc_id) AS BIGINT) AS n_train_docs
+    FROM te JOIN tr ON te.shingle = tr.shingle AND tr.df <= 64
+    GROUP BY te.test_doc_id
+    """,
+)
+def train_test_contamination(spark, sf_dir):
+    """Benchmark-leakage audit over the certified hash split: per test
+    document, the count of 8-gram shingles (and distinct train documents)
+    it shares with the train split, ignoring shingles in >64 train docs —
+    boilerplate is not leakage, and the cap bounds the shingle-join
+    fan-out (the hot-key guard that matters at corpus scale)."""
+    from polygon_algotrading_env_spark.operators.corpus import (
+        cross_split_contamination,
+    )
+    from polygon_algotrading_env_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_split_contamination(hash_split(docs, "doc_id"))

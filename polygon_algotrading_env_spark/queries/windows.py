@@ -131,6 +131,41 @@ def cumulative_factor_per_supplier(spark, sf_dir):
     )
 
 
+# --- winsorization: per-group quantile clip -------------------------------
+@register(
+    "winsorize_price_per_flag",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(least(greatest(l_extendedprice,
+                   quantile_cont(l_extendedprice, 0.05)
+                     OVER (PARTITION BY l_returnflag)),
+                 quantile_cont(l_extendedprice, 0.95)
+                     OVER (PARTITION BY l_returnflag)), 6)
+             AS price_winsorized
+    FROM lineitem
+    """,
+)
+def winsorize_price_per_flag(spark, sf_dir):
+    """Outlier clipping to exact per-group [p5, p95] (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` as window aggregates) — the reproducible
+    pre-training/indicator guard. One shuffle; the quantile pair rides the
+    group window, no join-back. Round-6 is tie-free: interpolated
+    quantiles of 2-decimal inputs have ≤4 exact decimals (the fraction
+    p·(n−1) has ≤2)."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        winsorize_per_group,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return winsorize_per_group(
+        li, "l_extendedprice", ["l_returnflag"], lower=0.05, upper=0.95
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice_winsorized", 6).alias("price_winsorized"),
+    )
+
+
 # --- first_value / nth_value over ordered frames --------------------------
 @register(
     "first_nth_value_per_customer",

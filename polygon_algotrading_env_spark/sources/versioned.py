@@ -190,6 +190,95 @@ class VersionedTable:
             shutil.rmtree(os.path.join(self.root, data_dir), ignore_errors=True)
             raise
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        key_cols,
+        max_commit_retries: int = 10,
+    ) -> int:
+        """MERGE (insert-or-replace by key): commit a new version whose
+        contents are the current snapshot minus rows matching an update
+        key, plus every ``updates`` row — the upsert a slowly-changing
+        dimension or late-correcting fact feed needs (the reference can
+        only full-replace, ``reference_data_etl.py: to_sql
+        if_exists='replace'``).
+
+        Plan: snapshot LEFT-ANTI join ``updates`` on the key (broadcast
+        when updates are dimension-sized) ∪ updates, landed as one
+        overwrite-style commit (mode ``'merge'``). Worst case rewrites the
+        visible data — same as Delta's copy-on-write merge without
+        deletion vectors; partition-scope the snapshot first for bounded
+        rewrites at 100 TB.
+
+        Concurrency: unlike :meth:`write`, the DATA depends on the parent
+        snapshot, so a lost commit race discards the stale merge output
+        and recomputes from the new parent (optimistic concurrency with
+        re-read, the Delta conflict-resolution contract for merges).
+
+        ``updates`` must be key-unique — "both versions of this row win"
+        is not a merge; duplicate keys raise.
+        """
+        import shutil
+        import uuid
+
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        n, n_distinct = (
+            updates.count(),
+            updates.select(*keys).distinct().count(),
+        )
+        if n != n_distinct:
+            raise ValueError(
+                f"updates carry {n - n_distinct} duplicate key(s) on {keys}; "
+                "deduplicate (choose a winner) before merging"
+            )
+        for _ in range(max_commit_retries + 1):
+            parent = self.latest_version()
+            if parent is None:
+                return self.write(updates, mode="append")
+            parent_fields = {
+                f["name"]
+                for f in json.loads(self._read_manifest(parent)["schema"])["fields"]
+            }
+            fields = {f.name for f in updates.schema.fields}
+            if fields != parent_fields:
+                raise SchemaMismatchError(
+                    f"merge columns {sorted(fields)} != table columns "
+                    f"{sorted(parent_fields)}"
+                )
+            current = self.read(version=parent)
+            merged = current.join(
+                updates.select(*keys), on=keys, how="left_anti"
+            ).unionByName(updates)
+            data_dir = f"data/c{uuid.uuid4().hex[:16]}"
+            merged.write.parquet(os.path.join(self.root, data_dir))
+            try:
+                self._commit(
+                    {
+                        "version": parent + 1,
+                        "parent": parent,
+                        "mode": "merge",
+                        "timestamp": time.time(),
+                        "live": [data_dir],
+                        "schema": updates.schema.json(),
+                    }
+                )
+                return parent + 1
+            except VersionConflictError:
+                # The merge output reflects a stale parent — discard and
+                # recompute against the commit that beat us.
+                shutil.rmtree(
+                    os.path.join(self.root, data_dir), ignore_errors=True
+                )
+                continue
+            except BaseException:
+                shutil.rmtree(
+                    os.path.join(self.root, data_dir), ignore_errors=True
+                )
+                raise
+        raise VersionConflictError(
+            f"could not merge after {max_commit_retries + 1} attempts"
+        )
+
     def _commit(self, manifest: dict) -> None:
         os.makedirs(self._manifest_dir, exist_ok=True)
         path = self._manifest_path(manifest["version"])

@@ -207,3 +207,39 @@ def test_vacuum_retention_age_protects_young_dirs(spark, root):
     # v0's dir is unreferenced but too young to collect at default age.
     assert t.vacuum(keep_versions=1) == []
     assert len(t.vacuum(keep_versions=1, min_age_seconds=0)) == 1
+
+
+def test_merge_upsert(spark, root):
+    t = VersionedTable(spark, root)
+    # Merge into empty table = insert.
+    assert t.merge_upsert(_df(spark, [1, 2, 3]), "id") == 0
+
+    updates = spark.createDataFrame(
+        [(2, "UPDATED"), (9, "NEW")], "id long, tag string"
+    )
+    v = t.merge_upsert(updates, "id")
+    assert v == 1
+    rows = {r["id"]: r["tag"] for r in t.read().collect()}
+    assert rows == {1: "r1", 2: "UPDATED", 3: "r3", 9: "NEW"}
+    # Time travel still sees the pre-merge state.
+    pre = {r["id"]: r["tag"] for r in t.read(version=0).collect()}
+    assert pre == {1: "r1", 2: "r2", 3: "r3"}
+    assert t.history()[-1].mode == "merge"
+
+
+def test_merge_upsert_rejects_duplicate_keys(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    dups = spark.createDataFrame(
+        [(5, "a"), (5, "b")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_upsert(dups, "id")
+
+
+def test_merge_upsert_schema_guard(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]))
+    other = spark.createDataFrame([(1, 2.0)], "id long, price double")
+    with pytest.raises(SchemaMismatchError):
+        t.merge_upsert(other, "id")
