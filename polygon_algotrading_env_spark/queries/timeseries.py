@@ -150,6 +150,54 @@ def sma_crossover_backtest_5m(spark, sf_dir):
     return sma_crossover_backtest(bars)
 
 
+@register(
+    "bollinger_20_5m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    )
+    SELECT event_type, bucket_start, close,
+           round(avg(close) OVER f, 6)  AS bb_mid,
+           round(avg(close) OVER f + 2 * stddev_samp(close) OVER f, 6)
+             AS bb_upper,
+           round(avg(close) OVER f - 2 * stddev_samp(close) OVER f, 6)
+             AS bb_lower
+    FROM bars
+    WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def bollinger_20_5m(spark, sf_dir):
+    """Bollinger bands (SMA20 ± 2σ) over 5-minute bar closes — the W4
+    mean-reversion indicator via operators/indicators.with_bollinger.
+    Round-6: both engines evaluate the ≤20-row frame sequentially
+    (~1e-13 reorder noise); σ is irrational so the bands are never ON the
+    rounding grid, and the mid's exact value (a ≤20-denominator rational
+    of 2-decimal closes) sits ≥4e-8 from any half-boundary."""
+    from polygon_algotrading_env_spark.operators.indicators import with_bollinger
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    bb = with_bollinger(
+        bars, "close", 20, 2.0, keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return bb.select(
+        "event_type",
+        "bucket_start",
+        "close",
+        F.round("bb_mid", 6).alias("bb_mid"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+    )
+
+
 _BT_CTE = """
     WITH bars AS (
       SELECT event_type,

@@ -103,6 +103,46 @@ def stream_ohlcv_bars(
     )
 
 
+def stream_bars_from_page_store(
+    spark,
+    page_root: str,
+    duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    symbols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The north-star live pipeline in one call: the streaming page-cursor
+    source (``PolygonPagesDataSource.streamReader`` — checkpointed
+    per-symbol offsets, executor-side reads, cross-batch overlap dedup)
+    feeding the event-time windowed OHLCV aggregation. Start it with
+    ``trigger(availableNow=True)`` for daily catch-up or a processingTime
+    trigger for live; either way a restart resumes from the checkpoint.
+
+    This is the reference's whole Airflow DAG → ECS → API-bars loop
+    (``dag_aggregates_etl.py:128-179`` + the server-side aggregation) as
+    one restartable streaming plan.
+    """
+    from polygon_algotrading_env_spark.sources.restsource import (
+        PolygonPagesDataSource,
+    )
+
+    spark.dataSource.register(PolygonPagesDataSource)
+    reader = spark.readStream.format("polygon_pages").option("path", page_root)
+    if symbols:
+        reader = reader.option("symbols", ",".join(symbols))
+    raw = reader.load().withColumn(
+        "ts", F.timestamp_millis(F.col("t")).cast("timestamp_ntz")
+    )
+    return stream_ohlcv_bars(
+        raw,
+        "ts",
+        "c",
+        duration,
+        keys=("ticker",),
+        volume_col="v",
+        watermark_delay=watermark_delay,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str
 ):

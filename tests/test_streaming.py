@@ -144,3 +144,59 @@ def test_stream_dedup_ledger_cross_run(spark, tmp_path):
     assert {r["doc_id"] for r in final.collect()} == {1, 2, 3}
     # Ledger holds exactly the distinct keys.
     assert spark.read.parquet(ledger).select("doc_id").distinct().count() == 3
+
+
+def test_stream_bars_from_page_store_end_to_end(spark, tmpdir):
+    """North-star composition: the streaming page-cursor source feeding
+    windowed OHLCV — one availableNow drain must equal the batch pipeline
+    (distributed page reader → batch ohlcv_bars) on the same store."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.bars import ohlcv_bars
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_bars_from_page_store,
+    )
+
+    MIN_MS = 60_000
+    root = f"{tmpdir}/pages"
+    for sym, base in (("SPY", 100.0), ("TLT", 50.0)):
+        os.makedirs(f"{root}/{sym}", exist_ok=True)
+        rows = [
+            {"t": i * MIN_MS, "o": base, "h": base + 1, "l": base - 1,
+             "c": base + (i % 5), "v": 10.0, "vw": base, "n": 2}
+            for i in range(12)  # 12 minutes -> three 5m buckets
+        ]
+        for page_no, lo in enumerate(range(0, 12, 4)):
+            with open(f"{root}/{sym}/page-{page_no}.json", "w") as f:
+                _json.dump({"results": rows[lo : lo + 5]}, f)  # overlap 1
+
+    bars = stream_bars_from_page_store(spark, root, duration="5 minutes")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("page_bars")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ticker"], r["bucket_start"], r["open"], r["close"], r["volume"], r["n_trades"])
+        for r in spark.sql("select * from page_bars").collect()
+    }
+
+    batch_src = (
+        spark.read.format("polygon_pages").option("path", root).load()
+        .withColumn("ts", F.timestamp_millis(F.col("t")).cast("timestamp_ntz"))
+    )
+    want = {
+        (r["ticker"], r["bucket_start"], r["open"], r["close"], r["volume"], r["n_trades"])
+        for r in ohlcv_bars(
+            batch_src, ts_col="ts", price_col="c", duration="5 minutes",
+            keys=("ticker",), volume_col="v",
+        ).collect()
+    }
+    assert got == want and len(got) == 6  # 2 symbols x 3 buckets
