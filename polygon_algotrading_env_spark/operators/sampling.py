@@ -91,16 +91,27 @@ def winsorize_per_group(
     the standard outlier guard before a numeric column feeds training or
     indicator math.
 
-    One shuffle: the quantile pair is a window aggregate over the group
-    (no second scan, no join back); exact ``percentile`` keeps the clip
-    reproducible cross-engine (approx sketches are engine-private).
+    Plan shape: the quantile pair comes from a groupBy aggregate and
+    joins back via broadcast (group columns are low-cardinality by
+    nature) — row-level work never redistributes. The tempting
+    window-over-group formulation is a scale trap: it funnels EVERY row
+    through one reducer per group value. Exact ``percentile`` keeps the
+    clip reproducible cross-engine (approx sketches are engine-private);
+    at 100 TB swap in ``approx_percentile`` and keep this as the audit
+    path, as with ``exact_percentiles_per_flag``.
     """
-    w = Window.partitionBy(*[F.col(c) for c in group_cols])
-    lo = F.expr(f"percentile({value_col}, {lower})").over(w)
-    hi = F.expr(f"percentile({value_col}, {upper})").over(w)
-    return df.withColumn(
-        out_col or f"{value_col}_winsorized",
-        F.least(F.greatest(F.col(value_col), lo), hi),
+    groups = list(group_cols)
+    bounds = df.groupBy(*groups).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), groups)
+        .withColumn(
+            out_col or f"{value_col}_winsorized",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
     )
 
 

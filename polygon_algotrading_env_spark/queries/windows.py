@@ -147,11 +147,12 @@ def cumulative_factor_per_supplier(spark, sf_dir):
 )
 def winsorize_price_per_flag(spark, sf_dir):
     """Outlier clipping to exact per-group [p5, p95] (Spark ``percentile``
-    ≡ DuckDB ``quantile_cont`` as window aggregates) — the reproducible
-    pre-training/indicator guard. One shuffle; the quantile pair rides the
-    group window, no join-back. Round-6 is tie-free: interpolated
-    quantiles of 2-decimal inputs have ≤4 exact decimals (the fraction
-    p·(n−1) has ≤2)."""
+    ≡ DuckDB ``quantile_cont``) — the reproducible pre-training/indicator
+    guard. Quantiles come from a groupBy aggregate broadcast-joined back,
+    NOT a window over the 3-value group (which would funnel every row
+    through 3 reducers). Round-6 is tie-free: interpolated quantiles of
+    2-decimal inputs have ≤4 exact decimals (the fraction p·(n−1) has
+    ≤2)."""
     from polygon_algotrading_env_spark.operators.sampling import (
         winsorize_per_group,
     )
