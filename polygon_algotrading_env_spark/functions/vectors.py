@@ -36,5 +36,40 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: struct(codes array<tinyint>,
+    scale double) with ``value ≈ code × scale``, scale = max|x| / 127.
+
+    4× storage shrink for embedding columns — at 100 TB the dominant
+    ANN-index cost is reading vectors, and int8 recall loss is negligible
+    for cosine ranking (the standard faiss/SQ8 trade). Pure JVM
+    expressions: a transform + round per element, no UDF. A zero vector
+    quantizes to scale 0 with all-zero codes; :func:`dequantize_int8`
+    restores it exactly.
+    """
+    v = _d(a)
+    mx = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale_ = mx / F.lit(127.0)
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale_ == 0, F.lit(0))
+        .otherwise(F.round(x / scale_))
+        .cast("tinyint"),
+    )
+    return F.struct(codes.alias("codes"), scale_.alias("scale"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: array<double> ≈ the original."""
+    q = F.col(q) if isinstance(q, str) else q
+    return F.transform(
+        q["codes"], lambda c: c.cast("double") * q["scale"]
+    )
+
+
 def scale(a: Column | str, s: Column) -> Column:
     return F.transform(_d(a), lambda x: x * s)

@@ -279,6 +279,62 @@ class VersionedTable:
             f"could not merge after {max_commit_retries + 1} attempts"
         )
 
+    def delete_where(self, condition, max_commit_retries: int = 10) -> int:
+        """Row-level DELETE (copy-on-write): commit a new version holding
+        every current row NOT matching ``condition`` (a Column or SQL
+        string) — the removal-request / right-to-be-forgotten sweep a
+        training-data lake must support. Prior versions still contain the
+        rows until :meth:`vacuum` reclaims them — run vacuum after the
+        retention window to make deletion physical.
+
+        Same optimistic-concurrency contract as :meth:`merge_upsert`: the
+        output depends on the parent snapshot, so a lost commit race
+        discards the stale rewrite and recomputes.
+        """
+        import shutil
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(max_commit_retries + 1):
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(f"no commits at {self.root}")
+            # NULL predicate results mean "did not match" — such rows are
+            # KEPT (bare ~cond would silently delete them: ~NULL is NULL,
+            # which filter() drops).
+            kept = self.read(version=parent).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            data_dir = f"data/c{uuid.uuid4().hex[:16]}"
+            kept.write.parquet(os.path.join(self.root, data_dir))
+            try:
+                self._commit(
+                    {
+                        "version": parent + 1,
+                        "parent": parent,
+                        "mode": "delete",
+                        "timestamp": time.time(),
+                        "live": [data_dir],
+                        "schema": self._read_manifest(parent)["schema"],
+                    }
+                )
+                return parent + 1
+            except VersionConflictError:
+                shutil.rmtree(
+                    os.path.join(self.root, data_dir), ignore_errors=True
+                )
+                continue
+            except BaseException:
+                shutil.rmtree(
+                    os.path.join(self.root, data_dir), ignore_errors=True
+                )
+                raise
+        raise VersionConflictError(
+            f"could not delete after {max_commit_retries + 1} attempts"
+        )
+
     def _commit(self, manifest: dict) -> None:
         os.makedirs(self._manifest_dir, exist_ok=True)
         path = self._manifest_path(manifest["version"])

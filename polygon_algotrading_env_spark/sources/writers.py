@@ -95,6 +95,37 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    shard_key: str,
+    num_shards: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Export rows as sharded JSONL — the handoff format training jobs
+    actually consume.
+
+    Shard = ``xxhash64(shard_key) mod num_shards``: deterministic and
+    key-stable (a document lands in the same shard every run, so
+    downstream resume/diff logic works), unlike ``repartition(n)``'s
+    round-robin which reshuffles arbitrarily per run. One shuffle on the
+    shard id; each shard is exactly one ``part-*`` file per directory
+    written by Spark's native JSON writer (JVM-side serialization).
+    """
+    import pyspark.sql.functions as F
+
+    shard = F.pmod(F.xxhash64(F.col(shard_key)), F.lit(num_shards)).alias(
+        "__shard"
+    )
+    (
+        df.withColumn("__shard", shard)
+        .repartition(num_shards, F.col("__shard"))
+        .write.partitionBy("__shard")
+        .mode(mode)
+        .json(path)
+    )
+
+
 def read_latest(spark: SparkSession, latest_path: str) -> DataFrame:
     return spark.read.parquet(latest_path)
 

@@ -229,3 +229,38 @@ def test_bookmark_roundtrip_and_monotonicity(spark, tmpdir):
     store.update(batch1, "t")
     wm2 = {r["ticker"]: r["max_ts"] for r in store.load(spark).collect()}
     assert wm2 == wm
+
+
+def test_write_jsonl_sharded_stable_and_readable(spark, tmpdir):
+    import glob
+    import json as _json
+
+    from polygon_algotrading_env_spark.sources.writers import write_jsonl_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = f"{tmpdir}/jsonl"
+    write_jsonl_sharded(df, out, "doc_id", num_shards=8)
+    # Readable back as JSON lines with full fidelity.
+    back = spark.read.json(f"{out}/__shard=*")
+    assert back.count() == 50
+    assert {r["doc_id"] for r in back.collect()} == set(range(50))
+    # One file per shard dir; shard assignment is key-stable across runs.
+    dirs = sorted(glob.glob(f"{out}/__shard=*"))
+    assert 0 < len(dirs) <= 8
+    files = [f for d in dirs for f in glob.glob(f"{d}/part-*")]
+    per_dir = {d: len(glob.glob(f"{d}/part-*.json")) for d in dirs}
+    assert all(n == 1 for n in per_dir.values()), per_dir
+    first = {}
+    for d in dirs:
+        for f in glob.glob(f"{d}/part-*.json"):
+            for line in open(f):
+                first[_json.loads(line)["doc_id"]] = d.split("=")[-1]
+    write_jsonl_sharded(df, out, "doc_id", num_shards=8)
+    second = {}
+    for d in sorted(glob.glob(f"{out}/__shard=*")):
+        for f in glob.glob(f"{d}/part-*.json"):
+            for line in open(f):
+                second[_json.loads(line)["doc_id"]] = d.split("=")[-1]
+    assert first == second

@@ -243,3 +243,25 @@ def test_merge_upsert_schema_guard(spark, root):
     other = spark.createDataFrame([(1, 2.0)], "id long, price double")
     with pytest.raises(SchemaMismatchError):
         t.merge_upsert(other, "id")
+
+
+def test_delete_where(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2, 3, 4]))
+    v = t.delete_where("id in (2, 4)")
+    assert v == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+    # Audit trail: pre-delete snapshot intact until vacuum; mode recorded.
+    assert sorted(r.id for r in t.read(version=0).collect()) == [1, 2, 3, 4]
+    assert t.history()[-1].mode == "delete"
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, root):
+    t = VersionedTable(spark, root)
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x")], "id long, tag string"
+    )
+    t.write(rows)
+    t.delete_where("tag = 'x'")
+    # The NULL-tag row did not match -> it must survive.
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
