@@ -126,6 +126,44 @@ def write_jsonl_sharded(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into
+    ``ceil(total_bytes / target)`` files (optionally locally sorted for
+    row-group skipping), replacing it atomically via write-to-temp +
+    swap. Returns the new file count.
+
+    Streaming sinks and incremental appends accrete files far below the
+    efficient scan size; at 100 TB a million 1 MB files turns every scan
+    into a metadata stampede. Run compaction on cold partitions (it
+    REPLACES the location — don't race a live writer; versioned tables
+    get the same effect by rewriting into a new commit instead).
+    """
+    import math
+    import uuid
+
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    compacted = df.repartition(n_files)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    compacted.write.parquet(tmp)
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return n_files
+
+
 def read_latest(spark: SparkSession, latest_path: str) -> DataFrame:
     return spark.read.parquet(latest_path)
 

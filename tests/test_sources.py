@@ -264,3 +264,26 @@ def test_write_jsonl_sharded_stable_and_readable(spark, tmpdir):
             for line in open(f):
                 second[_json.loads(line)["doc_id"]] = d.split("=")[-1]
     assert first == second
+
+
+def test_compact_parquet(spark, tmpdir):
+    import glob
+
+    from polygon_algotrading_env_spark.sources.writers import compact_parquet
+
+    src = f"{tmpdir}/fragmented"
+    # 40 tiny files (the streaming-sink accretion pattern).
+    spark.range(2000).selectExpr(
+        "id", "id * 2 as v"
+    ).repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    n = compact_parquet(spark, src, target_file_mb=256, sort_cols=["id"])
+    assert n == 1
+    files = glob.glob(f"{src}/part-*")
+    assert len(files) == 1
+    back = spark.read.parquet(src)
+    assert back.count() == 2000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(2000))
+    # No leftover temp/old dirs.
+    assert not glob.glob(f"{src}.__*")
