@@ -198,6 +198,77 @@ def bollinger_20_5m(spark, sf_dir):
     )
 
 
+@register(
+    "return_correlation_pairs",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    rets AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) - 1 AS ret
+      FROM bars
+    )
+    SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+           CAST(count(*) AS BIGINT)           AS n_buckets,
+           round(corr(a.ret, b.ret), 6)       AS ret_corr,
+           round(regr_slope(a.ret, b.ret), 6) AS beta_a_on_b
+    FROM rets a
+    JOIN rets b ON a.bucket_start = b.bucket_start
+               AND a.event_type < b.event_type
+    WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def return_correlation_pairs(spark, sf_dir):
+    """Cross-symbol portfolio analytics: pairwise Pearson correlation and
+    OLS beta of 5-minute bar returns, aligned on bucket (inner join on
+    bucket_start — a symbol-pair × time equi-join, shuffle bounded by
+    bars not ticks). corr/regr_slope are order-insensitive moment
+    aggregates on both engines; returns are irrational ratios so round-6
+    never lands on a grid tie."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    rets = bars.select(
+        "event_type",
+        "bucket_start",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = rets.select(
+        F.col("event_type").alias("sym_a"),
+        "bucket_start",
+        F.col("ret").alias("ret_a"),
+    )
+    b = rets.select(
+        F.col("event_type").alias("sym_b"),
+        "bucket_start",
+        F.col("ret").alias("ret_b"),
+    )
+    return (
+        a.join(b, "bucket_start")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.corr("ret_a", "ret_b"), 6).alias("ret_corr"),
+            F.round(F.expr("regr_slope(ret_a, ret_b)"), 6).alias(
+                "beta_a_on_b"
+            ),
+        )
+    )
+
+
 _BT_CTE = """
     WITH bars AS (
       SELECT event_type,
