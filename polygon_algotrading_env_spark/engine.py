@@ -55,11 +55,15 @@ class Engine:
 
     def ingest_candles(
         self, symbols: Sequence[str], fetch_page, start_date: str, end_date: str,
-        adjusted: bool = True,
+        adjusted: bool = True, page_store: str | None = None,
     ) -> DataFrame:
+        """Incremental candle ingest. ``fetch_page`` drives the API-paced
+        driver loop; pass ``page_store`` instead to route a landed
+        backfill through the distributed page reader (``fetch_page=None``
+        is then fine)."""
         return pipelines.ingest_aggregates(
             self.spark, symbols, fetch_page, self._root(), start_date, end_date,
-            adjusted=adjusted,
+            adjusted=adjusted, page_store=page_store,
         )
 
     # -- gold-layer analytics --------------------------------------------
