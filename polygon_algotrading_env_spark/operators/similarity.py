@@ -222,6 +222,7 @@ def build_srp_index(
     n_planes: int = 12,
     seed: int = 42,
     mode: str = "overwrite",
+    quantize: bool = False,
 ) -> None:
     """Materialize the SRP-LSH index ONCE: bucket every vector and write
     the relation ``partitionBy('bucket')``. Every subsequent probe
@@ -230,13 +231,24 @@ def build_srp_index(
     paid at ingest, amortized over every query, exactly like the
     reference's server-side index the ANN tier replaces.
 
+    ``quantize=True`` stores vectors as int8 codes + per-vector scale
+    (symmetric SQ8) instead of float arrays — ~4× less index to scan,
+    which at 100 TB is THE probe cost; cosine ranking on dequantized
+    vectors is near-identical (test-pinned). The probe side dequantizes
+    in-expression (:func:`lsh_ann_topk_indexed` autodetects the layout).
+
     The bucketed relation is shuffled on ``bucket`` before the write:
     without it every input task writes one file per bucket it happens to
     see (tasks × buckets small files — a listing-time disaster for every
     future probe); with it each bucket is a handful of well-sized files."""
-    add_srp_buckets(embeddings, vec_col, n_planes, seed).repartition(
-        F.col("bucket")
-    ).write.partitionBy("bucket").mode(mode).parquet(path)
+    indexed = add_srp_buckets(embeddings, vec_col, n_planes, seed)
+    if quantize:
+        from polygon_algotrading_env_spark.functions.vectors import quantize_int8
+
+        indexed = indexed.withColumn(vec_col, quantize_int8(F.col(vec_col)))
+    indexed.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+        mode
+    ).parquet(path)
 
 
 def lsh_ann_topk_indexed(
@@ -254,9 +266,17 @@ def lsh_ann_topk_indexed(
     """Probe a :func:`build_srp_index` table: partition-pruned read of the
     query's Hamming neighborhood (PartitionFilters on ``bucket`` — plan
     asserted in tests), then score only those candidates. ``n_planes`` and
-    ``seed`` must match the values the index was built with."""
+    ``seed`` must match the values the index was built with. A quantized
+    index (struct codes/scale vector column) is detected from the schema
+    and dequantized in-expression before scoring."""
+    from pyspark.sql.types import StructType as _St
+
     probe = srp_probe_buckets(spark, query_vec, n_planes, seed, multiprobe_hamming)
     candidates = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
+    if isinstance(candidates.schema[vec_col].dataType, _St):
+        from polygon_algotrading_env_spark.functions.vectors import dequantize_int8
+
+        candidates = candidates.withColumn(vec_col, dequantize_int8(F.col(vec_col)))
     return _score_topk(candidates, query_vec, k, id_col, vec_col, score_decimals)
 
 

@@ -119,6 +119,30 @@ def test_srp_index_probe_equals_scan_and_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan
 
 
+def test_srp_quantized_index_recall(spark, sf_dir, tmp_path):
+    """SQ8 index (4× smaller probe scan) must preserve the ANN result:
+    top-k from the quantized index matches the float index on ≥ k-1 of
+    k ids, and the index actually stores codes+scale, not float arrays."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        build_srp_index,
+        lsh_ann_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    fidx, qidx = str(tmp_path / "f"), str(tmp_path / "q")
+    build_srp_index(emb, fidx, n_planes=8)
+    build_srp_index(emb, qidx, n_planes=8, quantize=True)
+    schema = spark.read.parquet(qidx).schema["embedding"].dataType.simpleString()
+    assert "codes" in schema and "tinyint" in schema
+    full = [r["vec_id"] for r in lsh_ann_topk_indexed(
+        spark, fidx, q, k=10, n_planes=8).collect()]
+    quant = [r["vec_id"] for r in lsh_ann_topk_indexed(
+        spark, qidx, q, k=10, n_planes=8).collect()]
+    assert 7 in quant
+    assert len(set(full) & set(quant)) >= 9
+
+
 def test_ivf_index_probe_equals_scan_no_udf_in_plan(spark, sf_dir, tmp_path):
     """IVF indexed probe ≡ scan variant, with PartitionFilters on cell and
     NO Arrow assignment UDF anywhere in the probe plan — the O(n·d)
