@@ -77,6 +77,40 @@ def except_order_slices(spark, sf_dir):
     return a.exceptAll(b).distinct()
 
 
+@register(
+    "except_all_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def except_all_parts(spark, sf_dir):
+    """Multiset EXCEPT ALL — per-row multiplicities survive (the
+    bag-semantics sibling of except_order_slices' DISTINCT variant);
+    Spark plans it as a count-bookkeeping aggregate, no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 30).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "intersect_all_parts",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def intersect_all_parts(spark, sf_dir):
+    """Multiset INTERSECT ALL — min(multiplicity) per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 30).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(b)
+
+
 # --- CUBE -----------------------------------------------------------------
 @register(
     "cube_flag_status",
