@@ -290,6 +290,116 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"): find k-token spans that occur in >= min_docs
+# distinct documents and remove every occurrence of every such span.
+# ---------------------------------------------------------------------------
+
+def token_span_occurrences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Every k-token span occurrence: (id, pos, span) with ``pos`` the
+    0-based token offset. Tokens are whitespace-split (``trim`` + ``\\s+``);
+    spans are the k-token windows rejoined with single spaces. All JVM
+    expressions (``transform`` over ``sequence`` + ``slice``) — one narrow
+    explode per document, no Python in the scan."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    doc = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    spans = F.expr(
+        f"transform(sequence(0, __n - {k}), i ->"
+        f" array_join(slice(__toks, i + 1, {k}), ' '))"
+    )
+    return (
+        doc.filter(F.col("__n") >= k)
+        .select(id_col, F.posexplode(spans).alias("pos", "span"))
+    )
+
+
+def duplicate_spans(
+    occ: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Spans occurring in >= ``min_docs`` DISTINCT documents (one column,
+    ``span``). Per-doc repetition doesn't vote: count is over distinct ids.
+    A plain groupBy — partial aggregation absorbs hot boilerplate spans
+    map-side before the shuffle."""
+    return (
+        occ.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup: drop every token covered by a k-token
+    span that appears in >= ``min_docs`` distinct documents (all occurrences
+    in all documents, as in Lee et al. 2022 — not one-survivor dedup).
+
+    Returns (id, n_tokens, n_dup_tokens, cleaned_text). ``cleaned_text`` is
+    the uncovered tokens rejoined with single spaces, so original whitespace
+    runs are normalized; documents shorter than k tokens pass through (also
+    re-joined). Removal can make previously-distant tokens adjacent, so a
+    second pass may find new duplicated spans — the operator is one pass of
+    the fixed-point the paper describes.
+
+    Scale shape: the tokenize+explode scan runs ONCE (the rarity-scoring
+    lesson — never join a relation back to a second explode of itself):
+    occurrences are folded to one row per (span, doc) carrying the position
+    list, duplicate spans are flagged with a ``count() over (partition by
+    span)`` window on those compact rows, and survivors re-explode into
+    covered offsets. Hot boilerplate spans make wide-but-spillable window
+    partitions of position-list rows, never unbounded driver state.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    doc = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    occ = token_span_occurrences(df, id_col, text_col, k)
+    per_span_doc = occ.groupBy("span", id_col).agg(
+        F.collect_list("pos").alias("__poss")
+    )
+    flagged = per_span_doc.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    ).filter(F.col("__nd") >= min_docs)
+    covered = (
+        flagged.select(id_col, F.explode("__poss").alias("pos"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    empty_int_arr = F.expr("CAST(array() AS array<int>)")
+    return (
+        doc.join(covered, id_col, "left")
+        .withColumn("__cov", F.coalesce(F.col("__cov"), empty_int_arr))
+        .select(
+            id_col,
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.size("__cov").cast("bigint").alias("n_dup_tokens"),
+            F.array_join(
+                F.filter(
+                    "__toks",
+                    lambda t, i: ~F.array_contains(F.col("__cov"), i),
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing (MOSS-style) fingerprints
 # ---------------------------------------------------------------------------
 

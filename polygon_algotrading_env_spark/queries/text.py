@@ -22,6 +22,7 @@ from polygon_algotrading_env_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     ngram_overlap_pairs,
+    remove_duplicate_spans,
     simhash64,
     simhash_candidate_pairs,
     winnow_candidate_pairs,
@@ -616,6 +617,56 @@ def boilerplate_ngrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), "shingle")
         .limit(50)
+    )
+
+
+@register(
+    "substring_span_dedup",
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, o.pos AS pos, o.s AS s FROM (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        's': array_to_string(toks[i:i+4], ' ')}
+                       FOR i IN range(1, n - 3)]) AS o
+        FROM doc WHERE n >= 5)
+    ),
+    dup AS (
+      SELECT s FROM occ GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS n_cov, list(DISTINCT p) AS ps
+      FROM (
+        SELECT occ.doc_id, unnest(range(pos, pos + 5)) AS p
+        FROM occ JOIN dup USING (s))
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+           coalesce(array_to_string(
+             [d.toks[i + 1] FOR i IN range(0, d.n)
+              IF NOT list_contains(coalesce(c.ps, []), i)],
+             ' '), '') AS cleaned_text
+    FROM doc d LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def substring_span_dedup(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2022): every 5-token span
+    appearing in >= 2 distinct documents is removed from ALL documents;
+    the full cleaned text is hash-compared, so the oracle certifies span
+    discovery, coverage union, and reconstruction together. Single
+    tokenize+explode pass; duplicate spans flagged by a count window, never
+    a join back onto a second explode of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=5, min_docs=2
     )
 
 

@@ -95,3 +95,73 @@ def test_simhash_hamming(spark, docs):
     assert dist[(0, 3)] == 0                   # exact dup → same fingerprint
     assert dist[(0, 1)] < dist[(0, 2)]         # near-dup closer than unrelated
     assert dist[(0, 1)] <= 10
+
+
+# --- substring-span dedup (Lee et al. 2022) --------------------------------
+
+def test_remove_duplicate_spans_basic(spark):
+    from polygon_algotrading_env_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "one two three four five"  # a 5-token span in docs 0 and 1
+    rows = [
+        (0, f"alpha {shared} omega"),
+        (1, f"beta gamma {shared}"),
+        (2, "totally unrelated words here now"),
+        (3, "tiny doc"),  # shorter than k → untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert out[0]["cleaned_text"] == "alpha omega"
+    assert out[0]["n_dup_tokens"] == 5 and out[0]["n_tokens"] == 7
+    assert out[1]["cleaned_text"] == "beta gamma"
+    assert out[2]["cleaned_text"] == "totally unrelated words here now"
+    assert out[2]["n_dup_tokens"] == 0
+    assert out[3]["cleaned_text"] == "tiny doc"  # < k tokens passes through
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    """Overlapping duplicated spans merge into one covered region: a 6-token
+    shared run yields two overlapping 5-token spans covering all 6 tokens."""
+    from polygon_algotrading_env_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    rows = [(0, f"head {shared} tail"), (1, f"{shared} coda")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert out[0]["n_dup_tokens"] == 6
+    assert out[0]["cleaned_text"] == "head tail"
+    assert out[1]["cleaned_text"] == "coda"
+
+
+def test_remove_duplicate_spans_all_covered_and_repeats(spark):
+    """A doc that is entirely one duplicated span empties out; repeated
+    occurrences INSIDE one doc are removed everywhere once the span is
+    duplicated across >= min_docs distinct docs."""
+    from polygon_algotrading_env_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = "a b c d e"
+    rows = [(0, span), (1, f"x {span} y {span}"), (2, "unrelated filler words entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert out[0]["cleaned_text"] == "" and out[0]["n_dup_tokens"] == 5
+    assert out[1]["cleaned_text"] == "x y" and out[1]["n_dup_tokens"] == 10
+    # per-doc repetition alone does NOT make a span "duplicated"
+    rows2 = [(0, f"x {span} y {span}"), (1, "unrelated filler words entirely")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(docs2).collect()}
+    assert out2[0]["n_dup_tokens"] == 0
