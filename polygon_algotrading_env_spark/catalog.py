@@ -7,13 +7,15 @@ fixed schemas and a single, explicit epoch→timestamp conversion at load time
 
 Timestamp handling (driver fixture quirks):
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false). Spark's
-  vectorized reader rejects NANOS unless
-  ``spark.sql.legacy.parquet.nanosAsLong=true``, under which it surfaces as
-  epoch-nanos bigint. The loader keeps the exact nanos as ``ts_ns`` (a
-  total-order tiebreak for window/asof operators) and derives ``ts`` as
-  TIMESTAMP_NTZ at microsecond precision via integer division (``DIV`` —
-  floating-point division would lose precision above 2^53 ns).
+- ``events.ts`` has shipped in two encodings across driver generations:
+  TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark's vectorized reader
+  only accepts under ``spark.sql.legacy.parquet.nanosAsLong=true``, surfacing
+  as epoch-nanos bigint — and plain TIMESTAMP(MICROS). The loader normalizes
+  both to the same canonical pair: ``ts`` TIMESTAMP_NTZ at microsecond
+  precision plus ``ts_ns`` epoch-nanos bigint (a total-order tiebreak for
+  window/asof operators). Integer arithmetic throughout (``DIV`` /
+  ``timestampdiff``) — floating-point division would lose precision above
+  2^53 ns.
 - ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are TIMESTAMP(MILLIS,
   isAdjustedToUTC=false) and read natively as TIMESTAMP_NTZ, which matches
   DuckDB's naive-timestamp view of the same files.
@@ -54,15 +56,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn(
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as epoch-nanos under nanosAsLong.
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts",
                 F.expr(
                     f"timestampadd(MICROSECOND, ts_ns DIV 1000, {_NTZ_EPOCH})"
                 ),
             )
-            .select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        else:
+            # TIMESTAMP(MICROS) reads natively; derive the exact-nanos
+            # tiebreak column from it (sub-microsecond digits are zero).
+            df = df.withColumn(
+                "ts_ns",
+                F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)")
+                * F.lit(1000),
+            )
+        df = df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns"
         )
     return df
 

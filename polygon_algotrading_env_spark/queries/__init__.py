@@ -78,6 +78,7 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     sessions,
     reshape,
     suites,
+    advanced,
 )
 
 # ---------------------------------------------------------------------------
@@ -121,9 +122,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "count_distinct_parts_per_flag",
     "exact_percentiles_per_flag",
     # joins (J1-J3 + range join)
+    # (anti_join_customers_without_orders certifies 0 rows at driver SF — a
+    # wasted slot; the Q13 histogram's c_count=0 bucket covers the same
+    # no-match semantics AND the previously-uncovered outer-join family. The
+    # anti join stays oracle-verified in the post-window tail.)
     "join_lineitem_part_broadcast",
     "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
+    "left_outer_order_count_histogram",
     "star_join_revenue_by_region",
     "asof_latest_order_before_event",
     "band_join_events_60s",

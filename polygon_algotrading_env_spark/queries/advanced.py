@@ -1,0 +1,201 @@
+"""Advanced relational shapes (SURVEY.md §2.5/§2.4 extensions).
+
+The reference's join surface is dim-driven fan-out (J1/J2, main.py:40-44);
+a user replacing its delegated Databricks analytics additionally needs the
+classic decision-support shapes Catalyst plans natively: outer joins,
+correlated scalar subqueries, conditional aggregation, and distribution
+histograms. Each query here is a well-known TPC-H-style pattern re-expressed
+over the driver fixtures, with the Spark plan chosen for 100 TB scale
+(broadcast where one side is dim-sized, single shuffle otherwise).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- left outer join + two-level aggregate (TPC-H Q13 shape) --------------
+@register(
+    "left_outer_order_count_histogram",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def left_outer_order_count_histogram(spark, sf_dir):
+    """Customer-order-count distribution: LEFT OUTER join keeps orderless
+    customers (count 0 bucket), then a histogram over the per-customer
+    counts. At scale: first aggregate shuffles on c_custkey (the join is
+    broadcast because customer is dim-sized relative to orders only at tiny
+    SF — here the outer side drives, so we shuffle-join on the key we then
+    aggregate on, reusing one exchange); second aggregate's domain is tiny
+    (distinct counts), map-side partials collapse it."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- full outer join: align two daily aggregates --------------------------
+@register(
+    "full_outer_daily_activity",
+    oracle="""
+    SELECT coalesce(o.d, e.d)            AS d,
+           coalesce(o.n_orders, 0)       AS n_orders,
+           coalesce(e.n_events, 0)       AS n_events
+    FROM (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) o
+    FULL OUTER JOIN (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events
+      FROM events GROUP BY 1
+    ) e ON o.d = e.d
+    """,
+)
+def full_outer_daily_activity(spark, sf_dir):
+    """Calendar alignment of two independently-aggregated streams: days with
+    orders but no events and vice versa both survive (the reconciliation
+    query behind 'did ingest miss a day?'). Both sides pre-aggregate before
+    the join, so the full-outer join runs on day-grain inputs — thousands of
+    rows regardless of fact size. Scale-safe by construction. Day keys are
+    exposed as 'yyyy-MM-dd' strings — engines stringify DATE vs TIMESTAMP
+    differently, strings hash identically."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    od, ed = orders.alias("o"), events.alias("e")
+    return od.join(ed, F.col("o.d") == F.col("e.d"), "full_outer").select(
+        F.coalesce(F.col("o.d"), F.col("e.d")).alias("d"),
+        F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("e.n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+# --- correlated scalar subquery (TPC-H Q17 shape) -------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_thresh
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery decorrelated by hand: per-part average
+    quantity joined back to the fact. The threshold side is one row per
+    partkey — dim-sized — so it broadcasts and the fact table never
+    shuffles. (l_quantity is integral, so 0.2*avg is bit-identical across
+    engines: integer-valued doubles sum exactly below 2^53.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresh = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
+    )
+
+
+# --- conditional aggregation ratio (TPC-H Q14 shape) ----------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6
+           ) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """Promo revenue share: CASE-gated numerator over a common denominator
+    in ONE aggregate pass — the idiom that replaces two scans + a driver-side
+    division. Part is broadcast; the date filter is pushed to the parquet
+    scan. Rounded at 6 decimals: the ratio is O(10), reorder error O(1e-10)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+# --- ntile decile histogram ----------------------------------------------
+@register(
+    "order_price_deciles",
+    oracle="""
+    SELECT decile,
+           count(*)                  AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ) t
+    GROUP BY decile
+    """,
+)
+def order_price_deciles(spark, sf_dir):
+    """Decile bands of order value via ntile. The global ORDER BY is a full
+    sort — the honest cost of exact ntile; ties broken by o_orderkey so both
+    engines assign identically. At 100 TB you'd swap this for
+    approx_percentile boundaries + a bucketing join (see
+    `exact_percentiles_per_flag` for the exact-within-group variant); this
+    query certifies the exact semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", "o_orderkey")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -50,7 +50,7 @@ def test_every_capability_family_in_window():
         "agg_percentiles": "exact_percentiles_per_flag",
         "join_broadcast": "join_lineitem_part_broadcast",
         "join_semi": "semi_join_customers_with_orders",
-        "join_anti": "anti_join_customers_without_orders",
+        "join_outer": "left_outer_order_count_histogram",
         "join_star": "star_join_revenue_by_region",
         "join_asof": "asof_latest_order_before_event",
         "join_range": "band_join_events_60s",
