@@ -79,6 +79,7 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     reshape,
     suites,
     advanced,
+    retrieval,
 )
 
 # ---------------------------------------------------------------------------

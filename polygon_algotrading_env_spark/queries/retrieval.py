@@ -1,0 +1,198 @@
+"""Retrieval & repetition-quality queries over the ``documents`` fixture.
+
+Two LLM-data-pipeline capabilities beyond the reference surface:
+
+- **BM25 top-k retrieval** over an engine-built inverted index — the
+  lexical-search baseline every corpus pipeline needs next to the embedding
+  ANN path (operators/similarity.py). The index is pure DataFrame algebra:
+  explode tokens → tf per (doc, term) → df per term; the probe filters the
+  posting lists to the query's terms BEFORE any scoring math, so the work is
+  proportional to the matched postings, not the corpus.
+- **Gopher-style repetition filters** (Rae et al. 2021 §A1.1): fraction of
+  the document covered by its most frequent unigram / bigram and the
+  distinct-token fraction — the standard signals for machine-generated or
+  boilerplate-heavy text. Exact rationals of integer counts, so the oracle
+  hash is stable across engines.
+
+Both are SQL-expressible and certified against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.functions.text import word_tokens
+from polygon_algotrading_env_spark.queries import register
+
+# Fixed probe for the certified query — terms present in the fixture corpus.
+_BM25_QUERY = ("vector", "hash", "stream")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN ('vector', 'hash', 'stream')
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_K1} + 1.0))
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df    ON tf.token  = df.token
+      JOIN dl    ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25(k1=1.2, b=0.75) top-10 for a fixed 3-term query.
+
+    Scale shape: `tf` shuffles once on (doc_id, token); doc lengths reuse
+    that relation (no second corpus scan); the per-query work after the
+    `token IN (...)` filter touches only the probe terms' postings, with the
+    3-row df side broadcast. Top-k is TakeOrderedAndProject — no global
+    sort. At 100 TB the tf/dl relations are the materialized inverted index
+    (write once, partitionBy bucketed token ranges); this query certifies
+    the scoring algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = (
+        tf.where(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = idf * (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "gopher_repetition_filters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, sum(cnt) AS n_tokens,
+             count(*) AS n_distinct,
+             max(cnt) AS top1
+      FROM (SELECT doc_id, token, count(*) AS cnt
+            FROM toks GROUP BY doc_id, token) c
+      GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT a.doc_id, max(cnt) AS top2
+      FROM (
+        SELECT a.doc_id, a.token AS t1, b.token AS t2, count(*) AS cnt
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2, 3
+      ) a
+      GROUP BY a.doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(u.n_distinct AS DOUBLE) / u.n_tokens, 6)      AS distinct_frac,
+           round(CAST(u.top1 AS DOUBLE) / u.n_tokens, 6)            AS top_unigram_frac,
+           round(CAST(b.top2 AS DOUBLE) / (u.n_tokens - 1), 6)      AS top_bigram_frac
+    FROM uni u JOIN bi b ON u.doc_id = b.doc_id
+    WHERE u.n_tokens > 1
+    """,
+)
+def gopher_repetition_filters(spark, sf_dir):
+    """Per-document repetition signals (Gopher §A1.1 family): share of the
+    doc consumed by its modal unigram/bigram + distinct-token fraction.
+
+    Spark plan: one posexplode, unigram counts via groupBy, bigrams via a
+    single `lead` window over the SAME (doc_id, pos) shuffle — no token
+    self-join (the oracle's join-on-pos+1 is the set-semantics equivalent,
+    fine at oracle scale only). All outputs are rationals of exact integer
+    counts rounded at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    uni_counts = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("t2", F.lead("token").over(w)).where(
+        F.col("t2").isNotNull()
+    )
+    bi = (
+        bigrams.groupBy("doc_id", "token", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top2"))
+    )
+    return (
+        uni.join(bi, "doc_id")
+        .where(F.col("n_tokens") > 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_frac"
+            ),
+            F.round(F.col("top1") / F.col("n_tokens"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(F.col("top2") / (F.col("n_tokens") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
