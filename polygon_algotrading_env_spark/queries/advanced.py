@@ -164,6 +164,32 @@ def promo_revenue_share(spark, sf_dir):
     )
 
 
+# --- scalable global row numbering (zipWithIndex, DataFrame-native) -------
+@register(
+    "global_ordinals_orders",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS ordinal
+    FROM orders
+    """,
+)
+def global_ordinals_orders(spark, sf_dir):
+    """Global 1-based ordinals by (o_orderdate, o_orderkey) — certified
+    equal to row_number() over the global order, but computed with
+    range-partition + per-partition windows + a broadcast prefix-sum of
+    partition counts (operators/ids.py). The oracle's formulation is the
+    single-partition plan this operator exists to avoid."""
+    from polygon_algotrading_env_spark.operators.ids import with_global_ordinals
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    out = with_global_ordinals(
+        orders, ["o_orderdate", "o_orderkey"], ordinal_col="ordinal"
+    )
+    return out.select("o_orderkey", "ordinal")
+
+
 # --- ntile decile histogram ----------------------------------------------
 @register(
     "order_price_deciles",
