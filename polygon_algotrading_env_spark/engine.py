@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from polygon_algotrading_env_spark import catalog, pipelines
@@ -122,6 +123,24 @@ class Engine:
                 })
             return _sim.ivf_topk(embeddings, query_vec, cents, k=k, **kw)
         raise ValueError(f"unknown search method: {method!r}")
+
+    def text_search(
+        self, docs: DataFrame, query_terms, k: int = 10, **kw
+    ) -> DataFrame:
+        """Lexical BM25 top-k over a document table (the keyword baseline
+        next to :meth:`search`'s embedding path). Pass ``tf_table`` to
+        probe a materialized inverted index."""
+        from polygon_algotrading_env_spark.operators.retrieval import bm25_scores
+
+        scored = bm25_scores(docs, query_terms, **kw)
+        return scored.orderBy(F.desc("score"), "id").limit(k)
+
+    def ordinals(self, df: DataFrame, order_cols, **kw) -> DataFrame:
+        """Global row numbers under a total order without a one-partition
+        sort (operators/ids.py two-phase zipWithIndex)."""
+        from polygon_algotrading_env_spark.operators.ids import with_global_ordinals
+
+        return with_global_ordinals(df, order_cols, **kw)
 
     def cluster_duplicates(
         self, docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -78,35 +78,14 @@ def bm25_topk_docs(spark, sf_dir):
     sort. At 100 TB the tf/dl relations are the materialized inverted index
     (write once, partitionBy bucketed token ranges); this query certifies
     the scoring algebra."""
+    from polygon_algotrading_env_spark.operators.retrieval import bm25_scores
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(word_tokens("text")).alias("token")
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df_ = (
-        tf.where(F.col("token").isin(*_BM25_QUERY))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    w = idf * (F.col("tf") * (_K1 + 1.0)) / (
-        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(w).alias("score"))
-    )
+    scored = bm25_scores(docs, _BM25_QUERY, k1=_K1, b=_B)
     return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        scored.select(
+            F.col("id").alias("doc_id"), F.round("score", 6).alias("bm25")
+        )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )

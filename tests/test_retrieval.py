@@ -1,0 +1,75 @@
+"""BM25 operator: hand-computed score check, materialized-index reuse,
+and facade wiring."""
+
+import math
+
+import pytest
+
+from polygon_algotrading_env_spark.operators.retrieval import (
+    bm25_scores,
+    term_frequencies,
+)
+
+DOCS = [
+    (1, "spark spark shuffle"),
+    (2, "spark join"),
+    (3, "window sort"),
+]
+
+
+def _expected_bm25(query, k1=1.2, b=0.75):
+    corpus = {i: t.split() for i, t in DOCS}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    out = {}
+    for i, toks in corpus.items():
+        s = 0.0
+        for q in query:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            df = sum(1 for v in corpus.values() if q in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {r["id"]: r["score"] for r in bm25_scores(docs, ["spark", "sort"]).collect()}
+    want = _expected_bm25(["spark", "sort"])
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+    # tf-weighting: doc 1 (tf=2) must outrank doc 2 (tf=1) for 'spark'
+    assert got[1] > got[2]
+
+
+def test_bm25_probes_materialized_index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    tf = term_frequencies(docs)
+    direct = {r["id"]: r["score"] for r in bm25_scores(docs, ["join"]).collect()}
+    via_index = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["join"], tf_table=tf).collect()
+    }
+    assert direct == via_index
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_engine_text_search_and_ordinals(spark):
+    from polygon_algotrading_env_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    top = eng.text_search(docs, ["spark"], k=1).collect()
+    assert len(top) == 1 and top[0]["id"] == 1
+    ords = eng.ordinals(docs, ["doc_id"]).orderBy("ordinal").collect()
+    assert [r["doc_id"] for r in ords] == [1, 2, 3]
