@@ -48,29 +48,40 @@ def bm25_scores(
     top (Spark plans TakeOrderedAndProject, no global sort).
 
     Pass ``tf_table`` (a materialized :func:`term_frequencies` output) to
-    probe an existing index; otherwise the index relations are derived in
-    the same plan. Either way the probe filters posting lists to the
-    query's terms BEFORE any scoring math, so per-query work is
-    proportional to the matched postings, and the query-sized df/idf side
-    broadcasts.
+    probe an existing index; otherwise the probe-relevant slice of the
+    index is derived in the same plan. Plan shape either way:
+
+    - document lengths are a pure PROJECTION (``size(word_tokens)``,
+      restricted to non-empty docs) — never a corpus-wide aggregate;
+    - the ``token IN (query)`` filter sits BELOW the tf aggregate, so the
+      only (id, token) shuffle carries the query's postings, not the
+      corpus's, and AQE broadcasts that filtered side into the dl join —
+      the full corpus is scanned but never shuffled;
+    - the query-sized df/idf and 1-row stats sides broadcast.
     """
     terms = [t for t in query_terms if t]
     if not terms:
         raise ValueError("query_terms must contain at least one term")
-    tf = (
-        tf_table
-        if tf_table is not None
-        else term_frequencies(docs, id_col, text_col)
-    )
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    if tf_table is not None:
+        tf = tf_table.where(F.col("token").isin(*terms))
+    else:
+        tf = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.explode(word_tokens(F.col(text_col))).alias("token"),
+            )
+            .where(F.col("token").isin(*terms))
+            .groupBy("id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(word_tokens(F.col(text_col))).alias("dl"),
+    ).where(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    df_ = (
-        tf.where(F.col("token").isin(*terms))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

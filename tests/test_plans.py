@@ -86,3 +86,41 @@ def test_curation_window_ops_single_shuffle(spark, sf_dir, q):
     # hash_split is a pure projection — zero shuffles
     st = plan_stats(q["train_val_test_split"](spark, sf_dir))
     assert st.shuffle_exchanges == 0
+
+
+def test_bm25_probe_is_topk_not_sort(spark, sf_dir, q):
+    """BM25's probe: term-filtered postings only reach the shuffle, the
+    df/stats sides broadcast, and top-k is TakeOrderedAndProject."""
+    st = plan_stats(q["bm25_topk_docs"](spark, sf_dir))
+    assert st.take_ordered == 1
+    assert st.sort_merge_joins == 0
+    assert st.shuffle_exchanges <= 5
+
+
+def test_decorrelated_scalar_subquery_broadcasts(spark, sf_dir, q):
+    st = plan_stats(q["small_quantity_revenue"](spark, sf_dir))
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+
+
+def test_promo_share_single_pass(spark, sf_dir, q):
+    """CASE-gated numerator/denominator in ONE aggregate: one broadcast
+    join, one shuffle (the final 1-row agg), shipdate filter pushed."""
+    st = plan_stats(q["promo_revenue_share"](spark, sf_dir))
+    assert st.broadcast_joins == 1
+    assert st.shuffle_exchanges == 1
+    assert any("l_shipdate" in f for f in st.pushed_filters)
+
+
+def test_outer_histogram_reuses_join_partitioning(spark, sf_dir, q):
+    """groupBy(c_custkey) must reuse the join's hash partitioning — only
+    the join exchanges and the tiny c_count histogram agg shuffle."""
+    st = plan_stats(q["left_outer_order_count_histogram"](spark, sf_dir))
+    assert st.shuffle_exchanges <= 3
+
+
+def test_gopher_filters_share_token_shuffle(spark, sf_dir, q):
+    """Unigram counts, bigram lead-window, and the per-doc rollup ride
+    three shuffles total — no token self-join."""
+    st = plan_stats(q["gopher_repetition_filters"](spark, sf_dir))
+    assert st.shuffle_exchanges <= 3
+    assert st.sort_merge_joins == 0
