@@ -456,3 +456,44 @@ def pairwise_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("id_a", "id_b", "score", "rank")
     )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic-duplicate candidate pairs: ``(id_a < id_b,
+    score)`` for every blocked pair with cosine ≥ ``threshold``.
+
+    ``block_col`` bounds the pair space exactly as in
+    :func:`pairwise_cosine_topk` — an SRP bucket (:func:`add_srp_buckets`)
+    or cluster/label key turns the quadratic all-pairs into per-block
+    equi-joins, which is the published SemDeDup recipe (k-means cluster,
+    then in-cluster pairwise). Feed the output to
+    ``operators.graph.connected_components`` + ``cluster_survivors`` to
+    pick one representative per semantic cluster.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    joined = (
+        a.join(b, "blk", "inner") if block_col else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        joined.select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -207,3 +207,59 @@ def embedding_neighbors_blocked(spark, sf_dir):
     score grid break deterministically by neighbor id on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pairwise_cosine_topk(emb, k=3, block_col="label")
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+    ),
+    sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    reach(id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+    )
+    SELECT id AS vec_id,
+           min(r)                AS cluster,
+           CAST(id = min(r) AS BOOLEAN) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup end-to-end (Abbas et al. 2023): blocked pairwise cosine ≥
+    threshold → connected components → one deterministic survivor (min
+    vec_id) per semantic cluster. Blocks are the fixture's ``label``
+    column standing in for the k-means cluster assignment (the IVF
+    quantizer provides it in production, operators/similarity.py); the
+    threshold sits where the fixture's random-ish embeddings actually
+    have pair mass — the certified object is the pipeline semantics, not
+    the constant. The oracle replays pairs + reachability as a recursive
+    CTE, feasible only at oracle scale; the engine side is the log-round
+    hash-min CC (operators/graph.py)."""
+    from polygon_algotrading_env_spark.operators.graph import connected_components
+    from polygon_algotrading_env_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(emb, threshold=0.35, block_col="label")
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        vertices=emb.select(F.col("vec_id").alias("id")),
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

@@ -202,3 +202,38 @@ def test_ivf_centroids_unbiased_under_partition_skew(spark, sf_dir):
     ]
     assert probe_id in approx
     assert len(set(exact) & set(approx)) >= 4
+
+
+def test_semantic_dup_pairs_and_survivors(spark):
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components,
+    )
+    from polygon_algotrading_env_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    # v1 ≈ v2 (same direction), v3 orthogonal, v4 ≈ v1 but other block.
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    )
+    pairs = semantic_dup_pairs(emb, threshold=0.95, block_col="label")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}  # 4 matches 1 in cosine but is blocked apart
+
+    labels = connected_components(
+        pairs.selectExpr("id_a as src", "id_b as dst"),
+        vertices=emb.selectExpr("vec_id as id"),
+    )
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 4}
+
+    # unblocked: cross-block pair appears
+    all_pairs = semantic_dup_pairs(emb, threshold=0.95)
+    got_all = {(r["id_a"], r["id_b"]) for r in all_pairs.collect()}
+    assert got_all == {(1, 2), (1, 4), (2, 4)}
