@@ -260,3 +260,51 @@ def stream_dedup_ledger(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    lookahead: str = "0 seconds",
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with the time-interval condition that makes it
+    state-bounded: right rows match a left row when they share ``on`` and
+    ``right_ts`` lies in ``[left_ts - lookback, left_ts + lookahead]``.
+
+    Both sides carry event-time watermarks, and the range condition gives
+    Spark the proof it needs to EVICT join state (an unconstrained
+    stream-stream join must buffer both streams forever — the classic
+    production OOM). This is the live form of the batch band join
+    (operators/rangejoin.py): trade-vs-quote enrichment, order-vs-fill
+    matching, candle-vs-corporate-action tagging all reduce to it.
+
+    ``how``: 'inner' or the watermark-dependent outer forms
+    ('leftOuter'/'rightOuter'/'fullOuter') Spark supports for interval
+    joins; outer results emit only once the watermark closes the match
+    window.
+    """
+    if on not in left.columns or on not in right.columns:
+        raise ValueError(f"join key {on!r} must exist on both streams")
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must be named differently (rename one "
+            "side) — the join output carries both event-time columns"
+        )
+    lw = (
+        _watermarkable(left, left_ts)
+        .withWatermark(left_ts, watermark_delay)
+        .withColumnRenamed(on, "__k")
+    )
+    rw = _watermarkable(right, right_ts).withWatermark(right_ts, watermark_delay)
+    cond = (
+        (F.col("__k") == F.col(on))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {lookahead}"))
+    )
+    return lw.join(rw, cond, how).drop("__k")

@@ -200,3 +200,58 @@ def test_stream_bars_from_page_store_end_to_end(spark, tmpdir):
         ).collect()
     }
     assert got == want and len(got) == 6  # 2 symbols x 3 buckets
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on key within [t-10m, t]: matches inside the
+    interval survive, outside are dropped; plan carries both watermarks."""
+    from datetime import datetime
+
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    spark.createDataFrame(
+        [("SPY", t(30), 1.0), ("TLT", t(30), 2.0)],
+        "ticker string, lts timestamp, lval double",
+    ).coalesce(1).write.parquet(lsrc)
+    spark.createDataFrame(
+        [
+            ("SPY", t(25), 10.0),   # inside 10m lookback -> match
+            ("SPY", t(10), 11.0),   # too old -> dropped
+            ("SPY", t(35), 12.0),   # after left (lookahead 0) -> dropped
+            ("TLT", t(29), 13.0),   # inside -> match
+        ],
+        "ticker string, rts timestamp, rval double",
+    ).coalesce(1).write.parquet(rsrc)
+
+    left = spark.readStream.schema("ticker string, lts timestamp, lval double").parquet(lsrc)
+    right = spark.readStream.schema("ticker string, rts timestamp, rval double").parquet(rsrc)
+    joined = stream_stream_interval_join(
+        left, right, on="ticker", left_ts="lts", right_ts="rts",
+        lookback="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    got = sorted((r["ticker"], r["rval"]) for r in rows)
+    assert got == [("SPY", 10.0), ("TLT", 13.0)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(left, right, on="nope", left_ts="lts", right_ts="rts")
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(
+            left, right.withColumnRenamed("rts", "lts"), on="ticker",
+            left_ts="lts", right_ts="lts",
+        )
