@@ -1,6 +1,6 @@
 """Retrieval & repetition-quality queries over the ``documents`` fixture.
 
-Two LLM-data-pipeline capabilities beyond the reference surface:
+LLM-data-pipeline capabilities beyond the reference surface:
 
 - **BM25 top-k retrieval** over an engine-built inverted index — the
   lexical-search baseline every corpus pipeline needs next to the embedding
@@ -13,8 +13,10 @@ Two LLM-data-pipeline capabilities beyond the reference surface:
   distinct-token fraction — the standard signals for machine-generated or
   boilerplate-heavy text. Exact rationals of integer counts, so the oracle
   hash is stable across engines.
+- **Hashed TF-IDF feature vectors** — the vocabulary-free text→vector
+  bridge (hashing trick), sparse (doc, feature, weight) triples.
 
-Both are SQL-expressible and certified against DuckDB.
+All are SQL-expressible and certified against DuckDB.
 """
 
 from __future__ import annotations
@@ -174,4 +176,54 @@ def gopher_repetition_filters(spark, sf_dir):
                 "top_bigram_frac"
             ),
         )
+    )
+
+
+@register(
+    "hashed_tfidf_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    dfm AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(('0x' || substring(md5(tf.token), 1, 4))::BIGINT % 64 AS INT)
+             AS feature,
+           round(sum(tf.tf * (ln((s.n_docs + 1.0) / (dfm.df + 1.0)) + 1.0)), 6)
+             AS weight
+    FROM tf JOIN dfm USING (token) CROSS JOIN stats s
+    GROUP BY 1, 2
+    """,
+)
+def hashed_tfidf_features(spark, sf_dir):
+    """Feature-hashed TF-IDF vectorization (the 'hashing trick'): every
+    token maps to one of 64 feature slots via the first 16 bits of its
+    md5 (engine-portable, like the certified hash split); slot weight is
+    Σ tf·idf over colliding tokens, idf smoothed as ln((N+1)/(df+1))+1.
+    Output is the sparse (doc, feature, weight) triple form — the bridge
+    from raw text to fixed-width model-input vectors with NO vocabulary
+    file to ship: at 100 TB a dictionary-based vectorizer needs a fitted,
+    versioned vocab table; the hashed form needs only the dimension
+    constant. Plan: one explode, two hash aggregates, vocab-sized df side
+    broadcast back — the same scan shape as doc_rarity_scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfm = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    feature = (
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(dfm), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", feature.alias("feature"))
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("weight"))
     )
