@@ -225,3 +225,47 @@ def order_price_deciles(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# --- Q22 shape: scalar subquery threshold + anti join + prefix grouping ---
+@register(
+    "idle_customer_balance_by_segment",
+    oracle="""
+    WITH thresh AS (
+      SELECT avg(c_acctbal) AS cutoff FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           count(*)                   AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN thresh t
+    WHERE c.c_acctbal > t.cutoff
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def idle_customer_balance_by_segment(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy-but-inactive accounts. A global scalar
+    subquery (avg positive balance) gates the dim scan via a 1-row
+    broadcast; the activity check is a left-anti join against a filtered
+    fact slice; the rollup groups by segment. Composes three shapes —
+    uncorrelated scalar subquery, anti join with join-side predicate,
+    grouped aggregate — in one certified plan with zero fact shuffles
+    (anti side is the only fact scan, and it ships only o_custkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thresh = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("cutoff"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
