@@ -143,6 +143,15 @@ class PolygonPagesStreamReader(DataSourceStreamReader):
         self.last_entry_ts = (
             int(options["lastentryts"]) if "lastentryts" in options else None
         )
+        # Same per-symbol watermark map as the batch reader: records at or
+        # below a symbol's watermark are skipped even on the FIRST batch
+        # (checkpointed page offsets only protect restarts of the same
+        # query; a brand-new stream over a store with history needs the
+        # bookmark to avoid re-emitting already-landed rows).
+        self.wm_by_symbol: dict[str, int] = {
+            k: int(v)
+            for k, v in json.loads(options.get("lastentrybysymbol", "{}")).items()
+        }
         self.page_gap_ms = int(options.get("minpagegapms", "0"))
 
     def _symbol_list(self) -> list[str]:
@@ -192,6 +201,7 @@ class PolygonPagesStreamReader(DataSourceStreamReader):
             with open(os.path.join(sym_dir, name)) as f:
                 return json.load(f).get("results") or []
 
+        watermark = self.wm_by_symbol.get(partition.symbol, self.last_entry_ts)
         prev_last_t = None
         if partition.start_page > 0:
             # Seed the monotonic guard across the batch boundary: the
@@ -205,7 +215,7 @@ class PolygonPagesStreamReader(DataSourceStreamReader):
                 time.sleep(self.page_gap_ms / 1000.0)
             for rec in _page_results(page_name):
                 t = rec["t"]
-                if self.last_entry_ts is not None and t <= self.last_entry_ts:
+                if watermark is not None and t <= watermark:
                     continue  # watermark guard
                 if prev_last_t is not None and t <= prev_last_t:
                     continue  # monotonic guard (page-overlap dup)

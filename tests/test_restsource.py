@@ -154,3 +154,27 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     # Third run with no new pages: no new rows, no re-emission.
     _run_stream(spark, root, ckpt, out)
     assert len(spark.read.parquet(out).collect()) == 6
+
+
+def test_stream_per_symbol_watermark(spark, tmp_path):
+    """A NEW stream over a store with history skips records at/below each
+    symbol's bookmark watermark — checkpoint offsets only protect
+    restarts; the bookmark protects first runs."""
+    root = str(tmp_path / "pages")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_page(root, "SPY", 0, [_rec(0), _rec(1), _rec(2)])
+    _write_page(root, "TLT", 0, [_rec(0), _rec(1)])
+    q = (
+        spark.readStream.format("polygon_pages")
+        .option("path", root)
+        .option("lastentrybysymbol", json.dumps({"SPY": 1 * DAY_MS}))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["ticker"], r["t"]) for r in spark.read.parquet(out).collect())
+    assert got == [("SPY", 2 * DAY_MS), ("TLT", 0), ("TLT", 1 * DAY_MS)]
