@@ -1,0 +1,110 @@
+"""Incremental materialized bar view (operators/incremental.py):
+delta-only refresh must equal a full recompute from the snapshot."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from polygon_algotrading_env_spark.operators.bars import ohlcv_bars
+from polygon_algotrading_env_spark.operators.incremental import (
+    read_bar_view,
+    refresh_bar_view,
+    view_last_version,
+)
+from polygon_algotrading_env_spark.sources.versioned import VersionedTable
+
+TICKS = "ticker string, ts timestamp, price double, size double"
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="pae_spark_incr_")
+    yield f"{d}/table", f"{d}/view"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _t(m, s=0):
+    return datetime(2024, 1, 1, 10, m, s)
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(rows, TICKS)
+
+
+def _full(spark, table):
+    return ohlcv_bars(
+        table.read(), "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+
+
+def _canon(df):
+    return sorted(
+        (r["ticker"], r["bucket_start"], r["open"], r["high"], r["low"],
+         r["close"], r["volume"], r["n_trades"])
+        for r in df.collect()
+    )
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, dirs):
+    troot, vroot = dirs
+    table = VersionedTable(spark, troot)
+    table.write(_ticks(spark, [
+        ("SPY", _t(0), 100.0, 1.0),
+        ("SPY", _t(1), 105.0, 2.0),
+        ("TLT", _t(0), 50.0, 1.0),
+    ]))
+    n = refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+    assert n == 2 and view_last_version(vroot) == 0
+
+    # Batch 2: late tick into the EXISTING bucket (new low + new close)
+    # plus a brand-new bucket.
+    table.write(_ticks(spark, [
+        ("SPY", _t(2), 95.0, 1.0),
+        ("SPY", _t(7), 110.0, 1.0),
+    ]), mode="append")
+    n2 = refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+    assert n2 == 3 and view_last_version(vroot) == 1
+    assert _canon(read_bar_view(spark, vroot)) == _canon(_full(spark, table))
+    spy0 = [r for r in read_bar_view(spark, vroot).collect()
+            if r["ticker"] == "SPY" and r["bucket_start"] == _t(0)][0]
+    assert (spy0["open"], spy0["low"], spy0["close"]) == (100.0, 95.0, 95.0)
+
+    # Already current -> no-op.
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is None
+
+
+def test_non_append_commit_forces_rebuild(spark, dirs):
+    troot, vroot = dirs
+    table = VersionedTable(spark, troot)
+    table.write(_ticks(spark, [("SPY", _t(0), 100.0, 1.0)]))
+    refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+    table.delete_where("price > 1000.0")  # non-append commit
+    with pytest.raises(ValueError):
+        refresh_bar_view(
+            spark, table, vroot, "ts", "price", "5 minutes",
+            keys=("ticker",), volume_col="size",
+        )
+    # Documented recovery: drop the view, full-build branch takes over.
+    shutil.rmtree(vroot)
+    n = refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+    assert n == 1 and _canon(read_bar_view(spark, vroot)) == _canon(_full(spark, table))
