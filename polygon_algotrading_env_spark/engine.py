@@ -135,6 +135,23 @@ class Engine:
         scored = bm25_scores(docs, query_terms, **kw)
         return scored.orderBy(F.desc("score"), "id").limit(k)
 
+    def refresh_view(self, table, view_root: str, **kw) -> int | None:
+        """Bring an incremental materialized OHLCV view up to the
+        versioned table's latest commit (operators/incremental.py) —
+        delta-only aggregation, touched-bucket re-merge."""
+        from polygon_algotrading_env_spark.operators.incremental import (
+            refresh_bar_view,
+        )
+
+        return refresh_bar_view(self.spark, table, view_root, **kw)
+
+    def read_view(self, view_root: str) -> DataFrame:
+        from polygon_algotrading_env_spark.operators.incremental import (
+            read_bar_view,
+        )
+
+        return read_bar_view(self.spark, view_root)
+
     def ordinals(self, df: DataFrame, order_cols, **kw) -> DataFrame:
         """Global row numbers under a total order without a one-partition
         sort (operators/ids.py two-phase zipWithIndex)."""

@@ -108,3 +108,17 @@ def test_non_append_commit_forces_rebuild(spark, dirs):
         keys=("ticker",), volume_col="size",
     )
     assert n == 1 and _canon(read_bar_view(spark, vroot)) == _canon(_full(spark, table))
+
+
+def test_engine_facade_refresh_and_read(spark, dirs):
+    from polygon_algotrading_env_spark.engine import Engine
+
+    troot, vroot = dirs
+    eng = Engine(spark)
+    table = eng.versioned_table(troot)
+    table.write(_ticks(spark, [("SPY", _t(0), 100.0, 1.0)]))
+    n = eng.refresh_view(
+        table, vroot, ts_col="ts", price_col="price", duration="5 minutes",
+        keys=("ticker",), volume_col="size",
+    )
+    assert n == 1 and eng.read_view(vroot).count() == 1
