@@ -450,3 +450,52 @@ def rank_fractions_per_flag(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+@register(
+    "map_and_timezone_suite",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 2)  AS prio_name,
+           CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+           'name,num'                           AS map_keys_sorted,
+           strftime(CAST(timezone('America/New_York', o_orderdate)
+                         AS TIMESTAMP), '%Y-%m-%d %H:%M') AS utc_wall
+    FROM orders
+    """,
+)
+def map_and_timezone_suite(spark, sf_dir):
+    """Map-typed columns + DST-aware timezone conversion in one scan.
+
+    The priority code splits into a MAP('num' -> .., 'name' -> ..) via
+    str_to_map and is read back with element_at/map_keys — certifying the
+    map construction/lookup surface against an oracle that computes the
+    same values with split_part. The reference's naive-Eastern-time bug
+    (ts_to_datetime TODO, aggregates_etl.py:34) is answered with the
+    explicit conversion: to_utc_timestamp(ts, 'America/New_York') — DST
+    boundaries included — which DuckDB mirrors as timezone(tz, ts).
+    Wall-clock results are exposed as formatted strings so the hash does
+    not depend on either engine's timestamp rendering; both sessions run
+    UTC (session.py pins Spark; the harness container runs UTC DuckDB).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    m = F.str_to_map(
+        F.concat_ws(
+            ";",
+            F.concat(F.lit("num="), parts.getItem(0)),
+            F.concat(F.lit("name="), parts.getItem(1)),
+        ),
+        F.lit(";"),
+        F.lit("="),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "name").alias("prio_name"),
+        F.element_at(m, "num").cast("int").alias("prio_num"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("map_keys_sorted"),
+        F.date_format(
+            F.to_utc_timestamp(F.col("o_orderdate"), "America/New_York"),
+            "yyyy-MM-dd HH:mm",
+        ).alias("utc_wall"),
+    )
