@@ -12,7 +12,6 @@ over the driver fixtures, with the Spark plan chosen for 100 TB scale
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from polygon_algotrading_env_spark.catalog import load_table
 from polygon_algotrading_env_spark.queries import register
@@ -207,17 +206,31 @@ def global_ordinals_orders(spark, sf_dir):
     """,
 )
 def order_price_deciles(spark, sf_dir):
-    """Decile bands of order value via ntile. The global ORDER BY is a full
-    sort — the honest cost of exact ntile; ties broken by o_orderkey so both
-    engines assign identically. At 100 TB you'd swap this for
-    approx_percentile boundaries + a bucketing join (see
-    `exact_percentiles_per_flag` for the exact-within-group variant); this
-    query certifies the exact semantics."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """EXACT decile bands without the single-partition ntile window.
+
+    ``ntile(n)`` over a global ORDER BY plans one task sorting the world;
+    this plan reproduces its exact bucket assignment in parallel:
+    global ordinals via the range-partitioned zipWithIndex operator
+    (operators/ids.py), then ``bucket = ((ordinal-1)·n) DIV N + 1`` —
+    algebraically identical to ntile's first-buckets-get-the-remainder
+    distribution (sizes differ by ≤1, larger first). Ties broken by
+    o_orderkey so both engines assign identically; the oracle keeps the
+    window formulation to certify the equivalence."""
+    from polygon_algotrading_env_spark.operators.ids import with_global_ordinals
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_ordinals(
+        orders, ["o_totalprice", "o_orderkey"], ordinal_col="ordinal"
+    )
+    n_rows = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
     return (
-        orders.select("o_totalprice", "o_orderkey")
-        .withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n_rows))
+        .withColumn(
+            "decile",
+            F.expr("CAST(((ordinal - 1) * 10) DIV n_rows + 1 AS INT)"),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
