@@ -307,4 +307,11 @@ def stream_stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {lookahead}"))
     )
-    return lw.join(rw, cond, how).drop("__k")
+    # Re-derive the key from whichever side is present: in the outer
+    # forms one side is null-extended, and dropping the left key alone
+    # would null the key on every unmatched left row.
+    return (
+        lw.join(rw, cond, how)
+        .withColumn(on, F.coalesce(F.col(on), F.col("__k")))
+        .drop("__k")
+    )

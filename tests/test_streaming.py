@@ -255,3 +255,29 @@ def test_stream_stream_interval_join(spark, tmp_path):
             left, right.withColumnRenamed("rts", "lts"), on="ticker",
             left_ts="lts", right_ts="lts",
         )
+
+
+def test_interval_join_left_outer_keeps_key(spark):
+    """Unmatched left rows in the outer form must keep their join key
+    (the renamed-left-key coalesce). Batch DataFrames exercise the same
+    plan logic without waiting on watermark-close emission."""
+    from datetime import datetime
+
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [("SPY", t(30), 1.0), ("IWM", t(30), 3.0)],
+        "ticker string, lts timestamp, lval double",
+    )
+    right = spark.createDataFrame(
+        [("SPY", t(25), 10.0)], "ticker string, rts timestamp, rval double"
+    )
+    out = stream_stream_interval_join(
+        left, right, on="ticker", left_ts="lts", right_ts="rts",
+        lookback="10 minutes", how="leftOuter",
+    ).collect()
+    got = sorted((r["ticker"], r["rval"]) for r in out)
+    assert got == [("IWM", None), ("SPY", 10.0)]
