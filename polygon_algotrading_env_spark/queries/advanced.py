@@ -282,3 +282,44 @@ def idle_customer_balance_by_segment(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- order-independent table fingerprint (replica verification) -----------
+@register(
+    "fingerprint_orders",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(concat_ws(chr(31),
+                coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                coalesce(o_orderstatus, chr(0) || 'NULL'),
+                coalesce(o_orderpriority, chr(0) || 'NULL'),
+                coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(0) || 'NULL')
+              )), 1, 12))::BIGINT AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)                     AS n_rows,
+           coalesce(bit_xor(h), 0)                      AS xor_fp,
+           CAST(coalesce(sum(h) % 281474976710656, 0) AS BIGINT) AS sum_fp
+    FROM h
+    """,
+)
+def fingerprint_orders(spark, sf_dir):
+    """Order-independent fingerprint of the orders table (key columns +
+    formatted date): one scan, map-side partial aggregation, 1-row
+    output. The certified object is cross-ENGINE agreement — the md5-int
+    convention means any system (here DuckDB standing in for 'the other
+    copy') can verify a Spark-produced fingerprint, which is the whole
+    point of a migration/replica check (operators/checksum.py)."""
+    from polygon_algotrading_env_spark.operators.checksum import table_fingerprint
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    return table_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "d"]
+    )

@@ -1,0 +1,46 @@
+"""Table fingerprints: multiset sensitivity and invariances."""
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.operators.checksum import table_fingerprint
+
+
+def _fp(df):
+    r = table_fingerprint(df, df.columns).collect()[0]
+    return (r["n_rows"], r["xor_fp"], r["sum_fp"])
+
+
+def test_order_and_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(100)], "id int, s string"
+    )
+    assert _fp(df) == _fp(df.orderBy(F.desc("id")).repartition(7))
+
+
+def test_detects_changed_missing_and_duplicated_rows(spark):
+    base = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], "id int, s string"
+    )
+    changed = base.withColumn(
+        "s", F.when(F.col("id") == 3, "mutated").otherwise(F.col("s"))
+    )
+    assert _fp(base) != _fp(changed)
+    assert _fp(base) != _fp(base.where("id <> 3"))
+    # duplicate PAIR: xor cancels, sum/count still catch it
+    dup2 = base.unionAll(base.where("id = 3")).unionAll(base.where("id = 3"))
+    b, d = _fp(base), _fp(dup2)
+    assert b != d and b[1] == d[1]
+
+
+def test_null_vs_empty_and_boundary_shift(spark):
+    a = spark.createDataFrame([(1, None)], "id int, s string")
+    b = spark.createDataFrame([(1, "")], "id int, s string")
+    assert _fp(a) != _fp(b)
+    c = spark.createDataFrame([("ab", "c")], "x string, y string")
+    d = spark.createDataFrame([("a", "bc")], "x string, y string")
+    assert _fp(c) != _fp(d)
+
+
+def test_empty_relation_fingerprint(spark):
+    e = spark.createDataFrame([], "id int, s string")
+    assert _fp(e) == (0, 0, 0)
