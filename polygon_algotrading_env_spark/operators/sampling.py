@@ -212,3 +212,54 @@ def curriculum_buckets(
         else Window.partitionBy().orderBy(*[F.col(c) for c in order_cols])
     )
     return df.withColumn(stage_col, F.ntile(n_stages).over(w).cast("int"))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    key_col: str = "doc_id",
+    out_col: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: keep the k
+    rows per group with the largest Efraimidis–Spirakis keys
+    ``u^(1/w)`` — computed as ``ln(u)/w`` (same ordering, better
+    conditioning) with ``u`` derived from the row key's md5, not an RNG.
+
+    P(row selected) is proportional to its weight, exactly the
+    reservoir-sampling guarantee — but because ``u`` is a hash, the
+    sample is REPRODUCIBLE across runs and engines and stable under
+    partitioning, which seeded ``sample()`` is not (Spark's RNG is
+    per-partition-split dependent). Quality-weighted corpus subsampling
+    ("keep ~10%, favor high quality") is this with w = quality.
+
+    Weights must be > 0 (enforced); one window per group, single shuffle.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col)
+    guarded = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample_per_group: non-positive {weight_col}: "),
+                w.cast("string"),
+            )
+        )
+    )
+    # u in (0, 1): 48 md5 bits shifted off zero — ln(u) stays finite.
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    es_key = F.log(u) / guarded
+    win = Window.partitionBy(
+        *[F.col(c) for c in group_cols]
+    ).orderBy(F.desc(out_col), F.col(key_col))
+    return (
+        df.withColumn(out_col, es_key)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -862,3 +862,40 @@ def train_test_contamination(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return cross_split_contamination(hash_split(docs, "doc_id"))
+
+
+@register(
+    "weighted_sample_by_length",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 + 0.5) / 281474976710656.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id, lang, es_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, round(es_key, 6) AS es_key
+    FROM r WHERE rn <= 5
+    """,
+)
+def weighted_sample_by_length(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis, hash-derived
+    uniforms): top-5 docs per language with selection probability ∝
+    n_chars. Certified cross-engine because the 'randomness' is md5 of
+    the key — the reproducibility that seeded RNG sampling cannot give
+    (operators/sampling.py: weighted_sample_per_group)."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    out = weighted_sample_per_group(
+        docs, weight_col="n_chars", k=5, group_cols=("lang",), key_col="doc_id"
+    )
+    return out.select("doc_id", "lang", F.round("es_key", 6).alias("es_key"))

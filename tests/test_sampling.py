@@ -117,3 +117,34 @@ def test_curriculum_buckets_monotone_and_balanced(spark):
     from collections import Counter
 
     assert set(Counter(stages).values()) == {3}  # 12 rows -> 4 equal stages
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    # 200 light rows (w=1) + 10 heavy rows (w=1000): heavy rows should
+    # dominate a k=10 sample by the ES guarantee.
+    rows = [(i, "g", 1.0) for i in range(200)] + [
+        (1000 + i, "g", 1000.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = weighted_sample_per_group(
+        df, "w", k=10, group_cols=("grp",), key_col="doc_id"
+    )
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == 10
+    assert sum(1 for i in ids if i >= 1000) >= 8  # heavies dominate
+    # deterministic: identical on rerun and under repartitioning
+    again = weighted_sample_per_group(
+        df.repartition(13), "w", k=10, group_cols=("grp",), key_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
+
+    bad = spark.createDataFrame([(1, "g", 0.0)], "doc_id long, grp string, w double")
+    with pytest.raises(Exception):
+        weighted_sample_per_group(bad, "w", k=1, key_col="doc_id").collect()
