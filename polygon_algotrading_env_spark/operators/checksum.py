@@ -62,3 +62,39 @@ def table_fingerprint(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.lit(0),
         ).alias("sum_fp"),
     )
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact multiset diff of two relations: rows whose occurrence counts
+    differ, with both counts attached (0 = absent). The drill-down step
+    after :func:`table_fingerprint` says two copies diverge.
+
+    Both sides collapse to (row-values, count) via hash aggregation
+    BEFORE the full-outer join, so the join carries one row per DISTINCT
+    row — duplicates never amplify the shuffle, and the output is
+    exactly the disagreement set (empty ⇔ identical multisets).
+    """
+    cols = list(cols or left.columns)
+    if sorted(cols) != sorted(c for c in right.columns if c in cols) or any(
+        c not in left.columns for c in cols
+    ):
+        missing = [
+            c for c in cols if c not in left.columns or c not in right.columns
+        ]
+        if missing:
+            raise ValueError(f"diff columns missing from a side: {missing}")
+    ga = left.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_left"))
+    gb = right.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        ga.join(gb, cols, "full_outer")
+        .select(
+            *cols,
+            F.coalesce(F.col("n_left"), F.lit(0)).alias("n_left"),
+            F.coalesce(F.col("n_right"), F.lit(0)).alias("n_right"),
+        )
+        .where(F.col("n_left") != F.col("n_right"))
+    )

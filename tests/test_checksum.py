@@ -44,3 +44,37 @@ def test_null_vs_empty_and_boundary_shift(spark):
 def test_empty_relation_fingerprint(spark):
     e = spark.createDataFrame([], "id int, s string")
     assert _fp(e) == (0, 0, 0)
+
+
+def test_snapshot_diff_multiset_exact(spark):
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.checksum import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (3, "z")], "id int, s string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (4, "w")], "id int, s string"
+    )
+    got = {
+        (r["id"], r["s"]): (r["n_left"], r["n_right"])
+        for r in snapshot_diff(a, b).collect()
+    }
+    assert got == {(2, "y"): (2, 1), (3, "z"): (1, 0), (4, "w"): (0, 1)}
+    assert snapshot_diff(a, a).count() == 0
+    with pytest.raises(ValueError):
+        snapshot_diff(a, b.drop("s"))
+
+
+def test_snapshot_diff_between_table_versions(spark, tmp_path):
+    from polygon_algotrading_env_spark.operators.checksum import snapshot_diff
+    from polygon_algotrading_env_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    t.write(spark.createDataFrame([(3, "c")], "id long, s string"), mode="append")
+    d = snapshot_diff(t.read(version=0), t.read(version=1))
+    assert {(r["id"], r["n_left"], r["n_right"]) for r in d.collect()} == {
+        (3, 0, 1)
+    }
