@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def ohlcv_bars(
@@ -117,3 +117,58 @@ def resample_bars(
         F.col("__open_ord").alias("open_ord"),
         F.col("__close_ord").alias("close_ord"),
     )
+
+
+def fill_bar_gaps(
+    bars: DataFrame,
+    step: str,
+    keys: Sequence[str] = (),
+    bucket_col: str = "bucket_start",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    count_col: str = "n_trades",
+) -> DataFrame:
+    """Densify a bar series onto the regular ``step`` grid: every missing
+    bucket between a key's first and last bar becomes a synthetic bar
+    carrying the last observed close (O=H=L=C=LOCF close, volume 0,
+    n_trades 0, ``filled`` = true). Indicators and resamples assume a
+    dense grid; on thinly-traded symbols the raw series isn't.
+
+    Plan: per-key (min, max) bucket — a tiny aggregate — explodes into
+    the full grid via ``sequence()`` (rows ∝ time-range/step per key, not
+    data), left-joins the real bars on (key, bucket), then one LOCF
+    window per key fills closes. Same single-shuffle shape as the as-of
+    join; no driver-side calendar.
+    """
+    kcols = [F.col(k) for k in keys]
+    grid = (
+        bars.groupBy(*kcols)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}")
+                )
+            ).alias(bucket_col),
+        )
+    )
+    joined = grid.join(bars, [*keys, bucket_col], "left_outer")
+    w = (
+        Window.partitionBy(*kcols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = F.last(F.col(close_col), ignorenulls=True).over(w)
+    # The flag must bind to the PRE-fill close: withColumn rebinding is
+    # positional in the plan, so compute it before any coalesce.
+    out = joined.withColumn("filled", F.col(close_col).isNull()).withColumn(
+        "__locf", locf
+    )
+    for c in ("open", "high", "low", close_col):
+        if c in bars.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col("__locf")))
+    for c in (volume_col, count_col):
+        if c in bars.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out.drop("__locf")

@@ -560,3 +560,67 @@ def strategy_summary_5m(spark, sf_dir):
         F.round(F.max_by("cum_pnl", "bucket_start"), 6).alias("final_equity"),
         F.round(F.max("drawdown"), 6).alias("max_drawdown"),
     )
+
+
+@register(
+    "gap_filled_bars_30m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close,
+             sum(value)         AS volume,
+             count(*)           AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+      FROM bars GROUP BY 1
+    ),
+    grid AS (
+      SELECT r.event_type,
+             unnest(generate_series(r.lo, r.hi, INTERVAL '30 minutes'))
+               AS bucket_start
+      FROM rng r
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket_start, b.close, b.volume, b.n
+      FROM grid g LEFT JOIN bars b
+        ON g.event_type = b.event_type AND g.bucket_start = b.bucket_start
+    )
+    SELECT event_type, bucket_start,
+           round(last_value(close IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS close,
+           coalesce(volume, 0.0)              AS volume,
+           CAST(coalesce(n, 0) AS BIGINT)     AS n_trades,
+           close IS NULL                      AS filled
+    FROM j
+    """,
+)
+def gap_filled_bars_30m(spark, sf_dir):
+    """Densified 30-minute bar grid per symbol: missing buckets become
+    synthetic zero-volume bars carrying the LOCF close (`filled`=true) —
+    the regular grid every indicator/resample assumes, which raw
+    thin-symbol series don't provide. Grid rows come from sequence()
+    over per-key (min,max) — proportional to the time range, never to
+    tick count — and one LOCF window fills closes
+    (operators/bars.py: fill_bar_gaps)."""
+    from polygon_algotrading_env_spark.operators.bars import fill_bar_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="30 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close", "volume", "n_trades")
+    dense = fill_bar_gaps(bars, "30 minutes", keys=("event_type",))
+    return dense.select(
+        "event_type",
+        "bucket_start",
+        F.round("close", 6).alias("close"),
+        "volume",
+        F.col("n_trades").cast("bigint").alias("n_trades"),
+        "filled",
+    )

@@ -89,3 +89,35 @@ def test_sparse_symbol_has_no_empty_buckets(spark, ticks):
     )
     tlt = bars.filter(F.col("ticker") == "TLT").collect()
     assert len(tlt) == 1 and tlt[0]["n_trades"] == 1
+
+
+def test_fill_bar_gaps_dense_grid_and_roundtrip(spark):
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.bars import fill_bar_gaps
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 10, 0), 10.0, 10.0, 10.0, 10.0, 5.0, 1),
+        # 10:05 and 10:10 missing
+        ("A", datetime(2024, 1, 1, 10, 15), 12.0, 12.0, 12.0, 12.0, 3.0, 1),
+        ("B", datetime(2024, 1, 1, 10, 5), 50.0, 50.0, 50.0, 50.0, 1.0, 1),
+    ]
+    bars = spark.createDataFrame(
+        rows,
+        "event_type string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume double, n_trades long",
+    )
+    dense = fill_bar_gaps(bars, "5 minutes", keys=("event_type",))
+    a = {r["bucket_start"]: r for r in dense.where("event_type='A'").collect()}
+    assert len(a) == 4  # 10:00..10:15 every 5 minutes
+    gap = a[datetime(2024, 1, 1, 10, 5)]
+    assert gap["filled"] and gap["volume"] == 0.0 and gap["n_trades"] == 0
+    assert gap["open"] == gap["close"] == 10.0  # LOCF from 10:00
+    assert not a[datetime(2024, 1, 1, 10, 15)]["filled"]
+    # single-bar key: no synthetic rows
+    assert dense.where("event_type='B'").count() == 1
+    # dropping synthetic rows recovers the input exactly
+    back = dense.where(~F.col("filled")).drop("filled")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, bars.collect()))
