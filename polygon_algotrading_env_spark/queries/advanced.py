@@ -323,3 +323,68 @@ def fingerprint_orders(spark, sf_dir):
     return table_fingerprint(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "d"]
     )
+
+
+# --- robust (median/MAD) outlier detection per group ----------------------
+@register(
+    "robust_outliers_per_flag",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    mad AS (
+      SELECT l.l_returnflag,
+             quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m.med), 6) AS med,
+           round(any_value(d.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med)
+                              > 3.5 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l
+    JOIN med m USING (l_returnflag)
+    JOIN mad d USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def robust_outliers_per_flag(spark, sf_dir):
+    """Robust per-group outlier detection: modified z-score on the median
+    absolute deviation (|x − med| > 3.5·1.4826·MAD) — the curation
+    filter that survives the very outliers a mean/stddev z-score is
+    dragged by. Three exact-percentile aggregates; the group-level med/
+    MAD relations are group-cardinality-sized and broadcast back, so the
+    fact table is scanned, never shuffled (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, certified by exact_percentiles_per_flag)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = (
+        with_med.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    dev = F.abs(F.col("l_extendedprice") - F.col("med"))
+    return (
+        with_med.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(dev > 3.5 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
