@@ -257,3 +257,53 @@ def cluster_survivors(
         .filter(F.col("__rn") == 1)
         .select("cluster", F.col(id_col).alias("survivor_doc_id"), "n_members")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected simple graph (1-row result).
+
+    Uses the degree-orientation trick: direct every edge from its
+    lower-(degree, id) endpoint to the higher one, making the out-degree
+    of every vertex O(√m); the wedge join (u→v)⋈(v→w) then fans out by
+    out-degree — bounded — instead of by raw degree, which is what makes
+    triangle counting survive power-law graphs (the hub vertex that
+    would otherwise contribute degree² wedges). Closing edges are probed
+    with a third equi-join. Three shuffles total, no state beyond the
+    edge list. Duplicate edges / self-loops are cleaned first.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("u").alias("x"), F.col("w").alias("z")).unionAll(
+        oriented.select(F.col("w").alias("x"), F.col("u").alias("z"))
+    ).dropDuplicates(["x", "z"])
+    return wedges.join(closing, ["x", "z"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -388,3 +388,42 @@ def robust_outliers_per_flag(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# --- triangle counting on the co-purchase graph ---------------------------
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def copurchase_triangles(spark, sf_dir):
+    """Global triangle count of the parts-ordered-together graph — the
+    clustering-structure statistic for co-occurrence graphs (and the same
+    machinery audits near-dup pair graphs before clustering). The oracle
+    counts ordered (a<b<c) closed wedges directly; the engine runs the
+    degree-oriented plan (operators/graph.py: triangle_count) whose wedge
+    fan-out is bounded by out-degree O(√m) — the shape that survives
+    power-law hubs where the naive a<b<c join explodes on the hottest
+    vertex."""
+    from polygon_algotrading_env_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    return triangle_count(edges)

@@ -131,3 +131,26 @@ def test_star_raises_when_rounds_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components_star(edges, max_rounds=1)
+
+
+def test_triangle_count_known_graphs(spark):
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.graph import triangle_count
+
+    def n_tri(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # triangle + pendant edge
+    assert n_tri([(1, 2), (2, 3), (3, 1), (3, 4)]) == 1
+    # K4 has 4 triangles; duplicates/self-loops/reversed edges ignored
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert n_tri(k4 + [(0, 0), (1, 1)]) == 4
+    # bipartite: none
+    assert n_tri([(1, 10), (2, 10), (1, 20), (2, 20)]) == 0
+    # star (power-law hub): no triangles, and the orientation keeps the
+    # hub's out-degree low rather than exploding wedges
+    assert n_tri([(0, i) for i in range(1, 50)]) == 0
+    # ring of 5 + one chord -> exactly 1 triangle
+    assert n_tri([(i, (i + 1) % 5) for i in range(5)] + [(0, 2)]) == 1
