@@ -427,3 +427,63 @@ def copurchase_triangles(spark, sf_dir):
         .dropDuplicates(["src", "dst"])
     )
     return triangle_count(edges)
+
+
+# --- SCD2 dimension refresh (type-2 history) ------------------------------
+@register(
+    "scd2_customer_refresh",
+    oracle="""
+    WITH s0 AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    s1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT a.c_custkey, a.c_mktsegment,
+           '2024-01-01 00:00:00' AS valid_from,
+           '2024-02-01 00:00:00' AS valid_to
+    FROM s0 a JOIN s1 b USING (c_custkey)
+    WHERE a.c_mktsegment <> b.c_mktsegment
+    UNION ALL
+    SELECT a.c_custkey, a.c_mktsegment, '2024-01-01 00:00:00', NULL
+    FROM s0 a JOIN s1 b USING (c_custkey)
+    WHERE a.c_mktsegment = b.c_mktsegment
+    UNION ALL
+    SELECT b.c_custkey, b.c_mktsegment, '2024-02-01 00:00:00', NULL
+    FROM s0 a JOIN s1 b USING (c_custkey)
+    WHERE a.c_mktsegment <> b.c_mktsegment
+    """,
+)
+def scd2_customer_refresh(spark, sf_dir):
+    """Type-2 slowly-changing dimension: apply a refresh snapshot (every
+    7th customer migrates segment) to the initial load — changed rows
+    close with valid_to, new versions open, unchanged rows carry their
+    original validity. The engine runs the general operator
+    (operators/scd.py: scd2_apply — key equi-joins only, history rows
+    never rescanned); the oracle enumerates the three outcome classes
+    directly. This is the queryable history the reference's daily
+    full-replace dims throw away (reference_data_etl.py:67). Validity
+    bounds exposed as formatted strings for rendering-independent
+    hashes."""
+    from polygon_algotrading_env_spark.operators.scd import scd2_apply, scd2_init
+
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    cust = load_table(spark, sf_dir, "customer")
+    s0 = cust.select("c_custkey", "c_mktsegment")
+    s1 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MIGRATED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    scd = scd2_apply(scd2_init(s0, t0), s1, ["c_custkey"], t1)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return scd.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
