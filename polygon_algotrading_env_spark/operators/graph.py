@@ -307,3 +307,77 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.join(closing, ["x", "z"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank by power iteration over the edge list (directed; pass each
+    undirected edge both ways). Returns ``(id, rank)`` summing to ~1.
+
+    Per round: ranks ⋈ out-degree edges → contributions grouped on dst —
+    one narrow (id, rank/outdeg) shuffle per iteration; dangling-node
+    mass (no out-edges) is collected as ONE scalar aggregate and
+    redistributed uniformly, keeping the rank a proper distribution
+    without materializing dangling→all edges. Lineage is truncated every
+    ``checkpoint_every`` rounds (localCheckpoint — the same guard as the
+    CC operators; a silver-table write at cluster scale) so the plan
+    doesn't grow with iteration count. Float sums make results
+    engine-order-dependent at the last ulp — consumers round; there is
+    deliberately no SQL oracle for this operator.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    verts = (
+        vertices.select(F.col(id_col).alias("id"))
+        if vertices is not None
+        else e.select(F.col("u").alias("id")).unionAll(
+            e.select(F.col("v").alias("id"))
+        )
+    ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        with_deg = ranks.join(
+            outdeg, ranks["id"] == outdeg["u"], "left_outer"
+        ).select("id", "rank", "outdeg")
+        dangling = (
+            with_deg.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            with_deg.where(F.col("outdeg").isNotNull())
+            .join(e, F.col("id") == F.col("u"))
+            .select(
+                F.col("v").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(base + damping * dangling / n)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -487,3 +487,31 @@ def scd2_customer_refresh(spark, sf_dir):
         F.date_format("valid_from", fmt).alias("valid_from"),
         F.date_format("valid_to", fmt).alias("valid_to"),
     )
+
+
+# --- PageRank over the co-purchase graph (rows-only: iterative float) -----
+@register("pagerank_copurchase_top20", oracle=None)
+def pagerank_copurchase_top20(spark, sf_dir):
+    """PageRank (6 rounds, d=0.85) over the undirected co-ordered-parts
+    graph, top-20 parts by centrality. Per round one narrow (id, rank)
+    shuffle; dangling mass folded in as a scalar — no dangling→all edge
+    materialization (operators/graph.py: pagerank, verified against a
+    dense power iteration to 1e-9 in tests). Iterative float sums have
+    no portable SQL formulation ⇒ rows-only."""
+    from polygon_algotrading_env_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])  # both directions kept
+    )
+    pr = pagerank(und, n_iter=6)
+    return (
+        pr.select(F.col("id").alias("l_partkey"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "l_partkey")
+        .limit(20)
+    )

@@ -154,3 +154,30 @@ def test_triangle_count_known_graphs(spark):
     assert n_tri([(0, i) for i in range(1, 50)]) == 0
     # ring of 5 + one chord -> exactly 1 triangle
     assert n_tri([(i, (i + 1) % 5) for i in range(5)] + [(0, 2)]) == 1
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (3) and a cycle
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=25).collect()}
+
+    n, d = 4, 0.85
+    r = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2, 3], 2: [0], 3: []}
+    for _ in range(25):
+        nxt = np.full(n, (1 - d) / n)
+        nxt += d * sum(r[u] for u, vs in out.items() if not vs) / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the cycle hub (0 <- 2 <- everyone) outranks the dangling leaf
+    assert got[0] > got[3]
