@@ -315,3 +315,40 @@ def stream_stream_interval_join(
         .withColumn(on, F.coalesce(F.col(on), F.col("__k")))
         .drop("__k")
     )
+
+
+def stream_session_stats(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    value_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation over an event-time stream: Spark MERGES
+    windows within ``gap`` of each other as events arrive, and the
+    watermark both bounds session state and decides when a session is
+    final (no event can extend it) — so run append-mode sinks for
+    closed-session semantics. Same definition as the batch
+    ``session_windows_per_user`` query; one shuffle on the keys.
+    """
+    stream = _watermarkable(stream, ts_col)
+    val = F.col(value_col) if value_col else F.lit(1.0)
+    out = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            *[F.col(k) for k in keys],
+            F.session_window(F.col(ts_col), gap).alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(val).alias("volume"),
+        )
+    )
+    return out.select(
+        *keys,
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        "n_events",
+        "volume",
+    )

@@ -281,3 +281,44 @@ def test_interval_join_left_outer_keeps_key(spark):
     ).collect()
     got = sorted((r["ticker"], r["rval"]) for r in out)
     assert got == [("IWM", None), ("SPY", 10.0)]
+
+
+def test_stream_session_windows_close_on_watermark(spark, tmp_path):
+    """Sessions merge events within the gap and close once the watermark
+    passes: two SPY bursts 30 minutes apart become two sessions; the
+    append-mode sink only emits sessions the watermark has finalized."""
+    from datetime import datetime
+
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_session_stats,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        ("u1", t(0), 1.0), ("u1", t(2), 2.0), ("u1", t(3), 3.0),   # session A
+        ("u1", t(33), 4.0),                                        # session B
+        ("u2", t(1), 5.0),
+        # late sentinel far ahead so the watermark closes everything above
+        ("u3", t(59), 0.0),
+    ]
+    spark.createDataFrame(rows, "user string, ts timestamp, v double")\
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user string, ts timestamp, v double").parquet(src)
+    q = (
+        stream_session_stats(stream, "ts", "5 minutes", ["user"], value_col="v")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], r["session_start"]): (r["n_events"], r["volume"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert got[("u1", t(0))] == (3, 6.0, t(8))      # merged burst, end = last+gap
+    assert got[("u1", t(33))] == (1, 4.0, t(38))
+    assert got[("u2", t(1))] == (1, 5.0, t(6))
