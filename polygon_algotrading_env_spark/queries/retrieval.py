@@ -227,3 +227,50 @@ def hashed_tfidf_features(spark, sf_dir):
         .groupBy("doc_id", feature.alias("feature"))
         .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("weight"))
     )
+
+
+@register(
+    "char_entropy_docs",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           round(-sum((f.c * 1.0 / t.n) * ln(f.c * 1.0 / t.n)), 6) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.n
+    """,
+)
+def char_entropy_docs(spark, sf_dir):
+    """Shannon entropy of the character distribution per document — low
+    entropy flags repeated-character junk and trivial boilerplate, the
+    cheap companion to the token-level Gopher signals. One char explode,
+    two hash aggregates; entropy terms are p·ln p over exact integer
+    ratios, summed per doc and rounded at 6dp (each doc's sum has ≤
+    |alphabet| terms, so reorder noise is ~1e-15, far off the grid)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars"),
+            "entropy",
+        )
+    )
