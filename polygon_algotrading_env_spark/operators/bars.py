@@ -168,7 +168,14 @@ def fill_bar_gaps(
     for c in ("open", "high", "low", close_col):
         if c in bars.columns:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col("__locf")))
+    # Zero-fill with a zero CAST to each column's existing type so the
+    # output schema matches the input (an integer n_trades must not widen
+    # to double — downstream unions/appends against the pre-fill schema
+    # would fail or silently drift).
+    dtypes = dict(bars.dtypes)
     for c in (volume_col, count_col):
         if c in bars.columns:
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0).cast(dtypes[c]))
+            )
     return out.drop("__locf")

@@ -79,14 +79,14 @@ def snapshot_diff(
     exactly the disagreement set (empty ⇔ identical multisets).
     """
     cols = list(cols or left.columns)
-    if sorted(cols) != sorted(c for c in right.columns if c in cols) or any(
-        c not in left.columns for c in cols
-    ):
-        missing = [
-            c for c in cols if c not in left.columns or c not in right.columns
-        ]
-        if missing:
-            raise ValueError(f"diff columns missing from a side: {missing}")
+    missing = [
+        c for c in cols if c not in left.columns or c not in right.columns
+    ]
+    if missing:
+        raise ValueError(f"diff columns missing from a side: {missing}")
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"duplicate diff columns: {dupes}")
     ga = left.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_left"))
     gb = right.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_right"))
     return (

@@ -211,11 +211,14 @@ def order_price_deciles(spark, sf_dir):
     ``ntile(n)`` over a global ORDER BY plans one task sorting the world;
     this plan reproduces its exact bucket assignment in parallel:
     global ordinals via the range-partitioned zipWithIndex operator
-    (operators/ids.py), then ``bucket = ((ordinal-1)·n) DIV N + 1`` —
-    algebraically identical to ntile's first-buckets-get-the-remainder
-    distribution (sizes differ by ≤1, larger first). Ties broken by
-    o_orderkey so both engines assign identically; the oracle keeps the
-    window formulation to certify the equivalence."""
+    (operators/ids.py), then the closed-form ntile assignment — with
+    ``q = N DIV n`` and ``r = N % n``, the first ``r`` buckets hold
+    ``q+1`` rows and the rest hold ``q``, so
+    ``bucket = (ordinal-1) DIV (q+1) + 1`` inside the front-loaded span
+    (``ordinal <= r*(q+1)``) and ``r + (ordinal-1 - r*(q+1)) DIV q + 1``
+    past it. This matches ntile for EVERY cardinality, not just multiples
+    of n. Ties broken by o_orderkey so both engines assign identically;
+    the oracle keeps the window formulation to certify the equivalence."""
     from polygon_algotrading_env_spark.operators.ids import with_global_ordinals
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -227,9 +230,16 @@ def order_price_deciles(spark, sf_dir):
     n_rows = ranked.agg(F.count(F.lit(1)).alias("n_rows"))
     return (
         ranked.crossJoin(F.broadcast(n_rows))
+        .withColumn("q", F.expr("n_rows DIV 10"))
+        .withColumn("r", F.expr("n_rows % 10"))
         .withColumn(
             "decile",
-            F.expr("CAST(((ordinal - 1) * 10) DIV n_rows + 1 AS INT)"),
+            F.expr(
+                "CAST(IF(ordinal <= r * (q + 1),"
+                "        (ordinal - 1) DIV (q + 1) + 1,"
+                "        r + (ordinal - 1 - r * (q + 1)) DIV q + 1)"
+                "     AS INT)"
+            ),
         )
         .groupBy("decile")
         .agg(

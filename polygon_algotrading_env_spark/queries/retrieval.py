@@ -233,7 +233,7 @@ def hashed_tfidf_features(spark, sf_dir):
     "char_entropy_docs",
     oracle="""
     WITH chars AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
       FROM documents
     ),
     freq AS (

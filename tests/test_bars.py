@@ -121,3 +121,6 @@ def test_fill_bar_gaps_dense_grid_and_roundtrip(spark):
     # dropping synthetic rows recovers the input exactly
     back = dense.where(~F.col("filled")).drop("filled")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, bars.collect()))
+    # the fill must not widen column types: integer n_trades stays long,
+    # so the filled relation unions/appends cleanly against pre-fill bars
+    assert dict(back.dtypes) == dict(bars.dtypes)

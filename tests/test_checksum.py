@@ -65,6 +65,8 @@ def test_snapshot_diff_multiset_exact(spark):
     assert snapshot_diff(a, a).count() == 0
     with pytest.raises(ValueError):
         snapshot_diff(a, b.drop("s"))
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_diff(a, b, cols=["id", "id"])
 
 
 def test_snapshot_diff_between_table_versions(spark, tmp_path):

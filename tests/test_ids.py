@@ -50,3 +50,26 @@ def test_empty_input(spark):
 def test_requires_order_cols(spark):
     with pytest.raises(ValueError):
         with_global_ordinals(spark.range(3), [])
+
+
+@pytest.mark.parametrize("n", [1, 7, 10, 12, 13, 20, 101])
+def test_ntile_closed_form_matches_window_ntile(spark, n):
+    """The ordinal→bucket formula used by order_price_deciles must equal
+    ntile(10) for EVERY cardinality — ntile front-loads the remainder
+    buckets (first r buckets get q+1 rows), which the naive even-spread
+    formula gets wrong whenever n % 10 != 0."""
+    df = spark.range(1, n + 1).select(F.col("id").alias("ordinal"))
+    got = df.selectExpr(
+        "ordinal",
+        f"""CAST(IF(ordinal <= ({n} % 10) * ({n} DIV 10 + 1),
+                    (ordinal - 1) DIV ({n} DIV 10 + 1) + 1,
+                    ({n} % 10) + (ordinal - 1 - ({n} % 10) * ({n} DIV 10 + 1))
+                        DIV ({n} DIV 10) + 1)
+                AS INT) AS decile""",
+    )
+    want = df.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("ordinal"))
+    )
+    assert {(r["ordinal"], r["decile"]) for r in got.collect()} == {
+        (r["ordinal"], r["decile"]) for r in want.collect()
+    }
