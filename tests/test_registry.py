@@ -2,7 +2,11 @@
 first 50 registered queries, so the curated DRIVER_WINDOW must stay intact.
 """
 
-from polygon_algotrading_env_spark.queries import DRIVER_WINDOW, REGISTRY
+from polygon_algotrading_env_spark.queries import (
+    DRIVER_WINDOW,
+    PRIOR_DRIVER_CERTIFIED,
+    REGISTRY,
+)
 
 
 def test_driver_window_is_first_50_and_oracle_bearing():
@@ -24,19 +28,33 @@ def test_rows_only_queries_sort_last():
             )
 
 
+def test_rotated_out_queries_stay_registered_with_oracles():
+    """Rotation must never drop a query or weaken its oracle: everything in
+    PRIOR_DRIVER_CERTIFIED remains registered and oracle-bearing so local
+    differential runs (tools/oracle_check.py) still certify it."""
+    for n in PRIOR_DRIVER_CERTIFIED:
+        assert n in REGISTRY, f"prior-certified {n} vanished from registry"
+        assert REGISTRY[n].oracle, f"prior-certified {n} lost its oracle"
+
+
 def test_every_capability_family_in_window():
-    """One representative per SURVEY §2 family / LLM capability."""
+    """One oracle-bearing representative per SURVEY §2 family / LLM
+    capability — either occupying a driver-window slot this round, or
+    hash-certified by a recorded prior round (PRIOR_DRIVER_CERTIFIED)."""
     window = set(DRIVER_WINDOW)
     families = {
         "filter": "filter_mktsegment",
+        "filter_range": "filter_ship_after_watermark",
         "projection": "project_customer",
         "dedup_rows": "dedup_overlapping_batches",
+        "distinct": "distinct_orderpriority",
         "ordering": "sort_by_name_length",
         "topk": "topk_orders_by_price",
         "set_ops": "union_order_slices",
         "scalar_datetime": "orders_scalar_suite",
         "scalar_string": "string_funcs_suite",
         "scalar_arith_null": "lineitem_scalar_suite",
+        "scalar_map_tz": "map_and_timezone_suite",
         "json": "json_extract_props",
         "sql_text": "sql_api_in_exists_having",
         "pivot": "pivot_status_counts",
@@ -59,6 +77,7 @@ def test_every_capability_family_in_window():
         "window_moving": "moving_avg_price_per_supplier",
         "window_range_frame": "range_frame_30d_qty",
         "indicator": "rsi_14_per_event_type",
+        "indicator_correlation": "return_correlation_pairs",
         "bars": "ohlcv_bars_5m",
         "bars_resample": "ohlcv_bars_1h_resampled",
         "backtest_chain": "sma_crossover_backtest_5m",
@@ -70,12 +89,22 @@ def test_every_capability_family_in_window():
         "dedup_simhash": "simhash_verified_near_dups",
         "dedup_clusters": "near_dup_clusters",
         "dedup_survivors": "dedup_survivors",
+        "dedup_span": "substring_span_dedup",
         "ann_bruteforce": "cosine_topk_bruteforce",
         "ann_blocked": "embedding_neighbors_blocked",
+        "retrieval_bm25": "bm25_topk_docs",
         "text_analysis": "text_analysis_suite",
         "sampling_split": "train_val_test_split",
         "sampling_packing": "context_window_packing",
         "profiling": "profile_orders_columns",
+        "global_ordinals": "global_ordinals_orders",
+        "scd2": "scd2_customer_refresh",
+        "fingerprint": "fingerprint_orders",
+        "graph_triangles": "copurchase_triangles",
     }
-    missing = {f: q for f, q in families.items() if q not in window}
-    assert not missing, f"families without a driver-window query: {missing}"
+    missing = {
+        f: q
+        for f, q in families.items()
+        if q not in window and q not in PRIOR_DRIVER_CERTIFIED
+    }
+    assert not missing, f"families without a certified query: {missing}"
