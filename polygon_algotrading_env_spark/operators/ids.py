@@ -6,22 +6,36 @@ Window with a single partition): a non-starter beyond a few million rows.
 The scalable plan is the classic two-phase zipWithIndex, DataFrame-native:
 
 1. range-repartition + local sort by the ordering key (the same machinery
-   ``orderBy`` uses — balanced partitions via range sampling);
-2. count rows per partition (a metadata-sized driver collect, one row per
-   partition — same bounded-scalar class as the z-order bounds collect,
-   layout.py);
-3. number rows within each partition and add the exclusive prefix-sum of
-   partition counts, delivered as a broadcast (pid → base) join.
+   ``orderBy`` uses — balanced partitions via range sampling), then stamp
+   each row with ``monotonically_increasing_id()`` — which is
+   ``partition-local position`` plus a per-partition offset, so within a
+   partition consecutive rows get consecutive ids;
+2. per-partition stats (row count + min id) → exclusive prefix-sum of
+   counts in pid order — a partitions-sized relation, never data-sized;
+3. broadcast the (pid → base, min-id) map back and emit
+   ``ordinal = base + (id - min_id)``.
+
+Everything happens in ONE query execution: the stats branch and the
+numbering branch share the range exchange (Spark's exchange reuse — the
+shuffle is written once and both sides read it), so the range-sampled
+partition boundaries are computed exactly once and no checkpoint /
+driver-side count collect is needed. Within a single execution the
+partitioner instance is fixed, so even shuffle-retry recomputation reuses
+the same boundaries. (The previous revision pinned the relation with an
+eager ``localCheckpoint`` and collected per-partition counts to the
+driver — three jobs plus a full executor-storage write; this shape is the
+same answer at a fraction of the constant cost.)
 
 Deterministic whenever the ordering key is unique (append a tiebreak
-column if it isn't). The reference touches this only as pandas' implicit
-RangeIndex; at 100 TB ordinals are how you shard corpora into numbered
-training chunks without ever materializing a global sort on one machine.
+column if it isn't; with ties the assignment among tied rows is
+arbitrary-but-valid, exactly like ``row_number``). The reference touches
+this only as pandas' implicit RangeIndex; at 100 TB ordinals are how you
+shard corpora into numbered training chunks without ever materializing a
+global sort on one machine.
 """
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -36,18 +50,15 @@ def with_global_ordinals(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``ordinal_col`` = the row's 1-based position under a global sort
-    by ``order_cols``, computed with per-partition windows only.
+    by ``order_cols``, computed with per-partition work only.
 
     Equivalent to ``row_number() OVER (ORDER BY order_cols)`` (certified
     against exactly that oracle) but every stage is parallel: the widest
-    window this plan sorts is one range-partition, not the world.
-
-    The range-partitioned relation is pinned with an eager local
-    checkpoint before anything reads it: range partitioning samples its
-    boundaries, and without pinning, the counts job and the numbering job
-    could recompute the lineage with DIFFERENT boundaries — silently
-    corrupting ordinals. (On a cluster, write the partitioned relation to
-    a silver table instead; localCheckpoint pins it to executor storage.)
+    sort this plan runs is one range-partition, not the world, and the
+    full relation is shuffled exactly once (the stats side reads the same
+    exchange via reuse; the pid→base map comes back as a broadcast, so
+    the numbering side needs no second shuffle — there is no
+    ``Window.partitionBy(pid)`` hash exchange in this plan).
     """
     cols = list(order_cols)
     if not cols:
@@ -57,26 +68,37 @@ def with_global_ordinals(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    pinned = parted.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    # One row per partition — bounded by the partition count, never
-    # data-sized. Partitions are range-ordered by construction, so the
-    # ordinal base of partition p is start + sum(counts of partitions < p).
-    count_rows = pinned.groupBy("__pid").count().orderBy("__pid").collect()
-    pids = [r["__pid"] for r in count_rows]
-    bases = list(
-        itertools.accumulate((r["count"] for r in count_rows), initial=start)
-    )[: len(pids)]
-    base_df = pinned.sparkSession.createDataFrame(
-        list(zip(pids, bases)) or [(0, start)], "__pid int, __base bigint"
+    stamped = (
+        parted.sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    # Partitions-sized, never data-sized: one row per (non-empty) range
+    # partition. count is order-independent and min(__mid) is the
+    # partition's id-block offset, so tied sort keys cannot desync the
+    # two branches. The prefix-sum window runs over this tiny relation
+    # only — pid order IS global range order by construction.
+    stats = stamped.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
+    )
+    w_prev = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = stats.select(
+        "__pid",
+        "__mid0",
+        (F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)) + F.lit(start))
+        .cast("bigint")
+        .alias("__base"),
+    )
     return (
-        pinned.join(F.broadcast(base_df), "__pid")
+        stamped.join(F.broadcast(bases), "__pid")
         .withColumn(
             ordinal_col,
-            (F.row_number().over(w) - 1 + F.col("__base")).cast("bigint"),
+            (F.col("__base") + F.col("__mid") - F.col("__mid0")).cast(
+                "bigint"
+            ),
         )
-        .drop("__pid", "__base")
+        .drop("__pid", "__mid", "__mid0", "__base")
     )

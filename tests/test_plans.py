@@ -4,9 +4,11 @@ whether a query survives a 100× scale-up, pinned at the physical plan.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
-from polygon_algotrading_env_spark.plans import plan_stats
+from polygon_algotrading_env_spark.plans import plan_stats, plan_string
 from polygon_algotrading_env_spark.queries import queries
 
 
@@ -116,6 +118,30 @@ def test_outer_histogram_reuses_join_partitioning(spark, sf_dir, q):
     the join exchanges and the tiny c_count histogram agg shuffle."""
     st = plan_stats(q["left_outer_order_count_histogram"](spark, sf_dir))
     assert st.shuffle_exchanges <= 3
+
+
+def test_global_ordinals_single_data_shuffle(spark, sf_dir, q):
+    """The zipWithIndex plan shuffles the FULL relation exactly once: one
+    range exchange, reused by the stats branch (ReusedExchange). The only
+    other shuffles are over the partitions-sized stats relation (hash agg
+    + SinglePartition prefix-sum window), and the pid→base map comes back
+    as a broadcast — no Window.partitionBy(pid) hash exchange of the data.
+    """
+    p = plan_string(q["global_ordinals_orders"](spark, sf_dir), execute=True)
+    # AQE's toString appends the pre-adaptive "Initial Plan"; judge the
+    # Final Plan section only.
+    p = p.split("== Initial Plan ==")[0]
+    range_exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(range_exchanges) == 1, range_exchanges
+    assert "ReusedExchange" in p
+    # No full-data hash repartition: every hashpartitioning exchange in
+    # the plan sits above the tiny per-partition stats aggregate.
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", p):
+        assert m.group(1).startswith("__pid"), m.group(0)
 
 
 def test_gopher_filters_share_token_shuffle(spark, sf_dir, q):
