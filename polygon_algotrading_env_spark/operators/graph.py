@@ -322,11 +322,16 @@ def pagerank(
     """PageRank by power iteration over the edge list (directed; pass each
     undirected edge both ways). Returns ``(id, rank)`` summing to ~1.
 
-    Per round: ranks ⋈ out-degree edges → contributions grouped on dst —
-    one narrow (id, rank/outdeg) shuffle per iteration; dangling-node
-    mass (no out-edges) is collected as ONE scalar aggregate and
-    redistributed uniformly, keeping the rank a proper distribution
-    without materializing dangling→all edges. Lineage is truncated every
+    Per round: ranks ⋈ degree-annotated edges → contributions grouped on
+    dst — one narrow (id, rank/outdeg) shuffle per iteration. Dangling
+    mass is NOT a separate driver-side aggregate: rank is conserved
+    (every new-rank sum is exactly 1), so the mass parked on dangling
+    nodes equals ``1 − Σ emitted contributions`` — a 1-row broadcast
+    computed from the SAME contribution aggregate via exchange reuse.
+    No job, no collect, no lineage re-execution per iteration; the driver
+    only touches data at the checkpoints. Edges are annotated with their
+    out-degree ONCE before the loop and pinned, so no per-iteration
+    degree join exists either. Lineage is truncated every
     ``checkpoint_every`` rounds (localCheckpoint — the same guard as the
     CC operators; a silver-table write at cluster scale) so the plan
     doesn't grow with iteration count. Float sums make results
@@ -346,21 +351,18 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Static across iterations: every edge with its source's out-degree,
+    # pinned once (the old shape re-joined ranks against the degree table
+    # every round AND collected dangling mass to the driver every round).
+    e_deg = (
+        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
+        .localCheckpoint(eager=True)
+    )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(n_iter):
-        with_deg = ranks.join(
-            outdeg, ranks["id"] == outdeg["u"], "left_outer"
-        ).select("id", "rank", "outdeg")
-        dangling = (
-            with_deg.where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
-            with_deg.where(F.col("outdeg").isNotNull())
-            .join(e, F.col("id") == F.col("u"))
+            ranks.join(e_deg, ranks["id"] == e_deg["u"])
             .select(
                 F.col("v").alias("id"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -368,12 +370,22 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
+        # Rank conservation: Σ ranks == 1 every round, and each
+        # non-dangling node emits its whole rank, so dangling mass is
+        # 1 − Σ inflow. The scalar rides along as a 1-row broadcast whose
+        # subtree shares contribs' shuffle (exchange reuse) — the driver
+        # never sees it.
+        emitted = contribs.agg(
+            F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("__emitted")
+        )
         ranks = (
             verts.join(contribs, "id", "left_outer")
+            .crossJoin(F.broadcast(emitted))
             .select(
                 "id",
                 (
-                    F.lit(base + damping * dangling / n)
+                    F.lit(base)
+                    + F.lit(damping / n) * (F.lit(1.0) - F.col("__emitted"))
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
