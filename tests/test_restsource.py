@@ -156,6 +156,150 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(spark.read.parquet(out).collect()) == 6
 
 
+def test_pagestore_roundtrip_on_non_local_fs():
+    """The store abstraction must not be local-FS-bound: exercise every
+    operation against pyarrow's in-memory mock filesystem — the same
+    surface an s3:// root resolves to via FileSystem.from_uri."""
+    from pyarrow.fs import _MockFileSystem
+
+    from polygon_algotrading_env_spark.sources.restsource import PageStore
+
+    store = PageStore("pages", filesystem=_MockFileSystem())
+    assert store.list_symbols() == []
+    assert store.list_pages("SPY") == []
+    assert store.write_page("SPY", 0, {"results": [_rec(0)]})
+    assert store.write_page("SPY", 1, {"results": [_rec(1)]})
+    assert store.write_page("TLT", 0, {"results": [_rec(0)]})
+    assert store.list_symbols() == ["SPY", "TLT"]
+    assert store.list_pages("SPY") == ["page-0.json", "page-1.json"]
+    assert store.read_page("SPY", "page-1.json")["results"][0]["t"] == DAY_MS
+    # landed pages are immutable: a second write at the same index is a
+    # no-op (replay determinism depends on this)
+    assert not store.write_page("SPY", 0, {"results": [_rec(99)]})
+    assert store.read_page("SPY", "page-0.json")["results"][0]["t"] == 0
+    assert store.page_exists("SPY", 1) and not store.page_exists("SPY", 2)
+
+
+def test_stream_matches_batch_on_file_uri(spark, page_root, tmp_path):
+    """The store root may be a URI, not just a bare path — file:// here,
+    s3:// in production; pyarrow resolves both the same way."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    uri = f"file://{page_root}"
+    _run_stream(spark, uri, ckpt, out)
+    got = sorted(
+        (r["ticker"], r["t"]) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["ticker"], r["t"])
+        for r in spark.read.format("polygon_pages")
+        .option("path", uri)
+        .load()
+        .collect()
+    )
+    assert got == want and len(got) == 8
+
+
+def test_live_fetch_stream_lands_then_emits(spark, tmp_path):
+    """Live mode: each batch emits landed pages for its offset range,
+    then pulls new pages executor-side and lands them immutably; the
+    NEXT batch emits them. Termination on empty API page; a rerun with a
+    drained API emits nothing new."""
+    from polygon_algotrading_env_spark.sources.restsource import (
+        PolygonPagesDataSource,
+        encode_fetcher,
+    )
+
+    root = str(tmp_path / "pages")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    api = {
+        "SPY": [
+            {"results": [_rec(0), _rec(1)]},
+            {"results": [_rec(1), _rec(2)]},  # by-design overlap dup
+        ],
+        "TLT": [{"results": [_rec(0)]}],
+    }
+
+    def fake_fetch(symbol, idx):
+        pages = api.get(symbol, [])
+        return pages[idx] if idx < len(pages) else {"results": []}
+
+    spark.dataSource.register(PolygonPagesDataSource)
+
+    def run_live():
+        q = (
+            spark.readStream.format("polygon_pages")
+            .option("path", root)
+            .option("symbols", "SPY,TLT")
+            .option("fetcherpickle", encode_fetcher(fake_fetch))
+            .option("maxpagespertrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Run 1: store empty — nothing to emit, lands page 0 per symbol.
+    run_live()
+    assert not os.path.exists(out) or not [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ] or spark.read.parquet(out).count() == 0
+    assert os.path.exists(f"{root}/SPY/page-0.json")
+    assert os.path.exists(f"{root}/TLT/page-0.json")
+
+    # Run 2: emits page 0s, lands SPY page 1 (TLT's API is drained).
+    run_live()
+    got = sorted((r["ticker"], r["t"]) for r in spark.read.parquet(out).collect())
+    assert got == [("SPY", 0), ("SPY", DAY_MS), ("TLT", 0)]
+    assert os.path.exists(f"{root}/SPY/page-1.json")
+
+    # Run 3: emits SPY page 1 minus the overlap dup; nothing new lands.
+    run_live()
+    got = sorted((r["ticker"], r["t"]) for r in spark.read.parquet(out).collect())
+    assert got == [("SPY", 0), ("SPY", DAY_MS), ("SPY", 2 * DAY_MS), ("TLT", 0)]
+
+    # Run 4: fully drained — no new rows, no new pages.
+    run_live()
+    assert spark.read.parquet(out).count() == 4
+    assert sorted(os.listdir(f"{root}/SPY")) == ["page-0.json", "page-1.json"]
+
+
+def test_live_fetch_option_validation(spark, tmp_path):
+    from polygon_algotrading_env_spark.sources.restsource import (
+        PolygonPagesStreamReader,
+        encode_fetcher,
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType()
+    with pytest.raises(ValueError, match="cannot import"):
+        PolygonPagesStreamReader(
+            schema,
+            {"path": str(tmp_path), "fetcher": "no.such:thing", "symbols": "A"},
+        )
+    with pytest.raises(ValueError, match="module:attr"):
+        PolygonPagesStreamReader(
+            schema, {"path": str(tmp_path), "fetcher": "bare", "symbols": "A"}
+        )
+    payload = encode_fetcher(lambda s, i: {"results": []})
+    with pytest.raises(ValueError, match="symbols"):
+        PolygonPagesStreamReader(
+            schema, {"path": str(tmp_path), "fetcherpickle": payload}
+        )
+    # dotted-path resolution reaches a real module-level callable
+    r = PolygonPagesStreamReader(
+        schema,
+        {
+            "path": str(tmp_path),
+            "fetcher": "polygon_algotrading_env_spark.sources.restsource:encode_fetcher",
+            "symbols": "A",
+        },
+    )
+    assert r.fetch_page is encode_fetcher
+
+
 def test_stream_per_symbol_watermark(spark, tmp_path):
     """A NEW stream over a store with history skips records at/below each
     symbol's bookmark watermark — checkpoint offsets only protect
