@@ -4,10 +4,12 @@ Extension surface (BASELINE.json north star): at 100 TB training-data
 scale, media travels as opaque ``binary`` columns with typed metadata
 structs; all Spark-side mechanics — schemas, partition-friendly batch
 processing via ``mapInPandas`` (Arrow record batches), frame fan-out — are
-real and tested here. The actual codec step is environment-dependent
-(image/audio libraries are not in this container) and is isolated behind
-``decoder`` callables: pass a real decoder in production; the default
-raises ``NotImplementedError``; tests inject a deterministic fake.
+real and tested here. The codec step is isolated behind ``decoder``
+callables: ``audio`` (RIFF/WAVE PCM) and ``image`` (Netpbm P5/P6) decode
+for real with pure-Python parsers — no codec libraries needed — while
+``video`` and other container formats need an injected decoder (ffmpeg
+etc. are not in this container); the default raises
+``NotImplementedError`` for those, and tests can inject a fake.
 
 Layout guidance at scale: media tables should be written with
 ``write_partitioned(..., ["kind"])`` and a bucket on ``media_id``; Arrow
@@ -117,13 +119,97 @@ def wav_features(content: bytes, dim: int = 8) -> list[float]:
     return feats[:dim] + [0.0] * max(0, dim - len(feats))
 
 
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Pure-Python Netpbm decode → HxWx3 uint8 array. Supports binary P6
+    (RGB) and P5 (grayscale, broadcast to 3 channels), maxval <= 255,
+    with ``#`` comments anywhere in the header. Raises ValueError on
+    malformed or non-Netpbm input — undecodable media must fail loudly,
+    not yield garbage features."""
+    if len(content) < 2 or content[:1] != b"P" or content[1:2] not in b"56":
+        raise ValueError("not a binary Netpbm (P5/P6) stream")
+    channels = 3 if content[1:2] == b"6" else 1
+
+    # Header tokenizer: whitespace-separated ints, '#' starts a comment
+    # that runs to end-of-line. Exactly one whitespace byte follows the
+    # maxval token before the raster begins.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated Netpbm header")
+        b = content[pos : pos + 1]
+        if b == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif b.isspace():
+            pos += 1
+        elif b.isdigit():
+            start = pos
+            while pos < len(content) and content[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+        else:
+            raise ValueError(f"unexpected header byte {b!r}")
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    pos += 1  # the single whitespace after maxval
+    n = width * height * channels
+    raster = content[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated Netpbm raster")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    if maxval != 255:
+        arr = (arr.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (binary P6) — lets tests and fixtures
+    synthesize real image bytes without codec libraries."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def image_features(content: bytes, dim: int = 8) -> list[float]:
+    """Real image features from Netpbm bytes: normalized width/height,
+    aspect ratio, mean luminance, luminance contrast (std), per-channel
+    means — the cheap descriptors a curation pass filters on (blank /
+    low-contrast / color-cast frames). Mirrors :func:`wav_features`."""
+    px = decode_ppm(content).astype(np.float64) / 255.0
+    h, w = px.shape[:2]
+    lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
+    feats = [
+        w / 4096.0,
+        h / 4096.0,
+        w / h,
+        float(lum.mean()),
+        float(lum.std()),
+        float(px[:, :, 0].mean()),
+        float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()),
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def default_decoder(content: bytes, kind: str) -> list[float]:
-    """Decode/feature-extract dispatch. ``audio`` WAV bytes decode for real
-    (pure-Python RIFF/PCM parse, :func:`wav_features`); other kinds need a
-    codec stack (PIL/torchvision/ffmpeg) injected via ``decoder=`` in
-    deployments that have one."""
+    """Decode/feature-extract dispatch. ``audio`` WAV bytes and ``image``
+    Netpbm bytes decode for real (pure-Python RIFF/PCM and P5/P6 parses,
+    :func:`wav_features` / :func:`image_features`); other kinds need a
+    codec stack (ffmpeg etc.) injected via ``decoder=`` in deployments
+    that have one."""
     if kind == "audio":
         return wav_features(content)
+    if kind == "image":
+        return image_features(content)
     raise NotImplementedError(
         f"no media codec for kind={kind!r} in this environment; inject decoder="
     )

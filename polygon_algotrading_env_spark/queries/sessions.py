@@ -107,22 +107,25 @@ def ema_20_per_event_type(spark, sf_dir):
     return out.select("event_type", "event_id", "ema_20")
 
 
-# --- multimodal: real WAV decode over binary columns (rows-only) ----------
+# --- multimodal: real WAV + PPM decode over binary columns (rows-only) ----
 @register("multimodal_features_from_docs", oracle=None)
 def multimodal_features_from_docs(spark, sf_dir):
-    """Multimodal column pipeline end-to-end with a REAL codec path: each
-    document becomes a deterministic mono PCM WAV blob (tone frequency and
-    duration parameterized by doc_id — synthesized executor-side with
-    :func:`encode_wav`, Arrow-batched), which the DEFAULT decoder then
-    header-parses and PCM-decodes back to samples for duration/RMS/ZCR/
-    spectral-band features. No fake decoder anywhere; binary column +
-    typed metadata struct conventions as in MEDIA_SCHEMA."""
+    """Multimodal column pipeline end-to-end with REAL codec paths for TWO
+    modalities: even doc_ids become deterministic mono PCM WAV blobs (tone
+    frequency and duration parameterized by doc_id), odd doc_ids become
+    P6 PPM gradient images (dimensions parameterized by doc_id) — both
+    synthesized executor-side (:func:`encode_wav` / :func:`encode_ppm`,
+    Arrow-batched), then header-parsed and decoded back by the DEFAULT
+    decoder for duration/RMS/ZCR (audio) and size/luminance/contrast
+    (image) features. No fake decoder anywhere; binary column + typed
+    metadata struct conventions as in MEDIA_SCHEMA."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from polygon_algotrading_env_spark.operators.multimodal import (
+        encode_ppm,
         encode_wav,
         extract_features,
     )
@@ -132,37 +135,61 @@ def multimodal_features_from_docs(spark, sf_dir):
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rate = 8000
         for pdf in batches:
-            blobs = []
+            blobs, kinds = [], []
             for doc_id in pdf["doc_id"]:
-                freq = 100.0 + (int(doc_id) % 40) * 10.0
-                dur_s = 0.05 + (int(doc_id) % 8) * 0.01
-                t = np.arange(int(rate * dur_s)) / rate
-                blobs.append(encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate))
+                i = int(doc_id)
+                if i % 2 == 0:
+                    freq = 100.0 + (i % 40) * 10.0
+                    dur_s = 0.05 + (i % 8) * 0.01
+                    t = np.arange(int(rate * dur_s)) / rate
+                    blobs.append(
+                        encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+                    )
+                    kinds.append("audio")
+                else:
+                    w, h = 8 + i % 16, 8 + (i // 3) % 16
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)),
+                            (yy * 255 // max(h - 1, 1)),
+                            np.full((h, w), i % 256),
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    blobs.append(encode_ppm(px))
+                    kinds.append("image")
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "content": blobs}
+                {"media_id": pdf["doc_id"], "kind": kinds, "content": blobs}
             )
 
     media = docs.mapInPandas(
-        _synth, schema="media_id bigint, content binary"
+        _synth, schema="media_id bigint, kind string, content binary"
     ).select(
         "media_id",
-        F.lit("audio").alias("kind"),
+        "kind",
         "content",
         F.named_struct(
-            F.lit("mime"), F.lit("audio/wav"),
+            F.lit("mime"),
+            F.when(F.col("kind") == "audio", F.lit("audio/wav")).otherwise(
+                F.lit("image/x-portable-pixmap")
+            ),
             F.lit("width"), F.lit(None).cast("int"),
             F.lit("height"), F.lit(None).cast("int"),
             F.lit("duration_s"), F.lit(None).cast("double"),
             F.lit("fps"), F.lit(None).cast("double"),
         ).alias("meta"),
     )
-    feats = extract_features(media)  # default decoder: real WAV parse
+    feats = extract_features(media)  # default decoder: real WAV/PPM parse
     return feats.select(
         "media_id",
+        "kind",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("duration_s"),
-        F.round(F.element_at("feature", 3), 6).alias("rms"),
-        F.round(F.element_at("feature", 5), 6).alias("zcr"),
+        # feature[1,3,5] are duration/rms/zcr for audio, height/lum-mean/
+        # red-mean for image — modality-appropriate descriptors either way
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 3), 6).alias("f3"),
+        F.round(F.element_at("feature", 5), 6).alias("f5"),
     )
 
 

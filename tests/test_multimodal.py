@@ -45,10 +45,17 @@ def test_extract_features_via_mapinpandas(spark, media):
 
 
 def test_default_decoder_is_explicit_stub_for_codecless_kinds(spark, media):
-    imgs = media.filter("kind = 'image'")
+    vids = media.filter("kind = 'video'")
     with pytest.raises(Exception) as ei:
-        extract_features(imgs, decoder=default_decoder).collect()
+        extract_features(vids, decoder=default_decoder).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_default_decoder_rejects_malformed_image(spark, media):
+    bad = media.filter("kind = 'image'")  # fake-PNG bytes: not Netpbm
+    with pytest.raises(Exception) as ei:
+        extract_features(bad, decoder=default_decoder).collect()
+    assert "Netpbm" in str(ei.value) or "ValueError" in str(ei.value)
 
 
 def test_default_decoder_rejects_malformed_audio(spark, media):
@@ -132,6 +139,78 @@ def test_extract_features_real_wav_end_to_end(spark):
         assert abs(feats[i][2] - 0.4 / 2**0.5) < 1e-3  # rms
     # Higher frequency → higher zero-crossing rate.
     assert feats[1][4] > feats[0][4] * 2
+
+
+def test_ppm_roundtrip_and_features():
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+    )
+
+    h, w = 12, 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 7)], axis=2
+    ).astype(np.uint8)
+    blob = encode_ppm(px)
+    back = decode_ppm(blob)
+    assert back.shape == (h, w, 3)
+    assert (back == px).all()
+
+    nw, nh, aspect, lum_mean, lum_std, r_mean, g_mean, b_mean = image_features(
+        blob, dim=8
+    )
+    assert abs(nw - w / 4096.0) < 1e-12 and abs(nh - h / 4096.0) < 1e-12
+    assert abs(aspect - w / h) < 1e-12
+    assert abs(r_mean - float(px[:, :, 0].mean()) / 255.0) < 1e-12
+    assert abs(b_mean - 7.0 / 255.0) < 1e-12
+    assert 0.0 < lum_mean < 1.0 and lum_std > 0.0
+
+
+def test_ppm_header_variants_and_grayscale():
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import decode_ppm
+
+    # comments in the header, multi-whitespace separators, P5 grayscale
+    raster = bytes(range(6))
+    blob = b"P5 # gray\n# another comment\n 3\n2 # dims\n255\n" + raster
+    arr = decode_ppm(blob)
+    assert arr.shape == (2, 3, 3)
+    assert (arr[:, :, 0] == arr[:, :, 1]).all()  # gray broadcast to RGB
+    assert arr[0, 1, 0] == 1
+    # maxval rescale to 8-bit
+    scaled = decode_ppm(b"P5 1 1 15\n" + bytes([15]))
+    assert scaled[0, 0, 0] == 255
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6 2 2 255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="Netpbm"):
+        decode_ppm(b"P3 1 1 255\n0 0 0")  # ascii form unsupported
+
+
+def test_extract_features_real_image_end_to_end(spark):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import encode_ppm
+
+    rows = []
+    for i, level in enumerate([0, 255]):
+        px = np.full((4, 6, 3), level, dtype=np.uint8)
+        rows.append(
+            (i, "image", encode_ppm(px), ("image/x-portable-pixmap", 6, 4, None, None))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media).collect()  # default (real) decoder
+    }
+    assert abs(feats[0][3] - 0.0) < 1e-12  # black frame: zero luminance
+    assert abs(feats[1][3] - 1.0) < 1e-9  # white frame: full luminance
+    assert feats[0][4] == 0.0  # flat frame: zero contrast
+    assert abs(feats[0][2] - 1.5) < 1e-12  # aspect 6/4
 
 
 def test_frame_sampling_plan(spark, media):
