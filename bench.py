@@ -14,6 +14,13 @@ times on a shared host carry multi-second scheduler noise (observed
 spread up to 40% on identical plans), and the minimum is the standard
 steady-state estimator for engine cost — the quantity that projects to
 cluster scale.
+
+An ``sf1_spot`` block re-times the three scale-critical headliners on a
+deterministic 10x scaling of their input tables (tools/scale_fixtures.py,
+built once into a temp dir) and reports the sf1/sf0.1 ratio — the
+one-order-of-magnitude data point behind the 100 TB design claims.
+Disable with SPARK_GRAFT_SKIP_SF1=1 (e.g. when benching a non-default
+SF dir where the ratio would be meaningless).
 """
 
 from __future__ import annotations
@@ -60,6 +67,46 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
             print(f"# pass{pass_no} {name}: {t}s", file=sys.stderr)
 
+    sf1_spot = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        import tempfile
+
+        from polygon_algotrading_env_spark.queries import queries
+        from tools.scale_fixtures import build_scaled_fixtures
+
+        spot_names = (
+            "minhash_near_dup_pairs", "lsh_ann_topk", "adjusted_candles_5m",
+        )
+        scaled_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_scaled_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        build_scaled_fixtures(spark, sf_dir, scaled_dir, factor=10)
+        qs = queries()
+        spot: dict[str, float] = {}
+        spot_pass0: dict[str, float] = {}
+        for pass_no in range(2):
+            for name in spot_names:
+                t0 = time.time()
+                qs[name](spark, scaled_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t = round(time.time() - t0, 3)
+                if pass_no == 0:
+                    spot_pass0[name] = t
+                spot[name] = min(spot.get(name, t), t)
+                print(f"# sf1 pass{pass_no} {name}: {t}s", file=sys.stderr)
+        sf1_spot = {
+            "factor": 10,
+            "queries": spot,
+            "pass0": spot_pass0,
+            "ratio_vs_base": {
+                n: round(spot[n] / timings[n], 2)
+                for n in spot_names
+                if timings.get(n)
+            },
+        }
+
     total = round(sum(timings.values()), 3)
     # Both estimators in the JSON so round-over-round deltas are never
     # methodology-confounded: `value`/`queries` = min-of-2 (steady state);
@@ -75,6 +122,7 @@ def main() -> None:
                 "pass0_total": round(sum(pass0.values()), 3),
                 "pass0": pass0,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"sf1_spot": sf1_spot} if sf1_spot else {}),
             }
         )
     )

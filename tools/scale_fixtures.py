@@ -1,0 +1,151 @@
+"""Deterministic 10x fixture scaling for bench.py's sf1 spot block.
+
+The driver ships sf0.001/0.01/0.1 only; the 100 TB design claims deserve
+at least one order-of-magnitude scaling data point, so the bench builds a
+synthetic "sf1" (10x sf0.1) copy of the three tables its scale-critical
+headliners read — events, documents, embeddings — under a temp/workdir
+path (never under /root/testdata, which is read-only by contract).
+
+Scaling must preserve WORKLOAD SHAPE, not just row count:
+
+- events: each replica shifts event_id by a disjoint block and ts by
+  (span + 5 min) * replica, so the time range grows 10x → 10x bars with
+  the same rows-per-bar density (replicating timestamps verbatim would
+  instead deepen each bar, a different workload).
+- documents: each replica applies a replica-keyed Caesar substitution to
+  the letters (``translate`` — JVM-side, 1:1 so n_chars stays valid).
+  A bijective charmap preserves every within-replica shingle-set Jaccard
+  EXACTLY (near-dup structure intact), while cross-replica shingles
+  differ wherever a letter appears, so replicas of the same doc are NOT
+  near-dups — pair density stays linear in corpus size, as in a real
+  10x corpus. Naive replication would put 10 copies of every doc in the
+  same LSH buckets and inflate the band join quadratically.
+- embeddings: vec_id shifts by a disjoint block; a small deterministic
+  jitter (cos keyed on vec_id + component index) decorrelates replicas
+  so ANN buckets fill 10x instead of holding 10 exact copies.
+
+Everything is a pure function of the source tables — no RNG, no clock —
+so repeated builds are byte-stable and the build is cached behind a
+marker file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _scaled_events(spark: SparkSession, src_dir: str, factor: int) -> DataFrame:
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    ev = load_table(spark, src_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 300_000_000
+    parts = [
+        ev.select(
+            (F.col("event_id") + r * 10**9).alias("event_id"),
+            F.expr(f"timestampadd(MICROSECOND, {r * span_us}, ts)").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scaled_documents(
+    spark: SparkSession, src_dir: str, factor: int
+) -> DataFrame:
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    docs = load_table(spark, src_dir, "documents")
+    digits = "0123456789"
+    parts = []
+    for r in range(factor):
+        rot = _ALPHA[r:] + _ALPHA[:r]
+        # rotate digits too: number-heavy texts are otherwise untouched by
+        # the letter map and would repeat VERBATIM across replicas, seeding
+        # 45 cross-replica dup pairs each
+        drot = digits[r:] + digits[:r]
+        mapped = F.translate(
+            F.translate(
+                F.translate(F.col("text"), _ALPHA, rot),
+                _ALPHA.upper(),
+                rot.upper(),
+            ),
+            digits,
+            drot,
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 10**6).alias("doc_id"),
+                mapped.alias("text"),
+                "lang",
+                "source",
+                "n_chars",  # translate is 1:1 — length unchanged
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _scaled_embeddings(
+    spark: SparkSession, src_dir: str, factor: int
+) -> DataFrame:
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    emb = load_table(spark, src_dir, "embeddings")
+    parts = []
+    for r in range(factor):
+        jitter = float(0.03 * r)
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 10**6).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x + F.lit(jitter) * F.cos(i + F.col("vec_id"))
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_scaled_fixtures(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> str:
+    """Build (once; marker-cached) the scaled fixture dir and return it."""
+    marker = os.path.join(dst_dir, "_BUILT")
+    if os.path.exists(marker):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    builders = {
+        "events": _scaled_events,
+        "documents": _scaled_documents,
+        "embeddings": _scaled_embeddings,
+    }
+    for name, build in builders.items():
+        build(spark, src_dir, factor).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(f"factor={factor} src={src_dir}\n")
+    return dst_dir
