@@ -98,6 +98,77 @@ def with_rsi(
     return df.withColumn(f"rsi_{n}", rsi).drop("__gain", "__loss")
 
 
+def with_atr(
+    df: DataFrame,
+    n: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Average True Range (Wilder's range volatility, simple-averaged like
+    :func:`with_rsi`): TR = greatest(high-low, |high-prev_close|,
+    |low-prev_close|), ATR = trailing-n mean of TR. First row's TR falls
+    back to high-low (no prior close). Pure window expressions."""
+    w = _w(keys, order_cols)
+    prev_close = F.lag(close).over(w)
+    tr = F.when(
+        prev_close.isNull(), F.col(high) - F.col(low)
+    ).otherwise(
+        F.greatest(
+            F.col(high) - F.col(low),
+            F.abs(F.col(high) - prev_close),
+            F.abs(F.col(low) - prev_close),
+        )
+    )
+    frame = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    return df.withColumn("true_range", tr).withColumn(
+        f"atr_{n}", F.avg("true_range").over(frame)
+    )
+
+
+def with_donchian(
+    df: DataFrame,
+    n: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    high: str = "high",
+    low: str = "low",
+) -> DataFrame:
+    """Donchian channel: trailing-n highest high / lowest low and their
+    midpoint — the breakout bands. min/max copy exact input values
+    (no accumulation), so the channel needs no cross-engine rounding."""
+    frame = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    up = F.max(high).over(frame)
+    dn = F.min(low).over(frame)
+    return (
+        df.withColumn("dc_upper", up)
+        .withColumn("dc_lower", dn)
+        .withColumn("dc_mid", (F.col("dc_upper") + F.col("dc_lower")) / 2.0)
+    )
+
+
+def with_realized_vol(
+    df: DataFrame,
+    price: str,
+    n: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    out: str | None = None,
+) -> DataFrame:
+    """Realized volatility: sample stddev of trailing-n log returns —
+    the bar-level risk input to position sizing. Composes
+    :func:`with_returns` (log) with a rolling stddev frame."""
+    df = with_returns(
+        df, price, keys, order_cols, log_returns=True, out="__lr"
+    )
+    frame = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    return df.withColumn(
+        out or f"rvol_{n}", F.stddev_samp("__lr").over(frame)
+    ).drop("__lr")
+
+
 def with_ema(
     df: DataFrame,
     price: str,

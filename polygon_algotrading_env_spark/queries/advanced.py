@@ -525,3 +525,178 @@ def pagerank_copurchase_top20(spark, sf_dir):
         .orderBy(F.desc("rank"), "l_partkey")
         .limit(20)
     )
+
+
+# --- Q2 shape: min-per-group + equality join-back (argmin suppliers) ------
+@register(
+    "min_unit_cost_supplier_per_part",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           c.unit_cost AS unit_cost
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+    """,
+)
+def min_unit_cost_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: for each (small) part, the supplier(s) offering the
+    minimum observed unit cost — min-per-group, then an equality
+    join-back to recover the argmin rows (keeps ALL tied suppliers,
+    which argmax/min_by cannot), then broadcast dim joins. Unit costs
+    are IEEE divisions of identical inputs, so min picks bit-identical
+    doubles on both engines and the equality join-back needs no epsilon
+    or rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    supp = load_table(spark, sf_dir, "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = (
+        costs.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .withColumnRenamed("l_partkey", "__bk")  # break self-join lineage ambiguity
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("__bk"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select("l_partkey", "l_suppkey", "unit_cost")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+# --- Q11 shape: HAVING above a global-fraction scalar subquery ------------
+@register(
+    "part_value_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS part_value
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(part_value) AS total FROM rev)
+    SELECT r.l_partkey, round(r.part_value, 4) AS part_value
+    FROM rev r CROSS JOIN tot t
+    WHERE r.part_value > 0.0005 * t.total
+    """,
+)
+def part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose discounted revenue exceeds a FRACTION
+    of the global total — a grouped aggregate gated by a scalar subquery
+    over its own re-aggregation, delivered as a 1-row broadcast (no
+    second scan of the fact: the rev relation is the only lineitem
+    read, reused for both sides). Round-4 = the inputs' exact decimal
+    width (2-dec price x 2-dec discount); per-part sums carry ~1e-8
+    accumulation noise vs the 5e-5 half-boundary distance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "part_value"
+        )
+    )
+    tot = rev.agg(F.sum("part_value").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") > 0.0005 * F.col("total"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+    )
+
+
+# --- Q15 shape: view + max-equality join (top supplier in a period) -------
+@register(
+    "top_revenue_supplier_quarter",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier_quarter(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — a revenue view consumed twice (per-supplier rows + its own
+    max) with the max as a 1-row broadcast equality. Comparing ROUNDED
+    sums (round-4, the inputs' decimal width) makes the equality robust:
+    both engines round their ~1e-9-noisy sums onto the same grid point
+    before the tie test, the same discipline the oracle applies."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# --- Q18 shape: HAVING-sum semi filter + join back + deterministic top-k --
+@register(
+    "big_ticket_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def big_ticket_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers behind the largest-volume orders — a
+    HAVING-gated aggregate over the fact (sums of integral quantities:
+    exact), joined back through orders to the customer dim, with a
+    deterministic top-100 (totalprice desc, orderkey tiebreak) that
+    Spark plans as TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

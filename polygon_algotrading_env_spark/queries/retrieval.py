@@ -274,3 +274,56 @@ def char_entropy_docs(spark, sf_dir):
             "entropy",
         )
     )
+
+
+@register(
+    "vocab_coverage_top64",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM freq),
+    top AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 64)
+    SELECT row_number() OVER o                    AS rank,
+           token,
+           cnt                                    AS n_occurrences,
+           round(sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) * 1.0 / t.n, 6)
+                                                  AS cum_coverage
+    FROM top CROSS JOIN tot t
+    WINDOW o AS (ORDER BY cnt DESC, token)
+    """,
+)
+def vocab_coverage_top64(spark, sf_dir):
+    """Tokenizer-vocabulary construction: the 64 most frequent corpus
+    tokens with their cumulative share of all token occurrences — the
+    coverage curve that decides vocab size for a BPE-ish tokenizer.
+    Scale shape: corpus → hash-agg token counts (map-side partials), the
+    top-64 via TakeOrderedAndProject (never a global vocab sort), total
+    occurrences as a 1-row broadcast; the rank/cumsum windows then run
+    over 64 ROWS ONLY, so the single-partition window is constant-sized
+    regardless of corpus or vocab size. Round-6 on an exact integer
+    ratio is tie-safe (denominators ~1e5 put grid ties ~1e-11 away)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens("text")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    top = freq.orderBy(F.desc("cnt"), "token").limit(64)
+    o = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(o).alias("rank"),
+            "token",
+            F.col("cnt").alias("n_occurrences"),
+            F.round(
+                F.sum("cnt").over(o.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("n"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -624,3 +624,128 @@ def gap_filled_bars_30m(spark, sf_dir):
         F.col("n_trades").cast("bigint").alias("n_trades"),
         "filled",
     )
+
+
+_HLC_BARS_CTE = """
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    )
+"""
+
+
+@register(
+    "atr_14_5m",
+    oracle=_HLC_BARS_CTE + """
+    , tr AS (
+      SELECT event_type, bucket_start,
+             CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER w),
+                                abs(low  - lag(close) OVER w)) END AS t
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type, bucket_start,
+           round(t, 6) AS true_range,
+           round(avg(t) OVER (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+             AS atr_14
+    FROM tr
+    """,
+)
+def atr_14_5m(spark, sf_dir):
+    """Average True Range over 5-minute bars (W4): the gap-aware range
+    volatility behind stop sizing — TR folds the close-to-open gap into
+    the bar range via prev-close, ATR is the trailing-14 mean
+    (operators/indicators.with_atr, pure window expressions). Round-6:
+    the ≤14-term mean of exact 2-decimal differences carries only ~1e-14
+    reorder noise, far off the grid."""
+    from polygon_algotrading_env_spark.operators.indicators import with_atr
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "high", "low", "close"
+    )
+    out = with_atr(
+        bars, 14, keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("true_range", 6).alias("true_range"),
+        F.round("atr_14", 6).alias("atr_14"),
+    )
+
+
+@register(
+    "donchian_20_5m",
+    oracle=_HLC_BARS_CTE + """
+    SELECT event_type, bucket_start, close,
+           max(high) OVER f                       AS dc_upper,
+           min(low)  OVER f                       AS dc_lower,
+           (max(high) OVER f + min(low) OVER f) / 2 AS dc_mid
+    FROM bars
+    WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def donchian_20_5m(spark, sf_dir):
+    """Donchian 20-bar breakout channel over 5-minute bars (W4). min/max
+    copy exact input doubles and the midpoint halves their exact sum, so
+    the whole result is reproduced bit-identically by both engines — no
+    rounding anywhere (operators/indicators.with_donchian)."""
+    from polygon_algotrading_env_spark.operators.indicators import with_donchian
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "high", "low", "close"
+    )
+    out = with_donchian(
+        bars, 20, keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
+        "event_type", "bucket_start", "close", "dc_upper", "dc_lower", "dc_mid"
+    )
+
+
+@register(
+    "realized_vol_12bar_5m",
+    oracle=_HLC_BARS_CTE + """
+    , lr AS (
+      SELECT event_type, bucket_start,
+             ln(close / lag(close) OVER (PARTITION BY event_type
+                                         ORDER BY bucket_start)) AS r
+      FROM bars
+    )
+    SELECT event_type, bucket_start,
+           round(stddev_samp(r) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start
+                                      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+                 6) AS rvol_12
+    FROM lr
+    """,
+)
+def realized_vol_12bar_5m(spark, sf_dir):
+    """Realized volatility: sample stddev of the trailing 12 log bar
+    returns per symbol (W4) — the risk input to position sizing,
+    composed from with_returns(log) + a rolling stddev frame
+    (operators/indicators.with_realized_vol). Round-6 over an
+    irrational-valued statistic is tie-free; the ≤12-term frame is
+    evaluated sequentially by both engines (~1e-15 noise)."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_realized_vol,
+    )
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    out = with_realized_vol(
+        bars, "close", 12, keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
+        "event_type", "bucket_start", F.round("rvol_12", 6).alias("rvol_12")
+    )

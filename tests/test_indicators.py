@@ -5,8 +5,11 @@ from datetime import datetime
 import pytest
 
 from polygon_algotrading_env_spark.operators.indicators import (
+    with_atr,
     with_bollinger,
+    with_donchian,
     with_ema,
+    with_realized_vol,
     with_returns,
     with_rsi,
     with_running_max_drawdown,
@@ -63,6 +66,57 @@ def test_rsi_bounds_and_direction(spark, series):
     vals = [v for k, v in out.items() if k[0] == "SPY" and k[1] >= 1]
     assert all(0.0 <= v <= 100.0 for v in vals)
     assert out[("TLT", 3)] == 100.0  # monotonic rise → no losses
+
+
+def test_atr_true_range_and_average(spark):
+    # bars: (high, low, close); bar 1 gaps DOWN below bar 0's close, so
+    # TR must use |high - prev_close| / |low - prev_close|, not just h-l
+    rows = [
+        ("SPY", 0, 10.0, 8.0, 9.0),
+        ("SPY", 1, 7.0, 6.0, 6.5),   # gap down: TR = |6.0-9.0| = 3.0
+        ("SPY", 2, 12.0, 6.0, 11.0),  # wide bar: TR = 12-6 = 6.0
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, seq long, high double, low double, close double"
+    )
+    out = {
+        r["seq"]: (r["true_range"], r["atr_2"])
+        for r in with_atr(df, 2, ["ticker"], ["seq"]).collect()
+    }
+    assert out[0][0] == 2.0       # first bar: high - low
+    assert out[1][0] == 3.0       # gap term dominates
+    assert out[2][0] == 6.0
+    assert out[1][1] == 2.5       # avg(2.0, 3.0)
+    assert out[2][1] == 4.5       # avg(3.0, 6.0)
+
+
+def test_donchian_channel(spark, series):
+    df = series.withColumn("high", series.close + 1).withColumn(
+        "low", series.close - 1
+    )
+    out = {
+        (r["ticker"], r["seq"]): (r["dc_upper"], r["dc_lower"], r["dc_mid"])
+        for r in with_donchian(df, 3, ["ticker"], ["seq"]).collect()
+    }
+    # SPY closes 100,102,101 → highs 101,103,102; lows 99,101,100
+    assert out[("SPY", 2)] == (103.0, 99.0, 101.0)
+    assert out[("SPY", 0)] == (101.0, 99.0, 100.0)
+
+
+def test_realized_vol_matches_numpy(spark, series):
+    import numpy as np
+
+    out = {
+        (r["ticker"], r["seq"]): r["rvol_4"]
+        for r in with_realized_vol(
+            series, "close", 4, ["ticker"], ["seq"]
+        ).collect()
+    }
+    prices = np.array([100.0, 102.0, 101.0, 105.0, 107.0, 103.0, 108.0, 110.0])
+    lr = np.log(prices[1:] / prices[:-1])
+    # seq 7 frame = last 4 log returns (seq 4..7)
+    assert abs(out[("SPY", 7)] - np.std(lr[-4:], ddof=1)) < 1e-12
+    assert out[("SPY", 0)] is None  # no return yet → stddev of empty
 
 
 def test_ema_matches_pandas(spark, series):
