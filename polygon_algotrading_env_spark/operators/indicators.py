@@ -169,6 +169,88 @@ def with_realized_vol(
     ).drop("__lr")
 
 
+def with_stochastic(
+    df: DataFrame,
+    n: int,
+    d_n: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − lowest low) / (highest
+    high − lowest low) over the trailing ``n`` bars; %D = ``d_n``-bar
+    simple average of %K. A flat n-bar range (hh == ll) yields NULL %K
+    rather than a division blow-up."""
+    frame = _w(keys, order_cols).rowsBetween(-(n - 1), 0)
+    hh = F.max(high).over(frame)
+    ll = F.min(low).over(frame)
+    k = F.when(hh == ll, F.lit(None).cast("double")).otherwise(
+        100.0 * (F.col(close) - ll) / (hh - ll)
+    )
+    df = df.withColumn(f"stoch_k_{n}", k)
+    d_frame = _w(keys, order_cols).rowsBetween(-(d_n - 1), 0)
+    return df.withColumn(
+        f"stoch_d_{n}_{d_n}", F.avg(f"stoch_k_{n}").over(d_frame)
+    )
+
+
+def with_obv(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    close: str = "close",
+    volume: str = "volume",
+) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the bar-close
+    direction (first bar contributes 0 — no prior close). Two window
+    passes over ONE partitioning: the lag and the cumulative sum share
+    the per-key shuffle."""
+    w = _w(keys, order_cols)
+    direction = F.signum(F.col(close) - F.lag(close).over(w))
+    df = df.withColumn(
+        "__sv", F.coalesce(direction, F.lit(0.0)) * F.col(volume)
+    )
+    cum = _w(keys, order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("obv", F.sum("__sv").over(cum)).drop("__sv")
+
+
+def with_macd(
+    df: DataFrame,
+    price: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD(fast, slow, signal): macd = EMA(fast) − EMA(slow), signal =
+    EMA(signal) of macd, hist = macd − signal. All three recursions run
+    in ONE Arrow-batched grouped map per key (not three applyInPandas
+    passes) — like :func:`with_ema`, parallelism = number of symbols."""
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("macd", DoubleType()),
+            StructField("macd_signal", DoubleType()),
+            StructField("macd_hist", DoubleType()),
+        ]
+    )
+    order_list = list(order_cols)
+
+    def _macd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list)
+        ema_f = pdf[price].ewm(span=fast, adjust=False).mean()
+        ema_s = pdf[price].ewm(span=slow, adjust=False).mean()
+        pdf["macd"] = ema_f - ema_s
+        pdf["macd_signal"] = pdf["macd"].ewm(span=signal, adjust=False).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_macd, schema=schema)
+
+
 def with_ema(
     df: DataFrame,
     price: str,

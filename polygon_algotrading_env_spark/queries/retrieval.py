@@ -327,3 +327,67 @@ def vocab_coverage_top64(spark, sf_dir):
             ).alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "bigram_logprob_docs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.token AS t1, b.token AS t2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT t1, t2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    c1  AS (SELECT t1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM toks)
+    SELECT g.doc_id,
+           count(*)                                     AS n_bigrams,
+           round(avg(ln((m.n12 + 1.0) / (c1.n1 + vo.v))), 6) AS avg_logprob
+    FROM big g
+    JOIN c12 m ON g.t1 = m.t1 AND g.t2 = m.t2
+    JOIN c1     ON g.t1 = c1.t1
+    CROSS JOIN vocab vo
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob_docs(spark, sf_dir):
+    """Statistical-LM quality scoring (the CCNet idea, self-trained): an
+    add-one-smoothed bigram model fit on the whole corpus scores each
+    document's average bigram log-probability — fluent text scores high,
+    shuffled/junk text scores low, and the signal needs no external model
+    artifact. Plan: ONE posexplode; bigrams via a lead() window on the
+    (doc, pos) shuffle (never a token self-join); the model is two hash
+    aggregates of the bigram relation (corpus-bounded, vocab-shaped) hash-
+    joined back; vocab size rides as a 1-row broadcast. Round-6 on an
+    avg of logs: irrational values never sit on the grid, and ≤n-token
+    sums carry ~1e-13 reorder noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.col("token").alias("t1"), "t2")
+    )
+    c12 = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("t1").agg(F.sum("n12").alias("n1"))
+    vocab = toks.agg(F.countDistinct("token").alias("v"))
+    logp = F.log((F.col("n12") + 1.0) / (F.col("n1") + F.col("v")))
+    return (
+        big.join(c12, ["t1", "t2"])
+        .join(c1, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )

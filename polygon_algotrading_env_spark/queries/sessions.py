@@ -297,3 +297,130 @@ def band_join_events_60s(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "event_type")
     )
+
+
+# --- ordered funnel: view -> click -> purchase ----------------------------
+@register(
+    "view_click_purchase_funnel",
+    oracle="""
+    WITH ns AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    v AS (
+      SELECT user_id, min(tns) AS t FROM ns
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.tns) AS t
+      FROM ns e JOIN v ON e.user_id = v.user_id AND e.tns > v.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.tns) AS t
+      FROM ns e JOIN c ON e.user_id = c.user_id AND e.tns > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'view' AS stage,     count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click',    count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM p
+    ) t
+    """,
+)
+def view_click_purchase_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked strictly AFTER their first view, then purchased strictly
+    after that first qualifying click. Each stage is a per-user min-ts
+    aggregate equi-joined to the previous stage (the strict ts_ns
+    inequality rides the join), so the plan is three hash aggregates +
+    two joins on user_id — one shuffle family, no window over the raw
+    stream, no row explosion. The exact-nanos tiebreak column makes the
+    strict ordering engine-portable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+
+    def first_after(prev, etype):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(
+                prev.withColumnRenamed("t", "__pt"), "user_id"
+            ).where(F.col("ts_ns") > F.col("__pt"))
+        return e.groupBy("user_id").agg(F.min("ts_ns").alias("t"))
+
+    v = first_after(None, "view")
+    c = first_after(v, "click")
+    p = first_after(c, "purchase")
+    rows = [
+        (1, "view", v),
+        (2, "click", c),
+        (3, "purchase", p),
+    ]
+    out = None
+    for no, name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# --- weekly cohort retention ----------------------------------------------
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+    ),
+    firsts AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, d FROM days),
+    cohort_size AS (
+      SELECT d0 // 7 AS cohort_week, count(*) AS n_cohort
+      FROM firsts GROUP BY 1
+    ),
+    activity AS (
+      SELECT f.d0 // 7 AS cohort_week,
+             (a.d // 7) - (f.d0 // 7) AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active,
+           round(a.n_active * 1.0 / c.n_cohort, 6) AS retention
+    FROM activity a JOIN cohort_size c ON a.cohort_week = c.cohort_week
+    """,
+)
+def weekly_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by the epoch-week of their
+    first event; each later epoch-week of activity increments that
+    cohort's (cohort_week, week_offset) cell; retention = active share of
+    the cohort. Pure integer epoch-week arithmetic (ts_ns DIV day DIV 7)
+    sidesteps engine week-boundary conventions entirely. Plan: events
+    collapse to distinct (user, day) FIRST, so every later join/aggregate
+    runs on day-grain rows — bounded by users × days, never event
+    count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    days = ev.select(
+        "user_id", F.expr("ts_ns DIV 86400000000000").alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cohort_size = (
+        firsts.groupBy(F.expr("d0 DIV 7").alias("cohort_week"))
+        .agg(F.count(F.lit(1)).alias("n_cohort"))
+    )
+    activity = (
+        days.join(firsts, "user_id")
+        .groupBy(
+            F.expr("d0 DIV 7").alias("cohort_week"),
+            F.expr("(d DIV 7) - (d0 DIV 7)").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return activity.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )

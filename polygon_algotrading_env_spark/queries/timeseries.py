@@ -749,3 +749,112 @@ def realized_vol_12bar_5m(spark, sf_dir):
     return out.select(
         "event_type", "bucket_start", F.round("rvol_12", 6).alias("rvol_12")
     )
+
+
+@register(
+    "stochastic_14_3_5m",
+    oracle=_HLC_BARS_CTE + """
+    , k AS (
+      SELECT event_type, bucket_start,
+             CASE WHEN max(high) OVER f = min(low) OVER f THEN NULL
+                  ELSE 100.0 * (close - min(low) OVER f)
+                       / (max(high) OVER f - min(low) OVER f) END AS kv
+      FROM bars
+      WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket_start,
+           round(kv, 6) AS stoch_k,
+           round(avg(kv) OVER (PARTITION BY event_type ORDER BY bucket_start
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS stoch_d
+    FROM k
+    """,
+)
+def stochastic_14_3_5m(spark, sf_dir):
+    """Stochastic oscillator %K(14)/%D(3) over 5-minute bars (W4): where
+    the close sits inside the trailing 14-bar range, smoothed over 3 bars
+    (operators/indicators.with_stochastic). Flat ranges yield NULL, not a
+    division blow-up. Round-6 on a ratio-valued statistic is tie-free."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_stochastic,
+    )
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "high", "low", "close"
+    )
+    out = with_stochastic(
+        bars, 14, 3, keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("stoch_k_14", 6).alias("stoch_k"),
+        F.round("stoch_d_14_3", 6).alias("stoch_d"),
+    )
+
+
+@register(
+    "obv_5m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts)   AS close,
+             round(sum(value), 4) AS volume
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    sv AS (
+      SELECT event_type, bucket_start,
+             coalesce(sign(close - lag(close) OVER w), 0) * volume AS s
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type, bucket_start,
+           round(sum(s) OVER (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS obv
+    FROM sv
+    """,
+)
+def obv_5m(spark, sf_dir):
+    """On-balance volume per symbol (W4): cumulative volume signed by the
+    close direction — the classic volume-flow confirmation indicator
+    (operators/indicators.with_obv: lag + cumsum share one per-symbol
+    shuffle). Round-4 = the volume column's own grid; the running sum of
+    4-decimal values carries ~1e-10 reorder noise."""
+    from polygon_algotrading_env_spark.operators.indicators import with_obv
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close", "volume"
+    )
+    out = with_obv(bars, keys=["event_type"], order_cols=["bucket_start"])
+    return out.select(
+        "event_type", "bucket_start", F.round("obv", 4).alias("obv")
+    )
+
+
+@register("macd_12_26_9_5m", oracle=None)
+def macd_12_26_9_5m(spark, sf_dir):
+    """MACD(12,26,9) over 5-minute bar closes — the EMA-family trend
+    indicator. Recursive smoothing has no portable SQL formulation (the
+    same reason ema_20_per_event_type is rows-only), so all three EMAs
+    run in ONE Arrow-batched grouped map per symbol
+    (operators/indicators.with_macd); correctness is pinned by the
+    pandas-equivalence unit test."""
+    from polygon_algotrading_env_spark.operators.indicators import with_macd
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    out = with_macd(
+        bars, "close", keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )

@@ -9,11 +9,14 @@ from polygon_algotrading_env_spark.operators.indicators import (
     with_bollinger,
     with_donchian,
     with_ema,
+    with_macd,
+    with_obv,
     with_realized_vol,
     with_returns,
     with_rsi,
     with_running_max_drawdown,
     with_sma,
+    with_stochastic,
 )
 
 
@@ -117,6 +120,65 @@ def test_realized_vol_matches_numpy(spark, series):
     # seq 7 frame = last 4 log returns (seq 4..7)
     assert abs(out[("SPY", 7)] - np.std(lr[-4:], ddof=1)) < 1e-12
     assert out[("SPY", 0)] is None  # no return yet → stddev of empty
+
+
+def test_stochastic_bounds_and_flat_range(spark):
+    rows = [
+        ("SPY", 0, 11.0, 9.0, 10.0),
+        ("SPY", 1, 12.0, 10.0, 12.0),   # close at 2-bar high → %K = 100
+        ("SPY", 2, 12.0, 8.0, 8.0),     # close at 3-bar low → %K = 0
+        ("FLT", 0, 5.0, 5.0, 5.0),      # flat bar: hh == ll → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, seq long, high double, low double, close double"
+    )
+    out = {
+        (r["ticker"], r["seq"]): (r["stoch_k_3"], r["stoch_d_3_2"])
+        for r in with_stochastic(df, 3, 2, ["ticker"], ["seq"]).collect()
+    }
+    assert out[("SPY", 1)][0] == 100.0
+    assert out[("SPY", 2)][0] == 0.0
+    assert out[("SPY", 2)][1] == 50.0  # avg(100, 0)
+    assert out[("FLT", 0)] == (None, None)
+
+
+def test_obv_signed_accumulation(spark):
+    rows = [
+        ("SPY", 0, 10.0, 100.0),
+        ("SPY", 1, 11.0, 50.0),   # up:   +50
+        ("SPY", 2, 11.0, 30.0),   # flat:  +0
+        ("SPY", 3, 10.0, 20.0),   # down: -20
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, seq long, close double, volume double"
+    )
+    out = {
+        r["seq"]: r["obv"]
+        for r in with_obv(df, ["ticker"], ["seq"]).collect()
+    }
+    assert out == {0: 0.0, 1: 50.0, 2: 50.0, 3: 30.0}
+
+
+def test_macd_matches_pandas(spark, series):
+    import pandas as pd
+
+    out = {
+        (r["ticker"], r["seq"]): (r["macd"], r["macd_signal"], r["macd_hist"])
+        for r in with_macd(
+            series, "close", ["ticker"], ["seq"], fast=3, slow=5, signal=2
+        ).collect()
+    }
+    prices = pd.Series([100.0, 102.0, 101.0, 105.0, 107.0, 103.0, 108.0, 110.0])
+    macd = (
+        prices.ewm(span=3, adjust=False).mean()
+        - prices.ewm(span=5, adjust=False).mean()
+    )
+    sig = macd.ewm(span=2, adjust=False).mean()
+    for i in range(8):
+        got = out[("SPY", i)]
+        assert abs(got[0] - macd[i]) < 1e-12
+        assert abs(got[1] - sig[i]) < 1e-12
+        assert abs(got[2] - (macd[i] - sig[i])) < 1e-12
 
 
 def test_ema_matches_pandas(spark, series):
