@@ -202,3 +202,79 @@ def salted_pricing_summary(spark, sf_dir):
     ).select(
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "count_order"
     )
+
+
+# --- equi-width histogram (explicit arithmetic, engine-portable) ----------
+@register(
+    "price_histogram_20bins",
+    oracle="""
+    WITH rng AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - r.lo) * 20 / (r.hi - r.lo)),
+                      19) + 1 AS INT)  AS bin,
+           count(*)                    AS n_orders,
+           round(min(o_totalprice), 2) AS lo_price,
+           round(max(o_totalprice), 2) AS hi_price
+    FROM orders CROSS JOIN rng r
+    GROUP BY bin
+    """,
+)
+def price_histogram_20bins(spark, sf_dir):
+    """Equi-width 20-bin histogram of order prices — the distribution
+    profile behind data validation and skew diagnosis. Bin edges come
+    from a (min, max) scalar subquery broadcast back over the fact; the
+    bin index is explicit IEEE arithmetic (identical bit results on both
+    engines, so boundary assignment cannot diverge — width_bucket is not
+    portable to the oracle), with the single x == max row clamped into
+    the top bin. One scan + one tiny aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bin_col = (
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * 20
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(19),
+        )
+        + 1
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(rng))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+# --- mergeable HLL distinct sketches (rows-only: Spark DataSketches) ------
+@register("hll_distinct_users_by_type", oracle=None)
+def hll_distinct_users_by_type(spark, sf_dir):
+    """Per-segment distinct-user estimates from mergeable HLL sketches,
+    plus the UNION-of-segments estimate from merging those same sketches
+    (operators/sketches.py). THE scale pattern for distinct counts: a
+    KB-sized sketch per segment is built map-side once, and any segment
+    combination folds in sketch space with no rescan and no key shuffle.
+    Rows-only: DuckDB's approx_count_distinct is a different HLL; the
+    estimates' determinism, merge-equals-direct property, and accuracy
+    bounds are pinned in tests/test_sketches.py."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        hll_estimate,
+        hll_group_sketches,
+        hll_union_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sketches = hll_group_sketches(ev, "user_id", ["event_type"])
+    per_seg = hll_estimate(sketches).select("event_type", "distinct_est")
+    total = hll_union_estimate(sketches).select(
+        F.lit("__all__").alias("event_type"), "distinct_est"
+    )
+    return per_seg.unionByName(total)

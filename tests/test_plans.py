@@ -144,6 +144,32 @@ def test_global_ordinals_single_data_shuffle(spark, sf_dir, q):
         assert m.group(1).startswith("__pid"), m.group(0)
 
 
+def test_big_ticket_topk_and_broadcast(spark, sf_dir, q):
+    """Q18 shape: the HAVING-gated agg joins back through orders with the
+    customer dim broadcast, and the top-100 is TakeOrderedAndProject —
+    never a global sort."""
+    st = plan_stats(q["big_ticket_customers"](spark, sf_dir))
+    assert st.take_ordered == 1
+    assert st.broadcast_joins >= 1
+
+
+def test_vocab_coverage_windows_after_topk(spark, sf_dir, q):
+    """The rank/cumsum windows must run on the 64-row top-k result, not
+    the vocab: TakeOrderedAndProject present, and no rangepartitioning
+    exchange (a global-sort window over the vocab would add one)."""
+    p = plan_string(q["vocab_coverage_top64"](spark, sf_dir), execute=True)
+    p = p.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_funnel_no_window_over_raw_stream(spark, sf_dir, q):
+    """Funnel stages are min-ts aggregates chained by user_id equi-joins:
+    no Window over the event stream, no sort-merge join at driver SF."""
+    p = plan_string(q["view_click_purchase_funnel"](spark, sf_dir))
+    assert "Window" not in p
+
+
 def test_gopher_filters_share_token_shuffle(spark, sf_dir, q):
     """Unigram counts, bigram lead-window, and the per-doc rollup ride
     three shuffles total — no token self-join."""

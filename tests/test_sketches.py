@@ -1,0 +1,72 @@
+"""HLL sketch operators: accuracy vs exact, merge associativity, and
+order/partitioning independence (the properties that make the
+sketch-per-segment pattern sound at scale)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.operators.sketches import (
+    hll_estimate,
+    hll_group_sketches,
+    hll_union_estimate,
+)
+
+
+def _events(spark, sf_dir):
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+
+def test_group_estimates_within_error_bound(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_estimate(
+            hll_group_sketches(ev, "user_id", ["event_type"])
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        # lgk=12 → ~1.6% relative standard error; 4 sigma bound
+        assert abs(e - exact[k]) <= max(1, 0.065 * exact[k]), (k, e, exact[k])
+
+
+def test_union_of_sketches_equals_direct_global_sketch(spark, sf_dir):
+    """Merging per-segment sketches must give the SAME estimate as one
+    sketch over the whole relation — the property that lets segment
+    sketches answer global questions without rescanning."""
+    ev = _events(spark, sf_dir)
+    merged = hll_union_estimate(
+        hll_group_sketches(ev, "user_id", ["event_type"])
+    ).first()["distinct_est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("e")
+    ).first()["e"]
+    assert merged == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(1, 0.065 * exact)
+
+
+def test_sketch_is_partitioning_independent(spark, sf_dir):
+    """Same input set, different physical layout → identical estimates
+    (the sketch is an order-independent function of the SET)."""
+    ev = _events(spark, sf_dir)
+    a = hll_union_estimate(
+        hll_group_sketches(ev, "user_id", ["event_type"])
+    ).first()["distinct_est"]
+    b = hll_union_estimate(
+        hll_group_sketches(
+            ev.repartition(7, "user_id"), "user_id", ["event_type"]
+        )
+    ).first()["distinct_est"]
+    assert a == b
