@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import TimestampNTZType
 
 
@@ -259,6 +259,61 @@ def stream_dedup_ledger(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_hll_sketch_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sketch_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+):
+    """Incrementally maintained distinct-count sketches over a stream:
+    each micro-batch reduces to ONE mergeable HLL sketch per key group
+    (operators/sketches.py) and writes it to its own ``batch_id=<id>``
+    partition — the sketch analogue of the ledger pattern, and the
+    streaming form of exact ``countDistinct`` state that would otherwise
+    grow with the key domain.
+
+    Exactly-once is structural twice over: a replayed batch OVERWRITES
+    only its own partition, and even a hypothetical double-merge is
+    harmless because HLL union has set semantics (merging the same
+    elements again is a no-op). Read the current estimates any time with
+    :func:`read_hll_estimates` — a union-merge over the KB-sized
+    partition sketches, never a rescan of the stream's history.
+    """
+    from polygon_algotrading_env_spark.operators.sketches import (
+        hll_group_sketches,
+    )
+
+    keys = list(key_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hll_group_sketches(batch_df, value_col, keys, lgk=lgk)
+        # Write even when empty: a replay must clear a stale partial.
+        sk.write.mode("overwrite").parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_estimates(spark: SparkSession, sketch_path: str, key_cols: Sequence[str]) -> DataFrame:
+    """Current distinct-count estimate per key group from the sketch
+    table: merge each group's per-batch sketches (`hll_union_agg`) and
+    estimate. Input size = groups x batches KB-sized sketches."""
+    keys = list(key_cols)
+    sk = spark.read.option("basePath", sketch_path).parquet(sketch_path)
+    return sk.groupBy(*keys).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("hll_sketch", F.lit(True))
+        ).alias("distinct_est")
     )
 
 

@@ -201,3 +201,107 @@ def test_band_join_law(spark, lvals, rvals, band, width):
         if lv + low <= rv <= lv + high
     }
     assert got == expect
+
+
+# --- indicator laws over random bar series --------------------------------
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(1.0, 100.0, allow_nan=False),  # low offset base
+            st.floats(0.0, 20.0, allow_nan=False),   # bar range
+            st.floats(0.0, 1.0, allow_nan=False),    # close position in range
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_indicator_laws(spark, bars):
+    """ATR/TR, Donchian, and stochastic laws on random valid bars:
+    TR >= high-low >= 0 and ATR >= 0; the Donchian channel brackets every
+    close in its window; %K is in [0, 100] or NULL exactly when the
+    window range is flat."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_atr,
+        with_donchian,
+        with_stochastic,
+    )
+
+    rows = []
+    for i, (lo, rng, cpos) in enumerate(bars):
+        low, high = round(lo, 2), round(lo + rng, 2)
+        close = round(low + (high - low) * cpos, 2)
+        rows.append(("X", i, high, low, close))
+    df = spark.createDataFrame(
+        rows, "ticker string, seq long, high double, low double, close double"
+    )
+    atr = with_atr(df, 5, ["ticker"], ["seq"]).collect()
+    for r in atr:
+        hl = r["high"] - r["low"]
+        assert r["true_range"] >= hl - 1e-9 and r["true_range"] >= -1e-12
+        assert r["atr_5"] >= -1e-12
+    dc = with_donchian(df, 5, ["ticker"], ["seq"]).collect()
+    for r in dc:
+        assert r["dc_lower"] - 1e-9 <= r["close"] <= r["dc_upper"] + 1e-9
+        assert abs(r["dc_mid"] - (r["dc_upper"] + r["dc_lower"]) / 2) < 1e-12
+    stoch = with_stochastic(df, 5, 3, ["ticker"], ["seq"]).collect()
+    for r in stoch:
+        if r["stoch_k_5"] is None:
+            continue
+        assert -1e-9 <= r["stoch_k_5"] <= 100.0 + 1e-9
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(1.0, 50.0, allow_nan=False),   # close
+            st.floats(0.0, 10.0, allow_nan=False),   # volume
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_obv_telescoping_bound(spark, bars):
+    """|OBV| can never exceed the total traded volume after the first
+    bar, and OBV is exactly 0 whenever closes are monotone flat."""
+    from polygon_algotrading_env_spark.operators.indicators import with_obv
+
+    rows = [
+        ("X", i, round(c, 2), round(v, 4)) for i, (c, v) in enumerate(bars)
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, seq long, close double, volume double"
+    )
+    out = sorted(
+        with_obv(df, ["ticker"], ["seq"]).collect(), key=lambda r: r["seq"]
+    )
+    total_after_first = sum(r["volume"] for r in out[1:])
+    for r in out:
+        assert abs(r["obv"]) <= total_after_first + 1e-6
+
+
+@SLOW
+@given(st.integers(1, 137))
+def test_decile_sizes_partition_ntile(spark, n):
+    """order_price_deciles' closed-form bucket law on arbitrary n: bucket
+    sizes partition n with the remainder front-loaded (first n%10 buckets
+    one larger), exactly like ntile(10)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("ordinal"))
+    got = df.selectExpr(
+        f"""CAST(IF(ordinal <= ({n} % 10) * ({n} DIV 10 + 1),
+                    (ordinal - 1) DIV ({n} DIV 10 + 1) + 1,
+                    ({n} % 10) + (ordinal - 1 - ({n} % 10) * ({n} DIV 10 + 1))
+                        DIV ({n} DIV 10) + 1)
+                AS INT) AS decile"""
+    ).groupBy("decile").count().collect()
+    sizes = {r["decile"]: r["count"] for r in got}
+    q, r = divmod(n, 10)
+    expected = {
+        b: (q + 1 if b <= r else q)
+        for b in range(1, min(n, 10) + 1)
+        if (q + 1 if b <= r else q) > 0
+    }
+    assert sizes == expected

@@ -146,6 +146,68 @@ def test_stream_dedup_ledger_cross_run(spark, tmp_path):
     assert spark.read.parquet(ledger).select("doc_id").distinct().count() == 3
 
 
+def test_stream_hll_sketch_table_matches_batch(spark, tmp_path):
+    """Incremental sketch maintenance across two drains must estimate
+    EXACTLY what a direct batch sketch over all data estimates (HLL union
+    is a set operation — same algorithm, same answer), and a no-data
+    re-drain must not change the result."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_hll_estimates,
+        stream_hll_sketch_table,
+    )
+
+    src = str(tmp_path / "src")
+    sketches = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("seg string, uid long").parquet(src)
+        q = stream_hll_sketch_table(stream, ckpt, sketches, ["seg"], "uid")
+        q.awaitTermination(120)
+
+    rows1 = [("a", i) for i in range(200)] + [("b", i) for i in range(50)]
+    spark.createDataFrame(rows1, "seg string, uid long").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # overlap: 100 repeat uids for 'a' (set semantics absorb them) + new
+    rows2 = [("a", i) for i in range(100, 400)] + [("b", i) for i in range(50, 60)]
+    spark.createDataFrame(rows2, "seg string, uid long").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    est = {
+        r["seg"]: r["distinct_est"]
+        for r in read_hll_estimates(spark, sketches, ["seg"]).collect()
+    }
+    all_rows = spark.createDataFrame(rows1 + rows2, "seg string, uid long")
+    direct = {
+        r["seg"]: r["e"]
+        for r in all_rows.groupBy("seg")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("uid", F.lit(12))
+            ).alias("e")
+        )
+        .collect()
+    }
+    assert est == direct
+    # exactness at these cardinalities is not guaranteed; the bound is
+    exact = {"a": 400, "b": 60}
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(1, 0.065 * exact[k])
+
+    drain()  # third drain, no new data: estimates unchanged
+    est2 = {
+        r["seg"]: r["distinct_est"]
+        for r in read_hll_estimates(spark, sketches, ["seg"]).collect()
+    }
+    assert est2 == est
+
+
 def test_stream_bars_from_page_store_end_to_end(spark, tmpdir):
     """North-star composition: the streaming page-cursor source feeding
     windowed OHLCV — one availableNow drain must equal the batch pipeline
