@@ -700,3 +700,44 @@ def big_ticket_customers(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# --- Q4 shape: EXISTS-gated priority counts -------------------------------
+@register(
+    "priority_order_fulfillment",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def priority_order_fulfillment(spark, sf_dir):
+    """TPC-H Q4 shape: orders in a quarter having at least one line item
+    shipped after the order date, counted by priority. The EXISTS is a
+    LEFT SEMI join whose non-equi half (shipdate > orderdate) rides the
+    join condition, so the fact side ships only (l_orderkey, l_shipdate)
+    and each order is emitted once no matter how many lines qualify —
+    the join can never amplify rows. Date range pushed to the orders
+    scan."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -287,3 +287,47 @@ def test_compact_parquet(spark, tmpdir):
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(2000))
     # No leftover temp/old dirs.
     assert not glob.glob(f"{src}.__*")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """Format completeness beyond parquet/csv/json/jdbc: ORC round-trips
+    typed data losslessly and receives predicate pushdown (the other
+    columnar format a lake migration encounters)."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.plans import plan_stats
+
+    path = str(tmp_path / "t.orc")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+        "id long, s string, v double",
+    )
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    st = plan_stats(back.where(F.col("id") > 1))
+    assert any("GreaterThan(id,1)" in f for f in st.pushed_filters)
+
+
+def test_parquet_zstd_roundtrip(spark, tmp_path):
+    """Compression-codec option flows through to the files (zstd is the
+    ratio/speed default for cold lake data at scale)."""
+    import glob
+
+    path = str(tmp_path / "z.parquet")
+    spark.range(0, 1000).withColumnRenamed("id", "v").write.option(
+        "compression", "zstd"
+    ).parquet(path)
+    files = glob.glob(f"{path}/*.zstd.parquet")
+    assert files, "expected .zstd.parquet part files"
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_text_lines_roundtrip(spark, tmp_path):
+    """Raw line-oriented text read — the lowest-common-denominator ingest
+    for logs the reference would have landed verbatim."""
+    p = tmp_path / "log.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    got = [r["value"] for r in spark.read.text(str(p)).collect()]
+    assert sorted(got) == ["alpha", "beta", "gamma"]
