@@ -251,6 +251,65 @@ class Engine:
 
         return quality_cap_per_group(df, group_cols, quality_col, cap, **kw)
 
+    def indicators(
+        self,
+        bars: DataFrame,
+        keys: Sequence[str],
+        order_cols: Sequence[str],
+        price: str = "close",
+        specs: Sequence[str] = ("sma_20", "rsi_14", "bollinger_20", "atr_14"),
+    ) -> DataFrame:
+        """Attach a set of technical indicators in one pass — every
+        window-frame indicator shares the per-key partitioning, so the
+        whole stack costs ONE shuffle. Spec grammar: ``sma_N``, ``rsi_N``,
+        ``bollinger_N``, ``atr_N``, ``donchian_N``, ``stoch_N_D``,
+        ``obv``, ``rvol_N``, ``ema_N``, ``macd`` (the EMA family drops to
+        one Arrow grouped map)."""
+        from polygon_algotrading_env_spark.operators import indicators as _ind
+
+        out = bars
+        for spec in specs:
+            parts = spec.split("_")
+            kind, args = parts[0], [int(x) for x in parts[1:]]
+            if kind == "sma":
+                out = _ind.with_sma(out, price, args[0], keys, order_cols)
+            elif kind == "rsi":
+                out = _ind.with_rsi(out, price, args[0], keys, order_cols)
+            elif kind == "bollinger":
+                out = _ind.with_bollinger(out, price, args[0], 2.0, keys, order_cols)
+            elif kind == "atr":
+                out = _ind.with_atr(out, args[0], keys, order_cols, close=price)
+            elif kind == "donchian":
+                out = _ind.with_donchian(out, args[0], keys, order_cols)
+            elif kind == "stoch":
+                out = _ind.with_stochastic(
+                    out, args[0], args[1], keys, order_cols, close=price
+                )
+            elif kind == "obv":
+                out = _ind.with_obv(out, keys, order_cols, close=price)
+            elif kind == "rvol":
+                out = _ind.with_realized_vol(out, price, args[0], keys, order_cols)
+            elif kind == "ema":
+                out = _ind.with_ema(out, price, args[0], keys, order_cols)
+            elif kind == "macd":
+                out = _ind.with_macd(out, price, keys, order_cols)
+            else:
+                raise ValueError(f"unknown indicator spec: {spec!r}")
+        return out
+
+    def sketch_distinct(
+        self, df: DataFrame, col: str, by: Sequence[str], **kw
+    ) -> DataFrame:
+        """Per-group mergeable HLL distinct sketches + estimates
+        (operators/sketches.py) — persist the sketch column to answer
+        union-of-groups distinct questions later without a rescan."""
+        from polygon_algotrading_env_spark.operators.sketches import (
+            hll_estimate,
+            hll_group_sketches,
+        )
+
+        return hll_estimate(hll_group_sketches(df, col, by, **kw))
+
     # -- declared corpus --------------------------------------------------
     def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
         from polygon_algotrading_env_spark.queries import queries

@@ -127,19 +127,34 @@ def fill_bar_gaps(
     close_col: str = "close",
     volume_col: str = "volume",
     count_col: str = "n_trades",
+    method: str = "locf",
 ) -> DataFrame:
     """Densify a bar series onto the regular ``step`` grid: every missing
     bucket between a key's first and last bar becomes a synthetic bar
-    carrying the last observed close (O=H=L=C=LOCF close, volume 0,
-    n_trades 0, ``filled`` = true). Indicators and resamples assume a
-    dense grid; on thinly-traded symbols the raw series isn't.
+    (volume 0, n_trades 0, ``filled`` = true) whose prices come from
+    ``method``:
+
+    - ``'locf'``: last observed close carried forward (O=H=L=C) — the
+      market convention (price IS the last trade until a new one);
+    - ``'interpolate'``: linear interpolation between the surrounding
+      real closes, weighted by TIME (not row position, so consecutive
+      gaps interpolate correctly): prev + (next − prev)·(t − t_prev)/
+      (t_next − t_prev). The time-series imputation convention for
+      feature pipelines. Interior gaps only by construction — the grid
+      spans first..last real bar, so both neighbors always exist.
+
+    Indicators and resamples assume a dense grid; on thinly-traded
+    symbols the raw series isn't.
 
     Plan: per-key (min, max) bucket — a tiny aggregate — explodes into
     the full grid via ``sequence()`` (rows ∝ time-range/step per key, not
-    data), left-joins the real bars on (key, bucket), then one LOCF
-    window per key fills closes. Same single-shuffle shape as the as-of
-    join; no driver-side calendar.
+    data), left-joins the real bars on (key, bucket), then one or two
+    window passes per key fill closes — all windows share the single
+    per-key shuffle. Same shape as the as-of join; no driver-side
+    calendar.
     """
+    if method not in ("locf", "interpolate"):
+        raise ValueError(f"unknown fill method: {method!r}")
     kcols = [F.col(k) for k in keys]
     grid = (
         bars.groupBy(*kcols)
@@ -159,15 +174,47 @@ def fill_bar_gaps(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    locf = F.last(F.col(close_col), ignorenulls=True).over(w)
     # The flag must bind to the PRE-fill close: withColumn rebinding is
     # positional in the plan, so compute it before any coalesce.
     out = joined.withColumn("filled", F.col(close_col).isNull()).withColumn(
-        "__locf", locf
+        "__locf", F.last(F.col(close_col), ignorenulls=True).over(w)
     )
+    if method == "interpolate":
+        wf = (
+            Window.partitionBy(*kcols)
+            .orderBy(bucket_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        real_t = F.when(
+            F.col(close_col).isNotNull(), F.col(bucket_col)
+        )
+        out = (
+            out.withColumn(
+                "__pt", F.last(real_t, ignorenulls=True).over(w)
+            )
+            .withColumn("__nv", F.first(F.col(close_col), ignorenulls=True).over(wf))
+            .withColumn("__nt", F.first(real_t, ignorenulls=True).over(wf))
+            .withColumn(
+                "__fill",
+                F.col("__locf")
+                + (F.col("__nv") - F.col("__locf"))
+                # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ
+                # alike; try_divide because real rows have __pt == __nt
+                # (their weight is unused — coalesce takes the real value)
+                * F.expr(
+                    f"try_divide("
+                    f"CAST(timestampdiff(SECOND, __pt, {bucket_col}) AS DOUBLE),"
+                    f"timestampdiff(SECOND, __pt, __nt))"
+                ),
+            )
+            .drop("__pt", "__nv", "__nt")
+        )
+    else:
+        out = out.withColumn("__fill", F.col("__locf"))
     for c in ("open", "high", "low", close_col):
         if c in bars.columns:
-            out = out.withColumn(c, F.coalesce(F.col(c), F.col("__locf")))
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col("__fill")))
+    out = out.drop("__fill")
     # Zero-fill with a zero CAST to each column's existing type so the
     # output schema matches the input (an integer n_trades must not widen
     # to double — downstream unions/appends against the pre-fill schema

@@ -858,3 +858,123 @@ def macd_12_26_9_5m(spark, sf_dir):
         F.round("macd_signal", 6).alias("macd_signal"),
         F.round("macd_hist", 6).alias("macd_hist"),
     )
+
+
+@register(
+    "interpolated_bars_30m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+      FROM bars GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL '30 minutes'))
+               AS bucket_start
+      FROM rng
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket_start, b.close
+      FROM grid g LEFT JOIN bars b USING (event_type, bucket_start)
+    ),
+    w AS (
+      SELECT event_type, bucket_start, close,
+             last_value(close IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN close IS NOT NULL THEN bucket_start END
+                        IGNORE NULLS) OVER wp AS pt,
+             first_value(close IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN close IS NOT NULL THEN bucket_start END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_start,
+           CASE WHEN close IS NOT NULL THEN close
+                ELSE pv + (nv - pv) * ((epoch(bucket_start) - epoch(pt))
+                                       / (epoch(nt) - epoch(pt))) END
+                               AS close,
+           close IS NULL       AS filled
+    FROM w
+    """,
+)
+def interpolated_bars_30m(spark, sf_dir):
+    """Densified 30-minute grid with TIME-LINEAR interpolation across
+    gaps (``fill_bar_gaps(method='interpolate')``) — the imputation
+    convention for ML feature pipelines, next to the LOCF market
+    convention certified by ``gap_filled_bars_30m``. Weighting is by
+    time, not row position, so runs of consecutive missing buckets ramp
+    correctly; interior-only gaps mean both neighbors always exist. The
+    result ships UNROUNDED: with the oracle parenthesized to Spark's
+    evaluation order — prev + delta * (ratio), ratio an exact integer
+    quotient — every interpolated double is bit-identical across
+    engines, and long dyadic-weight gaps land exactly ON round-6 half
+    boundaries where the engines' rounding mechanics (BigDecimal
+    expansion vs scaled rint) would otherwise flip the last digit."""
+    from polygon_algotrading_env_spark.operators.bars import fill_bar_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="30 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    dense = fill_bar_gaps(
+        bars, "30 minutes", keys=("event_type",), method="interpolate"
+    )
+    return dense.select("event_type", "bucket_start", "close", "filled")
+
+
+@register(
+    "rolling_zscore_anomalies_5m",
+    oracle=_HLC_BARS_CTE + """
+    , z AS (
+      SELECT event_type, bucket_start, close,
+             (close - avg(close) OVER f) / stddev_samp(close) OVER f AS zv
+      FROM bars
+      WINDOW f AS (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket_start, close, round(zv, 6) AS zscore
+    FROM z WHERE abs(zv) > 2.5
+    """,
+)
+def rolling_zscore_anomalies_5m(spark, sf_dir):
+    """Rolling anomaly detection: bars whose close sits more than 2.5
+    sample standard deviations from the trailing 20-bar mean — the
+    streaming-friendly outlier flag (one window shuffle per symbol; the
+    batch companion to robust_outliers_per_flag's global MAD gate).
+    try_divide tolerates flat windows (zero σ → NULL z → never flagged).
+    Round-6 on an irrational ratio is tie-free; the 2.5 threshold sits
+    far from the ~1e-13 reorder noise of a ≤20-term frame."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_rolling_stddev,
+        with_sma,
+    )
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    d = with_sma(bars, "close", 20, ["event_type"], ["bucket_start"], out="__mu")
+    d = with_rolling_stddev(
+        d, "close", 20, ["event_type"], ["bucket_start"], out="__sd"
+    )
+    z = F.try_divide(F.col("close") - F.col("__mu"), F.col("__sd"))
+    return (
+        d.withColumn("__z", z)
+        .where(F.abs("__z") > 2.5)
+        .select(
+            "event_type",
+            "bucket_start",
+            "close",
+            F.round("__z", 6).alias("zscore"),
+        )
+    )

@@ -124,3 +124,37 @@ def test_fill_bar_gaps_dense_grid_and_roundtrip(spark):
     # the fill must not widen column types: integer n_trades stays long,
     # so the filled relation unions/appends cleanly against pre-fill bars
     assert dict(back.dtypes) == dict(bars.dtypes)
+
+
+def test_fill_bar_gaps_interpolate(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.bars import fill_bar_gaps
+
+    rows = [
+        ("A", datetime(2024, 1, 1, 10, 0), 10.0, 10.0, 10.0, 10.0, 5.0, 1),
+        # 10:05 and 10:10 missing -> time-linear: 12.0, 14.0
+        ("A", datetime(2024, 1, 1, 10, 15), 16.0, 16.0, 16.0, 16.0, 3.0, 1),
+    ]
+    bars = spark.createDataFrame(
+        rows,
+        "event_type string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume double, n_trades long",
+    )
+    dense = fill_bar_gaps(
+        bars, "5 minutes", keys=("event_type",), method="interpolate"
+    )
+    a = {r["bucket_start"]: r for r in dense.collect()}
+    assert len(a) == 4
+    g1, g2 = a[datetime(2024, 1, 1, 10, 5)], a[datetime(2024, 1, 1, 10, 10)]
+    assert g1["filled"] and g2["filled"]
+    assert abs(g1["close"] - 12.0) < 1e-12 and abs(g2["close"] - 14.0) < 1e-12
+    assert g1["open"] == g1["high"] == g1["low"] == g1["close"]
+    assert g1["volume"] == 0.0 and g1["n_trades"] == 0
+    # real rows untouched
+    assert a[datetime(2024, 1, 1, 10, 0)]["close"] == 10.0
+    assert a[datetime(2024, 1, 1, 10, 15)]["close"] == 16.0
+    with _pytest.raises(ValueError, match="fill method"):
+        fill_bar_gaps(bars, "5 minutes", keys=("event_type",), method="spline")

@@ -117,3 +117,25 @@ def test_engine_round2_surface(spark, sf_dir, tmp_path):
         docs, pairs, quality_col="q", algorithm="star"
     )
     assert survivors.collect()[0]["survivor_doc_id"] == 1
+
+
+def test_engine_indicator_stack_and_sketches(eng, sf_dir):
+    import pyspark.sql.functions as F
+
+    ev = eng.table("events", sf_dir)
+    bars = eng.bars(
+        ev, "5 minutes", ts_col="ts", price_col="value",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "high", "low", "close", "volume")
+    out = eng.indicators(
+        bars, keys=["event_type"], order_cols=["bucket_start"],
+        specs=("sma_5", "atr_3", "donchian_5", "stoch_5_3", "obv", "rvol_5"),
+    )
+    cols = set(out.columns)
+    assert {"sma_5", "atr_3", "dc_upper", "stoch_k_5", "obv", "rvol_5"} <= cols
+    row = out.where(F.col("close").isNotNull()).limit(1).collect()[0]
+    assert row["dc_lower"] <= row["close"] <= row["dc_upper"]
+
+    sk = eng.sketch_distinct(ev, "user_id", ["event_type"])
+    ests = {r["event_type"]: r["distinct_est"] for r in sk.collect()}
+    assert ests and all(v > 0 for v in ests.values())

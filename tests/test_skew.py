@@ -54,3 +54,63 @@ def test_salted_join_rejects_replicating_hows(spark):
     for how in ("right", "full", "left_anti", "outer"):
         with pytest.raises(ValueError, match="inner"):
             salted_join(a, b, on="k", how=how)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join handling — the no-code-change answer to a
+    hot key that salting solves manually: with thresholds scaled to test
+    data, the final plan's SortMergeJoin must be marked skew=true and
+    still produce exact results."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 150k rows of key 0 (hot) + uniform tail; right side small per key
+        # incompressible payload: the skew detector works on SHUFFLE BYTE
+        # sizes, and a constant-key partition of tiny rows compresses
+        # below any threshold
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        # Reduce with a GLOBAL aggregate (its partial phase imposes no
+        # distribution requirement on the join output — a groupBy on the
+        # join key would forbid splitting skewed partitions), and inspect
+        # THIS Dataset's finalized AQE plan (a separate action would
+        # finalize a different execution).
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rv").alias("s"),
+            F.sum(F.length("pl")).alias("pl_bytes"),  # keeps pl in the shuffle
+        )
+        row = joined.collect()[0]
+        assert row["n"] == 200_000  # every left row matches exactly once
+        # tail ids 150000..199999 = 100 full 0..499 cycles of rv = 2k
+        assert row["s"] == 100 * 499 * 500
+        assert row["pl_bytes"] == 200_000 * 32
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
