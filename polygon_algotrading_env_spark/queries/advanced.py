@@ -741,3 +741,51 @@ def priority_order_fulfillment(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# --- data-validation: referential integrity audit -------------------------
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders->customer' AS fk, count(*) AS orphans
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem->orders', count(*)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem->part', count(*)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'supplier->nation', count(*)
+      FROM supplier s WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    ) t
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Data-validation audit: orphan counts for every foreign-key edge of
+    the star schema, as LEFT ANTI joins (each ships only the key columns;
+    dim sides broadcast). The all-zeros result IS the assertion — run
+    after every load, alert on any nonzero. One row per relationship so
+    new edges extend the audit without schema changes."""
+    checks = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in checks:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = (
+            c.join(F.broadcast(p), c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(name).alias("fk"), "orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out

@@ -70,3 +70,31 @@ def test_sketch_is_partitioning_independent(spark, sf_dir):
         )
     ).first()["distinct_est"]
     assert a == b
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna, accuracy=10000) must land
+    within its rank-error bound of the exact percentiles — the cheap
+    single-pass alternative when exact per-group sorts are too dear."""
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    approx = li.select(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99),"
+            " 10000)"
+        ).alias("a")
+    ).first()["a"]
+    n = li.count()
+    exact_sorted = [
+        r["l_extendedprice"]
+        for r in li.orderBy("l_extendedprice").collect()
+    ]
+    for q, a in zip(qs, approx):
+        # rank error <= n / accuracy
+        target = int(q * (n - 1))
+        tol = max(2, n // 10000 + 1)
+        lo = exact_sorted[max(0, target - tol)]
+        hi = exact_sorted[min(n - 1, target + tol)]
+        assert lo <= a <= hi, (q, a, lo, hi)
