@@ -789,3 +789,114 @@ def referential_integrity_audit(spark, sf_dir):
         )
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+# --- Q7 shape: nation-pair trade volume by year ---------------------------
+@register(
+    "nation_pair_volume_by_year",
+    oracle="""
+    SELECT sn.n_name                     AS supp_nation,
+           cn.n_name                     AS cust_nation,
+           year(l.l_shipdate)            AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey  = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_volume_by_year(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two fixture nations
+    (NATION_18/NATION_19 — populated at every fixture SF) by ship year — the fact joins BOTH dimension chains (customer-side and
+    supplier-side nation), every dim broadcast, with the nation-pair
+    predicate applied to the broadcast sides so the fact scan only
+    retains matching rows. Round-4 = the inputs' exact decimal width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "cnk"
+    )
+    sn = nation.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "snk"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+                            .select("o_orderkey", "cust_nation")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                supp.join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+                .select("s_suppkey", "supp_nation")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Q10 shape: returned-item revenue, top customers ----------------------
+@register(
+    "returned_item_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most revenue — the
+    lost-revenue ranking behind churn triage. returnflag filter pushed to
+    the fact scan; customer/nation broadcast; the aggregate shuffles once
+    on c_custkey; top-20 is TakeOrderedAndProject with the custkey
+    tiebreak making the cut deterministic. Round-4 BEFORE the ordering so
+    both engines rank the identical grid values."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
