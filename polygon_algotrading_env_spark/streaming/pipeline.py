@@ -182,6 +182,41 @@ def stream_dim_refresh(
     )
 
 
+def stream_enrich_with_dim(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_path: str,
+    dim_path: str,
+    on: Sequence[str] | str,
+    how: str = "left_outer",
+):
+    """Stream-static enrichment against a REFRESHING dimension: each
+    micro-batch re-reads the dimension snapshot (the consume side of
+    :func:`stream_dim_refresh`) and broadcast-joins it to the batch.
+
+    The dim is re-read INSIDE foreachBatch rather than joined as a
+    static DataFrame built once: a pre-built static side caches its file
+    listing in the plan, so an overwritten snapshot would silently keep
+    enriching with stale rows — re-reading per batch picks up every
+    refresh. Exactly-once: each batch overwrites only its own
+    ``batch_id=<id>`` partition, so replays can't duplicate."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        batch_df.join(F.broadcast(dim), keys, how).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now_to_parquet(
     stream_df: DataFrame, checkpoint_dir: str, out_path: str
 ):

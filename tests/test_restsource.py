@@ -266,6 +266,60 @@ def test_live_fetch_stream_lands_then_emits(spark, tmp_path):
     assert sorted(os.listdir(f"{root}/SPY")) == ["page-0.json", "page-1.json"]
 
 
+def test_live_fetch_retries_transient_failures(spark, tmp_path):
+    """The executor-side fetch must ride the shared bounded-retry
+    envelope: a fetcher that fails transiently still lands its page (the
+    task does NOT fail), and the landed content is the successful
+    response."""
+    from polygon_algotrading_env_spark.sources.restsource import (
+        PolygonPagesDataSource,
+        encode_fetcher,
+    )
+
+    root = str(tmp_path / "pages")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    attempts_file = str(tmp_path / "attempts.txt")
+
+    # capture records by VALUE: a closure over the module-global _rec
+    # would make cloudpickle serialize the fetcher by reference and the
+    # planner process cannot import the test module
+    page0 = {"results": [_rec(0), _rec(1)]}
+
+    def flaky_fetch(symbol, idx):
+        # cross-process attempt counter (executors are separate processes)
+        with open(attempts_file, "a") as f:
+            f.write("x")
+        with open(attempts_file) as f:
+            n = len(f.read())
+        if n < 3:
+            raise ConnectionError(f"transient #{n}")
+        return page0 if idx == 0 else {"results": []}
+
+    spark.dataSource.register(PolygonPagesDataSource)
+
+    def run_live():
+        q = (
+            spark.readStream.format("polygon_pages")
+            .option("path", root)
+            .option("symbols", "SPY")
+            .option("fetcherpickle", encode_fetcher(flaky_fetch))
+            .option("retrybackoff", "0")  # no sleep in tests
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_live()  # fetch fails twice, succeeds on attempt 3 → page 0 lands
+    assert os.path.exists(f"{root}/SPY/page-0.json")
+    run_live()  # emits page 0
+    got = sorted(r["t"] for r in spark.read.parquet(out).collect())
+    assert got == [0, DAY_MS]
+
+
 def test_live_fetch_option_validation(spark, tmp_path):
     from polygon_algotrading_env_spark.sources.restsource import (
         PolygonPagesStreamReader,

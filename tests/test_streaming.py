@@ -146,6 +146,58 @@ def test_stream_dedup_ledger_cross_run(spark, tmp_path):
     assert spark.read.parquet(ledger).select("doc_id").distinct().count() == 3
 
 
+def test_stream_enrich_sees_dim_refresh(spark, tmp_path):
+    """Stream-static enrichment must reflect the CURRENT dimension
+    snapshot at each drain — rows arriving after a dim refresh enrich
+    with the new attributes (a static side built once would keep the
+    stale file listing forever)."""
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_enrich_with_dim,
+    )
+
+    src, dim = str(tmp_path / "src"), str(tmp_path / "dim")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("ticker string, v double").parquet(src)
+        q = stream_enrich_with_dim(stream, ckpt, out, dim, on="ticker")
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("SPY", "Equity")], "ticker string, asset_class string"
+    ).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame(
+        [("SPY", 1.0), ("TLT", 2.0)], "ticker string, v double"
+    ).write.mode("append").parquet(src)
+    drain()
+    rows = {
+        (r["ticker"], r["v"]): r["asset_class"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert rows == {("SPY", 1.0): "Equity", ("TLT", 2.0): None}
+
+    # dim refresh adds TLT and reclassifies SPY; only NEW stream rows
+    # (later batches) see it — enriched batches already written stay put
+    spark.createDataFrame(
+        [("SPY", "ETF"), ("TLT", "Bond ETF")],
+        "ticker string, asset_class string",
+    ).write.mode("overwrite").parquet(dim)
+    spark.createDataFrame(
+        [("SPY", 3.0), ("TLT", 4.0)], "ticker string, v double"
+    ).write.mode("append").parquet(src)
+    drain()
+    rows = {
+        (r["ticker"], r["v"]): r["asset_class"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert rows == {
+        ("SPY", 1.0): "Equity",
+        ("TLT", 2.0): None,
+        ("SPY", 3.0): "ETF",
+        ("TLT", 4.0): "Bond ETF",
+    }
+
+
 def test_stream_hll_sketch_table_matches_batch(spark, tmp_path):
     """Incremental sketch maintenance across two drains must estimate
     EXACTLY what a direct batch sketch over all data estimates (HLL union
