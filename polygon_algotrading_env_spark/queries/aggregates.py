@@ -278,3 +278,57 @@ def hll_distinct_users_by_type(spark, sf_dir):
         F.lit("__all__").alias("event_type"), "distinct_est"
     )
     return per_seg.unionByName(total)
+
+
+# --- quantile feature binning (discretization) ----------------------------
+@register(
+    "quartile_binned_prices",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS q2,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(CASE WHEN l.l_extendedprice > q.q3 THEN 4
+                     WHEN l.l_extendedprice > q.q2 THEN 3
+                     WHEN l.l_extendedprice > q.q1 THEN 2
+                     ELSE 1 END AS INT)  AS price_bucket,
+           count(*)                      AS n_items,
+           round(sum(l.l_quantity), 2)   AS total_qty
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def quartile_binned_prices(spark, sf_dir):
+    """Quantile discretization — the feature-binning transform: per-group
+    exact quartile boundaries (one pass, group-count-sized model)
+    broadcast back over the fact, rows assigned by threshold CASE, stats
+    per bin. Spark's percentile() and DuckDB's quantile_cont share the
+    same linear-interpolation definition (already certified by
+    exact_percentiles_per_flag), and boundary comparisons use the raw
+    interpolated doubles on both sides — bit-identical, so bucket edges
+    cannot disagree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("l_extendedprice") > F.col("q3"), 4)
+        .when(F.col("l_extendedprice") > F.col("q2"), 3)
+        .when(F.col("l_extendedprice") > F.col("q1"), 2)
+        .otherwise(1)
+        .cast("int")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -978,3 +978,120 @@ def rolling_zscore_anomalies_5m(spark, sf_dir):
             F.round("__z", 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "multigrain_bars_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b5,
+             time_bucket(INTERVAL '1 hour',    CAST(ts AS TIMESTAMP)) AS b1h,
+             time_bucket(INTERVAL '1 day',     CAST(ts AS TIMESTAMP)) AS b1d,
+             value
+      FROM events
+    )
+    SELECT '5m' AS grain, event_type, b5 AS bucket_start,
+           count(*) AS n_trades, round(sum(value), 4) AS volume
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT '1h', event_type, b1h, count(*), round(sum(value), 4)
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT '1d', event_type, b1d, count(*), round(sum(value), 4)
+    FROM base GROUP BY 2, 3
+    """,
+)
+def multigrain_bars_rollup(spark, sf_dir):
+    """The whole resolution ladder (5m/1h/1d) in ONE aggregation pass via
+    GROUPING SETS over three derived bucket columns — one scan and one
+    shuffle produce every grain, where the naive ladder (or the oracle's
+    UNION ALL formulation, kept for portability) scans per grain.
+    grouping() disambiguates which bucket column is active per output
+    row. The write-side of a materialized rollup hierarchy."""
+    ev = load_table(spark, sf_dir, "events")
+    # one window() expression only (Spark rejects multiple); the coarser
+    # grains derive from the 5m bucket by date_trunc — exact, since 5
+    # minutes divides both the hour and the day
+    base = ev.select(
+        "event_type",
+        F.window("ts", "5 minutes").start.alias("b5"),
+        "value",
+    ).select(
+        "event_type",
+        "b5",
+        F.date_trunc("hour", "b5").alias("b1h"),
+        F.date_trunc("day", "b5").alias("b1d"),
+        "value",
+    )
+    base.createOrReplaceTempView("__mg_base")
+    return ev.sparkSession.sql("""
+        SELECT CASE WHEN grouping(b5) = 0 THEN '5m'
+                    WHEN grouping(b1h) = 0 THEN '1h'
+                    ELSE '1d' END                         AS grain,
+               event_type,
+               coalesce(b5, b1h, b1d)                     AS bucket_start,
+               count(*)                                   AS n_trades,
+               round(sum(value), 4)                       AS volume
+        FROM __mg_base
+        GROUP BY event_type GROUPING SETS ((event_type, b5),
+                                           (event_type, b1h),
+                                           (event_type, b1d))
+    """)
+
+
+@register(
+    "roll_spread_estimator",
+    oracle=_HLC_BARS_CTE + """
+    , d0 AS (
+      SELECT event_type, bucket_start,
+             close - lag(close) OVER w AS dp
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    d AS (
+      SELECT event_type, bucket_start, dp,
+             lag(dp) OVER (PARTITION BY event_type ORDER BY bucket_start)
+               AS dp_prev
+      FROM d0
+    )
+    SELECT event_type,
+           count(*)                          AS n_obs,
+           round(covar_samp(dp, dp_prev), 6) AS autocov,
+           round(CASE WHEN covar_samp(dp, dp_prev) < 0
+                      THEN 2 * sqrt(-covar_samp(dp, dp_prev)) END, 6)
+                                             AS roll_spread
+    FROM d WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def roll_spread_estimator(spark, sf_dir):
+    """Roll (1984) implied bid-ask spread: 2·sqrt(−cov(Δp_t, Δp_{t−1}))
+    from the first-order autocovariance of price changes — the classic
+    microstructure estimator of effective spread from trade prices alone
+    (bounce between bid and ask induces negative autocovariance). NULL
+    when the autocovariance is non-negative (no bounce signal), per the
+    estimator's definition. Two stacked lag windows share one per-symbol
+    shuffle; covar_samp has the same definition in both engines and the
+    ≤2k-term sums round at 6dp far above reorder noise."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    d = bars.withColumn(
+        "dp", F.col("close") - F.lag("close").over(w)
+    ).withColumn("dp_prev", F.lag("dp").over(w))
+    cov = F.covar_samp("dp", "dp_prev")
+    return (
+        d.where(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(cov, 6).alias("autocov"),
+            F.round(
+                F.when(cov < 0, 2.0 * F.sqrt(-cov)), 6
+            ).alias("roll_spread"),
+        )
+    )
