@@ -1095,3 +1095,172 @@ def roll_spread_estimator(spark, sf_dir):
             ).alias("roll_spread"),
         )
     )
+
+
+@register(
+    "amihud_illiquidity_daily",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+             arg_max(value, ts)   AS close,
+             round(sum(value), 4) AS volume
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, d, volume,
+             abs(close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+                 - 1) AS aret
+      FROM bars
+    )
+    SELECT event_type,
+           count(*)                                   AS n_days,
+           round(avg(aret / volume) * 1e6, 6)         AS amihud_x1e6
+    FROM r WHERE aret IS NOT NULL AND volume > 0
+    GROUP BY 1
+    """,
+)
+def amihud_illiquidity_daily(spark, sf_dir):
+    """Amihud (2002) illiquidity: mean of |daily return| / volume per
+    symbol (scaled 1e6) — the standard price-impact-per-traded-unit
+    proxy. Daily bars, one lag window, one aggregate; the ratio's
+    division order matches the oracle exactly so round-6 sits on
+    bit-identical values."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", "bucket_start", "close", "volume"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "aret", F.abs(F.col("close") / F.lag("close").over(w) - 1)
+    )
+    return (
+        r.where(F.col("aret").isNotNull() & (F.col("volume") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("aret") / F.col("volume")) * 1e6, 6).alias(
+                "amihud_x1e6"
+            ),
+        )
+    )
+
+
+@register(
+    "beta_vs_market_5m",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) - 1 AS ret
+      FROM bars
+    ),
+    mkt AS (
+      SELECT bucket_start, avg(ret) AS mret, count(*) AS n_syms
+      FROM r WHERE ret IS NOT NULL
+      GROUP BY 1 HAVING count(*) = 5
+    )
+    SELECT r.event_type,
+           count(*)                                      AS n_obs,
+           round(covar_samp(r.ret, m.mret)
+                 / var_samp(m.mret), 6)                  AS beta
+    FROM r JOIN mkt m ON r.bucket_start = m.bucket_start
+    WHERE r.ret IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def beta_vs_market_5m(spark, sf_dir):
+    """CAPM beta per symbol against an equal-weight market factor built
+    from the SAME relation: per-bucket mean return across symbols
+    (buckets where all 5 symbols trade, so the factor is balanced),
+    joined back and regressed via cov/var. The factor side is
+    bucket-grain — broadcastable at any corpus size — and the returns
+    relation is computed once, reused by both sides through exchange
+    reuse. Round-6 over irrational regression outputs is tie-free."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    mkt = (
+        r.groupBy("bucket_start")
+        .agg(F.avg("ret").alias("mret"), F.count(F.lit(1)).alias("n_syms"))
+        .where(F.col("n_syms") == 5)
+        .select("bucket_start", "mret")
+    )
+    return (
+        r.join(F.broadcast(mkt), "bucket_start")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.covar_samp("ret", "mret") / F.var_samp("mret"), 6
+            ).alias("beta"),
+        )
+    )
+
+
+@register(
+    "max_drawdown_duration_5m",
+    oracle=_HLC_BARS_CTE + """
+    , dd AS (
+      SELECT event_type, bucket_start, close,
+             CASE WHEN close >= max(close) OVER (PARTITION BY event_type
+                                                 ORDER BY bucket_start
+                                                 ROWS UNBOUNDED PRECEDING)
+                  THEN 0 ELSE 1 END AS under
+      FROM bars
+    ),
+    isl AS (
+      SELECT event_type, bucket_start, under,
+             sum(1 - under) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+      FROM dd
+    )
+    SELECT event_type,
+           CAST(max(len) AS BIGINT) AS max_underwater_bars
+    FROM (
+      SELECT event_type, grp, count(*) AS len
+      FROM isl WHERE under = 1
+      GROUP BY 1, 2
+    ) t
+    GROUP BY 1
+    """,
+)
+def max_drawdown_duration_5m(spark, sf_dir):
+    """Longest underwater streak per symbol: consecutive bars below the
+    running close high, measured in bars — the drawdown-DURATION risk
+    statistic that max-drawdown depth misses. Gaps-and-islands with the
+    group id as the running count of at-high bars (a new high closes the
+    streak); running max, island id, and the final count are windows and
+    aggregates over ONE per-symbol partitioning."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    run_max = F.max("close").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = bars.withColumn(
+        "under", F.when(F.col("close") >= run_max, 0).otherwise(1)
+    )
+    isl = dd.withColumn(
+        "grp",
+        F.sum(1 - F.col("under")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        isl.where(F.col("under") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("event_type")
+        .agg(F.max("len").cast("bigint").alias("max_underwater_bars"))
+    )
