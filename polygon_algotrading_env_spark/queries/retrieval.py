@@ -331,6 +331,7 @@ def vocab_coverage_top64(spark, sf_dir):
 
 @register(
     "bigram_logprob_docs",
+    headline=True,
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,

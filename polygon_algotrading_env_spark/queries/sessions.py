@@ -302,6 +302,7 @@ def band_join_events_60s(spark, sf_dir):
 # --- ordered funnel: view -> click -> purchase ----------------------------
 @register(
     "view_click_purchase_funnel",
+    headline=True,
     oracle="""
     WITH ns AS (
       SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
