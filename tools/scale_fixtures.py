@@ -73,11 +73,25 @@ def _scaled_documents(
     digits = "0123456789"
     parts = []
     for r in range(factor):
-        rot = _ALPHA[r:] + _ALPHA[:r]
-        # rotate digits too: number-heavy texts are otherwise untouched by
-        # the letter map and would repeat VERBATIM across replicas, seeding
-        # 45 cross-replica dup pairs each
-        drot = digits[r:] + digits[:r]
+        # Each replica gets a SEEDED FULL PERMUTATION of letters and
+        # digits (identity for r=0). Rotations don't survive large
+        # factors: only 26 letter rotations exist, so replicas r and
+        # r+26 would share the letter map and differ only in digits —
+        # text-heavy docs then collide across replicas (observed 841k
+        # cross-replica LSH pairs at factor=100). Two distinct random
+        # permutations agree on ~1 character, so shingle sets across
+        # replicas share ~nothing while within-replica Jaccard is
+        # preserved exactly (still a bijection).
+        if r == 0:
+            rot, drot = _ALPHA, digits
+        else:
+            import random
+
+            rng = random.Random(982451653 * r + 12345)
+            la, dg = list(_ALPHA), list(digits)
+            rng.shuffle(la)
+            rng.shuffle(dg)
+            rot, drot = "".join(la), "".join(dg)
         mapped = F.translate(
             F.translate(
                 F.translate(F.col("text"), _ALPHA, rot),
