@@ -499,3 +499,74 @@ def map_and_timezone_suite(spark, sf_dir):
             "yyyy-MM-dd HH:mm",
         ).alias("utc_wall"),
     )
+
+
+# --- Spark 4 VARIANT: semi-structured without a schema --------------------
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)                                         AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                                                            AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) % 2 = 0
+    GROUP BY 1
+    """,
+)
+def variant_props_stats(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` path
+    extraction — the schema-less alternative to from_json's fixed
+    StructType, and the engine-native answer to payloads whose shape
+    drifts (the reference archives raw API JSON verbatim and re-parses
+    ad hoc). Filter + grouped stats over an extracted int path; the
+    oracle uses DuckDB's json_extract on the same strings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+    )
+    return (
+        v.where(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+# --- Spark 4 SQL pipe syntax ----------------------------------------------
+@register(
+    "pipe_syntax_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipe_syntax_priority_revenue(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (`|>`): the linear form of
+    filter→aggregate that reads in dataflow order — certifying the
+    engine's SQL-text surface accepts it and plans identically to the
+    classic formulation (the oracle IS the classic formulation)."""
+    from polygon_algotrading_env_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+    """)
