@@ -143,13 +143,25 @@ def _scaled_embeddings(
     return out
 
 
+# Bump when the scaling transforms change: the cache marker embeds it, so
+# a stale dir built by an older algorithm is rebuilt instead of silently
+# benchmarked (v2 = seeded-permutation charmaps).
+SCALE_ALGO_VERSION = 2
+
+
 def build_scaled_fixtures(
     spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
 ) -> str:
     """Build (once; marker-cached) the scaled fixture dir and return it."""
+    import shutil
+
     marker = os.path.join(dst_dir, "_BUILT")
+    stamp = f"v={SCALE_ALGO_VERSION} factor={factor} src={src_dir}\n"
     if os.path.exists(marker):
-        return dst_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return dst_dir
+        shutil.rmtree(dst_dir, ignore_errors=True)  # stale algorithm/params
     os.makedirs(dst_dir, exist_ok=True)
     builders = {
         "events": _scaled_events,
@@ -161,5 +173,5 @@ def build_scaled_fixtures(
             os.path.join(dst_dir, f"{name}.parquet")
         )
     with open(marker, "w") as f:
-        f.write(f"factor={factor} src={src_dir}\n")
+        f.write(stamp)
     return dst_dir
