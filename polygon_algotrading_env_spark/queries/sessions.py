@@ -425,3 +425,116 @@ def weekly_cohort_retention(spark, sf_dir):
         "n_active",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+# --- RFM segmentation -----------------------------------------------------
+@register(
+    "rfm_user_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             max(epoch_ns(ts))        AS last_ns,
+             count(*)                 AS frequency,
+             round(sum(value), 4)     AS monetary
+      FROM events GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(last_ns * 1.0, 0.5)   AS r_med,
+             quantile_cont(frequency * 1.0, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5)        AS m_med
+      FROM rfm
+    )
+    SELECT concat(CASE WHEN last_ns * 1.0 > r_med THEN 'R1' ELSE 'R0' END,
+                  CASE WHEN frequency * 1.0 > f_med THEN 'F1' ELSE 'F0' END,
+                  CASE WHEN monetary > m_med THEN 'M1' ELSE 'M0' END)
+                                        AS segment,
+           count(*)                     AS n_users,
+           round(sum(monetary), 4)      AS segment_value
+    FROM rfm CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def rfm_user_segments(spark, sf_dir):
+    """RFM segmentation: users scored above/below the population MEDIAN
+    on recency (last activity), frequency (event count), and monetary
+    (summed value), then counted per R/F/M octant — the classic
+    engagement-cohort cut. One per-user aggregate, one 1-row median
+    model broadcast back, one octant rollup. Median boundaries are the
+    same interpolated definition in both engines (bit-identical), and
+    strict > comparisons keep boundary users deterministically in the
+    low bucket. Monetary is rounded to its input grid BEFORE the median
+    and segment sums so both engines cut and sum identical values."""
+    ev = load_table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_ns"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(last_ns * 1.0, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency * 1.0, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("last_ns") * 1.0 > F.col("r_med"), "R1").otherwise("R0"),
+        F.when(F.col("frequency") * 1.0 > F.col("f_med"), "F1").otherwise("F0"),
+        F.when(F.col("monetary") > F.col("m_med"), "M1").otherwise("M0"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary"), 4).alias("segment_value"),
+        )
+    )
+
+
+# --- behavioral transition matrix -----------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts)) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order behavioral Markov matrix: P(next event type | current)
+    per user journey — the transition probabilities behind funnel design
+    and next-action models. One lead() window over the per-user shuffle,
+    a 25-cell count aggregate, and row-normalization over the cell
+    relation (vocab-sized, so the normalizing window is trivially
+    small). Exact-nanos ordering keeps sequences engine-identical;
+    p is an exact integer ratio rounded at 6dp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )
