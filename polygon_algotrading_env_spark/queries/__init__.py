@@ -80,6 +80,7 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     suites,
     advanced,
     retrieval,
+    decision,
 )
 
 # ---------------------------------------------------------------------------

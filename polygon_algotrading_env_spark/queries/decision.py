@@ -1,0 +1,612 @@
+"""Decision-support shapes completing the 22-query TPC-H pattern corpus.
+
+advanced.py carries Q1/Q2/Q4/Q7/Q10/Q11/Q13/Q14/Q15/Q17/Q18/Q22; this module
+adds the remaining ten shapes (Q3/Q5/Q6/Q8/Q9/Q12/Q16/Q19/Q20/Q21) so every
+classic plan pattern — multi-way dim chains, disjunctive bracket predicates,
+NOT IN subqueries, EXISTS/NOT-EXISTS self-correlation, market-share ratios —
+is certified against a DuckDB oracle on the driver fixtures.
+
+The fixture schema is TPC-H-ish but trimmed (no partsupp, l_shipmode,
+l_commitdate/receiptdate, p_mfgr, o_shippriority), so shapes whose predicates
+touch missing columns substitute a fixture column with the same plan role
+(documented per query). The reference delegates every analytical query of
+this class to its warehouse (polygon-etl-container/src/main.py:40-44 loads
+facts and hands off); owning them natively is the engine's purpose.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.queries import register
+
+
+# --- Q3 shape: segment-filtered unshipped-order revenue, top-k ------------
+@register(
+    "pending_order_revenue_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1999-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def pending_order_revenue_topk(spark, sf_dir):
+    """TPC-H Q3 shape: revenue still in flight at a cutoff date for one
+    market segment — orders placed before the date whose line items ship
+    after it. o_shippriority is absent from the fixture; o_orderpriority
+    plays its carried-through-grouping role. Both date predicates push to
+    their respective parquet scans; customer is a broadcast semi-filter on
+    orders which is itself broadcast onto the fact; one shuffle on the
+    group key; top-10 is TakeOrderedAndProject with the orderkey tiebreak.
+    Date exposed as a yyyy-MM-dd string so both engines hash identically."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- Q5 shape: local-supplier volume within one region --------------------
+@register(
+    "local_supplier_volume_asia",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def local_supplier_volume_asia(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from orders where customer and supplier sit
+    in the SAME nation, rolled up by nation within one region. The
+    distinguishing feature is the non-key equality s_nationkey =
+    c_nationkey riding on the supplier join — both dimension chains must
+    meet at the fact row. All dims broadcast (region→nation prune applied
+    broadcast-side), the fact shuffles once for the nation rollup whose
+    domain is ≤25 rows, so map-side partials collapse it."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asian_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord_cust = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    return (
+        li.join(F.broadcast(ord_cust), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Q6 shape: single-table forecast-revenue aggregate --------------------
+@register(
+    "discount_band_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the would-be revenue increase from eliminating a
+    discount band — a pure scan-filter-aggregate with NO join and NO
+    group-by. Every predicate (date range, discount band, quantity cap)
+    pushes to the parquet scan (PushedFilters), the projection carries two
+    columns, and the single scalar aggregate needs one partial per
+    partition + one merge. The discount bounds compare stored doubles to
+    the same parsed literals in both engines, so the row set is identical;
+    the 4-decimal grid (2-dec price × 2-dec discount) absorbs reorder
+    error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- Q8 shape: one nation's market share within a region, by year ---------
+@register(
+    "nation_market_share_economy",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey  = p.p_partkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey  = cn.n_regionkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <= TIMESTAMP '1997-12-31'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def nation_market_share_economy(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold into
+    the AMERICA market, per order year. The share is a CASE-gated
+    numerator over a common denominator in ONE aggregate pass (no second
+    scan, no driver division); the fact row must satisfy a part filter, a
+    customer-side region chain, and carry its supplier's nation — three
+    broadcast dim chains meeting at lineitem. Ratio is O(1) with O(1e-12)
+    reorder error, so the 6-decimal grid is safe."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    america_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cnk"))
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    ord_side = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(america_nations), F.col("c_nationkey") == F.col("cnk"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(ord_side), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- Q9 shape: product-line profit by supplier nation and year ------------
+@register(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.01 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey   = p.p_partkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit on one product family by supplier nation and
+    order year. The fixture has no partsupp, so supply cost is proxied by
+    1% of p_retailprice per unit (ps_supplycost's plan role: a per-part
+    broadcast-side scalar multiplied by l_quantity) — the shape is intact:
+    substring LIKE on the part dim, four-way join, two-level group. Cost
+    terms live on a 4-decimal grid (2-dec retailprice × integral quantity
+    × 0.01), matching the revenue grid, so round-4 is exact."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.01 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+# --- Q12 shape: priority mix per line class in a ship-year ----------------
+@register(
+    "returnflag_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+)
+def returnflag_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape: how many high- vs low-priority orders flowed
+    through each line class in one ship-year. l_shipmode is absent from
+    the fixture; l_returnflag is the grouping stand-in (same role: a
+    low-cardinality fact attribute). The CASE-split double count is one
+    aggregate pass; the order side ships only (key, priority) into the
+    join; the date predicate prunes the fact scan. Integer counts — no
+    rounding concerns."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16 shape: supplier variety per part group, NOT IN exclusion ---------
+@register(
+    "supplier_variety_by_part_group",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_variety_by_part_group(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    (brand, type, size) group, excluding a blacklist from a subquery. The
+    fixture has no partsupp, so lineitem is the part↔supplier association
+    (same role: the bridge whose distinct suppliers are counted); the
+    original's complaint-comment blacklist becomes negative-balance
+    suppliers. NOT IN is a broadcast left-anti join (the blacklist is
+    tiny); part predicates apply broadcast-side before the fact join; the
+    distinct-agg shuffles once on the group key."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(blacklist), li.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q19 shape: disjunctive bracket predicates across the join ------------
+@register(
+    "bracketed_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracketed_quantity_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    brackets — the disjunctive-predicate pattern that defeats naive
+    pushdown because each bracket spans BOTH join sides. Catalyst still
+    extracts the per-side implied disjunctions (brand/size to the part
+    scan, quantity envelope to the fact scan) before evaluating the full
+    residual on joined rows; part stays broadcast so the fact never
+    shuffles — the whole query is scan → broadcast-hash-join → scalar
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- Q20 shape: nested semi-join chain to a shipped-share threshold -------
+@register(
+    "excess_part_shippers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT y.l_suppkey
+        FROM (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty_yr
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate <  TIMESTAMP '1999-01-01'
+          GROUP BY 1, 2
+        ) y
+        JOIN (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty_all
+          FROM lineitem GROUP BY 1, 2
+        ) a ON a.l_suppkey = y.l_suppkey AND a.l_partkey = y.l_partkey
+        WHERE y.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+          AND y.qty_yr > 0.5 * a.qty_all
+      )
+    """,
+)
+def excess_part_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who moved over half their
+    all-time volume of some 'red' part inside a single year — the
+    surplus-inventory candidate list. partsupp's ps_availqty threshold is
+    absent, so the half-share test compares the year's shipped quantity
+    per (supplier, part) against 50% of the all-time quantity (same plan
+    role: an aggregate-derived threshold gating a nested IN chain). Both
+    aggregates shuffle on the SAME (suppkey, partkey) key so the join
+    between them reuses the exchange; the part-name filter is a broadcast
+    semi-join; the outer IN is a left-semi against the small survivor set.
+    Quantities are integral, so 0.5×qty is exact — no epsilon games."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    red_parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    yr = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty_yr"))
+    )
+    alltime = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty_all")
+    )
+    excess = (
+        yr.join(
+            F.broadcast(red_parts), yr.l_partkey == red_parts.p_partkey, "left_semi"
+        )
+        .join(alltime, ["l_suppkey", "l_partkey"])
+        .where(F.col("qty_yr") > 0.5 * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(
+        F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --- Q21 shape: EXISTS + NOT EXISTS self-correlation on the fact ----------
+@register(
+    "sole_blame_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey  = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey  = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_7'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def sole_blame_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers solely responsible for the returned line
+    in finished multi-supplier orders. l_receiptdate > l_commitdate is
+    absent from the fixture; l_returnflag = 'R' is the fault marker (same
+    role: a per-line blame predicate correlated across the order). The
+    oracle keeps the EXISTS / NOT-EXISTS formulation; the engine replaces
+    BOTH correlated subqueries with ONE per-order aggregate — n_supp =
+    distinct suppliers and n_flag_supp = distinct blamed suppliers — then
+    requires n_supp ≥ 2 (someone else participated) and n_flag_supp = 1
+    (only this supplier is blamed; since l1 itself is flagged, the sole
+    flagged supplier IS l1's). One extra shuffle on l_orderkey replaces
+    two self-joins that would each reshuffle the fact at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flag_supp"),
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            order_stats.where(
+                (F.col("n_supp") >= 2) & (F.col("n_flag_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
