@@ -62,3 +62,98 @@ def hll_union_estimate(
             F.hll_union_agg(F.col(sketch_col), F.lit(True))
         ).alias("distinct_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items: Misra-Gries candidates + exact recount (certified top-k)
+# ---------------------------------------------------------------------------
+
+def mg_partition_candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``key_col`` — the candidate-
+    generation half of the certified heavy-hitter pattern.
+
+    Each partition keeps at most ``capacity`` keys; per Arrow batch the
+    batch's value counts fold into the summary, then the summary is trimmed
+    back to capacity by subtracting the minimum surviving weight (the
+    mergeable-summaries formulation of MG's decrement step, which preserves
+    the bound: a key whose true count within the partition exceeds
+    n_partition/(capacity+1) is guaranteed to survive). Summing across
+    partitions, every key with GLOBAL count > N/(capacity+1) appears in at
+    least one partition's output — the completeness fact the exact recount
+    relies on. Output is (key, mg_count) with mg_count an undercount;
+    consumers use only the key set.
+    """
+    import pandas as pd
+
+    field = df.schema[key_col]
+
+    def _mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > capacity:
+                # Trim: subtract the weight that empties the overflow —
+                # the (cap+1)-th largest value — in one pass.
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {k: v - cut for k, v in counts.items() if v > cut}
+        yield pd.DataFrame(
+            {key_col: list(counts.keys()), "mg_count": list(counts.values())}
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(key_col, field.dataType), StructField("mg_count", LongType())]
+    )
+    return df.select(key_col).mapInPandas(_mg, schema=out_schema)
+
+
+def mg_heavy_hitters(
+    df: DataFrame, key_col: str, k: int, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k keys by frequency without shuffling the full key domain,
+    with an in-plan certificate.
+
+    The naive plan groupBys every key — at 100 TB that shuffles the whole
+    domain (billions of URLs / tokens / user ids) to count items of which
+    only k matter. This plan: (1) per-partition MG summaries (map-side
+    only, ≤ capacity keys each) → a candidate set of ≤ capacity·P keys;
+    (2) exact recount restricted to candidates via a broadcast semi-join
+    (the fact scan's second pass never shuffles — the groupBy domain is
+    the candidate set); (3) deterministic top-k with key tiebreak.
+
+    Certificate: MG completeness guarantees every key with true count
+    > N/(capacity+1) is a candidate. If the k-th exact count clears that
+    threshold — checked as ``kth_count * (capacity + 1) > N`` in exact
+    integer arithmetic — then no non-candidate can displace any returned
+    row and the answer equals the full-shuffle top-k. ``certified`` is
+    emitted per row; on near-uniform data where the bound cannot hold,
+    callers see ``false`` instead of a silently-approximate answer (raise
+    capacity toward N/kth_count to certify; capacity ≥ |domain| always
+    certifies and still never shuffles more than the domain itself).
+    Degenerate case: on perfectly uniform data every trim subtracts the
+    common count, summaries come back empty, and the result is the empty
+    set — fewer than k rows returned IS the uncertified signal there.
+    """
+    cands = mg_partition_candidates(df, key_col, capacity).select(key_col).distinct()
+    exact = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = exact.orderBy(F.desc("cnt"), key_col).limit(k)
+    n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    kth = topk.agg(F.min("cnt").alias("kth_cnt"))
+    return (
+        topk.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(kth))
+        .withColumn(
+            "certified",
+            F.col("kth_cnt") * F.lit(capacity + 1) > F.col("n_total"),
+        )
+        .drop("n_total", "kth_cnt")
+    )

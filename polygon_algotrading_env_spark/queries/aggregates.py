@@ -332,3 +332,32 @@ def quartile_binned_prices(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# --- certified heavy hitters: MG candidates + exact recount ---------------
+@register(
+    "heavy_hitter_parts",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt, TRUE AS certified
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY cnt DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def heavy_hitter_parts(spark, sf_dir):
+    """Top-20 most-shipped parts via the certified heavy-hitter pattern:
+    per-partition Misra-Gries summaries generate a bounded candidate set
+    map-side, an exact recount runs only over candidates (broadcast
+    semi-join — the groupBy domain is candidates, not the full partkey
+    domain), and an integer-arithmetic certificate proves the result
+    equals the full-shuffle top-k (operators/sketches.py). The oracle IS
+    the full-shuffle formulation, so the certificate itself is what's
+    being cross-engine verified: `certified` must come out TRUE and the
+    rows must hash-match the naive plan."""
+    from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return mg_heavy_hitters(li, "l_partkey", k=20, capacity=4096).select(
+        "l_partkey", "cnt", "certified"
+    )

@@ -98,3 +98,67 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         lo = exact_sorted[max(0, target - tol)]
         hi = exact_sorted[min(n - 1, target + tol)]
         assert lo <= a <= hi, (q, a, lo, hi)
+
+
+# --- Misra-Gries heavy hitters --------------------------------------------
+
+def _zipf_df(spark):
+    """Deterministic skewed stream: 5 heavy keys + a long uniform tail,
+    larger than any reasonable MG capacity so trims actually happen."""
+    head = [(k,) for k, reps in [(1, 5000), (2, 2500), (3, 1200), (4, 600), (5, 300)]
+            for _ in range(reps)]
+    tail = [(100 + i,) for i in range(8000)]
+    return spark.createDataFrame(head + tail, ["k"]).repartition(6)
+
+
+def test_mg_heavy_hitters_exact_under_eviction(spark):
+    """capacity 128 << 8005 distinct keys forces per-partition trims; the
+    recount must still return the EXACT top-5 with exact counts and a
+    true certificate (kth=300, threshold N/129 ≈ 135)."""
+    from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
+
+    out = mg_heavy_hitters(_zipf_df(spark), "k", k=5, capacity=128).collect()
+    assert [(r["k"], r["cnt"]) for r in out] == [
+        (1, 5000), (2, 2500), (3, 1200), (4, 600), (5, 300)
+    ]
+    assert all(r["certified"] for r in out)
+
+
+def test_mg_heavy_hitters_uniform_is_uncertified(spark):
+    """On near-uniform data the MG bound cannot clear the k-th count, and
+    the operator must SAY so rather than return a silently-approximate
+    set; on PERFECTLY uniform data every summary trims to empty and the
+    result is the (self-evidently uncertified) empty set."""
+    from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
+
+    near = spark.createDataFrame(
+        [(i % 500,) for i in range(5000)] + [(j,) for j in range(5) for _ in range(3)],
+        ["k"],
+    ).repartition(4)
+    out = mg_heavy_hitters(near, "k", k=5, capacity=16).collect()
+    assert 0 < len(out) <= 5
+    assert not any(r["certified"] for r in out)
+
+    flat = spark.createDataFrame(
+        [(i % 500,) for i in range(5000)], ["k"]
+    ).repartition(4)
+    assert mg_heavy_hitters(flat, "k", k=5, capacity=16).collect() == []
+
+
+def test_mg_candidates_complete_above_threshold(spark):
+    """Completeness, the fact the certificate rests on: every key with
+    global count > N/(capacity+1) appears in the candidate union."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        mg_partition_candidates,
+    )
+
+    df = _zipf_df(spark)
+    n = df.count()
+    capacity = 64
+    cands = {
+        r["k"] for r in mg_partition_candidates(df, "k", capacity).collect()
+    }
+    truth = df.groupBy("k").count().collect()
+    for r in truth:
+        if r["count"] > n / (capacity + 1):
+            assert r["k"] in cands, (r["k"], r["count"])
