@@ -1264,3 +1264,220 @@ def max_drawdown_duration_5m(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.max("len").cast("bigint").alias("max_underwater_bars"))
     )
+
+
+@register(
+    "variance_ratio_4x_5m",
+    oracle=_HLC_BARS_CTE + """
+    , lr AS (
+      SELECT event_type, bucket_start,
+             ln(close) - lag(ln(close))    OVER w AS r1,
+             ln(close) - lag(ln(close), 4) OVER w AS r4
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type,
+           count(r1)                                        AS n_obs,
+           round(var_samp(r4) / (4 * var_samp(r1)), 6)      AS vr4
+    FROM lr
+    GROUP BY 1
+    """,
+)
+def variance_ratio_4x_5m(spark, sf_dir):
+    """Lo-MacKinlay variance ratio VR(4) per symbol: the variance of
+    overlapping 4-bar log returns over 4× the variance of 1-bar log
+    returns — the classic random-walk test (VR≈1 under iid increments,
+    <1 mean-reversion, >1 momentum). Both horizons come from the SAME
+    ln(close) column via two stacked lags in ONE per-symbol window
+    partitioning; var_samp ignores the q-1 leading NULLs of the long
+    horizon on both engines identically. Round-6 on an O(1) ratio leaves
+    ~6 orders of magnitude above reorder noise."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    lnc = F.log("close")
+    lr = bars.select(
+        "event_type",
+        (lnc - F.lag(lnc).over(w)).alias("r1"),
+        (lnc - F.lag(lnc, 4).over(w)).alias("r4"),
+    )
+    return lr.groupBy("event_type").agg(
+        F.count("r1").alias("n_obs"),
+        F.round(F.var_samp("r4") / (4 * F.var_samp("r1")), 6).alias("vr4"),
+    )
+
+
+@register(
+    "acf_returns_lags",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER w - 1 AS ret
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    l AS (
+      SELECT event_type, ret,
+             lag(ret)    OVER w AS ret_l1,
+             lag(ret, 2) OVER w AS ret_l2,
+             lag(ret, 3) OVER w AS ret_l3
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type,
+           count(ret)                 AS n_obs,
+           round(corr(ret, ret_l1), 6) AS acf_1,
+           round(corr(ret, ret_l2), 6) AS acf_2,
+           round(corr(ret, ret_l3), 6) AS acf_3
+    FROM l
+    GROUP BY 1
+    """,
+)
+def acf_returns_lags(spark, sf_dir):
+    """Return autocorrelation function at lags 1-3 per symbol — the
+    serial-dependence fingerprint behind momentum/mean-reversion sizing
+    and the Ljung-Box inputs. One per-symbol window partitioning carries
+    the return and all three lagged copies; Pearson corr drops NULL pairs
+    (the lag warm-ups) identically in both engines. Wide output (one row
+    per symbol) keeps the lag columns alignment-free for the hash."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn("ret", F.col("close") / F.lag("close").over(w) - 1)
+    l = r.select(
+        "event_type",
+        "ret",
+        F.lag("ret").over(w).alias("ret_l1"),
+        F.lag("ret", 2).over(w).alias("ret_l2"),
+        F.lag("ret", 3).over(w).alias("ret_l3"),
+    )
+    return l.groupBy("event_type").agg(
+        F.count("ret").alias("n_obs"),
+        F.round(F.corr("ret", "ret_l1"), 6).alias("acf_1"),
+        F.round(F.corr("ret", "ret_l2"), 6).alias("acf_2"),
+        F.round(F.corr("ret", "ret_l3"), 6).alias("acf_3"),
+    )
+
+
+_SIGNED_BARS_CTE = _HLC_BARS_CTE.replace(
+    "arg_max(value, ts) AS close",
+    "arg_max(value, ts) AS close, round(sum(value), 4) AS volume",
+) + """
+    , s AS (
+      SELECT event_type, bucket_start, volume,
+             close - lag(close) OVER w AS dp,
+             CASE WHEN close - lag(close) OVER w > 0 THEN 1.0
+                  WHEN close - lag(close) OVER w < 0 THEN -1.0 END AS raw_sign
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    sg AS (
+      SELECT event_type, bucket_start, volume, dp,
+             last_value(raw_sign IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_start
+                     ROWS UNBOUNDED PRECEDING) AS side
+      FROM s
+    )
+"""
+
+
+@register(
+    "tick_rule_ofi",
+    oracle=_SIGNED_BARS_CTE + """
+    SELECT event_type,
+           count(side)                                          AS n_bars,
+           round(sum(side * volume), 4)                         AS net_signed_vol,
+           round(sum(side * volume) / sum(abs(side) * volume), 6) AS ofi
+    FROM sg
+    GROUP BY 1
+    """,
+)
+def tick_rule_ofi(spark, sf_dir):
+    """Order-flow imbalance under the tick rule (Lee-Ready without quotes):
+    each bar is classified buyer- or seller-initiated by the sign of its
+    close-to-close change, zero-change bars inherit the LAST nonzero sign
+    (LOCF via last_value IGNORE NULLS — the tick rule's carry-forward),
+    and OFI = signed volume over classifiable volume. Sign derivation and
+    carry-forward ride the one per-symbol ordered partitioning; unclassified
+    warm-up bars drop out of both numerator and denominator identically."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close", "volume"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    dp = F.col("close") - F.lag("close").over(w)
+    s = bars.withColumn("dp", dp).withColumn(
+        "raw_sign",
+        F.when(F.col("dp") > 0, 1.0).when(F.col("dp") < 0, -1.0),
+    )
+    sg = s.withColumn(
+        "side",
+        F.last("raw_sign", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sg.groupBy("event_type").agg(
+        F.count("side").alias("n_bars"),
+        F.round(F.sum(F.col("side") * F.col("volume")), 4).alias(
+            "net_signed_vol"
+        ),
+        F.round(
+            F.sum(F.col("side") * F.col("volume"))
+            / F.sum(F.abs(F.col("side")) * F.col("volume")),
+            6,
+        ).alias("ofi"),
+    )
+
+
+@register(
+    "kyle_lambda_5m",
+    oracle=_SIGNED_BARS_CTE + """
+    SELECT event_type,
+           count(*)                                  AS n_obs,
+           round(regr_slope(dp, side * volume), 8)   AS kyle_lambda
+    FROM sg
+    WHERE dp IS NOT NULL AND side IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def kyle_lambda_5m(spark, sf_dir):
+    """Kyle (1985) lambda per symbol: the regression slope of price change
+    on signed volume — price impact per unit of net order flow, the
+    standard market-depth estimator. Reuses the tick-rule signed bars;
+    regr_slope is covar_pop/var_pop per the SQL standard in BOTH engines,
+    so the only cross-engine daylight is accumulation order — ~1e-12
+    relative, far under the 8dp grid on an O(1e-2) slope."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close", "volume"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    dp = F.col("close") - F.lag("close").over(w)
+    s = bars.withColumn("dp", dp).withColumn(
+        "raw_sign",
+        F.when(F.col("dp") > 0, 1.0).when(F.col("dp") < 0, -1.0),
+    )
+    sg = s.withColumn(
+        "side",
+        F.last("raw_sign", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sg.where(F.col("dp").isNotNull() & F.col("side").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.regr_slope(F.col("dp"), F.col("side") * F.col("volume")), 8
+            ).alias("kyle_lambda"),
+        )
+    )
