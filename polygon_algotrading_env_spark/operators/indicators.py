@@ -277,3 +277,65 @@ def with_ema(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_ema, schema=schema)
+
+
+def with_kalman_level(
+    df: DataFrame,
+    price: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    q_var: float = 1e-4,
+    r_var: float = 1e-2,
+    out: str = "kalman_level",
+    gain_col: str | None = "kalman_gain",
+) -> DataFrame:
+    """Kalman filter for the local-level model per key group — the
+    optimal (MMSE) denoiser for a random-walk signal observed with noise:
+    state x_t = x_{t-1} + w (var ``q_var``), observation y_t = x_t + v
+    (var ``r_var``).
+
+    The gain sequence K_t is data-INDEPENDENT for this model (it depends
+    only on q/r and t), so it's precomputed once per group in a scalar
+    loop of length n, converging geometrically to the steady-state
+    K* = P*/(P*+r) with P* = (q + sqrt(q² + 4qr))/2; the level recursion
+    x_t = x_{t-1} + K_t·(y_t − x_{t-1}) then runs as a second scalar
+    loop. Like with_ema, the sequential unit is one symbol's series — an
+    Arrow-batched grouped map whose parallelism is the symbol count,
+    exactly how per-symbol state shards on a cluster. Initialization:
+    x_0 = y_0, prior variance = r_var (diffuse-ish without exploding the
+    first gain). Deterministic: no RNG, byte-stable across runs and
+    partitionings.
+    """
+    import numpy as np
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField(out, DoubleType())]
+        + ([StructField(gain_col, DoubleType())] if gain_col else [])
+    )
+    order_list = list(order_cols)
+
+    def _kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list)
+        y = pdf[price].to_numpy(dtype=np.float64)
+        n = len(y)
+        levels = np.empty(n)
+        gains = np.empty(n)
+        if n:
+            p = r_var
+            x = y[0]
+            levels[0] = x
+            gains[0] = 0.0
+            for i in range(1, n):
+                pp = p + q_var
+                k = pp / (pp + r_var)
+                x = x + k * (y[i] - x)
+                p = (1.0 - k) * pp
+                levels[i] = x
+                gains[i] = k
+        pdf[out] = levels
+        if gain_col:
+            pdf[gain_col] = gains
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_kalman, schema=schema)

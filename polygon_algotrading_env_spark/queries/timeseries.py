@@ -1481,3 +1481,34 @@ def kyle_lambda_5m(spark, sf_dir):
             ).alias("kyle_lambda"),
         )
     )
+
+
+@register("kalman_level_5m", oracle=None)
+def kalman_level_5m(spark, sf_dir):
+    """Kalman local-level denoised close per symbol (rows-only: the gain
+    recursion is not SQL-expressible — same reason the EMA family is
+    rows-only; correctness is pinned by steady-state/limit property tests
+    in tests/test_indicators.py). Output exposes the filtered level and
+    the converged gain so downstream signals can threshold on both."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level,
+    )
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    out = with_kalman_level(
+        bars,
+        "close",
+        keys=("event_type",),
+        order_cols=("bucket_start",),
+        q_var=1e-4,
+        r_var=1e-2,
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round("close", 4).alias("close"),
+        F.round("kalman_level", 6).alias("kalman_level"),
+        F.round("kalman_gain", 6).alias("kalman_gain"),
+    )

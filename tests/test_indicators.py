@@ -189,3 +189,85 @@ def test_ema_matches_pandas(spark, series):
     expected = pd.Series(prices).ewm(alpha=0.5, adjust=False).mean()
     for i in range(8):
         assert abs(out[("SPY", i)] - expected[i]) < 1e-9
+
+
+# --- Kalman local-level filter --------------------------------------------
+
+def _kalman_ref(y, q, r):
+    """Straight-line reference implementation of the same recursion."""
+    import numpy as np
+
+    x, p = y[0], r
+    out = [x]
+    for v in y[1:]:
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (v - x)
+        p = (1 - k) * pp
+        out.append(x)
+    return np.array(out)
+
+
+def test_kalman_matches_reference_and_is_partition_invariant(spark):
+    import numpy as np
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level,
+    )
+
+    ys = [100.0, 100.5, 99.8, 101.2, 100.9, 102.0, 101.5, 101.7, 103.0, 102.2]
+    rows = [("A", i, v) for i, v in enumerate(ys)] + [
+        ("B", i, v * 2) for i, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, ["sym", "t", "y"]).repartition(5)
+    out = with_kalman_level(
+        df, "y", keys=("sym",), order_cols=("t",), q_var=1e-3, r_var=1e-1
+    )
+    got = {
+        (r["sym"], r["t"]): r["kalman_level"] for r in out.collect()
+    }
+    ref_a = _kalman_ref(np.array(ys), 1e-3, 1e-1)
+    ref_b = _kalman_ref(np.array(ys) * 2, 1e-3, 1e-1)
+    for i in range(len(ys)):
+        assert abs(got[("A", i)] - ref_a[i]) < 1e-12
+        assert abs(got[("B", i)] - ref_b[i]) < 1e-12
+
+
+def test_kalman_gain_converges_to_steady_state(spark):
+    import math
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level,
+    )
+
+    q, r = 1e-3, 1e-1
+    # steady-state a-priori variance: P* = (q + sqrt(q^2 + 4qr)) / 2
+    p_star = (q + math.sqrt(q * q + 4 * q * r)) / 2
+    k_star = p_star / (p_star + r)
+    rows = [("A", i, 50.0 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["sym", "t", "y"])
+    out = with_kalman_level(
+        df, "y", keys=("sym",), order_cols=("t",), q_var=q, r_var=r
+    )
+    last = out.orderBy("t").collect()[-1]
+    assert abs(last["kalman_gain"] - k_star) < 1e-9
+
+
+def test_kalman_limits(spark):
+    """r→0 trusts observations (level ≈ y); constant input is a fixed
+    point (level == y exactly)."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level,
+    )
+
+    rows = [("A", i, 42.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["sym", "t", "y"])
+    out = with_kalman_level(
+        df, "y", keys=("sym",), order_cols=("t",), q_var=1e-4, r_var=1e-2
+    ).collect()
+    assert all(r["kalman_level"] == 42.0 for r in out)
+
+    rows2 = [("A", i, float(i * i % 13)) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, ["sym", "t", "y"])
+    out2 = with_kalman_level(
+        df2, "y", keys=("sym",), order_cols=("t",), q_var=1.0, r_var=1e-12
+    ).collect()
+    assert all(abs(r["kalman_level"] - r["y"]) < 1e-6 for r in out2)
