@@ -900,3 +900,48 @@ def returned_item_top_customers(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --- Benford first-digit audit --------------------------------------------
+@register(
+    "benford_price_digits",
+    oracle="""
+    SELECT digit,
+           count(*)                                        AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6)               AS benford_p
+    FROM (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ) t
+    GROUP BY digit
+    """,
+)
+def benford_price_digits(spark, sf_dir):
+    """Benford's-law audit of order totals: the observed first-significant-
+    digit distribution against log10(1+1/d) — the standard forensic screen
+    for fabricated or truncated monetary columns (a data-quality primitive
+    for ingest monitoring). Digit extraction is pure arithmetic (no string
+    round-trip): d = floor(p / 10^floor(log10 p)). One scan, 9-row output;
+    the share uses a window over the grouped result (9 rows) rather than a
+    second scan. floor/log10 agree bit-for-bit on both engines for the
+    2-decimal fixture domain."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    from pyspark.sql import Window
+
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    grouped = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    return grouped.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(total), 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )

@@ -1512,3 +1512,84 @@ def kalman_level_5m(spark, sf_dir):
         F.round("kalman_level", 6).alias("kalman_level"),
         F.round("kalman_gain", 6).alias("kalman_gain"),
     )
+
+
+@register(
+    "cusum_alarms_5m",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) - 1 AS ret
+      FROM bars
+    ),
+    stats AS (
+      SELECT event_type, avg(ret) AS mu, stddev_samp(ret) AS sd
+      FROM r WHERE ret IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+      SELECT r.event_type, r.bucket_start,
+             (r.ret - s.mu) / s.sd - 0.5 AS a
+      FROM r JOIN stats s ON r.event_type = s.event_type
+      WHERE r.ret IS NOT NULL
+    ),
+    p0 AS (
+      SELECT event_type, bucket_start,
+             sum(a) OVER (PARTITION BY event_type ORDER BY bucket_start
+                          ROWS UNBOUNDED PRECEDING) AS pref
+      FROM z
+    ),
+    p AS (
+      SELECT event_type, bucket_start, pref,
+             least(min(pref) OVER (PARTITION BY event_type
+                                   ORDER BY bucket_start
+                                   ROWS UNBOUNDED PRECEDING), 0) AS pref_min
+      FROM p0
+    )
+    SELECT event_type,
+           count(CASE WHEN pref - pref_min > 4.0 THEN 1 END) AS n_alarm_bars,
+           round(max(pref - pref_min), 4)                    AS max_cusum,
+           min(CASE WHEN pref - pref_min > 4.0
+                    THEN bucket_start END)                   AS first_alarm
+    FROM p
+    GROUP BY 1
+    """,
+)
+def cusum_alarms_5m(spark, sf_dir):
+    """One-sided CUSUM drift detector per symbol, WITHOUT the sequential
+    recursion: S_t = max(0, S_{t-1} + a_t) has the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P — so the classic
+    'inherently streaming' changepoint statistic becomes two stacked
+    running windows over ONE per-symbol partitioning, fully parallel
+    across symbols and expressible in both engines. a_t standardizes the
+    return against per-symbol full-sample stats (broadcast join-back,
+    drift allowance k=0.5σ); alarm threshold h=4. Running sums evaluate
+    in identical sequential order on both engines, so the comparisons
+    sit on bit-identical values."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    stats = r.groupBy("event_type").agg(
+        F.avg("ret").alias("mu"), F.stddev_samp("ret").alias("sd")
+    )
+    z = r.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "bucket_start",
+        ((F.col("ret") - F.col("mu")) / F.col("sd") - 0.5).alias("a"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = z.withColumn("pref", F.sum("a").over(run)).withColumn(
+        "pref_min", F.least(F.min(F.col("pref")).over(run), F.lit(0.0))
+    )
+    cusum = F.col("pref") - F.col("pref_min")
+    return p.groupBy("event_type").agg(
+        F.count(F.when(cusum > 4.0, 1)).alias("n_alarm_bars"),
+        F.round(F.max(cusum), 4).alias("max_cusum"),
+        F.min(F.when(cusum > 4.0, F.col("bucket_start"))).alias("first_alarm"),
+    )
