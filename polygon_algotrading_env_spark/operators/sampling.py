@@ -263,3 +263,52 @@ def weighted_sample_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Resample to TARGET mixture proportions with maximum retention —
+    the domain-reweighting step of training-data assembly ("make the
+    corpus 40% en / 15% each of the rest") as a deterministic plan.
+
+    The scale factor c = min_g(N_g / w_g) makes the scarcest-relative-to-
+    target group the binding constraint (it keeps ~everything); every
+    group's quota is t_g = floor(w_g · c), so realized proportions match
+    the targets to within rounding and NO group is oversampled. Quota
+    membership is hash-order rank (md5 of the row key, ties by key), the
+    repo's reproducible-sampling idiom: stable across runs, engines, and
+    partitionings, unlike seeded sample(). Groups absent from ``weights``
+    are dropped. One count aggregate (group-sized), one broadcast of the
+    quota table, one per-group rank window — the fact shuffles once.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be > 0")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()], [group_col, "wt"]
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    j = counts.join(F.broadcast(wdf), group_col)
+    c = j.agg(F.min(F.col("n") / F.col("wt")).alias("c"))
+    targets = (
+        j.crossJoin(F.broadcast(c))
+        .select(group_col, F.floor(F.col("wt") * F.col("c")).alias("quota"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 4),
+            F.col(key_col),
+        )
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("__rn", rn)
+        .where(F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "quota")
+    )

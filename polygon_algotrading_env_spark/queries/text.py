@@ -899,3 +899,104 @@ def weighted_sample_by_length(spark, sf_dir):
         docs, weight_col="n_chars", k=5, group_cols=("lang",), key_col="doc_id"
     )
     return out.select("doc_id", "lang", F.round("es_key", 6).alias("es_key"))
+
+
+@register(
+    "mixture_resample_by_lang",
+    oracle="""
+    WITH w(lang, wt) AS (
+      VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15),
+             ('zh', 0.15)
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    c AS (SELECT min(n / wt) AS c FROM counts JOIN w USING (lang)),
+    t AS (SELECT lang, floor(wt * c.c) AS quota FROM w, c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rn <= t.quota
+    """,
+)
+def mixture_resample_by_lang(spark, sf_dir):
+    """Domain reweighting to a target language mixture (40% en, 15% each
+    other) with maximum retention: the binding group keeps ~all its docs
+    and every quota is floor(w·c) off the same scale factor, so realized
+    shares hit the targets to within rounding (operators/sampling.py).
+    The oracle replays the identical arithmetic — same division order,
+    same floor — so quota boundaries cannot disagree."""
+    from polygon_algotrading_env_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    return mixture_resample(docs, "lang", weights).select("doc_id", "lang")
+
+
+@register(
+    "novelty_by_first_occurrence",
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                   FOR i IN range(1, n - 3)])) AS gram
+      FROM doc WHERE n >= 5
+    ),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel,
+           round(count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY 1
+    """,
+)
+def novelty_by_first_occurrence(spark, sf_dir):
+    """Per-document novelty under corpus order: the fraction of a doc's
+    distinct token 5-grams whose FIRST global occurrence (min doc_id) is
+    this doc — the dataset-ordering signal behind 'later shards add
+    nothing new' curation cuts, complementary to rarity scoring (which
+    ignores order) and span dedup (which edits text). One explode of
+    per-doc distinct grams feeds both the first-occurrence model (gram-
+    keyed aggregate) and the join-back; grams, like any content key,
+    shuffle once. Integer counts plus a round-6 ratio of small integers —
+    tie-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).where(F.col("n") >= 5)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 4),
+                    lambda i: F.array_join(F.slice("toks", i, 5), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

@@ -148,3 +148,47 @@ def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
     bad = spark.createDataFrame([(1, "g", 0.0)], "doc_id long, grp string, w double")
     with pytest.raises(Exception):
         weighted_sample_per_group(bad, "w", k=1, key_col="doc_id").collect()
+
+
+def test_mixture_resample_quotas_and_determinism(spark):
+    from polygon_algotrading_env_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(50)]
+        + [(2000 + i, "c") for i in range(30)]
+        + [(9000 + i, "junk") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    # targets: a 50%, b 20%, c 30% → c binds (30/0.3=100); quotas 50/20/30
+    out = mixture_resample(
+        df, "grp", {"a": 0.5, "b": 0.2, "c": 0.3}, key_col="doc_id"
+    )
+    got = {r["grp"]: r["cnt"] for r in
+           out.groupBy("grp").agg(__import__("pyspark").sql.functions.count(
+               "*").alias("cnt")).collect()}
+    assert got == {"a": 50, "b": 20, "c": 30}  # unweighted 'junk' dropped
+    # deterministic under physical layout
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_resample(
+            df.repartition(7), "grp", {"a": 0.5, "b": 0.2, "c": 0.3}
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_mixture_resample_validates_weights(spark):
+    import pytest as _pytest
+    from polygon_algotrading_env_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "grp"])
+    with _pytest.raises(ValueError):
+        mixture_resample(df, "grp", {})
+    with _pytest.raises(ValueError):
+        mixture_resample(df, "grp", {"a": 0.0})
