@@ -139,6 +139,8 @@ def mg_heavy_hitters(
     common count, summaries come back empty, and the result is the empty
     set — fewer than k rows returned IS the uncertified signal there.
     """
+    from pyspark.sql import Window
+
     cands = mg_partition_candidates(df, key_col, capacity).select(key_col).distinct()
     exact = (
         df.join(F.broadcast(cands), key_col, "left_semi")
@@ -147,13 +149,16 @@ def mg_heavy_hitters(
     )
     topk = exact.orderBy(F.desc("cnt"), key_col).limit(k)
     n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
-    kth = topk.agg(F.min("cnt").alias("kth_cnt"))
+    # kth count via a window over the k-row top-k result (k rows — the
+    # single partition is trivial), NOT a second aggregate of the top-k
+    # subtree: a crossJoin(agg(topk)) would re-execute the candidate
+    # recount a second time.
+    kth = F.min("cnt").over(Window.partitionBy())
     return (
         topk.crossJoin(F.broadcast(n_total))
-        .crossJoin(F.broadcast(kth))
         .withColumn(
             "certified",
-            F.col("kth_cnt") * F.lit(capacity + 1) > F.col("n_total"),
+            kth * F.lit(capacity + 1) > F.col("n_total"),
         )
-        .drop("n_total", "kth_cnt")
+        .drop("n_total")
     )

@@ -493,9 +493,11 @@ def excess_part_shippers(spark, sf_dir):
     absent, so the half-share test compares the year's shipped quantity
     per (supplier, part) against 50% of the all-time quantity (same plan
     role: an aggregate-derived threshold gating a nested IN chain). Both
-    aggregates shuffle on the SAME (suppkey, partkey) key so the join
-    between them reuses the exchange; the part-name filter is a broadcast
-    semi-join; the outer IN is a left-semi against the small survivor set.
+    aggregates hash-partition on the SAME (suppkey, partkey) key, so the
+    join between them adds NO third data shuffle (the scans differ by the
+    pushed date predicate, hence co-partitioning rather than exchange
+    reuse); the part-name filter is a broadcast semi-join; the outer IN
+    is a left-semi against the small survivor set.
     Quantities are integral, so 0.5×qty is exact — no epsilon games."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"

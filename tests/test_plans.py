@@ -176,3 +176,54 @@ def test_gopher_filters_share_token_shuffle(spark, sf_dir, q):
     st = plan_stats(q["gopher_repetition_filters"](spark, sf_dir))
     assert st.shuffle_exchanges <= 3
     assert st.sort_merge_joins == 0
+
+
+def test_q6_scan_filter_aggregate_only(spark, sf_dir, q):
+    """Q6 shape: every predicate reaches the parquet scan, the projection
+    is two columns, and the only exchange is the scalar-agg gather."""
+    df = q["discount_band_revenue"](spark, sf_dir)
+    p = plan_string(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in p
+    st = plan_stats(df)
+    assert st.shuffle_exchanges == 1 and st.broadcast_joins == 0
+    assert "l_quantity" in st.read_schemas[0] and "l_orderkey" not in st.read_schemas[0]
+
+
+def test_q19_disjunctive_brackets_stay_broadcast(spark, sf_dir, q):
+    """Q19 shape: the OR'd brackets must not defeat per-side pushdown or
+    force a sort-merge join — part stays broadcast, the fact's quantity
+    envelope reaches its scan as an Or() pushed filter."""
+    df = q["bracketed_quantity_revenue"](spark, sf_dir)
+    st = plan_stats(df)
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    p = plan_string(df)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir, q):
+    """Q5 shape: five broadcast joins (orders/customer/supplier/nation/
+    region chains), zero sort-merge — the fact shuffles once, for the
+    nation rollup."""
+    st = plan_stats(q["local_supplier_volume_asia"](spark, sf_dir))
+    assert st.broadcast_joins == 5
+    assert st.sort_merge_joins == 0
+    assert st.shuffle_exchanges == 1
+
+
+def test_q21_no_fact_self_joins(spark, sf_dir, q):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must come from ONE per-order
+    aggregate — no sort-merge self-joins of lineitem; top-k without a
+    global sort."""
+    st = plan_stats(q["sole_blame_suppliers"](spark, sf_dir))
+    assert st.sort_merge_joins == 0
+    assert st.take_ordered == 1
+    assert st.shuffle_exchanges <= 3
+
+
+def test_mg_heavy_hitters_single_recount(spark, sf_dir, q):
+    """The certificate must come from a window over the k-row top-k, not
+    a second execution of the recount subtree: exactly ONE
+    TakeOrderedAndProject in the plan."""
+    st = plan_stats(q["heavy_hitter_parts"](spark, sf_dir))
+    assert st.take_ordered == 1
+    assert st.sort_merge_joins == 0
