@@ -392,3 +392,175 @@ def bigram_logprob_docs(spark, sf_dir):
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT count(*)                                     AS vocab,
+           round(regr_slope(ln(n), ln(rnk)), 6)         AS zipf_slope,
+           round(regr_r2(ln(n), ln(rnk)), 6)            AS r2
+    FROM ranked
+    """,
+)
+def zipf_fit_tokens(spark, sf_dir):
+    """Zipf's-law fit of the corpus unigram distribution: OLS slope of
+    ln(frequency) on ln(rank) plus R² — the sanity gauge of whether a
+    (synthetic or scraped) corpus has natural-language frequency decay
+    (slope ≈ −1 for real text; near 0 for uniform generators). Counts are
+    a hash aggregate; ranking shuffles only the VOCAB-sized relation
+    (never the token stream); regr_slope/regr_r2 share one pass and the
+    same SQL-standard definition in both engines."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rnk")), 6).alias("r2"),
+    )
+
+
+@register(
+    "kl_divergence_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    src AS (SELECT source, tok, count(*) AS n_st FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(n_st) AS n_s FROM src GROUP BY 1),
+    corp AS (SELECT tok, count(*) AS n_t FROM tok GROUP BY 1),
+    ctot AS (SELECT sum(n_t) AS n FROM corp)
+    SELECT s.source,
+           round(sum((s.n_st * 1.0 / t.n_s)
+                     * ln((s.n_st * 1.0 / t.n_s)
+                          / (c.n_t * 1.0 / x.n))), 6) AS kl_nats
+    FROM src s
+    JOIN stot t USING (source)
+    JOIN corp c USING (tok)
+    CROSS JOIN ctot x
+    GROUP BY 1
+    """,
+)
+def kl_divergence_by_source(spark, sf_dir):
+    """Domain-shift audit: KL(source ‖ corpus) over token unigrams per
+    source — the quantitative answer to 'which sources look least like
+    the mixture?' that per-source mixture weights and dedup rates don't
+    give. The source-conditional model and the corpus model hash-aggregate
+    off ONE exploded token relation; totals are group-sized broadcasts;
+    KL is finite by construction (every source token exists in the corpus
+    marginal). Integer counts → identical IEEE ratios both engines."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    src = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    stot = src.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    corp = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    ctot = corp.agg(F.sum("n_t").alias("n"))
+    p_s = F.col("n_st") * 1.0 / F.col("n_s")
+    p_c = F.col("n_t") * 1.0 / F.col("n")
+    return (
+        src.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corp), "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_nats"))
+    )
+
+
+@register(
+    "top_terms_per_doc",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             (t.tf * 1.0 / d.dl) * ln((n.n_docs + 1.0) / (f.df + 1.0))
+               AS score
+      FROM tf t JOIN dl d USING (doc_id) JOIN df f USING (tok)
+      CROSS JOIN nd n
+    ),
+    r AS (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk, tok, round(score, 6) AS score
+    FROM r WHERE rnk <= 3
+    """,
+)
+def top_terms_per_doc(spark, sf_dir):
+    """Keyword extraction: each document's top-3 terms by smoothed TF-IDF
+    — the per-doc summary tags feeding search facets and topic audits
+    (the per-DOC argmax complement to hashed_tfidf_features' fixed-width
+    vectors). tf/dl/df/N all derive from one tokenize pass; idf's +1
+    smoothing keeps ubiquitous terms finite; ranking windows partition by
+    doc (never a global sort) with the term string breaking score ties
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("tf") * 1.0 / F.col("dl"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    r = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+        ),
+    )
+    return r.where(F.col("rnk") <= 3).select(
+        "doc_id", "rnk", "tok", F.round("score", 6).alias("score")
+    )

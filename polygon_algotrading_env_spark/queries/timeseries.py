@@ -1593,3 +1593,183 @@ def cusum_alarms_5m(spark, sf_dir):
         F.round(F.max(cusum), 4).alias("max_cusum"),
         F.min(F.when(cusum > 4.0, F.col("bucket_start"))).alias("first_alarm"),
     )
+
+
+@register(
+    "pairs_spread_zscore",
+    oracle=_HLC_BARS_CTE + """
+    , a AS (SELECT bucket_start, close AS ca FROM bars WHERE event_type = 'click'),
+    b AS (SELECT bucket_start, close AS cb FROM bars WHERE event_type = 'view'),
+    j AS (SELECT a.bucket_start, ca, cb FROM a JOIN b USING (bucket_start)),
+    h AS (
+      SELECT bucket_start, ca, cb,
+             count(*)     OVER w AS n_obs,
+             (avg(ca * cb) OVER w - avg(ca) OVER w * avg(cb) OVER w)
+             / nullif(avg(cb * cb) OVER w - avg(cb) OVER w * avg(cb) OVER w, 0)
+               AS beta
+      FROM j
+      WINDOW w AS (ORDER BY bucket_start ROWS BETWEEN 49 PRECEDING
+                   AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT bucket_start, n_obs, beta, ca - beta * cb AS spread FROM h
+      WHERE n_obs >= 50
+    ),
+    z AS (
+      SELECT bucket_start, beta, spread,
+             count(*)            OVER w2 AS n_z,
+             avg(spread)         OVER w2 AS mu,
+             stddev_samp(spread) OVER w2 AS sd
+      FROM s
+      WINDOW w2 AS (ORDER BY bucket_start ROWS BETWEEN 19 PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT bucket_start,
+           round(beta, 6)                 AS beta,
+           round(spread, 6)               AS spread,
+           round((spread - mu) / sd, 6)   AS zscore
+    FROM z WHERE n_z >= 20 AND sd > 0
+    """,
+)
+def pairs_spread_zscore(spark, sf_dir):
+    """Pairs-trading signal for one symbol pair: rolling 50-bar OLS hedge
+    ratio from windowed moments (cov/var as avg identities — no fitting
+    loop), residual spread, and its trailing 20-bar z-score — the entry/
+    exit statistic of statistical arbitrage. The pair aligns by bucket
+    equi-join; every rolling statistic rides ONE global-time ordered
+    window (single series after the join — the per-pair partitioning at
+    scale is by pair id). Warm-up rows where either window is partial are
+    excluded by exact row counts, not null checks, so both engines cut
+    identically."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    a = bars.where(F.col("event_type") == "click").select(
+        "bucket_start", F.col("close").alias("ca")
+    )
+    b = bars.where(F.col("event_type") == "view").select(
+        "bucket_start", F.col("close").alias("cb")
+    )
+    j = a.join(b, "bucket_start")
+    w = Window.orderBy("bucket_start").rowsBetween(-49, 0)
+    beta = (
+        F.avg(F.col("ca") * F.col("cb")).over(w)
+        - F.avg("ca").over(w) * F.avg("cb").over(w)
+    ) / F.nullif(
+        F.avg(F.col("cb") * F.col("cb")).over(w)
+        - F.avg("cb").over(w) * F.avg("cb").over(w),
+        F.lit(0),
+    )
+    h = j.select(
+        "bucket_start",
+        "ca",
+        "cb",
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+        beta.alias("beta"),
+    )
+    s = h.where(F.col("n_obs") >= 50).select(
+        "bucket_start",
+        "beta",
+        (F.col("ca") - F.col("beta") * F.col("cb")).alias("spread"),
+    )
+    w2 = Window.orderBy("bucket_start").rowsBetween(-19, 0)
+    z = s.select(
+        "bucket_start",
+        "beta",
+        "spread",
+        F.count(F.lit(1)).over(w2).alias("n_z"),
+        F.avg("spread").over(w2).alias("mu"),
+        F.stddev_samp("spread").over(w2).alias("sd"),
+    )
+    return z.where((F.col("n_z") >= 20) & (F.col("sd") > 0)).select(
+        "bucket_start",
+        F.round("beta", 6).alias("beta"),
+        F.round("spread", 6).alias("spread"),
+        F.round((F.col("spread") - F.col("mu")) / F.col("sd"), 6).alias(
+            "zscore"
+        ),
+    )
+
+
+@register(
+    "post_shock_drift_5bar",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER w - 1 AS ret
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    stats AS (
+      SELECT event_type, avg(ret) AS mu, stddev_samp(ret) AS sd
+      FROM r WHERE ret IS NOT NULL GROUP BY 1
+    ),
+    fwd AS (
+      SELECT r.event_type, r.bucket_start, r.ret, s.mu, s.sd,
+             sum(r.ret) OVER (PARTITION BY r.event_type
+                              ORDER BY r.bucket_start
+                              ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING)
+               AS car5,
+             count(r.ret) OVER (PARTITION BY r.event_type
+                                ORDER BY r.bucket_start
+                                ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING)
+               AS n_fwd
+      FROM r JOIN stats s ON r.event_type = s.event_type
+      WHERE r.ret IS NOT NULL
+    )
+    SELECT event_type,
+           count(*)                 AS n_shocks,
+           round(avg(car5), 6)      AS avg_car5,
+           round(avg(CASE WHEN car5 > 0 THEN 1.0 ELSE 0.0 END), 6)
+                                    AS frac_positive
+    FROM fwd
+    WHERE abs(ret - mu) > 3 * sd AND n_fwd = 5
+    GROUP BY 1
+    """,
+)
+def post_shock_drift_5bar(spark, sf_dir):
+    """Event study on price shocks: bars whose return sits >3σ from the
+    symbol mean are 'events', and the cumulative return over the NEXT 5
+    bars (strictly forward window — no lookahead into the event bar)
+    averages into the post-shock drift — the reversal/momentum diagnostic
+    behind shock-fade strategies. Shock selection uses full-sample
+    per-symbol stats broadcast back; the forward CAR is a following-rows
+    sum on the same per-symbol partitioning; truncated trailing windows
+    (n_fwd < 5) are excluded by exact count on both engines."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    stats = r.groupBy("event_type").agg(
+        F.avg("ret").alias("mu"), F.stddev_samp("ret").alias("sd")
+    )
+    fw = w.rowsBetween(1, 5)
+    fwd = r.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ret",
+        "mu",
+        "sd",
+        F.sum("ret").over(fw).alias("car5"),
+        F.count("ret").over(fw).alias("n_fwd"),
+    )
+    return (
+        fwd.where(
+            (F.abs(F.col("ret") - F.col("mu")) > 3 * F.col("sd"))
+            & (F.col("n_fwd") == 5)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_shocks"),
+            F.round(F.avg("car5"), 6).alias("avg_car5"),
+            F.round(
+                F.avg(F.when(F.col("car5") > 0, 1.0).otherwise(0.0)), 6
+            ).alias("frac_positive"),
+        )
+    )
