@@ -106,3 +106,74 @@ def stream_running_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: per-key drift alarms with O(1) state
+# ---------------------------------------------------------------------------
+
+_CUSUM_STATE_SCHEMA = "s double, last_ts long"
+_CUSUM_OUTPUT_SCHEMA = (
+    "symbol string, ts timestamp, cusum double, alarm boolean"
+)
+
+
+def stream_cusum(
+    stream: DataFrame,
+    threshold: float,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    dev_col: str = "a",
+) -> DataFrame:
+    """Streaming one-sided CUSUM per key: S ← max(0, S + a) with alarm at
+    S > threshold, carried as ONE double of state per key — the live
+    counterpart of the batch ``cusum_alarms_5m`` prefix-sum identity
+    (same recursion, same alarms; equivalence is pinned in tests).
+
+    ``dev_col`` is the pre-standardized deviation (z − k), produced
+    upstream — e.g. a stream-static join against a per-key (μ, σ) model
+    table — so the operator composes with any drift model without
+    owning it. Rows within a micro-batch are applied in ``ts_col`` order;
+    rows at or before the last applied timestamp are DROPPED (the
+    cross-batch monotonicity guard: a sequential statistic cannot absorb
+    late data retroactively — route late rows to the batch path instead).
+    Emits every row with its post-update statistic (append semantics per
+    input row, not one row per key per batch).
+    """
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        s, last_ts = 0.0, -(1 << 62)
+        if state.exists:
+            s, last_ts = state.get
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, a in zip(ts_us.tolist(), pdf[dev_col].tolist()):
+                if t <= last_ts:
+                    continue
+                last_ts = t
+                s = s + float(a)
+                if s < 0.0:
+                    s = 0.0
+                out.append((key[0], t, s, s > threshold))
+        state.update((s, last_ts))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "cusum": [r[2] for r in out],
+                    "alarm": [r[3] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_CUSUM_OUTPUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -85,3 +85,100 @@ def test_running_stats_state_survives_restart(spark, tmpdir):
     assert spy["n"] == 3                      # state restored from checkpoint
     assert spy["last_price"] == 120.0         # latest-ts wins, not batch order
     assert spy["low"] == 80.0 and spy["high"] == 120.0
+
+
+# --- streaming CUSUM ------------------------------------------------------
+
+DEV_SCHEMA = "symbol string, ts timestamp, a double"
+
+
+def _batch_cusum(rows):
+    """Closed-form reference: S_t = P_t - min(0, min prefix P)."""
+    out = {}
+    by_sym: dict = {}
+    for sym, ts, a in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_sym.setdefault(sym, []).append((ts, a))
+    for sym, seq in by_sym.items():
+        pref, pmin = 0.0, 0.0
+        for ts, a in seq:
+            pref += a
+            pmin = min(pmin, pref)  # includes current — this is the clamp
+            out[(sym, ts)] = pref - min(pmin, 0.0)
+    return out
+
+
+def test_stream_cusum_equals_batch_closed_form(spark, tmpdir):
+    from datetime import datetime
+    from polygon_algotrading_env_spark.streaming.stateful import stream_cusum
+
+    rows = []
+    vals = [0.4, -0.9, 1.2, 0.8, -0.3, 2.0, -4.0, 0.6, 0.7, 0.9]
+    for i, v in enumerate(vals):
+        rows.append(("X", datetime(2024, 1, 1, 10, 0, i), v))
+        rows.append(("Y", datetime(2024, 1, 1, 10, 0, i), -v))
+    # two chunks → two micro-batches → state must carry across
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(rows[:8], DEV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[8:], DEV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(DEV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_cusum(stream, threshold=1.5)
+        .writeStream.format("memory")
+        .queryName("cusum_s")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): (r["cusum"], r["alarm"])
+        for r in spark.sql("SELECT * FROM cusum_s").collect()
+    }
+    ref = _batch_cusum(rows)
+    assert len(got) == len(rows)
+    for k, s_ref in ref.items():
+        s_got, alarm = got[k]
+        assert abs(s_got - s_ref) < 1e-12, (k, s_got, s_ref)
+        assert alarm == (s_ref > 1.5)
+
+
+def test_stream_cusum_drops_late_rows(spark, tmpdir):
+    from datetime import datetime
+    from polygon_algotrading_env_spark.streaming.stateful import stream_cusum
+
+    src = f"{tmpdir}/src"
+    first = [("X", datetime(2024, 1, 1, 10, 0, 5), 1.0)]
+    late = [("X", datetime(2024, 1, 1, 10, 0, 1), 99.0),  # behind watermark
+            ("X", datetime(2024, 1, 1, 10, 0, 6), 0.5)]
+    spark.createDataFrame(first, DEV_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(late, DEV_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(DEV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_cusum(stream, threshold=10.0)
+        .writeStream.format("memory")
+        .queryName("cusum_late")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cusum_late ORDER BY ts").collect()
+    # the 10:00:01 row arrived after 10:00:05 was applied → dropped
+    assert [r["ts"].second for r in rows] == [5, 6]
+    assert abs(rows[-1]["cusum"] - 1.5) < 1e-12
