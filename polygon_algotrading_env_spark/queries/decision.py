@@ -612,3 +612,62 @@ def sole_blame_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --- year-over-year growth (window over a yearly aggregate) ---------------
+@register(
+    "yoy_revenue_growth_by_nation",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS yr,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, yr, revenue,
+           round(revenue / lag(revenue) OVER (PARTITION BY nation
+                                              ORDER BY yr) - 1, 6)
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def yoy_revenue_growth_by_nation(spark, sf_dir):
+    """Year-over-year growth per supplier nation: a grouped aggregate
+    followed by a lag window over the AGGREGATED relation (nation × year
+    — hundreds of rows at any corpus size), the standard trend-report
+    shape. The fact shuffles once for the aggregate; the window runs on
+    the tiny result; growth is computed on the ALREADY-rounded revenue
+    grid so both engines divide identical values."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    yearly = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return yearly.withColumn(
+        "yoy_growth",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6),
+    )

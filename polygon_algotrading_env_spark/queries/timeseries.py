@@ -1773,3 +1773,135 @@ def post_shock_drift_5bar(spark, sf_dir):
             ).alias("frac_positive"),
         )
     )
+
+
+_DAILY_BARS_CTE = """
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "cross_sectional_momentum",
+    oracle=_DAILY_BARS_CTE + """
+    , r0 AS (
+      SELECT event_type, d,
+             close / lag(close) OVER (PARTITION BY event_type ORDER BY d) - 1
+               AS ret
+      FROM bars
+    ),
+    r AS (
+      SELECT event_type, d, ret,
+             lead(ret) OVER (PARTITION BY event_type ORDER BY d) AS fwd_ret
+      FROM r0
+    ),
+    ranked AS (
+      SELECT d, event_type, ret, fwd_ret,
+             rank() OVER (PARTITION BY d ORDER BY ret DESC, event_type)
+               AS mom_rank,
+             count(*) OVER (PARTITION BY d) AS n_syms
+      FROM r WHERE ret IS NOT NULL AND fwd_ret IS NOT NULL
+    )
+    SELECT d,
+           round(avg(CASE WHEN mom_rank <= 2 THEN fwd_ret END), 6)
+             AS long_leg,
+           round(avg(CASE WHEN mom_rank > n_syms - 2 THEN fwd_ret END), 6)
+             AS short_leg,
+           round(avg(CASE WHEN mom_rank <= 2 THEN fwd_ret END)
+                 - avg(CASE WHEN mom_rank > n_syms - 2 THEN fwd_ret END), 6)
+             AS ls_spread
+    FROM ranked
+    WHERE n_syms = 5
+    GROUP BY 1
+    """,
+)
+def cross_sectional_momentum(spark, sf_dir):
+    """Cross-sectional momentum: rank symbols EACH DAY by trailing daily
+    return, hold the top-2 long and bottom-2 short, and measure the
+    next-day long-short spread — the factor-portfolio axis (rank across
+    symbols per date) that every per-symbol window query misses. Forward
+    return comes from lead() on the same per-symbol window as the
+    trailing return (no lookahead into ranking); the cross-sectional rank
+    is a per-DAY window whose partitions are symbol-count-sized; days
+    missing any symbol are excluded by exact count."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", F.col("bucket_start").alias("d"), "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ret = F.col("close") / F.lag("close").over(w) - 1
+    r = (
+        bars.withColumn("ret", ret)
+        .withColumn("fwd_ret", F.lead("ret").over(w))
+        .where(F.col("ret").isNotNull() & F.col("fwd_ret").isNotNull())
+    )
+    wd = Window.partitionBy("d")
+    ranked = r.withColumn(
+        "mom_rank",
+        F.rank().over(wd.orderBy(F.desc("ret"), "event_type")),
+    ).withColumn("n_syms", F.count(F.lit(1)).over(wd))
+    long_leg = F.avg(F.when(F.col("mom_rank") <= 2, F.col("fwd_ret")))
+    short_leg = F.avg(
+        F.when(F.col("mom_rank") > F.col("n_syms") - 2, F.col("fwd_ret"))
+    )
+    return (
+        ranked.where(F.col("n_syms") == 5)
+        .groupBy("d")
+        .agg(
+            F.round(long_leg, 6).alias("long_leg"),
+            F.round(short_leg, 6).alias("short_leg"),
+            F.round(long_leg - short_leg, 6).alias("ls_spread"),
+        )
+    )
+
+
+@register(
+    "intraday_volume_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(ts AS DATE)        AS d,
+             extract(hour FROM ts)   AS hr,
+             sum(value)              AS hv
+      FROM events GROUP BY 1, 2, 3
+    ),
+    dtot AS (SELECT event_type, d, sum(hv) AS dv FROM h GROUP BY 1, 2)
+    SELECT h.event_type,
+           CAST(h.hr AS INT)                       AS hr,
+           count(*)                                AS n_days,
+           round(avg(h.hv), 4)                     AS avg_volume,
+           round(avg(h.hv / t.dv), 6)              AS avg_share_of_day
+    FROM h JOIN dtot t ON h.event_type = t.event_type AND h.d = t.d
+    GROUP BY 1, 2
+    """,
+)
+def intraday_volume_profile(spark, sf_dir):
+    """Intraday seasonality: each symbol's average volume and average
+    share-of-day per hour-of-day — the U-shape profile behind execution
+    scheduling (trade more when the tape does). Hour cells aggregate
+    once; daily totals are the same relation re-grouped (both tiny);
+    the share averages the per-day ratio, not the ratio of averages, so
+    thin days weigh equally — the execution-calendar convention."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.sum("value").alias("hv"))
+    dtot = h.groupBy("event_type", "d").agg(F.sum("hv").alias("dv"))
+    return (
+        h.join(dtot, ["event_type", "d"])
+        .groupBy("event_type", F.col("hr").cast("int").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("hv"), 4).alias("avg_volume"),
+            F.round(F.avg(F.col("hv") / F.col("dv")), 6).alias(
+                "avg_share_of_day"
+            ),
+        )
+    )
