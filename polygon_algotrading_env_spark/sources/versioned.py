@@ -410,6 +410,10 @@ class VersionedTable:
         added: list[str] = []
         for v in range(start_version, end + 1):
             m = self._read_manifest(v)
+            if m["mode"] == "compact":
+                # Content-preserving rewrite: zero added rows by contract,
+                # so the delta is empty — skip it, don't refuse.
+                continue
             if m["mode"] != "append":
                 raise ValueError(
                     f"version {v} is {m['mode']!r}; change feed is only defined "
@@ -470,6 +474,71 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(self.root, d))
         return victims
 
+
+    def compact(
+        self,
+        target_files: int | None = None,
+        target_file_mb: int = 128,
+    ) -> int:
+        """Rewrite the current snapshot into few large files and commit it
+        as a content-identical ``mode='compact'`` version — the
+        small-files maintenance every append-heavy table needs (a month
+        of per-batch commits = thousands of KB-sized parquet files whose
+        per-file open/footer cost dominates the scan at 100 TB).
+
+        Output file count is ``target_files`` if given, else
+        ceil(live bytes / target_file_mb) — sized from the ACTUAL on-disk
+        bytes of the live directories, not row counts. Readers see
+        identical rows before and after; ``read_changes`` skips compact
+        commits (zero added rows by contract); ``stream_changes`` still
+        refuses compacted histories — a file stream cannot express a
+        rewrite without re-emitting rows (Delta's ignoreChanges caveat);
+        old files become reclaimable by :meth:`vacuum`.
+
+        Concurrency: compaction loses ANY commit race (it must not bury a
+        concurrent append's rows under a stale snapshot) — on conflict the
+        rewritten directory is removed and ``VersionConflictError``
+        propagates; rerun against the new head.
+        """
+        import math
+        import shutil
+        import uuid
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        manifest = self._read_manifest(parent)
+        live = list(manifest["live"])
+        total_bytes = 0
+        for d in live:
+            for dirpath, _dirs, files in os.walk(os.path.join(self.root, d)):
+                total_bytes += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_out = target_files or max(
+            1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024))
+        )
+        snapshot = self.read(version=parent).repartition(n_out)
+        data_dir = f"data/c{uuid.uuid4().hex[:16]}"
+        snapshot.write.parquet(os.path.join(self.root, data_dir))
+        try:
+            self._commit(
+                {
+                    "version": parent + 1,
+                    "parent": parent,
+                    "mode": "compact",
+                    "timestamp": time.time(),
+                    "live": [data_dir],
+                    "schema": manifest["schema"],
+                    "compacted_from": parent,
+                }
+            )
+            return parent + 1
+        except BaseException:
+            shutil.rmtree(os.path.join(self.root, data_dir), ignore_errors=True)
+            raise
 
     # ---- streaming ------------------------------------------------------
 

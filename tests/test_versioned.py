@@ -265,3 +265,58 @@ def test_delete_where_null_predicate_keeps_rows(spark, root):
     t.delete_where("tag = 'x'")
     # The NULL-tag row did not match -> it must survive.
     assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_compact_preserves_contents_and_reduces_files(spark, root):
+    import glob
+    import os
+
+    t = VersionedTable(spark, root)
+    for lo in range(0, 40, 10):  # 4 append commits, several files each
+        t.write(_df(spark, range(lo, lo + 10)).repartition(4), mode="append")
+    before = sorted(r["id"] for r in t.read().collect())
+    n_files_before = len(glob.glob(os.path.join(root, "data", "*", "*.parquet")))
+    v = t.compact(target_files=2)
+    assert v == t.latest_version()
+    after = sorted(r["id"] for r in t.read().collect())
+    assert after == before == list(range(40))
+    live = t._read_manifest(v)["live"]
+    assert len(live) == 1
+    n_live_files = len(
+        glob.glob(os.path.join(root, live[0], "*.parquet"))
+    )
+    assert n_live_files == 2 < n_files_before
+    # time travel to the pre-compact version still works
+    assert sorted(r["id"] for r in t.read(version=v - 1).collect()) == before
+
+
+def test_change_feed_skips_compact_commits(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2]), mode="append")          # v0
+    t.write(_df(spark, [3]), mode="append")             # v1
+    t.compact(target_files=1)                           # v2 — no new rows
+    t.write(_df(spark, [4]), mode="append")             # v3
+    got = sorted(r["id"] for r in t.read_changes(1, 3).collect())
+    assert got == [3, 4]
+
+
+def test_stream_changes_refuses_compacted_history(spark, root):
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1]), mode="append")
+    t.compact(target_files=1)
+    with pytest.raises(ValueError, match="compact"):
+        t.stream_changes()
+
+
+def test_vacuum_reclaims_precompact_files(spark, root):
+    import os
+
+    t = VersionedTable(spark, root)
+    t.write(_df(spark, [1, 2]), mode="append")
+    t.write(_df(spark, [3]), mode="append")
+    t.compact(target_files=1)
+    victims = t.vacuum(keep_versions=1, dry_run=False, min_age_seconds=0.0)
+    assert len(victims) == 2  # both pre-compact append dirs reclaimed
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    for d in victims:
+        assert not os.path.exists(os.path.join(root, d))
