@@ -263,3 +263,83 @@ def semantic_dedup_survivors(spark, sf_dir):
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+# --- per-label centroid outliers (embedding-space data auditing) ----------
+@register(
+    "embedding_outliers_per_label",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE)     AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, avg(val) AS c FROM dims GROUP BY 1, 2
+    ),
+    percvec AS (
+      SELECT d.vec_id, d.label,
+             sum(d.val * c.c)        AS dp,
+             sqrt(sum(d.val * d.val)) AS nv
+      FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    nc AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1),
+    scored AS (
+      SELECT p.vec_id, p.label,
+             round(p.dp / (p.nv * n.nc), 6) AS cos_to_centroid
+      FROM percvec p JOIN nc n ON p.label = n.label
+    )
+    SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cos_to_centroid
+    FROM (
+      SELECT label, vec_id, cos_to_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_to_centroid, vec_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def embedding_outliers_per_label(spark, sf_dir):
+    """Embedding-space label auditing: the 5 vectors per label FARTHEST
+    from their label centroid by cosine — the mislabeled-example /
+    embedding-drift screen run before clustering-dependent curation
+    (SemDeDup, IVF training) trusts the labels. Centroids are label×dim
+    rows (vocab-sized, broadcast back); per-vector reductions shuffle the
+    exploded dims once on vec_id. Ranking orders by the ROUNDED cosine
+    with vec_id tiebreak so the top-5 cut cannot disagree across engines
+    on last-ulp centroid differences."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select("vec_id", "label", "pos", F.col("fval").cast("double").alias("val"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    percvec = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dp"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    nc = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
+    )
+    scored = percvec.join(F.broadcast(nc), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("dp") / (F.col("nv") * F.col("nc")), 6).alias(
+            "cos_to_centroid"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id",
+                "cos_to_centroid")
+    )
