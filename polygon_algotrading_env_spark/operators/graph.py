@@ -393,3 +393,68 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every vertex
+    starts as its own community and each round adopts the most frequent
+    label among its neighbors, ties to the SMALLEST label — the
+    deterministic variant of LPA (asynchronous/random-tiebreak LPA is
+    run-order-dependent; this one is reproducible across runs and
+    partitionings, which the dedup/audit consumers here require).
+    Communities are finer than connected components: a bridge between two
+    dense cliques usually does NOT merge them, which is exactly the
+    near-dup-cluster refinement CC can't express.
+
+    Per round: labels ⋈ symmetrized edges → neighbor-label counts grouped
+    on (vertex, label) → per-vertex argmax via max(struct(count, −label))
+    — two narrow shuffles per iteration, no windows over the vertex set.
+    Isolated vertices keep their own label. Fixed ``n_iter`` (LPA can
+    oscillate; cap-and-stop is the standard contract), lineage truncated
+    every ``checkpoint_every`` rounds like the CC/PageRank loops. Labels
+    must be numeric (the −label tiebreak); rows-only semantics — pinned
+    against a straight Python reference in tests, not a SQL oracle.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col(src) != F.col(dst))
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    verts = (
+        vertices.select(F.col(id_col).alias("id"))
+        if vertices is not None
+        else sym.select(F.col("u").alias("id"))
+    ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    labels = verts.select("id", F.col("id").cast("long").alias("label"))
+    for i in range(n_iter):
+        nbr = (
+            labels.join(sym, labels["id"] == sym["u"])
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = nbr.groupBy("id").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                )
+            ).alias("m")
+        ).select("id", (-F.col("m.nl")).cast("long").alias("new_label"))
+        labels = (
+            labels.join(best, "id", "left_outer")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -945,3 +945,38 @@ def benford_price_digits(spark, sf_dir):
         F.round(F.col("n") * 1.0 / F.sum("n").over(total), 6).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
     )
+
+
+# --- label-propagation communities (rows-only: iterative argmax) ----------
+@register("lpa_communities_copurchase", oracle=None)
+def lpa_communities_copurchase(spark, sf_dir):
+    """Deterministic label-propagation communities over the co-ordered-
+    parts graph, reported as the 20 largest communities with size and
+    min-member id. Communities refine connected components (a single
+    bridge order does not merge two dense part clusters — the
+    catalog-taxonomy view CC flattens); synchronous rounds + smallest-
+    label tiebreak make the result partitioning-independent
+    (operators/graph.py: label_propagation, pinned against a Python
+    reference). Iterative mode-argmax has no portable SQL formulation ⇒
+    rows-only."""
+    from polygon_algotrading_env_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    labels = label_propagation(und, n_iter=4)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("id").alias("min_member"),
+        )
+        .orderBy(F.desc("size"), "label")
+        .limit(20)
+    )

@@ -181,3 +181,59 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # the cycle hub (0 <- 2 <- everyone) outranks the dangling leaf
     assert got[0] > got[3]
+
+
+# --- label propagation ----------------------------------------------------
+
+def _lpa_ref(edges, n_iter):
+    """Straight-line synchronous LPA with min-label tiebreak."""
+    from collections import Counter
+
+    adj: dict = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {x: x for x in adj}
+    for _ in range(n_iter):
+        new = {}
+        for x, nbrs in adj.items():
+            counts = Counter(labels[n] for n in nbrs)
+            top = max(counts.values())
+            new[x] = min(l for l, c in counts.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    from polygon_algotrading_env_spark.operators.graph import label_propagation
+
+    # two 4-cliques + a bridge: communities must NOT merge across it
+    cliq_a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cliq_b = [(a, b) for a in range(5, 9) for b in range(5, 9) if a < b]
+    edges = cliq_a + cliq_b + [(4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(5)
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, n_iter=6).collect()
+    }
+    ref = _lpa_ref(edges, 6)
+    assert got == ref
+    # the bridge did not merge the cliques
+    assert got[1] != got[8]
+    assert len({got[i] for i in range(1, 5)}) == 1
+    assert len({got[i] for i in range(5, 9)}) == 1
+
+
+def test_label_propagation_isolated_vertex_keeps_label(spark):
+    from polygon_algotrading_env_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    verts = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, vertices=verts, n_iter=3).collect()
+    }
+    assert got[99] == 99
+    assert got[1] in (1, 2) and got[2] in (1, 2)
