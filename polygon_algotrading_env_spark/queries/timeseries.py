@@ -1905,3 +1905,139 @@ def intraday_volume_profile(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "under_ingested_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             median(n) AS med_n
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type,
+           strftime(d.d, '%Y-%m-%d') AS d,
+           d.n,
+           CAST(m.med_n AS DOUBLE)   AS med_n
+    FROM daily d JOIN med m USING (event_type)
+    WHERE d.n * 4 < m.med_n * 3
+    """,
+)
+def under_ingested_days(spark, sf_dir):
+    """Ingest-gap audit: days where a symbol's event count fell below 75%
+    of its median daily count — the monitoring query behind 'did the
+    nightly pull silently drop pages?' (the reference's cron ETL has no
+    such check; its failure mode is exactly this silent undercount).
+    Day-grain aggregate, per-symbol exact median over ~30 rows, and the
+    3/4 threshold as integer cross-multiplication (n·4 < med·3) so the
+    cut is exact on both engines even when the median is fractional."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d0")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("n") * 4 < F.col("med_n") * 3)
+        .select(
+            "event_type",
+            F.date_format("d0", "yyyy-MM-dd").alias("d"),
+            "n",
+            F.col("med_n").cast("double").alias("med_n"),
+        )
+    )
+
+
+@register(
+    "seasonal_decompose_hourly",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             avg(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, h, y,
+             avg(y) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS trend,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS n_win
+      FROM hb
+    ),
+    dt AS (
+      SELECT event_type, h, y, trend, y - trend AS detrended,
+             extract(hour FROM h) AS hod
+      FROM tr WHERE n_win = 25
+    ),
+    seas AS (
+      SELECT event_type, hod, avg(detrended) AS seasonal
+      FROM dt GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           CAST(d.hod AS INT)                          AS hod,
+           round(s.seasonal, 6)                        AS seasonal,
+           count(*)                                    AS n_obs,
+           round(stddev_samp(d.detrended - s.seasonal), 6) AS resid_sd
+    FROM dt d JOIN seas s ON d.event_type = s.event_type AND d.hod = s.hod
+    GROUP BY 1, 2, s.seasonal
+    """,
+)
+def seasonal_decompose_hourly(spark, sf_dir):
+    """Classical additive seasonal decomposition of the hourly price
+    series per symbol: trend = centered 25-hour moving average (exact
+    window only — partial edges excluded by count), seasonal = mean
+    detrended value per hour-of-day, remainder spread = stddev of the
+    residual — trend/seasonality/noise split behind anomaly thresholds
+    that don't re-alarm every morning spike. The trend window and the
+    seasonal/residual aggregates all ride the per-symbol partitioning;
+    the seasonal model is 24 rows per symbol."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("h")
+    ).agg(F.avg("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    tr = hb.select(
+        "event_type",
+        "h",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    dt = tr.where(F.col("n_win") == 25).select(
+        "event_type",
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("detrended"),
+        F.hour("h").alias("hod"),
+    )
+    seas = dt.groupBy("event_type", "hod").agg(
+        F.avg("detrended").alias("seasonal")
+    )
+    return (
+        dt.join(F.broadcast(seas), ["event_type", "hod"])
+        .groupBy("event_type", F.col("hod").cast("int").alias("hod"), "seasonal")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.stddev_samp(F.col("detrended") - F.col("seasonal")), 6
+            ).alias("resid_sd"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            F.round("seasonal", 6).alias("seasonal"),
+            "n_obs",
+            "resid_sd",
+        )
+    )
