@@ -106,25 +106,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ordering / top-k (O1-O4)
     "sort_by_name_length",
     "topk_orders_by_price",
-    # set ops
-    "union_order_slices",
+    # set ops: union_order_slices rotated out mid-r4 (green r1+r2+r3);
+    # family anchored by that prior certification
     # scalar-function suites (F1-F12 + null handling + map/timezone)
     "orders_scalar_suite",
     "string_funcs_suite",
     "lineitem_scalar_suite",
     "map_and_timezone_suite",
     # JSON / SQL-text (F-ext; pivot/unpivot/array reps rotated out r4 —
-    # certified r2+r3)
-    "json_extract_props",
+    # certified r2+r3; json_extract_props rotated out mid-r4, green r1-r3)
     "sql_api_in_exists_having",
     # aggregates (A1-A8 + extensions; exact_percentiles subsumes median=p50,
     # pricing_summary subsumes count/min/multi-max — r2 VERDICT rotation;
-    # max_shipdate_watermark rotated out r4, argmax keeps A1-A3 anchored)
+    # max_shipdate_watermark rotated out r4, argmax keeps A1-A3 anchored;
+    # rollup rotated out mid-r4 after three green rounds — grouping-set
+    # semantics stay anchored by that certification)
     "argmax_order_by_price",
     "pricing_summary",
-    "rollup_returnflag_status",
     "count_distinct_parts_per_flag",
     "exact_percentiles_per_flag",
+    # mid-r4 flagships: Q21's collapsed EXISTS/NOT-EXISTS, the certified
+    # MG heavy-hitter pattern, and mixture reweighting (LLM pipeline)
+    "sole_blame_suppliers",
+    "heavy_hitter_parts",
+    "mixture_resample_by_lang",
     # joins (J1-J3 + range join)
     # (anti_join_customers_without_orders certifies 0 rows at driver SF — a
     # wasted slot; the Q13 histogram's c_count=0 bucket covers the same
@@ -191,6 +196,9 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "max_shipdate_watermark",
         "semi_join_customers_with_orders",
         "lag_value_per_user",
+        "union_order_slices",
+        "json_extract_props",
+        "rollup_returnflag_status",
         # rotated out in earlier rounds (green in r1 and/or r2)
         "multi_max_lineitem",
         "min_orderdate",
