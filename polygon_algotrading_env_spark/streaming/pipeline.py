@@ -442,3 +442,81 @@ def stream_session_stats(
         "n_events",
         "volume",
     )
+
+
+def stream_mg_summary_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    summary_path: str,
+    key_col: str,
+    capacity: int = 4096,
+):
+    """Incrementally maintained Misra-Gries frequency summaries over a
+    stream — the heavy-hitter analogue of :func:`stream_hll_sketch_table`:
+    each micro-batch reduces to ONE ≤ capacity-row MG summary written to
+    its own ``batch_id=<id>`` partition. Exactly-once is structural: a
+    replayed batch overwrites only its own partition, so its counts enter
+    the merge exactly once (MG counts are NOT set-semantics like HLL —
+    partition ownership is what makes the replay safe).
+
+    Read the current candidates any time with :func:`read_mg_candidates`
+    — a merge over capacity-row partition summaries, never a rescan of
+    the stream's history. The merged summary keeps the MG completeness
+    bound (any key with total count > N/(capacity+1) survives), so an
+    exact recount against the base table certifies top-k exactly as in
+    the batch operator (operators/sketches.py: mg_heavy_hitters).
+    """
+    from polygon_algotrading_env_spark.operators.sketches import (
+        mg_partition_candidates,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # Single-partition MG of the whole batch: the per-batch summary
+        # must itself be ≤ capacity rows, so coalesce before summarizing.
+        summary = (
+            mg_partition_candidates(batch_df.coalesce(1), key_col, capacity)
+            .groupBy(key_col)
+            .agg(F.sum("mg_count").alias("mg_count"))
+        )
+        summary.write.mode("overwrite").parquet(
+            f"{summary_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mg_candidates(
+    spark: SparkSession, summary_path: str, key_col: str, capacity: int
+) -> DataFrame:
+    """Merged MG summary across all batch partitions: sum per-key counts,
+    then apply the mergeable-summaries trim (subtract the (capacity+1)-th
+    largest merged weight, keep positives) so the result is again a valid
+    ≤ capacity-row MG summary of the ENTIRE stream history. Input is
+    capacity × batches rows — KBs, never the stream itself."""
+    merged = (
+        spark.read.option("basePath", summary_path)
+        .parquet(summary_path)
+        .groupBy(key_col)
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    # Trim weight: the (capacity+1)-th largest merged count, or 0 when the
+    # merged summary already fits — min over the top-(capacity+1) rows,
+    # gated on having actually seen capacity+1 of them. Always one row.
+    top = merged.orderBy(F.desc("mg_count"), F.col(key_col)).limit(capacity + 1)
+    cut = top.agg(
+        F.coalesce(
+            F.when(F.count(F.lit(1)) == capacity + 1, F.min("mg_count")),
+            F.lit(0),
+        ).alias("__cut")
+    )
+    return (
+        merged.crossJoin(F.broadcast(cut))
+        .where(F.col("mg_count") > F.col("__cut"))
+        .select(key_col, (F.col("mg_count") - F.col("__cut")).alias("mg_count"))
+    )

@@ -436,3 +436,63 @@ def test_stream_session_windows_close_on_watermark(spark, tmp_path):
     assert got[("u1", t(0))] == (3, 6.0, t(8))      # merged burst, end = last+gap
     assert got[("u1", t(33))] == (1, 4.0, t(38))
     assert got[("u2", t(1))] == (1, 5.0, t(6))
+
+
+def test_stream_mg_summary_table_completeness(spark, tmp_path):
+    """Two drains of skewed data: the merged MG candidates must contain
+    every key whose TOTAL count exceeds N/(capacity+1), counts must be
+    lower bounds, and no-overflow merges must pass through untrimmed."""
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_mg_candidates,
+        stream_mg_summary_table,
+    )
+
+    src = str(tmp_path / "src")
+    summaries = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    capacity = 32
+
+    def drain():
+        stream = spark.readStream.schema("k long").parquet(src)
+        q = stream_mg_summary_table(stream, ckpt, summaries, "k", capacity)
+        q.awaitTermination(120)
+
+    heavy = [(1,)] * 300 + [(2,)] * 200 + [(3,)] * 120
+    tail1 = [(100 + i,) for i in range(400)]
+    spark.createDataFrame(heavy + tail1, "k long").write.mode("append").parquet(src)
+    drain()
+    heavy2 = [(1,)] * 250 + [(2,)] * 100 + [(4,)] * 150
+    tail2 = [(1000 + i,) for i in range(400)]
+    spark.createDataFrame(heavy2 + tail2, "k long").write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r["k"]: r["mg_count"]
+        for r in read_mg_candidates(spark, summaries, "k", capacity).collect()
+    }
+    assert len(got) <= capacity
+    all_rows = heavy + tail1 + heavy2 + tail2
+    n = len(all_rows)
+    from collections import Counter
+
+    true = Counter(k for (k,) in all_rows)
+    for k, cnt in true.items():
+        if cnt > n / (capacity + 1):
+            assert k in got, (k, cnt)
+        if k in got:
+            assert got[k] <= cnt  # undercounts only
+    # small no-overflow case: counts exact, no trim applied
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(7,)] * 5 + [(8,)] * 3, "k long").write.parquet(src2)
+    stream = spark.readStream.schema("k long").parquet(src2)
+    q = stream_mg_summary_table(
+        stream, str(tmp_path / "ckpt2"), str(tmp_path / "mg2"), "k", capacity
+    )
+    q.awaitTermination(120)
+    got2 = {
+        r["k"]: r["mg_count"]
+        for r in read_mg_candidates(
+            spark, str(tmp_path / "mg2"), "k", capacity
+        ).collect()
+    }
+    assert got2 == {7: 5, 8: 3}
