@@ -170,3 +170,64 @@ def read_latest(spark: SparkSession, latest_path: str) -> DataFrame:
 
 def read_snapshot(spark: SparkSession, history_path: str, snapshot_id: str) -> DataFrame:
     return spark.read.parquet(f"{history_path}/snapshot={snapshot_id}")
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: Sequence[str],
+    properties: dict | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """Idempotent RDBMS sink: land the batch in a staging table (parallel
+    executor JDBC writes — the only path data takes), then one atomic
+    server-side ``MERGE`` folds it into the target by key. Re-running the
+    same batch converges to the same table state, which plain ``append``
+    cannot promise — this is the exactly-once-shaped JDBC sink the
+    reference's ``to_sql(if_exists='append')`` loop lacks (retries there
+    duplicate rows; `aggregates_etl.py:171-177`).
+
+    The MERGE statement is a single driver-side DDL round-trip (no row
+    data crosses the driver); executors stream the batch straight to the
+    staging table. Works on any MERGE-capable RDBMS (tested against the
+    embedded Derby on Spark's classpath — unquoted identifiers are
+    uppercased by the server, so pass plain names).
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"key_cols not in DataFrame: {missing}")
+    staging = staging_table or f"{table}_staging"
+    write_jdbc(df, url, staging, mode="overwrite", properties=properties)
+    # Spark's JDBC writer creates columns as QUOTED identifiers (exact
+    # DataFrame case), so the MERGE must quote them too — unquoted names
+    # would be case-folded by the server and miss.
+    q = '"{}"'.format
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    non_keys = [c for c in df.columns if c not in keys]
+    update = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+        if non_keys
+        else ""
+    )
+    cols = ", ".join(q(c) for c in df.columns)
+    vals = ", ".join(f"s.{q(c)}" for c in df.columns)
+    stmt = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"{update} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    jvm = df.sparkSession._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(stmt)
+        finally:
+            st.close()
+    finally:
+        conn.close()

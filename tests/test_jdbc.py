@@ -77,3 +77,37 @@ def test_jdbc_filter_pushdown_plan(spark, derby_url):
     # The filter must reach the JDBC scan, not run in Spark post-hoc.
     assert "PushedFilters" in plan and "MIC" in plan.upper()
     assert q.count() == 2
+
+
+def test_jdbc_upsert_is_idempotent(spark, derby_url):
+    from polygon_algotrading_env_spark.sources.writers import write_jdbc_upsert
+
+    base = spark.createDataFrame(
+        [(1, "AAPL", 100.0), (2, "MSFT", 200.0)],
+        "id long, sym string, px double",
+    )
+    write_jdbc(base, derby_url, "quotes", mode="overwrite")
+    delta = spark.createDataFrame(
+        [(2, "MSFT", 222.0), (3, "TLT", 50.0)],
+        "id long, sym string, px double",
+    )
+    write_jdbc_upsert(delta, derby_url, "quotes", key_cols=["id"])
+    # replay the SAME batch — must converge, not duplicate
+    write_jdbc_upsert(delta, derby_url, "quotes", key_cols=["id"])
+    back = {
+        r["id"]: (r["sym"], r["px"])
+        for r in read_jdbc(spark, derby_url, "quotes").collect()
+    }
+    assert back == {1: ("AAPL", 100.0), 2: ("MSFT", 222.0), 3: ("TLT", 50.0)}
+
+
+def test_jdbc_upsert_validates_keys(spark, derby_url):
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.sources.writers import write_jdbc_upsert
+
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    with _pytest.raises(ValueError):
+        write_jdbc_upsert(df, derby_url, "t", key_cols=[])
+    with _pytest.raises(ValueError):
+        write_jdbc_upsert(df, derby_url, "t", key_cols=["nope"])
