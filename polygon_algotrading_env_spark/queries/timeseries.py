@@ -2041,3 +2041,148 @@ def seasonal_decompose_hourly(spark, sf_dir):
             "resid_sd",
         )
     )
+
+
+@register(
+    "mtf_trend_filter_5m",
+    oracle=_HLC_BARS_CTE + """
+    , h1 AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             arg_max(value, ts) AS h_close
+      FROM events GROUP BY 1, 2
+    ),
+    h1s AS (
+      SELECT event_type, h, h_close,
+             avg(h_close) OVER (PARTITION BY event_type ORDER BY h
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS h_sma10,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS nw
+      FROM h1
+    )
+    SELECT b.event_type, b.bucket_start,
+           round(b.close, 4)    AS close,
+           round(s.h_sma10, 6)  AS h_sma10,
+           CASE WHEN b.close > s.h_sma10 THEN 1 ELSE 0 END AS uptrend
+    FROM bars b
+    JOIN h1s s
+      ON s.event_type = b.event_type
+     AND s.h = time_bucket(INTERVAL '1 hour', b.bucket_start)
+    WHERE s.nw = 10
+    """,
+)
+def mtf_trend_filter_5m(spark, sf_dir):
+    """Multi-timeframe alignment: every 5-minute bar carries its OWN
+    hour's 10-hour SMA trend gate (trade the fast timeframe only in the
+    slow timeframe's direction — the classic MTF filter). The hourly
+    relation is bar-count-sized and joins back by exact hour bucket
+    (floor alignment, an equi-join — no as-of needed because the grids
+    nest); partial SMA warm-ups are excluded by exact window count.
+    NOTE the deliberate semantics: the hour's close is the hour's LAST
+    tick, so intra-hour bars see a gate computed from ticks up to the
+    hour's end — the backtest-correct variant would lag the gate one
+    hour; this is the monitoring/alignment shape, certified as such."""
+    from pyspark.sql import Window
+
+    b5 = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    h1 = _bars(spark, sf_dir, "1 hour").select(
+        "event_type",
+        F.col("bucket_start").alias("h"),
+        F.col("close").alias("h_close"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-9, 0)
+    h1s = h1.select(
+        "event_type",
+        "h",
+        F.avg("h_close").over(w).alias("h_sma10"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).where(F.col("nw") == 10)
+    return (
+        b5.join(
+            h1s,
+            (b5.event_type == h1s.event_type)
+            & (F.date_trunc("hour", b5.bucket_start) == h1s.h),
+        )
+        .select(
+            b5.event_type,
+            "bucket_start",
+            F.round("close", 4).alias("close"),
+            F.round("h_sma10", 6).alias("h_sma10"),
+            F.when(F.col("close") > F.col("h_sma10"), 1)
+            .otherwise(0)
+            .alias("uptrend"),
+        )
+    )
+
+
+@register(
+    "walk_forward_folds",
+    oracle=_HLC_BARS_CTE + """
+    , o AS (
+      SELECT event_type, bucket_start,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) AS rn,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM bars
+    ),
+    f AS (
+      SELECT event_type, bucket_start, rn, n,
+             CAST(least((rn - 1) * 5 // n, 4) AS INT) AS fold
+      FROM o
+    )
+    SELECT a.event_type,
+           a.fold                                  AS test_fold,
+           b.fold                                  AS bar_fold,
+           CASE WHEN b.fold = a.fold THEN 'test'
+                WHEN abs(b.fold - a.fold) = 1 THEN 'embargo'
+                ELSE 'train' END                   AS role,
+           count(*)                                AS n_bars
+    FROM (SELECT DISTINCT event_type, fold FROM f) a
+    JOIN f b USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def walk_forward_folds(spark, sf_dir):
+    """Purged walk-forward cross-validation assignment: each symbol's bar
+    sequence splits into 5 contiguous time folds (even-spread integer
+    arithmetic — identical both engines), and for every (test fold, bar)
+    pair the bar's role is test / embargo (the adjacent folds, purged to
+    stop leakage across the boundary — the López-de-Prado discipline
+    serial correlation demands) / train. Output is the fold×role census a
+    training harness consumes to size its splits. The fold id is a pure
+    function of the per-symbol ordinal — one window — and the role matrix
+    is a fold-count-sized self-join, never a bar-level cross join."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    o = bars.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    f = o.withColumn(
+        "fold",
+        F.least(F.expr("(rn - 1) * 5 DIV n"), F.lit(4)).cast("int"),
+    )
+    folds = f.select("event_type", "fold").distinct().select(
+        "event_type", F.col("fold").alias("test_fold")
+    )
+    role = (
+        F.when(F.col("fold") == F.col("test_fold"), "test")
+        .when(F.abs(F.col("fold") - F.col("test_fold")) == 1, "embargo")
+        .otherwise("train")
+    )
+    return (
+        folds.join(f, "event_type")
+        .groupBy(
+            "event_type",
+            "test_fold",
+            F.col("fold").alias("bar_fold"),
+            role.alias("role"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bars"))
+    )
