@@ -282,3 +282,60 @@ def plan_frame_samples(
             (F.col("frame_idx") * F.lit(float(every_s))).alias("t_s"),
         )
     )
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWx3 uint8 array — pure numpy index
+    mapping (pixel-center sampling: source index = floor((i+0.5)·in/out)),
+    byte-deterministic everywhere, no interpolation kernels to disagree
+    about across library versions."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"bad target size {out_h}x{out_w}")
+    arr = np.asarray(pixels)
+    in_h, in_w = arr.shape[:2]
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1
+    )
+    return arr[rows[:, None], cols[None, :]]
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, content binary"
+)
+
+
+def resize_images(
+    media: DataFrame, out_h: int, out_w: int
+) -> DataFrame:
+    """Batch image normalization: decode Netpbm bytes, nearest-neighbor
+    resize to a fixed (out_h, out_w), re-encode P6 — the shape-
+    standardization pass before any fixed-input model or embedding step.
+    mapInPandas over (media_id, kind, content); non-image rows and
+    undecodable blobs are DROPPED (row-dropping is why this is a grouped
+    Arrow map, not a scalar UDF); output carries the new dimensions and
+    the re-encoded bytes so downstream stages never re-parse headers."""
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "width", "height", "content")}
+            for _, row in pdf.iterrows():
+                if row["kind"] != "image":
+                    continue
+                try:
+                    px = decode_ppm(bytes(row["content"]))
+                except ValueError:
+                    continue
+                rs = resize_nearest(px, out_h, out_w)
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["content"].append(encode_ppm(rs))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        _proc, schema=RESIZED_SCHEMA
+    )

@@ -219,3 +219,58 @@ def test_frame_sampling_plan(spark, media):
     assert {r["media_id"] for r in rows} == {3}
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2]
     assert rows[0]["t_s"] == 0.0
+
+
+# --- resize ---------------------------------------------------------------
+
+def test_resize_nearest_exact_mapping():
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    # 2x2 checkerboard upsampled 2x: each source pixel becomes a 2x2 block
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    src[0, 1] = src[1, 0] = 255
+    up = resize_nearest(src, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0:2, 0:2] == 0).all() and (up[0:2, 2:4] == 255).all()
+    assert (up[2:4, 0:2] == 255).all() and (up[2:4, 2:4] == 0).all()
+    # downsample back recovers the checkerboard
+    down = resize_nearest(up, 2, 2)
+    assert (down == src).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_nearest(src, 0, 4)
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    grad = np.tile(
+        np.linspace(0, 255, 16, dtype=np.uint8)[None, :, None], (8, 1, 3)
+    )
+    rows = [
+        (1, "image", bytearray(encode_ppm(grad))),
+        (2, "image", bytearray(b"not an image")),   # dropped, loudly optional
+        (3, "audio", bytearray(b"RIFF....WAVE")),    # non-image: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    out = resize_images(df, 4, 4).collect()
+    assert [r["media_id"] for r in out] == [1]
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    px = decode_ppm(bytes(r["content"]))
+    assert px.shape == (4, 4, 3)
+    # row-constant gradient stays row-constant after resize
+    assert (px == px[0:1, :, :]).all()
