@@ -570,3 +570,54 @@ def pipe_syntax_priority_revenue(spark, sf_dir):
                      round(sum(o_totalprice), 2) AS revenue
            GROUP BY o_orderpriority
     """)
+
+
+# --- Spark 4 SQL scalar UDFs (CREATE FUNCTION ... RETURN) -----------------
+@register(
+    "sql_udf_discounted_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                              AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)     AS disc_rev,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     * (1 + l_tax)), 4)                          AS charged_rev
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def sql_udf_discounted_pricing(spark, sf_dir):
+    """Spark 4 SQL scalar UDFs: business logic declared ONCE as
+    `CREATE FUNCTION ... RETURN <expr>` and reused by name across
+    queries — the governed-semantics path (a price formula maintained in
+    SQL, not copy-pasted into every pipeline). SQL UDFs inline into the
+    plan at analysis time (no Python worker, no serialization wall — same
+    wholestage codegen as writing the expression by hand), which is why
+    the oracle is simply the inlined formula. Certifies definition,
+    composition (one UDF calling into the other's result), and use in
+    aggregates."""
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1.0 + t)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__sql_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*)                                             AS n,
+               round(sum(disc_price(l_extendedprice, l_discount)), 4)
+                 AS disc_rev,
+               round(sum(charged_price(l_extendedprice, l_discount, l_tax)), 4)
+                 AS charged_rev
+        FROM __sql_udf_lineitem
+        GROUP BY 1
+        """
+    )
