@@ -2237,3 +2237,75 @@ def theil_sen_trend_daily(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
     )
+
+
+@register(
+    "risk_adjusted_metrics_5m",
+    oracle=_BT_CTE + """
+    , eq AS (
+      SELECT event_type, bucket_start, pnl,
+             sum(pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pnl
+      FROM bt
+    ),
+    dd AS (
+      SELECT event_type, pnl,
+             max(cum_pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cum_pnl AS drawdown,
+             arg_max(cum_pnl, bucket_start) OVER (PARTITION BY event_type)
+               AS final_equity
+      FROM eq
+    )
+    SELECT event_type,
+           round(avg(pnl) / nullif(stddev_samp(pnl), 0), 6)     AS sharpe_bar,
+           round(avg(pnl)
+                 / nullif(sqrt(avg(least(pnl, 0) * least(pnl, 0))), 0), 6)
+                                                                AS sortino_bar,
+           round(any_value(final_equity)
+                 / nullif(max(drawdown), 0), 6)                 AS calmar
+    FROM dd
+    GROUP BY 1
+    """,
+)
+def risk_adjusted_metrics_5m(spark, sf_dir):
+    """Risk-adjusted backtest metrics per symbol, all per-bar and
+    annualization-free (multiply by sqrt(bars/yr) downstream): Sharpe =
+    mean/stddev of bar P&L, Sortino = mean over downside root-mean-square
+    (only losing bars penalize), Calmar = final equity over max drawdown.
+    Every statistic reduces the SAME verified equity relation with
+    order-insensitive aggregates; zero-risk degenerate cases surface as
+    NULL via nullif, not ±inf."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        equity_curve,
+        sma_crossover_backtest,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    eq = equity_curve(sma_crossover_backtest(bars))
+    w = Window.partitionBy("event_type")
+    dd = eq.select(
+        "event_type",
+        "pnl",
+        "drawdown",
+        F.max_by("cum_pnl", "bucket_start").over(w).alias("final_equity"),
+    )
+    downside = F.sqrt(F.avg(F.least(F.col("pnl"), F.lit(0.0)) ** 2))
+    return dd.groupBy("event_type").agg(
+        F.round(F.avg("pnl") / F.nullif(F.stddev_samp("pnl"), F.lit(0)), 6).alias(
+            "sharpe_bar"
+        ),
+        F.round(F.avg("pnl") / F.nullif(downside, F.lit(0)), 6).alias(
+            "sortino_bar"
+        ),
+        F.round(
+            F.any_value("final_equity") / F.nullif(F.max("drawdown"), F.lit(0)),
+            6,
+        ).alias("calmar"),
+    )
