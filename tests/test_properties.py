@@ -305,3 +305,133 @@ def test_decile_sizes_partition_ntile(spark, n):
         if (q + 1 if b <= r else q) > 0
     }
     assert sizes == expected
+
+
+# --- Misra-Gries laws -----------------------------------------------------
+
+@SLOW
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=120),
+    capacity=st.integers(min_value=2, max_value=8),
+)
+def test_mg_completeness_and_undercount_law(spark, rows, capacity):
+    """For ANY input and capacity: every key with count > N/(capacity+1)
+    survives in the candidate union, and surviving mg_counts never
+    exceed true counts."""
+    from collections import Counter
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        mg_partition_candidates,
+    )
+
+    df = spark.createDataFrame([(k,) for k in rows], ["k"]).repartition(3)
+    got = {
+        r["k"]: r["mg_count"]
+        for r in mg_partition_candidates(df, "k", capacity).collect()
+    }
+    true = Counter(rows)
+    n = len(rows)
+    for k, cnt in true.items():
+        if cnt > n / (capacity + 1):
+            assert k in got, (k, cnt, n, capacity)
+    for k, mg in got.items():
+        assert mg <= true[k], (k, mg, true[k])
+
+
+# --- CUSUM closed form ≡ recursion ---------------------------------------
+
+@SLOW
+@given(
+    devs=st.lists(
+        st.floats(min_value=-3, max_value=3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_prefix_identity_law(spark, devs):
+    """The prefix-sum closed form equals the sequential recursion
+    S_t = max(0, S_{t-1} + a_t) for arbitrary deviation sequences."""
+    from pyspark.sql import Window
+
+    rows = [(i, float(a)) for i, a in enumerate(devs)]
+    df = spark.createDataFrame(rows, ["t", "a"])
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.withColumn("pref", F.sum("a").over(w))
+        .withColumn("pmin", F.least(F.min(F.col("pref")).over(w), F.lit(0.0)))
+        .select("t", (F.col("pref") - F.col("pmin")).alias("s"))
+        .collect()
+    )
+    got = {r["t"]: r["s"] for r in out}
+    s = 0.0
+    for i, a in enumerate(devs):
+        s = max(0.0, s + float(a))
+        assert abs(got[i] - s) < 1e-9, (i, got[i], s)
+
+
+# --- mixture resample law -------------------------------------------------
+
+@SLOW
+@given(
+    counts=st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+    ),
+    weights=st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+)
+def test_mixture_resample_quota_law(spark, counts, weights):
+    """Quotas are floor(w·min(N_g/w_g)): the binding group keeps
+    ~everything, none oversample, and realized counts match the formula
+    exactly."""
+    import math
+
+    from polygon_algotrading_env_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    total = sum(weights)
+    wmap = {g: w / total for g, w in zip("abc", weights)}
+    rows = [
+        (g_i * 1000 + i, g)
+        for g_i, (g, n) in enumerate(zip("abc", counts))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = mixture_resample(df, "grp", wmap).groupBy("grp").count().collect()
+    got = {r["grp"]: r["count"] for r in out}
+    c = min(n / wmap[g] for g, n in zip("abc", counts))
+    for g, n in zip("abc", counts):
+        expect = math.floor(wmap[g] * c)
+        assert got.get(g, 0) == expect, (g, got, expect)
+        assert got.get(g, 0) <= n
+
+
+# --- resize laws ----------------------------------------------------------
+
+@SLOW
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_identity_and_palette_law(spark, h, w, seed):
+    """Resizing to the same shape is the identity, and nearest-neighbor
+    never invents pixel values (output palette ⊆ input palette)."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (resize_nearest(img, h, w) == img).all()
+    out = resize_nearest(img, max(1, h // 2 + 1), w * 2)
+    in_pal = {tuple(p) for p in img.reshape(-1, 3)}
+    out_pal = {tuple(p) for p in out.reshape(-1, 3)}
+    assert out_pal <= in_pal
