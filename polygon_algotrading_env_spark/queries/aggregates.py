@@ -337,6 +337,7 @@ def quartile_binned_prices(spark, sf_dir):
 # --- certified heavy hitters: MG candidates + exact recount ---------------
 @register(
     "heavy_hitter_parts",
+    headline=True,
     oracle="""
     SELECT l_partkey, count(*) AS cnt, TRUE AS certified
     FROM lineitem

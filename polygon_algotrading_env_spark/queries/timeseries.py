@@ -1597,6 +1597,7 @@ def cusum_alarms_5m(spark, sf_dir):
 
 @register(
     "pairs_spread_zscore",
+    headline=True,
     oracle=_HLC_BARS_CTE + """
     , a AS (SELECT bucket_start, close AS ca FROM bars WHERE event_type = 'click'),
     b AS (SELECT bucket_start, close AS cb FROM bars WHERE event_type = 'view'),
