@@ -320,3 +320,51 @@ def curate_corpus(
         "split": split,
         "packed_train": packed,
     }
+
+
+def research_pack(
+    bars: DataFrame,
+    out_root: str | None = None,
+    spark=None,
+    sma_fast: int = 10,
+    sma_slow: int = 30,
+) -> dict[str, DataFrame]:
+    """Research gold pack: signals → positions → per-bar P&L → equity →
+    per-symbol scorecard from ONE bar relation, every stage sharing the
+    per-symbol partitioning (the whole pack is one exchange family — the
+    same plan discipline sma_crossover_backtest_5m certifies).
+
+    ``bars`` needs (event_type, bucket_start, close). With ``out_root``
+    (and the owning ``spark``), each layer also lands as a versioned
+    table (sources/versioned.py) so the pack is time-travelable and its
+    change feed drives incremental consumers — the batch counterpart of
+    the streaming pipeline's bronze→silver flow.
+    """
+    from polygon_algotrading_env_spark.operators.backtest import (
+        equity_curve,
+        sma_crossover_backtest,
+    )
+
+    bt = sma_crossover_backtest(bars, fast=sma_fast, slow=sma_slow)
+    eq = equity_curve(bt)
+    score = eq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.max_by("cum_pnl", "bucket_start"), 6).alias("final_equity"),
+        F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        F.round(
+            F.avg("pnl") / F.nullif(F.stddev_samp("pnl"), F.lit(0)), 6
+        ).alias("sharpe_bar"),
+    )
+    out = {"backtest": bt, "equity": eq, "scorecard": score}
+    if out_root is not None:
+        if spark is None:
+            raise ValueError("research_pack: out_root requires spark")
+        from polygon_algotrading_env_spark.sources.versioned import (
+            VersionedTable,
+        )
+
+        for name, df in out.items():
+            VersionedTable(spark, f"{out_root}/{name}").write(
+                df, mode="overwrite"
+            )
+    return out

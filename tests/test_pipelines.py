@@ -286,3 +286,36 @@ def test_curate_corpus_materialized_rarity_model(spark, sf_dir, tmp_path):
     # second explode of the corpus.
     plan = out2["rarity"]._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<token:string,df:bigint>" in plan
+
+
+def test_research_pack_layers_consistent(spark, sf_dir, tmp_path):
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.operators.bars import ohlcv_bars
+    from polygon_algotrading_env_spark.pipelines import research_pack
+    from polygon_algotrading_env_spark.sources.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    root = str(tmp_path / "pack")
+    out = research_pack(bars, out_root=root, spark=spark)
+    # scorecard equity equals the equity layer's last cum_pnl per symbol
+    import pyspark.sql.functions as F
+
+    last = {
+        r["event_type"]: r["fe"]
+        for r in out["equity"]
+        .groupBy("event_type")
+        .agg(F.round(F.max_by("cum_pnl", "bucket_start"), 6).alias("fe"))
+        .collect()
+    }
+    for r in out["scorecard"].collect():
+        assert abs(r["final_equity"] - last[r["event_type"]]) < 1e-9
+        assert r["max_drawdown"] >= 0
+    # all three layers landed as versioned tables, readable + re-writable
+    for name in ("backtest", "equity", "scorecard"):
+        t = VersionedTable(spark, f"{root}/{name}")
+        assert t.latest_version() == 0
+        assert t.read().count() > 0
