@@ -226,3 +226,60 @@ def fill_bar_gaps(
                 c, F.coalesce(F.col(c), F.lit(0).cast(dtypes[c]))
             )
     return out.drop("__locf")
+
+
+def threshold_bars(
+    df: DataFrame,
+    measure_col: str,
+    threshold: float,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    price_col: str = "value",
+    order_col: str | None = None,
+    bar_col: str = "bar_id",
+) -> DataFrame:
+    """Information-driven bar sampling (volume / dollar bars): cut a new
+    bar every time the running MEASURE (shares, notional, tick count…)
+    crosses ``threshold``, instead of every N wall-clock minutes — the
+    López-de-Prado alternative sampling that equalizes information per
+    bar (time bars oversample quiet periods and undersample bursts).
+
+    bar_id = floor(pre-tick cumulative measure / threshold): a tick joins
+    the bar that was open when it arrived, so every bar's measure sum is
+    ≥ threshold except the (possibly partial) last. The cumulative sum is
+    ONE ordered window per key — sequential evaluation makes the float
+    prefix sums identical in any engine that orders the same way — and
+    the OHLC reduction groups on (key, bar_id) like any time bar. Emits
+    start/end as epoch-millis bigints (cross-engine timestamp-safe).
+    """
+    order = [F.col(order_col)] if order_col else [F.col(ts_col)]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = F.col(measure_col)
+    pre = F.sum(m).over(w) - m
+    bar = F.floor(pre / F.lit(threshold)).alias(bar_col)
+    # Exact integer DIV, never a double round-trip: epoch nanos exceed
+    # 2^53, so float division can land on the wrong millisecond.
+    ms = (
+        F.expr(f"{order_col} DIV 1000000")
+        if order_col
+        else (F.unix_timestamp(ts_col) * 1000).cast("long")
+    )
+    ticked = df.select(
+        *keys,
+        bar,
+        F.col(price_col).alias("__p"),
+        m.alias("__m"),
+        ms.alias("__ms"),
+    )
+    return ticked.groupBy(*keys, bar_col).agg(
+        F.min_by("__p", "__ms").alias("open"),
+        F.max("__p").alias("high"),
+        F.min("__p").alias("low"),
+        F.max_by("__p", "__ms").alias("close"),
+        F.sum("__m").alias("measure"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("__ms").alias("start_ms"),
+        F.max("__ms").alias("end_ms"),
+    )

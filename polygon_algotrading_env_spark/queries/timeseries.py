@@ -2310,3 +2310,63 @@ def risk_adjusted_metrics_5m(spark, sf_dir):
             6,
         ).alias("calmar"),
     )
+
+
+@register(
+    "dollar_bars_events",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, value,
+             sum(value) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - value AS pre
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, ts, value,
+             CAST(floor(pre / 5000.0) AS BIGINT) AS bar_id
+      FROM t
+    )
+    SELECT event_type, bar_id,
+           round(arg_min(value, ts), 4)  AS open,
+           round(max(value), 4)          AS high,
+           round(min(value), 4)          AS low,
+           round(arg_max(value, ts), 4)  AS close,
+           round(sum(value), 4)          AS measure,
+           count(*)                      AS n_ticks,
+           epoch_ms(min(ts))             AS start_ms,
+           epoch_ms(max(ts))             AS end_ms
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dollar_bars_events(spark, sf_dir):
+    """Dollar bars over the tick stream: a new bar every 5000 units of
+    traded notional (`value` plays notional in the fixture mapping) —
+    constant information per bar where time bars oversample quiet hours
+    (operators/bars.py: threshold_bars). The pre-tick cumulative sum
+    evaluates in identical sequential order on both engines, so bar
+    boundaries are bit-exact; boundaries are exposed as epoch millis from
+    the exact nanos (the events-timestamp convention)."""
+    from polygon_algotrading_env_spark.operators.bars import threshold_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    out = threshold_bars(
+        ev,
+        measure_col="value",
+        threshold=5000.0,
+        keys=("event_type",),
+        ts_col="ts",
+        price_col="value",
+        order_col="ts_ns",
+    )
+    return out.select(
+        "event_type",
+        "bar_id",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.round("measure", 4).alias("measure"),
+        "n_ticks",
+        "start_ms",
+        "end_ms",
+    )
