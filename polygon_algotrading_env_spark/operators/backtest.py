@@ -29,6 +29,8 @@ output column is bit-identical in any engine (DuckDB-oracle checked).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -136,4 +138,70 @@ def equity_curve(
         bt.select(key_col, ts_col, "pnl")
         .withColumn("cum_pnl", F.sum("pnl").over(run))
         .withColumn("drawdown", F.max("cum_pnl").over(run) - F.col("cum_pnl"))
+    )
+
+
+def triple_barrier_labels(
+    bars: DataFrame,
+    horizon: int = 12,
+    profit_take: float = 0.02,
+    stop_loss: float = 0.02,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "bucket_start",
+    price_col: str = "close",
+) -> DataFrame:
+    """Triple-barrier labels (López de Prado): each bar looks at the NEXT
+    ``horizon`` closes and is labeled by the first barrier hit — +1 if
+    the profit-take level (entry·(1+pt)) is touched first, −1 if the
+    stop-loss (entry·(1−sl)) is touched first, 0 if neither inside the
+    horizon (the time barrier) — the path-aware supervised target that
+    fixed-horizon returns mislabel (a +2% move that drew down 5% first
+    is NOT a win).
+
+    The forward path is ONE window frame (ROWS 1..horizon FOLLOWING →
+    collect_list) and the first-touch scan is JVM-side array algebra
+    (zip_with index, filter, array_min) — no self-join of the bar
+    relation against its own future, which at 100 TB would re-shuffle
+    the facts horizon times; rows without a full forward window are
+    dropped (labels near the end of history are undefined, not zero).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(1, horizon)
+    )
+    fwd = F.collect_list(price_col).over(w)
+    df = bars.select(
+        *keys,
+        ts_col,
+        F.col(price_col).alias("entry"),
+        fwd.alias("fwd"),
+    ).where(F.size("fwd") == horizon)
+    idx = F.sequence(F.lit(1), F.lit(horizon))
+    up = F.col("entry") * (1.0 + profit_take)
+    dn = F.col("entry") * (1.0 - stop_loss)
+    first_hit = lambda cond: F.array_min(
+        F.filter(
+            F.zip_with(F.col("fwd"), idx, lambda p, i: F.when(cond(p), i)),
+            lambda x: x.isNotNull(),
+        )
+    )
+    lab = df.withColumn("hit_up", first_hit(lambda p: p >= up)).withColumn(
+        "hit_dn", first_hit(lambda p: p <= dn)
+    )
+    label = (
+        F.when(
+            F.col("hit_up").isNotNull()
+            & (F.col("hit_dn").isNull() | (F.col("hit_up") < F.col("hit_dn"))),
+            1,
+        )
+        .when(F.col("hit_dn").isNotNull(), -1)
+        .otherwise(0)
+    )
+    return lab.select(
+        *keys,
+        ts_col,
+        F.round("entry", 4).alias("entry"),
+        label.cast("int").alias("label"),
+        F.least(F.col("hit_up"), F.col("hit_dn")).alias("bars_to_hit"),
     )

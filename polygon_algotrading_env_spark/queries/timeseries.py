@@ -2370,3 +2370,64 @@ def dollar_bars_events(spark, sf_dir):
         "start_ms",
         "end_ms",
     )
+
+
+@register(
+    "triple_barrier_labels_5m",
+    oracle=_HLC_BARS_CTE + """
+    , o AS (
+      SELECT event_type, bucket_start, close,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) AS rn
+      FROM bars
+    ),
+    j AS (
+      SELECT a.event_type, a.bucket_start, a.close AS entry,
+             b.rn - a.rn AS i, b.close AS p
+      FROM o a JOIN o b
+        ON a.event_type = b.event_type
+       AND b.rn > a.rn AND b.rn <= a.rn + 12
+    ),
+    agg AS (
+      SELECT event_type, bucket_start, entry,
+             count(*) AS n_fwd,
+             min(CASE WHEN p >= entry * 1.05 THEN i END) AS hit_up,
+             min(CASE WHEN p <= entry * 0.95 THEN i END) AS hit_dn
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT event_type, bucket_start,
+           round(entry, 4) AS entry,
+           CAST(CASE WHEN hit_up IS NOT NULL
+                      AND (hit_dn IS NULL OR hit_up < hit_dn) THEN 1
+                     WHEN hit_dn IS NOT NULL THEN -1
+                     ELSE 0 END AS INT)          AS label,
+           CAST(least(hit_up, hit_dn) AS INT)    AS bars_to_hit
+    FROM agg WHERE n_fwd = 12
+    """,
+)
+def triple_barrier_labels_5m(spark, sf_dir):
+    """Triple-barrier supervised labels over the 5-minute bars: ±5%
+    profit/stop barriers, 12-bar time barrier (operators/backtest.py:
+    triple_barrier_labels). The engine scans each bar's forward path as
+    ONE window-collected array with JVM array algebra for the first
+    touch; the oracle replays the semantics as a self-join against the
+    next 12 bars — the certified equivalence is exactly the shuffle the
+    array plan avoids. Tail bars without a full window are dropped on
+    both sides (undefined, not zero)."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        triple_barrier_labels,
+    )
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    out = triple_barrier_labels(
+        bars, horizon=12, profit_take=0.05, stop_loss=0.05
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "entry",
+        "label",
+        F.col("bars_to_hit").cast("int").alias("bars_to_hit"),
+    )

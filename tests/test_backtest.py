@@ -67,3 +67,36 @@ def test_equity_curve_cum_and_drawdown(spark):
     out = sorted(equity_curve(bt).collect(), key=lambda r: r.bucket_start)
     assert [round(r.cum_pnl, 10) for r in out] == [0.1, 0.05, 0.07]
     assert [round(r.drawdown, 10) for r in out] == [0.0, 0.05, 0.03]
+
+
+def test_triple_barrier_all_three_classes(spark):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.backtest import (
+        triple_barrier_labels,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # symbol U: rises 1%/bar → +1 at bar 2 (2% barrier); D: falls → −1;
+    # F: flat → time barrier 0 with bars_to_hit NULL.
+    rows = []
+    for i in range(10):
+        rows.append(("U", t0 + timedelta(minutes=5 * i), 100.0 * (1.01 ** i)))
+        rows.append(("D", t0 + timedelta(minutes=5 * i), 100.0 * (0.99 ** i)))
+        rows.append(("F", t0 + timedelta(minutes=5 * i), 100.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket_start timestamp, close double"
+    )
+    out = triple_barrier_labels(
+        df, horizon=4, profit_take=0.02, stop_loss=0.02
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["event_type"], []).append(r)
+    # only bars with a FULL 4-bar forward window survive: 10 − 4 = 6 rows
+    assert all(len(v) == 6 for v in by.values())
+    assert all(r["label"] == 1 for r in by["U"])
+    assert all(r["label"] == -1 for r in by["D"])
+    assert all(r["label"] == 0 and r["bars_to_hit"] is None for r in by["F"])
+    # 1.01^2 ≈ 1.0201 crosses the 2% barrier at the SECOND forward bar
+    assert all(r["bars_to_hit"] == 2 for r in by["U"])
