@@ -2431,3 +2431,84 @@ def triple_barrier_labels_5m(spark, sf_dir):
         "label",
         F.col("bars_to_hit").cast("int").alias("bars_to_hit"),
     )
+
+
+@register(
+    "vpin_volume_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, ts, value,
+             sum(value) OVER w - value AS pre,
+             CASE WHEN value - lag(value) OVER w2 > 0 THEN 1.0
+                  WHEN value - lag(value) OVER w2 < 0 THEN -1.0 END AS raw_sign
+      FROM events
+      WINDOW w  AS (PARTITION BY event_type ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    s AS (
+      SELECT event_type, ts, value, pre,
+             last_value(raw_sign IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS side
+      FROM t
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(floor(pre / 5000.0) AS BIGINT) AS bucket,
+             sum(CASE WHEN side IS NOT NULL THEN side * value END) AS signed_v,
+             sum(CASE WHEN side IS NOT NULL THEN value END)        AS class_v
+      FROM s GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*)                                        AS n_buckets,
+           round(avg(abs(signed_v) / class_v), 6)          AS vpin
+    FROM b WHERE class_v > 0
+    GROUP BY 1
+    """,
+)
+def vpin_volume_buckets(spark, sf_dir):
+    """VPIN (Easley-López de Prado-O'Hara): order-flow toxicity as the
+    average absolute buy/sell imbalance per VOLUME bucket — the flash-
+    crash early-warning metric, and a composition of two operators this
+    engine certifies separately: threshold bucketing (dollar bars'
+    pre-tick cumulative floor) and tick-rule classification (LOCF signed
+    side). Everything rides one per-symbol ordered partitioning; unsigned
+    warm-up ticks drop from numerator and denominator identically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dp = F.col("value") - F.lag("value").over(w)
+    s = (
+        ev.withColumn("pre", F.sum("value").over(run) - F.col("value"))
+        .withColumn(
+            "raw_sign",
+            F.when(dp > 0, 1.0).when(dp < 0, -1.0),
+        )
+        .withColumn(
+            "side", F.last("raw_sign", ignorenulls=True).over(run)
+        )
+    )
+    b = s.groupBy(
+        "event_type",
+        F.floor(F.col("pre") / 5000.0).alias("bucket"),
+    ).agg(
+        F.sum(
+            F.when(F.col("side").isNotNull(), F.col("side") * F.col("value"))
+        ).alias("signed_v"),
+        F.sum(F.when(F.col("side").isNotNull(), F.col("value"))).alias(
+            "class_v"
+        ),
+    )
+    return (
+        b.where(F.col("class_v") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg(F.abs(F.col("signed_v")) / F.col("class_v")), 6).alias(
+                "vpin"
+            ),
+        )
+    )
