@@ -49,3 +49,43 @@ def test_stream_dim_refresh_overwrites_latest(spark, tmpdir):
     q.awaitTermination(120)
     snap2 = spark.read.parquet(latest)
     assert {r["ticker"] for r in snap2.collect()} == {"TLT"}
+
+
+# --- schema contracts -----------------------------------------------------
+
+def test_schema_contract_passes_and_reports_all_violations(spark):
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.profile import (
+        SchemaContractError,
+        assert_schema_contract,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "id long, tag string, v double")
+    # clean pass returns the same df for fluent use
+    out = assert_schema_contract(
+        df, {"id": "bigint", "tag": "string"}, allow_extra=True
+    )
+    assert out is df
+    with _pytest.raises(SchemaContractError) as e:
+        assert_schema_contract(
+            df,
+            {"id": "int", "missing_col": "string"},
+            allow_extra=False,
+        )
+    msg = str(e.value)
+    # every violation reported at once, not first-failure
+    assert "missing_col" in msg and "is bigint" in msg and "unexpected" in msg
+
+
+def test_schema_contract_nullability(spark):
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.profile import (
+        SchemaContractError,
+        assert_schema_contract,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")  # nullable by default
+    with _pytest.raises(SchemaContractError, match="non-nullable"):
+        assert_schema_contract(df, {"id": "bigint"}, forbid_nullable=["id"])
