@@ -2512,3 +2512,84 @@ def vpin_volume_buckets(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "engle_granger_pair",
+    oracle=_HLC_BARS_CTE + """
+    , a AS (SELECT bucket_start, close AS ca FROM bars WHERE event_type = 'click'),
+    b AS (SELECT bucket_start, close AS cb FROM bars WHERE event_type = 'view'),
+    j AS (SELECT a.bucket_start, ca, cb FROM a JOIN b USING (bucket_start)),
+    fit AS (
+      SELECT regr_slope(ca, cb)     AS beta,
+             regr_intercept(ca, cb) AS alpha
+      FROM j
+    ),
+    resid AS (
+      SELECT j.bucket_start,
+             j.ca - f.alpha - f.beta * j.cb AS e
+      FROM j CROSS JOIN fit f
+    ),
+    d AS (
+      SELECT bucket_start, e,
+             e - lag(e)  OVER (ORDER BY bucket_start) AS de,
+             lag(e)      OVER (ORDER BY bucket_start) AS e_lag
+      FROM resid
+    )
+    SELECT count(de)                                       AS n_obs,
+           round(any_value(f.beta), 6)                     AS hedge_beta,
+           round(regr_slope(de, e_lag), 6)                 AS adf_gamma,
+           round(CASE WHEN regr_slope(de, e_lag) < 0
+                      THEN -ln(2) / regr_slope(de, e_lag) END, 4)
+                                                           AS half_life_bars
+    FROM d CROSS JOIN fit f
+    WHERE de IS NOT NULL
+    """,
+)
+def engle_granger_pair(spark, sf_dir):
+    """Engle-Granger two-step cointegration for one symbol pair: full-
+    sample OLS hedge ratio (regr_slope/intercept — moment aggregates, one
+    pass), then the residual's error-correction speed γ from Δe on
+    lag(e) (the ADF regression without augmentation terms) and the
+    implied mean-reversion half-life −ln2/γ — the statistic that decides
+    whether the pairs spread is tradeable at all and how long positions
+    must be held. Negative γ ⇒ reverting; non-negative surfaces as NULL
+    half-life, not a negative holding period. Both regressions are
+    SQL-standard moment aggregates, so the engines differ only by
+    accumulation order — far under the rounding grids."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    a = bars.where(F.col("event_type") == "click").select(
+        "bucket_start", F.col("close").alias("ca")
+    )
+    b = bars.where(F.col("event_type") == "view").select(
+        "bucket_start", F.col("close").alias("cb")
+    )
+    j = a.join(b, "bucket_start")
+    fit = j.agg(
+        F.regr_slope("ca", "cb").alias("beta"),
+        F.regr_intercept("ca", "cb").alias("alpha"),
+    )
+    resid = j.crossJoin(F.broadcast(fit)).select(
+        "bucket_start",
+        (F.col("ca") - F.col("alpha") - F.col("beta") * F.col("cb")).alias("e"),
+        "beta",
+    )
+    w = Window.orderBy("bucket_start")
+    d = resid.select(
+        "beta",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("e_lag"),
+    ).where(F.col("de").isNotNull())
+    gamma = F.regr_slope("de", "e_lag")
+    return d.agg(
+        F.count("de").alias("n_obs"),
+        F.round(F.any_value("beta"), 6).alias("hedge_beta"),
+        F.round(gamma, 6).alias("adf_gamma"),
+        F.round(
+            F.when(gamma < 0, -F.log(F.lit(2.0)) / gamma), 4
+        ).alias("half_life_bars"),
+    )
