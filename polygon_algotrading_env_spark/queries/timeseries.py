@@ -2593,3 +2593,62 @@ def engle_granger_pair(spark, sf_dir):
             F.when(gamma < 0, -F.log(F.lit(2.0)) / gamma), 4
         ).alias("half_life_bars"),
     )
+
+
+def _fracdiff_weights(d: float, width: int) -> list[float]:
+    """Fixed-width fractional-difference weights: w_0=1,
+    w_k = -w_{k-1}·(d-k+1)/k. Pure arithmetic — computed once at import
+    and shared verbatim by the Spark expression AND the oracle SQL, so
+    both engines multiply identical literals."""
+    w = [1.0]
+    for k in range(1, width):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+_FD_D, _FD_W = 0.4, 10
+_FD_WEIGHTS = _fracdiff_weights(_FD_D, _FD_W)
+_FD_ORACLE_SUM = " + ".join(
+    f"({w!r}) * lag(close, {k}) OVER w" if k else f"({w!r}) * close"
+    for k, w in enumerate(_FD_WEIGHTS)
+)
+
+
+@register(
+    "frac_diff_close_5m",
+    oracle=_HLC_BARS_CTE + f"""
+    SELECT event_type, bucket_start,
+           round({_FD_ORACLE_SUM}, 6) AS fd_close
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    QUALIFY lag(close, {_FD_W - 1}) OVER w IS NOT NULL
+    """,
+)
+def frac_diff_close_5m(spark, sf_dir):
+    """Fractionally differentiated close (d=0.4, fixed width 10): the
+    memory-preserving stationarity transform — integer differencing
+    (d=1) erases the level information ML features need, while d≈0.4
+    keeps long memory with a (near-)stationary series. The fixed-width
+    window makes it a LINEAR COMB OF LAGS: ten lag() terms over ONE
+    per-symbol window partitioning, weights precomputed driver-side and
+    inlined as literals into both engines' expressions. Warm-up rows
+    without the full width are excluded (undefined, not zero-padded)."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    expr = sum(
+        (
+            F.lit(wt) * (F.lag("close", k).over(w) if k else F.col("close"))
+            for k, wt in enumerate(_FD_WEIGHTS)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        bars.withColumn("fd_close", expr)
+        .withColumn("__oldest", F.lag("close", _FD_W - 1).over(w))
+        .where(F.col("__oldest").isNotNull())
+        .select("event_type", "bucket_start", F.round("fd_close", 6).alias("fd_close"))
+    )
