@@ -538,3 +538,126 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@register(
+    "kaplan_meier_fulfillment",
+    oracle="""
+    WITH life AS (
+      SELECT o.o_orderkey,
+             CAST(floor((epoch(min(l.l_shipdate)) - epoch(o.o_orderdate))
+                        / 86400) AS BIGINT) AS ship_days,
+             CAST(floor((epoch(TIMESTAMP '1997-01-01')
+                         - epoch(o.o_orderdate)) / 86400) AS BIGINT)
+               AS horizon_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    obs AS (
+      SELECT CASE WHEN ship_days <= horizon_days THEN ship_days
+                  ELSE horizon_days END AS days,
+             CASE WHEN ship_days <= horizon_days THEN 1 ELSE 0 END AS shipped
+      FROM life
+    ),
+    tbl AS (
+      SELECT days, sum(shipped) AS d, count(*) AS leaving
+      FROM obs GROUP BY days
+    ),
+    lt AS (
+      SELECT days, d,
+             (SELECT count(*) FROM obs)
+               - coalesce(sum(leaving) OVER (ORDER BY days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS at_risk
+      FROM tbl
+    )
+    SELECT days,
+           CAST(d AS BIGINT)       AS n_shipped,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(ln(1.0 - d * 1.0 / at_risk))
+                     OVER (ORDER BY days ROWS UNBOUNDED PRECEDING)), 6)
+             AS survival
+    FROM lt WHERE d > 0
+    """,
+)
+def kaplan_meier_fulfillment(spark, sf_dir):
+    """Kaplan-Meier survival of order-fulfillment time: S(t) = Π(1−dᵢ/nᵢ)
+    over days-to-first-shipment, with orders NOT yet shipped by the
+    1997-01-01 observation cutoff RIGHT-CENSORED at their elapsed age —
+    the estimator that answers 'what fraction of orders are still
+    unshipped after t days?' without the downward bias a naive average
+    over shipped-only orders bakes in. One fact aggregate reduces
+    lineitems to first-ship per order; the life table is day-grain; the
+    running product is exp(Σ ln(·)) over the ordered day relation —
+    sequential on identical rationals, so both engines emit the same
+    curve. Exact epoch arithmetic throughout."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    life = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp("first_ship")
+                    - F.unix_timestamp("o_orderdate")
+                )
+                / 86400
+            ).alias("ship_days"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.lit("1997-01-01").cast("timestamp"))
+                    - F.unix_timestamp("o_orderdate")
+                )
+                / 86400
+            ).alias("horizon_days"),
+        )
+    )
+    obs = life.select(
+        F.when(
+            F.col("ship_days") <= F.col("horizon_days"), F.col("ship_days")
+        )
+        .otherwise(F.col("horizon_days"))
+        .alias("days"),
+        F.when(F.col("ship_days") <= F.col("horizon_days"), 1)
+        .otherwise(0)
+        .alias("shipped"),
+    )
+    total = obs.count()
+    tbl = obs.groupBy("days").agg(
+        F.sum("shipped").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    w = Window.orderBy("days")
+    lt = tbl.withColumn(
+        "at_risk",
+        F.lit(total)
+        - F.coalesce(
+            F.sum("leaving").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("at_risk"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        lt.where(F.col("d") > 0)
+        .select(
+            "days",
+            F.col("d").cast("bigint").alias("n_shipped"),
+            F.col("at_risk").cast("bigint").alias("n_at_risk"),
+            F.round(surv, 6).alias("survival"),
+        )
+    )
