@@ -2652,3 +2652,67 @@ def frac_diff_close_5m(spark, sf_dir):
         .where(F.col("__oldest").isNotNull())
         .select("event_type", "bucket_start", F.round("fd_close", 6).alias("fd_close"))
     )
+
+
+@register(
+    "naive_forecast_eval",
+    oracle="""
+    WITH hb AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             avg(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, h, y,
+             lag(y, 24) OVER w AS y_seasonal,
+             lag(y)     OVER w AS y_naive1
+      FROM hb
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type,
+           count(y_seasonal)                                   AS n_obs,
+           round(avg(abs(y - y_seasonal)), 6)                  AS mae_seasonal,
+           round(avg(abs(y - y_seasonal))
+                 / avg(abs(y - y_naive1)), 6)                  AS mase,
+           round(avg(2.0 * abs(y - y_seasonal)
+                     / (abs(y) + abs(y_seasonal))), 6)         AS smape
+    FROM f WHERE y_seasonal IS NOT NULL AND y_naive1 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def naive_forecast_eval(spark, sf_dir):
+    """Forecast-evaluation harness on the seasonal-naive baseline: predict
+    each hour with the value 24 hours earlier, then score MAE, MASE
+    (scaled by the one-step-naive MAE — the scale-free metric that makes
+    symbols comparable and beats MAPE's zero-division pathology), and
+    sMAPE. Any real forecasting pipeline evaluated at scale reduces to
+    exactly this shape — point forecasts joined to actuals, error
+    aggregates per series — with the model column swapped in; both lag
+    horizons ride ONE per-symbol window partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("h")
+    ).agg(F.avg("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    f = hb.select(
+        "event_type",
+        "y",
+        F.lag("y", 24).over(w).alias("y_seasonal"),
+        F.lag("y").over(w).alias("y_naive1"),
+    ).where(F.col("y_seasonal").isNotNull() & F.col("y_naive1").isNotNull())
+    err_s = F.abs(F.col("y") - F.col("y_seasonal"))
+    err_1 = F.abs(F.col("y") - F.col("y_naive1"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg(err_s), 6).alias("mae_seasonal"),
+        F.round(F.avg(err_s) / F.avg(err_1), 6).alias("mase"),
+        F.round(
+            F.avg(
+                2.0 * err_s / (F.abs(F.col("y")) + F.abs(F.col("y_seasonal")))
+            ),
+            6,
+        ).alias("smape"),
+    )
