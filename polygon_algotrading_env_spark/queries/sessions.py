@@ -661,3 +661,158 @@ def kaplan_meier_fulfillment(spark, sf_dir):
             F.round(surv, 6).alias("survival"),
         )
     )
+
+
+@register(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n, sum(converted) AS conv
+      FROM assign GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END)    AS n_a,
+             max(CASE WHEN variant = 'A' THEN conv END) AS c_a,
+             max(CASE WHEN variant = 'B' THEN n END)    AS n_b,
+             max(CASE WHEN variant = 'B' THEN conv END) AS c_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(c_a * 1.0 / n_a, 6) AS rate_a,
+           round(c_b * 1.0 / n_b, 6) AS rate_b,
+           round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                 / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_conversion_ztest(spark, sf_dir):
+    """Experiment readout: two-proportion z-test of per-user conversion
+    between hash-assigned variants (md5 first hex digit — the same
+    deterministic assignment discipline as hash_split, so the 'experiment'
+    is reproducible across engines and runs; an 8/8 split of hex 0-7 vs
+    8-f). Conversion (>= 15 purchases — a threshold metric; any-purchase
+    saturates at 100% on this fixture and degenerates the variance)
+    collapses the event stream to one row per user FIRST (z-tests assume
+    independent units — users, not events), arms
+    are a 2-row aggregate, and the pooled-variance z folds in one more
+    1-row pass. Exact integer counts → identical IEEE ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).between(
+                "0", "7"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") * 1.0 / F.col("n_a")
+    p_b = F.col("c_b") * 1.0 / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(
+            (p_a - p_b)
+            / F.sqrt(
+                pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "chi2_eventtype_dayofweek",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS row_tot,
+             sum(o) OVER (PARTITION BY dow)        AS col_tot,
+             sum(o) OVER ()                        AS n
+      FROM obs
+    )
+    SELECT count(*)                                        AS n_cells,
+           round(sum((o - row_tot * col_tot * 1.0 / n)
+                     * (o - row_tot * col_tot * 1.0 / n)
+                     / (row_tot * col_tot * 1.0 / n)), 6)  AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT)     AS dof
+    FROM m
+    """,
+)
+def chi2_eventtype_dayofweek(spark, sf_dir):
+    """Categorical-association audit: Pearson chi-square of event type vs
+    day-of-week — 'does the traffic mix shift by weekday?' as one number
+    plus its degrees of freedom (a uniform generator should sit near
+    dof). The contingency table is a 35-cell aggregate; margins are
+    windows over those cells, never a second scan; expected counts are
+    exact rationals so both engines square identical residuals.
+    DuckDB's dayofweek(=0-6, Sunday 0) vs Spark's dayofweek(1-7) differ
+    by a constant shift that the statistic is invariant to — the oracle
+    keeps each engine's native numbering out of the hash by aggregating
+    the cells away."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window
+
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+    )
