@@ -816,3 +816,46 @@ def chi2_eventtype_dayofweek(spark, sf_dir):
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@register(
+    "volume_concentration_hhi",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, v,
+             sum(v) OVER (PARTITION BY event_type) AS tot
+      FROM u
+    )
+    SELECT event_type,
+           count(*)                                   AS n_users,
+           round(sum((v / tot) * (v / tot)), 6)       AS hhi,
+           round(max(v / tot), 6)                     AS top_share
+    FROM s
+    GROUP BY 1
+    """,
+)
+def volume_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of traded volume across users
+    per symbol (1/n = perfectly even, →1 = one whale) plus the top
+    participant's share — the wash-trading / dominance screen run on
+    venue surveillance and the flow-concentration input to market-impact
+    models. Per-user sums are one hash aggregate; shares square against
+    a per-symbol window total over the USER-grain relation, never the
+    raw stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("v"))
+    s = u.withColumn(
+        "tot", F.sum("v").over(Window.partitionBy("event_type"))
+    )
+    share = F.col("v") / F.col("tot")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(F.max(share), 6).alias("top_share"),
+    )

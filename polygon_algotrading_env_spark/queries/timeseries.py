@@ -2716,3 +2716,64 @@ def naive_forecast_eval(spark, sf_dir):
             6,
         ).alias("smape"),
     )
+
+
+@register(
+    "var_es_daily",
+    oracle=_DAILY_BARS_CTE + """
+    , r AS (
+      SELECT event_type,
+             close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+               - 1 AS ret
+      FROM bars
+    ),
+    v AS (
+      SELECT event_type,
+             count(ret)                 AS n_obs,
+             quantile_cont(ret, 0.05)   AS var95
+      FROM r WHERE ret IS NOT NULL GROUP BY 1
+    )
+    SELECT r.event_type,
+           any_value(v.n_obs)                       AS n_obs,
+           round(any_value(v.var95), 6)             AS var95,
+           round(avg(CASE WHEN r.ret <= v.var95
+                          THEN r.ret END), 6)       AS es95
+    FROM r JOIN v ON r.event_type = v.event_type
+    WHERE r.ret IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def var_es_daily(spark, sf_dir):
+    """Historical 95% VaR and expected shortfall per symbol from daily
+    returns: VaR is the exact interpolated 5th percentile (Spark
+    percentile ≡ DuckDB quantile_cont — the shared linear-interpolation
+    definition already certified by exact_percentiles_per_flag), ES is
+    the mean of returns at or below it — the tail-severity number VaR
+    alone hides. The percentile model is one row per symbol, broadcast
+    back over the return relation for the conditional tail mean; the
+    tail-inclusion comparison uses the raw interpolated double on both
+    sides, so the tail set cannot disagree."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", F.col("bucket_start").alias("d"), "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    v = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("percentile(ret, 0.05)").alias("var95"),
+    )
+    return (
+        r.join(F.broadcast(v), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_obs").alias("n_obs"),
+            F.round(F.any_value("var95"), 6).alias("var95"),
+            F.round(
+                F.avg(F.when(F.col("ret") <= F.col("var95"), F.col("ret"))), 6
+            ).alias("es95"),
+        )
+    )
