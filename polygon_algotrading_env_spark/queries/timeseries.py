@@ -2777,3 +2777,217 @@ def var_es_daily(spark, sf_dir):
             ).alias("es95"),
         )
     )
+
+
+@register(
+    "lead_lag_xcorr_pair",
+    oracle=_HLC_BARS_CTE + """
+    , a AS (
+      SELECT bucket_start,
+             close / lag(close) OVER (ORDER BY bucket_start) - 1 AS ra
+      FROM bars WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT bucket_start,
+             close / lag(close) OVER (ORDER BY bucket_start) - 1 AS rb
+      FROM bars WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT a.bucket_start, ra, rb,
+             lag(rb)     OVER w AS rb_m1,
+             lag(rb, 2)  OVER w AS rb_m2,
+             lead(rb)    OVER w AS rb_p1,
+             lead(rb, 2) OVER w AS rb_p2
+      FROM a JOIN b USING (bucket_start)
+      WINDOW w AS (ORDER BY a.bucket_start)
+    )
+    SELECT count(ra)                  AS n_obs,
+           round(corr(ra, rb_m2), 6) AS xcorr_m2,
+           round(corr(ra, rb_m1), 6) AS xcorr_m1,
+           round(corr(ra, rb), 6)    AS xcorr_0,
+           round(corr(ra, rb_p1), 6) AS xcorr_p1,
+           round(corr(ra, rb_p2), 6) AS xcorr_p2
+    FROM j
+    """,
+)
+def lead_lag_xcorr_pair(spark, sf_dir):
+    """Lead-lag structure between two symbols: cross-correlation of their
+    bar returns at offsets −2..+2 — which side moves FIRST (the
+    price-discovery diagnostic behind hedge timing; an asymmetric profile
+    means one series anticipates the other). Returns align by bucket
+    equi-join; all five offsets are lags/leads over ONE ordered window on
+    the joined (pair-grain) relation; corr drops NULL warm-up pairs
+    identically per column in both engines."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    wa = Window.orderBy("bucket_start")
+
+    def rets(sym, out):
+        return (
+            bars.where(F.col("event_type") == sym)
+            .select(
+                "bucket_start",
+                (F.col("close") / F.lag("close").over(wa) - 1).alias(out),
+            )
+        )
+
+    j = rets("click", "ra").join(rets("view", "rb"), "bucket_start")
+    w = Window.orderBy("bucket_start")
+    cols = j.select(
+        "ra",
+        "rb",
+        F.lag("rb").over(w).alias("rb_m1"),
+        F.lag("rb", 2).over(w).alias("rb_m2"),
+        F.lead("rb").over(w).alias("rb_p1"),
+        F.lead("rb", 2).over(w).alias("rb_p2"),
+    )
+    return cols.agg(
+        F.count("ra").alias("n_obs"),
+        F.round(F.corr("ra", "rb_m2"), 6).alias("xcorr_m2"),
+        F.round(F.corr("ra", "rb_m1"), 6).alias("xcorr_m1"),
+        F.round(F.corr("ra", "rb"), 6).alias("xcorr_0"),
+        F.round(F.corr("ra", "rb_p1"), 6).alias("xcorr_p1"),
+        F.round(F.corr("ra", "rb_p2"), 6).alias("xcorr_p2"),
+    )
+
+
+@register(
+    "market_breadth_5m",
+    oracle=_HLC_BARS_CTE + """
+    , s AS (
+      SELECT event_type, bucket_start, close,
+             avg(close) OVER (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS sma20,
+             count(*)   OVER (PARTITION BY event_type ORDER BY bucket_start
+                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS nw
+      FROM bars
+    )
+    SELECT bucket_start,
+           count(*)                                            AS n_syms,
+           sum(CASE WHEN close > sma20 THEN 1 ELSE 0 END)      AS n_above,
+           round(avg(CASE WHEN close > sma20
+                          THEN 1.0 ELSE 0.0 END), 6)           AS breadth
+    FROM s WHERE nw = 20
+    GROUP BY 1 HAVING count(*) = 5
+    """,
+)
+def market_breadth_5m(spark, sf_dir):
+    """Market breadth per bucket: the fraction of symbols trading above
+    their own 20-bar SMA — the regime indicator that separates broad
+    rallies from narrow ones. Per-symbol trend state rides the usual
+    per-symbol window; the breadth rollup flips the axis to per-BUCKET
+    (symbol-count-sized groups); partial SMA warm-ups and buckets missing
+    any symbol are excluded by exact counts on both sides."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-19, 0)
+    )
+    s = bars.select(
+        "event_type",
+        "bucket_start",
+        "close",
+        F.avg("close").over(w).alias("sma20"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).where(F.col("nw") == 20)
+    above = F.when(F.col("close") > F.col("sma20"), 1).otherwise(0)
+    return (
+        s.groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_syms"),
+            F.sum(above).alias("n_above"),
+            F.round(F.avg(above.cast("double")), 6).alias("breadth"),
+        )
+        .where(F.col("n_syms") == 5)
+    )
+
+
+@register(
+    "corwin_schultz_spread_daily",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+             max(value) AS high, min(value) AS low
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, d, high, low,
+             lag(high) OVER w AS high_p, lag(low) OVER w AS low_p
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    cs AS (
+      SELECT event_type,
+             ln(high / low) * ln(high / low)
+               + ln(high_p / low_p) * ln(high_p / low_p)           AS beta,
+             ln(greatest(high, high_p) / least(low, low_p))
+               * ln(greatest(high, high_p) / least(low, low_p))    AS gamma
+      FROM p WHERE high_p IS NOT NULL AND low > 0 AND low_p > 0
+    ),
+    a AS (
+      SELECT event_type,
+             (sqrt(2 * beta) - sqrt(beta)) / (3 - 2 * sqrt(2.0))
+               - sqrt(gamma / (3 - 2 * sqrt(2.0)))                 AS alpha
+      FROM cs
+    )
+    SELECT event_type,
+           count(*)                                                AS n_days,
+           round(avg(2 * (exp(alpha) - 1) / (1 + exp(alpha))), 6)  AS cs_spread
+    FROM a
+    GROUP BY 1
+    """,
+)
+def corwin_schultz_spread_daily(spark, sf_dir):
+    """Corwin-Schultz (2012) bid-ask spread estimate from daily high/low
+    ranges alone: highs are buys, lows are sells, so the two-day range
+    carries 2× variance but 1× spread — solving that system per day pair
+    gives α and spread 2(e^α−1)/(1+e^α), averaged per symbol. The
+    complement to the Roll estimator (close autocovariance) when only
+    OHLC bars survive retention. One lag window over daily bars, then
+    deterministic scalar math — both engines evaluate the identical
+    closed form; negative-α days are kept (the estimator's documented
+    small-sample behavior), not clipped, so the average is reproducible."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type", F.window("ts", "1 day").start.alias("d")
+    ).agg(F.max("value").alias("high"), F.min("value").alias("low"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    p = bars.select(
+        "event_type",
+        "high",
+        "low",
+        F.lag("high").over(w).alias("high_p"),
+        F.lag("low").over(w).alias("low_p"),
+    ).where(
+        F.col("high_p").isNotNull() & (F.col("low") > 0) & (F.col("low_p") > 0)
+    )
+    lnr = F.log(F.col("high") / F.col("low"))
+    lnr_p = F.log(F.col("high_p") / F.col("low_p"))
+    lnr2 = F.log(
+        F.greatest(F.col("high"), F.col("high_p"))
+        / F.least(F.col("low"), F.col("low_p"))
+    )
+    beta = lnr * lnr + lnr_p * lnr_p
+    gamma = lnr2 * lnr2
+    denom = 3.0 - 2.0 * F.sqrt(F.lit(2.0))
+    alpha = (F.sqrt(2.0 * beta) - F.sqrt(beta)) / denom - F.sqrt(gamma / denom)
+    spread = 2.0 * (F.exp(alpha) - 1.0) / (1.0 + F.exp(alpha))
+    return p.select("event_type", spread.alias("sp")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("sp"), 6).alias("cs_spread"),
+    )
