@@ -310,6 +310,53 @@ class Engine:
 
         return hll_estimate(hll_group_sketches(df, col, by, **kw))
 
+    def heavy_hitters(
+        self, df: DataFrame, key_col: str, k: int = 20, capacity: int = 4096
+    ) -> DataFrame:
+        """Certified top-k by frequency without shuffling the key domain
+        (operators/sketches.py: MG candidates + exact recount; the
+        `certified` column proves equality with the full shuffle)."""
+        from polygon_algotrading_env_spark.operators.sketches import (
+            mg_heavy_hitters,
+        )
+
+        return mg_heavy_hitters(df, key_col, k=k, capacity=capacity)
+
+    def resample_mixture(
+        self, df: DataFrame, group_col: str, weights: dict[str, float], **kw
+    ) -> DataFrame:
+        """Deterministic domain reweighting to target mixture proportions
+        (operators/sampling.py: md5-order quotas, max retention)."""
+        from polygon_algotrading_env_spark.operators.sampling import (
+            mixture_resample,
+        )
+
+        return mixture_resample(df, group_col, weights, **kw)
+
+    def dollar_bars(
+        self, ticks: DataFrame, threshold: float, **kw
+    ) -> DataFrame:
+        """Information-driven bar sampling (operators/bars.py:
+        threshold_bars) — a bar per `threshold` of traded measure."""
+        return _bars.threshold_bars(ticks, measure_col=kw.pop(
+            "measure_col", "value"), threshold=threshold, keys=kw.pop(
+            "keys", ("ticker",)), **kw)
+
+    def label_bars(self, bars: DataFrame, **kw) -> DataFrame:
+        """Triple-barrier supervised labels (operators/backtest.py)."""
+        from polygon_algotrading_env_spark.operators.backtest import (
+            triple_barrier_labels,
+        )
+
+        return triple_barrier_labels(bars, **kw)
+
+    def research(self, bars: DataFrame, out_root: str | None = None, **kw):
+        """Signals → equity → scorecard gold pack (pipelines.research_pack);
+        pass out_root to land each layer as a versioned table."""
+        return pipelines.research_pack(
+            bars, out_root=out_root, spark=self.spark, **kw
+        )
+
     # -- declared corpus --------------------------------------------------
     def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
         from polygon_algotrading_env_spark.queries import queries

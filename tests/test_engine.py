@@ -139,3 +139,40 @@ def test_engine_indicator_stack_and_sketches(eng, sf_dir):
     sk = eng.sketch_distinct(ev, "user_id", ["event_type"])
     ests = {r["event_type"]: r["distinct_est"] for r in sk.collect()}
     assert ests and all(v > 0 for v in ests.values())
+
+
+def test_engine_round4_facade_methods(spark, sf_dir):
+    from polygon_algotrading_env_spark.engine import Engine
+
+    eng = Engine(spark)
+    li = eng.table("lineitem", sf_dir).select("l_partkey")
+    hh = eng.heavy_hitters(li, "l_partkey", k=5, capacity=4096).collect()
+    assert len(hh) == 5 and all(r["certified"] for r in hh)
+
+    docs = eng.table("documents", sf_dir).select("doc_id", "lang")
+    mix = eng.resample_mixture(
+        docs, "lang", {"en": 0.5, "de": 0.5}
+    ).groupBy("lang").count().collect()
+    assert {r["lang"] for r in mix} <= {"en", "de"}
+
+    ev = eng.table("events", sf_dir)
+    db = eng.dollar_bars(
+        ev, threshold=2000.0, keys=("event_type",),
+        ts_col="ts", price_col="value", order_col="ts_ns",
+    )
+    assert db.count() > 0
+
+    bars = eng.bars(
+        ev.withColumnRenamed("event_type", "ticker"), "5 minutes",
+        ts_col="ts", price_col="value", volume_col="value", order_col="ts_ns",
+    ).select("ticker", "bucket_start", "close")
+    lab = eng.label_bars(
+        bars, horizon=4, keys=("ticker",),
+        ts_col="bucket_start", price_col="close",
+    )
+    assert set(lab.select("label").distinct().toPandas()["label"]) <= {-1, 0, 1}
+
+    pack = eng.research(
+        bars.withColumnRenamed("ticker", "event_type")
+    )
+    assert set(pack) == {"backtest", "equity", "scorecard"}
