@@ -1000,3 +1000,67 @@ def novelty_by_first_occurrence(spark, sf_dir):
             F.round(novel * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "ngram_containment_adjacent",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+           CAST(length(a.s) AS BIGINT)                      AS n_a,
+           CAST(length(b.s) AS BIGINT)                      AS n_b,
+           round(length(list_intersect(a.s, b.s)) * 1.0
+                 / length(a.s), 6)                          AS containment_a_in_b
+    FROM sh a JOIN sh b
+      ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    """,
+)
+def ngram_containment_adjacent(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT |A∩B|/|A| for the deterministic
+    adjacent-pair set — the measure that catches 'doc A is embedded
+    inside much-larger doc B', which symmetric Jaccard scores near zero
+    (|A∩B|/|A∪B| → |A|/|B|) and MinHash-LSH therefore misses by design.
+    The quote/excerpt/page-wrapper dedup case runs on this, not Jaccard.
+    Set sizes ride along as exact integers so any threshold can be
+    re-derived as integer comparisons; the float ratio is certified at
+    6dp on exact rationals."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(char_ngrams("text", 5)).alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("s").alias("sb"),
+    )
+    j = a.join(
+        b,
+        (F.col("id_b") == F.col("id_a") + 1)
+        & (F.col("lang_a") == F.col("lang_b")),
+    )
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    return j.select(
+        "id_a",
+        "id_b",
+        n_common.alias("n_common"),
+        F.size("sa").cast("bigint").alias("n_a"),
+        F.size("sb").cast("bigint").alias("n_b"),
+        F.round(n_common * 1.0 / F.size("sa"), 6).alias("containment_a_in_b"),
+    )
