@@ -17,6 +17,8 @@ or logs them as it pleases.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -149,4 +151,60 @@ def cross_split_contamination(
                 "n_train_docs"
             ),
         )
+    )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    target_col: str,
+    keys: Sequence[str] = (),
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Isotonic (PAV) calibration per key group: fit the best monotone
+    step function mapping raw scores to observed targets and attach the
+    calibrated value — the distribution-free recalibration for quality-
+    classifier scores before thresholding a corpus on them (a score of
+    0.9 should MEAN 90% — isotonic forces exactly that without assuming
+    a sigmoid shape the way Platt scaling does).
+
+    Pool-Adjacent-Violators runs per group in an Arrow grouped map (the
+    fit is inherently sequential in score order; parallelism = group
+    count, the same sharding contract as the EMA/Kalman recursions).
+    Deterministic: ties in score sort by the target then row order, and
+    PAV's solution is unique regardless of pooling order. Groups with a
+    single row calibrate to their own target.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+    key_list = list(keys)
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values([score_col, target_col]).index
+        y = pdf.loc[order, target_col].to_numpy(dtype=np.float64)
+        # blocks: (mean, weight) merged while decreasing
+        means: list[float] = []
+        weights: list[float] = []
+        counts: list[int] = []
+        for v in y:
+            means.append(float(v)); weights.append(1.0); counts.append(1)
+            while len(means) > 1 and means[-2] > means[-1]:
+                m2, w2, c2 = means.pop(), weights.pop(), counts.pop()
+                m1, w1, c1 = means.pop(), weights.pop(), counts.pop()
+                w = w1 + w2
+                means.append((m1 * w1 + m2 * w2) / w)
+                weights.append(w)
+                counts.append(c1 + c2)
+        fitted = np.repeat(means, counts)
+        out = pdf.copy()
+        out.loc[order, out_col] = fitted
+        return out
+
+    if key_list:
+        return df.groupBy(*key_list).applyInPandas(_pav, schema=schema)
+    return df.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: _pav(pdf.drop(columns="__g", errors="ignore")), schema=schema
     )

@@ -47,3 +47,64 @@ def test_external_reference_model(spark):
     # the reference corpus; out-of-model 'beta' counts toward NEITHER
     # sum_df nor n_model_tokens; doc 2 (all tokens OOV) has no row.
     assert got == {1: (2, 1)}
+
+
+# --- isotonic calibration -------------------------------------------------
+
+def _pav_ref(pairs):
+    """Reference PAV over (score, target) pairs sorted by (score, target)."""
+    ys = [t for _, t in sorted(pairs)]
+    blocks = [[y, 1.0] for y in ys]
+    out = []
+    stack = []
+    for y in ys:
+        stack.append([y, 1.0])
+        while len(stack) > 1 and stack[-2][0] > stack[-1][0]:
+            m2, w2 = stack.pop()
+            m1, w1 = stack.pop()
+            stack.append([(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2])
+    for m, w in stack:
+        out.extend([m] * int(w))
+    return out
+
+
+def test_isotonic_calibration_matches_reference_and_is_monotone(spark):
+    from polygon_algotrading_env_spark.operators.corpus import (
+        isotonic_calibrate,
+    )
+
+    pairs = [
+        (0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 0.0), (0.5, 1.0),
+        (0.6, 0.0), (0.7, 1.0), (0.8, 1.0), (0.9, 0.0), (0.95, 1.0),
+    ]
+    rows = [("g", s, t) for s, t in pairs]
+    df = spark.createDataFrame(rows, "grp string, score double, y double")
+    out = (
+        isotonic_calibrate(df, "score", "y", keys=("grp",))
+        .orderBy("score")
+        .collect()
+    )
+    got = [r["calibrated"] for r in out]
+    ref = _pav_ref(pairs)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, ref))
+    # monotone non-decreasing in score
+    assert all(got[i] <= got[i + 1] + 1e-12 for i in range(len(got) - 1))
+    # block means preserve the global mean (PAV invariant)
+    assert abs(sum(got) / len(got) - sum(t for _, t in pairs) / len(pairs)) < 1e-12
+
+
+def test_isotonic_calibration_groups_independent(spark):
+    from polygon_algotrading_env_spark.operators.corpus import (
+        isotonic_calibrate,
+    )
+
+    rows = [("a", 0.1, 1.0), ("a", 0.9, 0.0), ("b", 0.1, 0.0), ("b", 0.9, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, score double, y double")
+    got = {
+        (r["grp"], r["score"]): r["calibrated"]
+        for r in isotonic_calibrate(df, "score", "y", keys=("grp",)).collect()
+    }
+    # group a violates monotonicity → pooled to 0.5; group b is already
+    # isotone → passes through untouched
+    assert got[("a", 0.1)] == got[("a", 0.9)] == 0.5
+    assert got[("b", 0.1)] == 0.0 and got[("b", 0.9)] == 1.0
