@@ -520,3 +520,40 @@ def read_mg_candidates(
         .where(F.col("mg_count") > F.col("__cut"))
         .select(key_col, (F.col("mg_count") - F.col("__cut")).alias("mg_count"))
     )
+
+
+def stream_to_jdbc_upsert(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    url: str,
+    table: str,
+    key_cols: Sequence[str],
+    properties: dict | None = None,
+):
+    """Exactly-once-shaped RDBMS serving sink: each micro-batch lands via
+    the staging-table + server-side MERGE writer (sources/writers.py:
+    write_jdbc_upsert), so a replayed batch CONVERGES to the same table
+    state instead of duplicating rows — foreachBatch's at-least-once
+    redelivery composed with an idempotent sink yields effective
+    exactly-once, the pattern plain `append` JDBC sinks cannot offer.
+    This is the live serving layer the reference's Airflow→to_sql loop
+    approximates in daily batch (`aggregates_etl.py:171-177`)."""
+    from polygon_algotrading_env_spark.sources.writers import write_jdbc_upsert
+
+    keys = list(key_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # One staging table per target; batches serialize within the query.
+        write_jdbc_upsert(
+            batch_df.dropDuplicates(keys), url, table, keys, properties
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

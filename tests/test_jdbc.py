@@ -111,3 +111,42 @@ def test_jdbc_upsert_validates_keys(spark, derby_url):
         write_jdbc_upsert(df, derby_url, "t", key_cols=[])
     with _pytest.raises(ValueError):
         write_jdbc_upsert(df, derby_url, "t", key_cols=["nope"])
+
+
+def test_stream_to_jdbc_upsert_converges_across_drains(spark, derby_url, tmp_path):
+    from polygon_algotrading_env_spark.sources.writers import write_jdbc
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        stream_to_jdbc_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "AAPL", 100.0)], "id long, sym string, px double"
+    )
+    write_jdbc(base, derby_url, "live_quotes", mode="overwrite")
+    src = str(tmp_path / "src")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "id long, sym string, px double"
+        ).parquet(src)
+        q = stream_to_jdbc_upsert(
+            stream, str(tmp_path / "ckpt"), derby_url, "live_quotes", ["id"]
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "AAPL", 111.0), (2, "MSFT", 200.0)],
+        "id long, sym string, px double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # second file + re-drain: update id=2, insert id=3
+    spark.createDataFrame(
+        [(2, "MSFT", 222.0), (3, "TLT", 50.0)],
+        "id long, sym string, px double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    back = {
+        r["id"]: r["px"]
+        for r in read_jdbc(spark, derby_url, "live_quotes").collect()
+    }
+    assert back == {1: 111.0, 2: 222.0, 3: 50.0}
