@@ -227,3 +227,28 @@ def test_mg_heavy_hitters_single_recount(spark, sf_dir, q):
     st = plan_stats(q["heavy_hitter_parts"](spark, sf_dir))
     assert st.take_ordered == 1
     assert st.sort_merge_joins == 0
+
+
+def test_triple_barrier_no_forward_self_join(spark, sf_dir, q):
+    """The forward path must be a window-collected array, never a
+    self-join of the bars against their own future (no SortMergeJoin,
+    no BroadcastHashJoin on the bar relation)."""
+    st = plan_stats(q["triple_barrier_labels_5m"](spark, sf_dir))
+    assert st.sort_merge_joins == 0
+    assert st.broadcast_joins == 0
+
+
+def test_dollar_bars_single_partitioning(spark, sf_dir, q):
+    """Threshold bars: the cumulative bucketing window and the OHLC
+    reduction share one per-symbol exchange family (≤ 2 shuffles: the
+    window partitioning and the (key, bar_id) aggregate)."""
+    st = plan_stats(q["dollar_bars_events"](spark, sf_dir))
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+    assert st.shuffle_exchanges <= 2
+
+
+def test_vpin_no_joins(spark, sf_dir, q):
+    """VPIN composes bucketing + classification as pure windows and
+    aggregates — zero joins of any kind in the plan."""
+    st = plan_stats(q["vpin_volume_buckets"](spark, sf_dir))
+    assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
