@@ -2991,3 +2991,128 @@ def corwin_schultz_spread_daily(spark, sf_dir):
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.avg("sp"), 6).alias("cs_spread"),
     )
+
+
+@register(
+    "deflated_sharpe_zscore",
+    oracle=_BT_CTE + """
+    , mu AS (
+      SELECT event_type, count(*) AS n, avg(pnl) AS m1
+      FROM bt GROUP BY 1
+    ),
+    mom AS (
+      SELECT b.event_type,
+             any_value(m.n)                          AS n,
+             avg(power(b.pnl - m.m1, 2))             AS m2,
+             avg(power(b.pnl - m.m1, 3))             AS m3,
+             avg(power(b.pnl - m.m1, 4))             AS m4
+      FROM bt b JOIN mu m ON b.event_type = m.event_type
+      GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(sr, 6)                                            AS sharpe_bar,
+           round(skew, 6)                                          AS skewness,
+           round(kurt, 6)                                          AS kurtosis,
+           round(sr * sqrt(n - 1.0)
+                 / sqrt(1.0 - skew * sr + (kurt - 1.0) / 4.0 * sr * sr), 6)
+                                                                   AS dsr_z
+    FROM (
+      SELECT mom.event_type, mom.n,
+             mu.m1 / sqrt(mom.m2)          AS sr,
+             mom.m3 / power(mom.m2, 1.5)   AS skew,
+             mom.m4 / (mom.m2 * mom.m2)    AS kurt
+      FROM mom JOIN mu ON mom.event_type = mu.event_type
+    ) t
+    """,
+)
+def deflated_sharpe_zscore(spark, sf_dir):
+    """Deflated Sharpe ratio test statistic (Bailey-López de Prado): the
+    z-score of the observed per-bar Sharpe against zero, corrected for
+    the non-normality that inflates naive Sharpe inference — skewed,
+    fat-tailed P&L makes SR estimates noisier, and the denominator
+    √(1 − γ₃·SR + (γ₄−1)/4·SR²) prices that in. Central moments are
+    computed EXPLICITLY (two-pass: mean, then avg((x−μ)^k)) rather than
+    via skewness()/kurtosis() builtins, whose bias corrections differ
+    between engines; population moments are identical IEEE on both."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    bt = sma_crossover_backtest(bars).select("event_type", "pnl")
+    mu = bt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("pnl").alias("m1")
+    )
+    d = F.col("pnl") - F.col("m1")
+    mom = (
+        bt.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+        )
+    )
+    t = mom.join(F.broadcast(mu.select("event_type", "m1")), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("m1") / F.sqrt("m2")).alias("sr"),
+        (F.col("m3") / F.pow("m2", 1.5)).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("kurt"),
+    )
+    sr = F.col("sr")
+    return t.select(
+        "event_type",
+        "n",
+        F.round(sr, 6).alias("sharpe_bar"),
+        F.round("skew", 6).alias("skewness"),
+        F.round("kurt", 6).alias("kurtosis"),
+        F.round(
+            sr * F.sqrt(F.col("n") - 1.0)
+            / F.sqrt(
+                1.0
+                - F.col("skew") * sr
+                + (F.col("kurt") - 1.0) / 4.0 * sr * sr
+            ),
+            6,
+        ).alias("dsr_z"),
+    )
+
+
+@register("bootstrap_sharpe_ci", oracle=None)
+def bootstrap_sharpe_ci(spark, sf_dir):
+    """95% circular-block-bootstrap CI for each symbol's per-bar Sharpe
+    (operators/backtest.py: block_bootstrap_stat — md5-deterministic
+    resample membership, blocks preserve serial correlation). Rows-only:
+    the statistic is certified by the determinism/containment property
+    tests, and per-resample float accumulation has no cross-engine
+    canonical order for a SQL oracle to share."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        block_bootstrap_stat,
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    bt = sma_crossover_backtest(bars).select(
+        "event_type", "bucket_start", "pnl"
+    )
+    out = block_bootstrap_stat(
+        bt, "pnl", keys=("event_type",), order_col="bucket_start",
+        n_resamples=100, block_len=20,
+    )
+    return out.select(
+        "event_type",
+        F.round("sharpe_point", 6).alias("sharpe_point"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        "n_resamples",
+    )

@@ -100,3 +100,31 @@ def test_triple_barrier_all_three_classes(spark):
     assert all(r["label"] == 0 and r["bars_to_hit"] is None for r in by["F"])
     # 1.01^2 ≈ 1.0201 crosses the 2% barrier at the SECOND forward bar
     assert all(r["bars_to_hit"] == 2 for r in by["U"])
+
+
+def test_block_bootstrap_deterministic_and_sane(spark):
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.backtest import (
+        block_bootstrap_stat,
+    )
+
+    # AR-ish deterministic series with positive mean
+    rows = [
+        ("X", i, 0.05 + 0.3 * ((i * 2654435761) % 97 / 97.0 - 0.5))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "sym string, t int, pnl double")
+    out1 = block_bootstrap_stat(
+        df, "pnl", keys=("sym",), order_col="t", n_resamples=50, block_len=10
+    ).collect()[0]
+    assert out1["n_resamples"] == 50
+    assert out1["ci_lo"] <= out1["sharpe_point"] <= out1["ci_hi"]
+    assert out1["ci_lo"] < out1["ci_hi"]
+    # determinism across physical layouts
+    out2 = block_bootstrap_stat(
+        df.repartition(7), "pnl", keys=("sym",), order_col="t",
+        n_resamples=50, block_len=10,
+    ).collect()[0]
+    assert abs(out1["ci_lo"] - out2["ci_lo"]) < 1e-12
+    assert abs(out1["ci_hi"] - out2["ci_hi"]) < 1e-12
