@@ -632,14 +632,15 @@ def kaplan_meier_fulfillment(spark, sf_dir):
         .otherwise(0)
         .alias("shipped"),
     )
-    total = obs.count()
     tbl = obs.groupBy("days").agg(
         F.sum("shipped").alias("d"), F.count(F.lit(1)).alias("leaving")
     )
     w = Window.orderBy("days")
+    # total at risk = window sum over the (day-grain, tiny) life table —
+    # no separate count() job against the fact-sized relation.
     lt = tbl.withColumn(
         "at_risk",
-        F.lit(total)
+        F.sum("leaving").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         - F.coalesce(
             F.sum("leaving").over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
