@@ -1,0 +1,94 @@
+"""Plan-shape census over the whole query registry.
+
+Builds (but does not execute) every registered query at a small SF and
+tabulates physical-plan stats — shuffle exchanges, broadcast vs sort-merge
+joins, top-k operators, scan column widths — the audit behind
+ARCHITECTURE.md's shuffle-economics claims. Run it after adding operators
+to catch silent plan regressions (a dim join degrading to sort-merge, a
+top-k degrading to a global sort) before they cost anything at scale.
+
+Usage:
+    python tools/plan_report.py [sf_dir] [query ...]
+
+Output: one TSV row per query (name, shuffles, broadcast joins, SMJ,
+take-ordered, scans) plus a summary; exit 1 if any query plans a
+sort-merge join without being on the documented allowlist.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from polygon_algotrading_env_spark.plans import plan_stats  # noqa: E402
+from polygon_algotrading_env_spark.queries import REGISTRY  # noqa: E402
+from polygon_algotrading_env_spark.session import get_spark  # noqa: E402
+
+# Queries where a sort-merge/shuffled join of two FACT-sized relations is
+# the intended plan (documented in their docstrings) — everything else
+# joining via SMJ is a regression.
+SMJ_ALLOWED = {
+    # fact-fact or fact-self joins where neither side is dim-sized
+    "left_outer_order_count_histogram",  # outer side drives, reuses agg exchange
+    "excess_part_shippers",              # co-partitioned quota aggregates
+    "near_dup_clusters",
+    "semantic_dedup_survivors",
+    "minhash_near_dup_pairs",
+    "minhash_verified_near_dups",
+    "simhash_verified_near_dups",
+    "ngram_jaccard_near_dup",
+    "substring_span_dedup",
+    "train_test_contamination",
+    "copurchase_triangles",
+    "pagerank_copurchase_top20",
+    "lpa_communities_copurchase",
+    "novelty_by_first_occurrence",       # gram-keyed first-occurrence model
+    "doc_rarity_scores",
+    "bm25_topk_docs",
+    "bigram_logprob_docs",
+    "kl_divergence_by_source",
+    "top_terms_per_doc",
+    "boilerplate_ngrams",
+    "sole_blame_suppliers",              # R-lines ⋈ per-order stats, both fact-keyed
+    "triple_barrier_labels_5m",
+    # Spark cannot broadcast either side of a FULL OUTER join; SMJ of the
+    # two day-grain aggregates is the only (and correct) strategy.
+    "full_outer_daily_activity",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark(
+        app_name="plan-report", master="local[4]", shuffle_partitions=8
+    )
+    bad: list[str] = []
+    print("query\tshuffles\tbcast\tsmj\ttopk\tscans")
+    for name in names:
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            st = plan_stats(df)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"{name}\tERROR: {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        flag = ""
+        if st.sort_merge_joins and name not in SMJ_ALLOWED:
+            flag = "  <-- UNEXPECTED SMJ"
+            bad.append(name)
+        print(
+            f"{name}\t{st.shuffle_exchanges}\t{st.broadcast_joins}"
+            f"\t{st.sort_merge_joins}\t{st.take_ordered}"
+            f"\t{len(st.read_schemas)}{flag}"
+        )
+    print(f"\n{len(names)} queries, {len(bad)} flagged", file=sys.stderr)
+    if bad:
+        print("flagged: " + ", ".join(bad), file=sys.stderr)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
