@@ -1064,3 +1064,84 @@ def ngram_containment_adjacent(spark, sf_dir):
         F.size("sb").cast("bigint").alias("n_b"),
         F.round(n_common * 1.0 / F.size("sa"), 6).alias("containment_a_in_b"),
     )
+
+
+@register(
+    "cluster_aware_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE 2 * length(list_intersect(a.s, b.s))
+            >= length(list_distinct(list_concat(a.s, b.s)))
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+    ),
+    clu AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT doc_id, cluster,
+           CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM clu
+    """,
+)
+def cluster_aware_split(spark, sf_dir):
+    """Leakage-free train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so every member of a duplicate cluster lands in
+    the SAME split — the fix for the standard evaluation bug where a
+    test document's near-duplicate sits in train and inflates every
+    metric. Composes two certified pieces (connected components over
+    exact-Jaccard edges; the md5 hex-cut split) and certifies the
+    composition: the oracle replays reachability with a recursive CTE
+    and the identical hash cut. At scale the cluster labels are a silver
+    table; the split is a pure projection on top."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components,
+    )
+    from polygon_algotrading_env_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", F.array_distinct(char_ngrams("text", 5)).alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("s").alias("sb"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .filter(
+            2 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(
+        edges, vertices=docs.select("doc_id"), id_col="doc_id"
+    ).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return hash_split(labels, "cluster").select("doc_id", "cluster", "split")
