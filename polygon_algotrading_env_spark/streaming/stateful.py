@@ -177,3 +177,95 @@ def stream_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SMA-crossover signals: bounded per-key price history
+# ---------------------------------------------------------------------------
+
+_SIG_STATE_SCHEMA = (
+    "prices array<double>, last_signal int, last_ts long, last_price double"
+)
+_SIG_OUTPUT_SCHEMA = (
+    "symbol string, ts timestamp, close double, sma_fast double, "
+    "sma_slow double, signal int, position int, pnl double"
+)
+
+
+def stream_sma_signal(
+    stream: DataFrame,
+    fast: int = 5,
+    slow: int = 20,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """Live SMA-crossover signals with O(slow) state per key — the
+    streaming counterpart of operators/backtest.py's batch path, emitting
+    the SAME per-bar columns (SMAs, signal, lagged position, P&L) so a
+    live deployment and its backtest share one definition (equivalence
+    pinned in tests, including the batch path's round-4 SMA-sum
+    stabilization, partial warm-up frames, and flat-on-first-bar return).
+    State: the last ``slow`` closes + previous signal/price. Same
+    cross-batch monotonicity guard as stream_cusum: rows at or behind the
+    last applied event time are dropped, not retro-applied."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        prices: list[float] = []
+        last_signal, last_ts, last_price = 0, -(1 << 62), float("nan")
+        if state.exists:
+            p, last_signal, last_ts, last_price = state.get
+            prices = list(p)
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
+                if t <= last_ts:
+                    continue
+                px = float(px)
+                prices.append(px)
+                if len(prices) > slow:
+                    prices.pop(0)
+                n_f = min(fast, len(prices))
+                n_s = len(prices)
+                # mirror the batch path exactly: round the window SUM to
+                # 4 before dividing (cross-engine SMA stabilization)
+                sma_f = round(sum(prices[-n_f:]), 4) / n_f
+                sma_s = round(sum(prices), 4) / n_s
+                signal = 1 if sma_f > sma_s else 0
+                position = last_signal
+                ret = (
+                    0.0
+                    if (last_price != last_price or last_price == 0.0)
+                    else px / last_price - 1.0
+                )
+                out.append(
+                    (key[0], t, px, sma_f, sma_s, signal, position,
+                     position * ret)
+                )
+                last_signal, last_ts, last_price = signal, t, px
+        state.update((prices, last_signal, last_ts, last_price))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "close": [r[2] for r in out],
+                    "sma_fast": [r[3] for r in out],
+                    "sma_slow": [r[4] for r in out],
+                    "signal": [r[5] for r in out],
+                    "position": [r[6] for r in out],
+                    "pnl": [r[7] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_SIG_OUTPUT_SCHEMA,
+        stateStructType=_SIG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

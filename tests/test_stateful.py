@@ -182,3 +182,64 @@ def test_stream_cusum_drops_late_rows(spark, tmpdir):
     # the 10:00:01 row arrived after 10:00:05 was applied → dropped
     assert [r["ts"].second for r in rows] == [5, 6]
     assert abs(rows[-1]["cusum"] - 1.5) < 1e-12
+
+
+# --- streaming SMA signals ≡ batch backtest --------------------------------
+
+BAR_SCHEMA = "symbol string, ts timestamp, close double"
+
+
+def test_stream_sma_signal_equals_batch_backtest(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.backtest import (
+        sma_crossover_backtest,
+    )
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_sma_signal,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30)
+    vals = [100 + ((i * 37) % 11) - 5 + (3 if i > 14 else 0) for i in range(30)]
+    rows = [
+        (s, t0 + timedelta(minutes=5 * i), float(v) * (1 if s == "X" else 2))
+        for s in ("X", "Y")
+        for i, v in enumerate(vals)
+    ]
+    src = f"{tmpdir}/src"
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], BAR_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(rows[half:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (
+        spark.readStream.schema(BAR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sma_signal(stream, fast=5, slow=20)
+        .writeStream.format("memory")
+        .queryName("sig_s")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): r
+        for r in spark.sql("SELECT * FROM sig_s").collect()
+    }
+    batch = sma_crossover_backtest(
+        spark.createDataFrame(rows, BAR_SCHEMA),
+        key_col="symbol", ts_col="ts", price_col="close",
+        fast=5, slow=20,
+    ).collect()
+    assert len(got) == len(batch) == len(rows)
+    for r in batch:
+        s = got[(r["symbol"], r["ts"])]
+        assert s["signal"] == r["signal"] and s["position"] == r["position"]
+        assert abs(s["sma_fast"] - r["sma_fast"]) < 1e-9
+        assert abs(s["sma_slow"] - r["sma_slow"]) < 1e-9
+        assert abs(s["pnl"] - r["pnl"]) < 1e-12
