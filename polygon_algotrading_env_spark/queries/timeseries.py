@@ -3116,3 +3116,82 @@ def bootstrap_sharpe_ci(spark, sf_dir):
         F.round("ci_hi", 6).alias("ci_hi"),
         "n_resamples",
     )
+
+
+@register(
+    "vwap_slippage_by_symbol",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b,
+             sum(value * value) / sum(value) AS bar_vwap
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, ts, value,
+             CASE WHEN value - lag(value) OVER w > 0 THEN 1.0
+                  WHEN value - lag(value) OVER w < 0 THEN -1.0 END AS raw_sign
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    t AS (
+      SELECT event_type, ts, value,
+             last_value(raw_sign IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS side
+      FROM s
+    )
+    SELECT t.event_type,
+           count(t.side)                                          AS n_classified,
+           round(avg(t.side * (t.value - v.bar_vwap)
+                     / v.bar_vwap) * 10000, 4)                    AS avg_slippage_bps
+    FROM t JOIN v ON t.event_type = v.event_type
+       AND time_bucket(INTERVAL '5 minutes', CAST(t.ts AS TIMESTAMP)) = v.b
+    WHERE t.side IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def vwap_slippage_by_symbol(spark, sf_dir):
+    """Execution-quality benchmark: each trade's signed slippage against
+    its own 5-minute bucket's VWAP, in basis points — buys above VWAP and
+    sells below it both cost, which the tick-rule side makes one signed
+    average (TCA's standard interval-VWAP scorecard). The VWAP model is
+    bucket-grain (broadcastable); the side classification reuses the
+    tick-rule LOCF partitioning; the join is an exact floor-bucket
+    equality. `value` plays price and size in the fixture mapping, hence
+    the sum(v·v)/sum(v) VWAP."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("b")
+    ).agg(
+        (F.sum(F.col("value") * F.col("value")) / F.sum("value")).alias(
+            "bar_vwap"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dp = F.col("value") - F.lag("value").over(w)
+    t = ev.withColumn(
+        "raw_sign", F.when(dp > 0, 1.0).when(dp < 0, -1.0)
+    ).withColumn("side", F.last("raw_sign", ignorenulls=True).over(run))
+    classified = t.where(F.col("side").isNotNull()).withColumn(
+        "b", F.window("ts", "5 minutes").start
+    )
+    return (
+        classified.join(F.broadcast(v), ["event_type", "b"])
+        .groupBy("event_type")
+        .agg(
+            F.count("side").alias("n_classified"),
+            F.round(
+                F.avg(
+                    F.col("side")
+                    * (F.col("value") - F.col("bar_vwap"))
+                    / F.col("bar_vwap")
+                )
+                * 10000,
+                4,
+            ).alias("avg_slippage_bps"),
+        )
+    )
