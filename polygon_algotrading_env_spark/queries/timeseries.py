@@ -3195,3 +3195,92 @@ def vwap_slippage_by_symbol(spark, sf_dir):
             ).alias("avg_slippage_bps"),
         )
     )
+
+
+@register(
+    "almgren_chriss_schedule",
+    oracle=_HLC_BARS_CTE + """
+    , dp AS (
+      SELECT event_type,
+             close - lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) AS d
+      FROM bars
+    ),
+    sig AS (
+      SELECT event_type, stddev_samp(d) AS sigma FROM dp GROUP BY event_type
+    ),
+    k AS (
+      SELECT event_type, sigma,
+             sqrt(1e-6 * sigma * sigma / 0.01) AS kappa
+      FROM sig
+    ),
+    spine AS (
+      SELECT k.event_type, k.kappa, j
+      FROM k, unnest(range(0, 13)) AS t(j)
+    ),
+    x AS (
+      SELECT event_type, CAST(j AS INT) AS slice, kappa,
+             10000.0
+               * ((exp(kappa * (12 - j)) - exp(-kappa * (12 - j))) / 2)
+               / ((exp(kappa * 12) - exp(-kappa * 12)) / 2) AS holdings
+      FROM spine
+    )
+    SELECT event_type, slice,
+           round(holdings, 4) AS holdings,
+           round(lag(holdings) OVER (PARTITION BY event_type ORDER BY slice)
+                 - holdings, 4) AS trade_qty
+    FROM x
+    """,
+)
+def almgren_chriss_schedule(spark, sf_dir):
+    """Almgren-Chriss optimal liquidation schedule per symbol: sell 10,000
+    units over 12 slices along the closed-form trajectory
+    x_j = X·sinh(κ(N−j))/sinh(κN), with urgency κ = √(λσ²/η) driven by
+    each symbol's MEASURED bar-change volatility (λ=1e-6 risk aversion,
+    η=0.01 temporary impact) — volatile names front-load, quiet names
+    trade evenly; the execution-planning table a TCA stack emits. sinh is
+    spelled (eˣ−e⁻ˣ)/2 in BOTH engines (this DuckDB build lacks sinh),
+    so the trajectories are the identical IEEE expression; the slice
+    spine is a 13-row explode per symbol."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    sig = bars.withColumn(
+        "dp", F.col("close") - F.lag("close").over(w)
+    ).groupBy("event_type").agg(F.stddev_samp("dp").alias("sigma"))
+    k = sig.select(
+        "event_type",
+        F.sqrt(F.lit(1e-6) * F.col("sigma") * F.col("sigma") / F.lit(0.01)).alias(
+            "kappa"
+        ),
+    )
+    spine = k.select(
+        "event_type",
+        "kappa",
+        F.explode(F.sequence(F.lit(0), F.lit(12))).alias("j"),
+    )
+
+    def sh(x):
+        return (F.exp(x) - F.exp(-x)) / 2
+
+    x = spine.select(
+        "event_type",
+        F.col("j").cast("int").alias("slice"),
+        (
+            10000.0
+            * sh(F.col("kappa") * (12 - F.col("j")))
+            / sh(F.col("kappa") * 12)
+        ).alias("holdings"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("slice")
+    return x.select(
+        "event_type",
+        "slice",
+        F.round("holdings", 4).alias("holdings"),
+        F.round(
+            F.lag("holdings").over(ws) - F.col("holdings"), 4
+        ).alias("trade_qty"),
+    )
