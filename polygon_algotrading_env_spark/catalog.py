@@ -87,3 +87,71 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` use."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+#: Schema contracts for every fixture table (operators/profile.py):
+#: the required column→type pairs a healthy lake exposes after
+#: load_table normalization. ``validate_catalog`` asserts all of them
+#: in one call — the pre-flight check a pipeline runs before trusting
+#: a new driver fixture generation or a migrated lake.
+CONTRACTS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string",
+    },
+    "events": {
+        "event_id": "bigint", "user_id": "bigint", "event_type": "string",
+        "value": "double", "props": "string", "ts_ns": "bigint",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+}
+
+
+def validate_catalog(spark: SparkSession, sf_dir: str) -> None:
+    """Assert every fixture table satisfies its schema contract (analysis
+    time only — no scans). Raises SchemaContractError naming every
+    violating table and column at once. Timestamp columns are excluded
+    from the contracts because load_table normalizes two driver
+    encodings (MICROS → timestamp_ntz vs NANOS → derived) — their
+    handling is pinned by tests/test_catalog.py instead."""
+    from polygon_algotrading_env_spark.operators.profile import (
+        SchemaContractError,
+        assert_schema_contract,
+    )
+
+    problems = []
+    for name, contract in CONTRACTS.items():
+        try:
+            assert_schema_contract(load_table(spark, sf_dir, name), contract)
+        except SchemaContractError as e:
+            problems.append(f"{name}: {e}")
+    if problems:
+        raise SchemaContractError("; ".join(problems))

@@ -66,3 +66,28 @@ def test_events_nanos_encoding_branch(spark, tmp_path):
     }
     assert got_us[1] == ns_vals[0] // 1000  # truncation, not rounding
     assert got_us[2] == ns_vals[1] // 1000
+
+
+def test_validate_catalog_all_tables(spark, sf_dir):
+    from polygon_algotrading_env_spark.catalog import validate_catalog
+
+    validate_catalog(spark, sf_dir)  # must not raise on the fixtures
+
+
+def test_validate_catalog_reports_broken_table(spark, sf_dir, monkeypatch):
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark import catalog as cat
+    from polygon_algotrading_env_spark.operators.profile import (
+        SchemaContractError,
+    )
+
+    real = cat.load_table
+
+    def broken(spark_, sf, name):
+        df = real(spark_, sf, name)
+        return df.drop("r_name") if name == "region" else df
+
+    monkeypatch.setattr(cat, "load_table", broken)
+    with _pytest.raises(SchemaContractError, match="region.*r_name"):
+        cat.validate_catalog(spark, sf_dir)
