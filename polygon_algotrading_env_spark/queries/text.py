@@ -1145,3 +1145,50 @@ def cluster_aware_split(spark, sf_dir):
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )
     return hash_split(labels, "cluster").select("doc_id", "cluster", "split")
+
+
+@register(
+    "quality_percentile_by_lang",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             length(trim(text))
+               - length(replace(trim(text), ' ', '')) + 1 AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens, doc_id), 6)
+             AS quality_pctile
+    FROM q
+    """,
+)
+def quality_percentile_by_lang(spark, sf_dir):
+    """Language-fair quality normalization: each document's quality signal
+    (token count here — swap in any score) converted to its percentile
+    WITHIN its language. Thresholding a raw score across languages
+    silently biases the corpus (different languages have different score
+    distributions — the known multilingual-filtering failure); 'keep the
+    top 70% of every language' needs exactly this per-partition
+    percent_rank, tie-broken by doc_id so both engines rank identically.
+    One window per language partition — no global sort."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    from pyspark.sql import Window
+
+    n_tokens = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    q = docs.select(
+        "doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return q.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
+    )

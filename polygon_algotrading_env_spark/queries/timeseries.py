@@ -3284,3 +3284,79 @@ def almgren_chriss_schedule(spark, sf_dir):
             F.lag("holdings").over(ws) - F.col("holdings"), 4
         ).alias("trade_qty"),
     )
+
+
+@register(
+    "inverse_vol_portfolio",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) - 1 AS ret
+      FROM bars
+    ),
+    vol AS (
+      SELECT event_type, stddev_samp(ret) AS sigma
+      FROM r WHERE ret IS NOT NULL GROUP BY 1
+    ),
+    wts AS (
+      SELECT event_type, (1.0 / sigma) / sum(1.0 / sigma) OVER () AS w,
+             sigma
+      FROM vol
+    ),
+    p AS (
+      SELECT r.bucket_start,
+             sum(w.w * r.ret) AS pret,
+             count(*)         AS n_syms
+      FROM r JOIN wts w ON r.event_type = w.event_type
+      WHERE r.ret IS NOT NULL
+      GROUP BY 1 HAVING count(*) = 5
+    )
+    SELECT count(*)                                     AS n_obs,
+           round(stddev_samp(pret), 6)                  AS port_vol,
+           round((SELECT sum(w * sigma) FROM wts)
+                 / stddev_samp(pret), 6)                AS diversification_ratio
+    FROM p
+    """,
+)
+def inverse_vol_portfolio(spark, sf_dir):
+    """Inverse-volatility (risk-parity-lite) portfolio: weights ∝ 1/σ
+    normalized over the symbol universe, portfolio returns only on
+    buckets where ALL symbols trade (balanced panel by exact count), and
+    the diversification ratio Σwσ / σ_port — the one number that says how
+    much the correlation structure actually buys. The weight model is a
+    5-row relation; the portfolio series is one bucket-grain aggregate
+    over the weighted join; every statistic downstream of it runs on the
+    tiny series."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    vol = r.groupBy("event_type").agg(F.stddev_samp("ret").alias("sigma"))
+    wts = vol.withColumn(
+        "w",
+        (1.0 / F.col("sigma"))
+        / F.sum(1.0 / F.col("sigma")).over(Window.partitionBy()),
+    )
+    p = (
+        r.join(F.broadcast(wts), "event_type")
+        .groupBy("bucket_start")
+        .agg(
+            F.sum(F.col("w") * F.col("ret")).alias("pret"),
+            F.count(F.lit(1)).alias("n_syms"),
+        )
+        .where(F.col("n_syms") == 5)
+    )
+    wavg = wts.agg(F.sum(F.col("w") * F.col("sigma")).alias("wsig"))
+    return p.crossJoin(F.broadcast(wavg)).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.stddev_samp("pret"), 6).alias("port_vol"),
+        F.round(
+            F.any_value("wsig") / F.stddev_samp("pret"), 6
+        ).alias("diversification_ratio"),
+    )
