@@ -3360,3 +3360,72 @@ def inverse_vol_portfolio(spark, sf_dir):
             F.any_value("wsig") / F.stddev_samp("pret"), 6
         ).alias("diversification_ratio"),
     )
+
+
+@register(
+    "momentum_rank_stability",
+    oracle=_DAILY_BARS_CTE + """
+    , r AS (
+      SELECT event_type, d,
+             close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+               - 1 AS ret
+      FROM bars
+    ),
+    rk AS (
+      SELECT d, event_type,
+             rank() OVER (PARTITION BY d ORDER BY ret DESC, event_type)
+               AS mom_rank,
+             count(*) OVER (PARTITION BY d) AS n_syms
+      FROM r WHERE ret IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.event_type, a.d,
+             a.mom_rank AS rk_now,
+             lag(a.mom_rank) OVER (PARTITION BY a.event_type ORDER BY a.d)
+               AS rk_prev
+      FROM rk a WHERE a.n_syms = 5
+    )
+    SELECT count(rk_prev)                                  AS n_obs,
+           round(corr(rk_now, rk_prev), 6)                 AS rank_autocorr,
+           round(avg(abs(rk_now - rk_prev)), 6)            AS avg_rank_move
+    FROM pairs
+    """,
+)
+def momentum_rank_stability(spark, sf_dir):
+    """Strategy-capacity diagnostic for the cross-sectional momentum
+    signal: the day-over-day Spearman autocorrelation of the momentum
+    ranks plus the average rank move — a signal whose ranks reshuffle
+    daily (autocorr ≈ 0) implies turnover that transaction costs will
+    eat, regardless of its gross spread. Ranks are per-day windows over
+    symbol-count-sized partitions; the stability statistics are one
+    aggregate over the per-symbol lagged rank series (rank autocorr on
+    integer ranks IS Spearman, computed as plain Pearson on ranks —
+    identical in both engines)."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", F.col("bucket_start").alias("d"), "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    r = bars.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).where(F.col("ret").isNotNull())
+    wd = Window.partitionBy("d")
+    rk = r.select(
+        "event_type",
+        "d",
+        F.rank().over(wd.orderBy(F.desc("ret"), "event_type")).alias("mom_rank"),
+        F.count(F.lit(1)).over(wd).alias("n_syms"),
+    ).where(F.col("n_syms") == 5)
+    pairs = rk.select(
+        "event_type",
+        F.col("mom_rank").alias("rk_now"),
+        F.lag("mom_rank").over(w.orderBy("d")).alias("rk_prev"),
+    )
+    return pairs.agg(
+        F.count("rk_prev").alias("n_obs"),
+        F.round(F.corr("rk_now", "rk_prev"), 6).alias("rank_autocorr"),
+        F.round(F.avg(F.abs(F.col("rk_now") - F.col("rk_prev"))), 6).alias(
+            "avg_rank_move"
+        ),
+    )
