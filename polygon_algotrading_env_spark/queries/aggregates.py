@@ -355,10 +355,15 @@ def heavy_hitter_parts(spark, sf_dir):
     equals the full-shuffle top-k (operators/sketches.py). The oracle IS
     the full-shuffle formulation, so the certificate itself is what's
     being cross-engine verified: `certified` must come out TRUE and the
-    rows must hash-match the naive plan."""
+    rows must hash-match the naive plan. Capacity 16384 clears the
+    certificate bound N/(cap+1) < kth-count through sf0.1 (600k rows,
+    kth ≈ 49) — the fixture's near-uniform part distribution is the
+    heavy-hitter worst case, so capacity must scale with N/kth there;
+    on Zipfian reality a small constant capacity certifies at any N
+    (eviction mechanics pinned in tests on skewed data)."""
     from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
 
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    return mg_heavy_hitters(li, "l_partkey", k=20, capacity=4096).select(
+    return mg_heavy_hitters(li, "l_partkey", k=20, capacity=16384).select(
         "l_partkey", "cnt", "certified"
     )

@@ -210,8 +210,8 @@ def bollinger_20_5m(spark, sf_dir):
     ),
     rets AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER (PARTITION BY event_type
-                                      ORDER BY bucket_start) - 1 AS ret
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start), 0) - 1 AS ret
       FROM bars
     )
     SELECT a.event_type AS sym_a, b.event_type AS sym_b,
@@ -243,7 +243,7 @@ def return_correlation_pairs(spark, sf_dir):
     rets = bars.select(
         "event_type",
         "bucket_start",
-        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        (F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1).alias("ret"),
     ).filter(F.col("ret").isNotNull())
     a = rets.select(
         F.col("event_type").alias("sym_a"),
@@ -717,8 +717,8 @@ def donchian_20_5m(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , lr AS (
       SELECT event_type, bucket_start,
-             ln(close / lag(close) OVER (PARTITION BY event_type
-                                         ORDER BY bucket_start)) AS r
+             ln(close / nullif(lag(close) OVER (PARTITION BY event_type
+                                         ORDER BY bucket_start), 0)) AS r
       FROM bars
     )
     SELECT event_type, bucket_start,
@@ -1109,7 +1109,7 @@ def roll_spread_estimator(spark, sf_dir):
     ),
     r AS (
       SELECT event_type, d, volume,
-             abs(close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+             abs(close / nullif(lag(close) OVER (PARTITION BY event_type ORDER BY d), 0)
                  - 1) AS aret
       FROM bars
     )
@@ -1133,7 +1133,7 @@ def amihud_illiquidity_daily(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
     r = bars.withColumn(
-        "aret", F.abs(F.col("close") / F.lag("close").over(w) - 1)
+        "aret", F.abs(F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1)
     )
     return (
         r.where(F.col("aret").isNotNull() & (F.col("volume") > 0))
@@ -1152,8 +1152,8 @@ def amihud_illiquidity_daily(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , r AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER (PARTITION BY event_type
-                                      ORDER BY bucket_start) - 1 AS ret
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start), 0) - 1 AS ret
       FROM bars
     ),
     mkt AS (
@@ -1185,7 +1185,7 @@ def beta_vs_market_5m(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     mkt = (
         r.groupBy("bucket_start")
@@ -1271,8 +1271,8 @@ def max_drawdown_duration_5m(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , lr AS (
       SELECT event_type, bucket_start,
-             ln(close) - lag(ln(close))    OVER w AS r1,
-             ln(close) - lag(ln(close), 4) OVER w AS r4
+             ln(nullif(close, 0)) - lag(ln(nullif(close, 0)))    OVER w AS r1,
+             ln(nullif(close, 0)) - lag(ln(nullif(close, 0)), 4) OVER w AS r4
       FROM bars
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
     )
@@ -1298,7 +1298,9 @@ def variance_ratio_4x_5m(spark, sf_dir):
         "event_type", "bucket_start", "close"
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
-    lnc = F.log("close")
+    # nullif guard: a zero close (bad tick) yields NULL log-returns
+    # instead of an ANSI error / DuckDB ln(0) abort at larger SFs.
+    lnc = F.log(F.nullif(F.col("close"), F.lit(0.0)))
     lr = bars.select(
         "event_type",
         (lnc - F.lag(lnc).over(w)).alias("r1"),
@@ -1315,7 +1317,7 @@ def variance_ratio_4x_5m(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , r AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER w - 1 AS ret
+             close / nullif(lag(close) OVER w, 0) - 1 AS ret
       FROM bars
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
     ),
@@ -1349,7 +1351,7 @@ def acf_returns_lags(spark, sf_dir):
         "event_type", "bucket_start", "close"
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
-    r = bars.withColumn("ret", F.col("close") / F.lag("close").over(w) - 1)
+    r = bars.withColumn("ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1)
     l = r.select(
         "event_type",
         "ret",
@@ -1519,8 +1521,8 @@ def kalman_level_5m(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , r AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER (PARTITION BY event_type
-                                      ORDER BY bucket_start) - 1 AS ret
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start), 0) - 1 AS ret
       FROM bars
     ),
     stats AS (
@@ -1573,7 +1575,7 @@ def cusum_alarms_5m(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     stats = r.groupBy("event_type").agg(
         F.avg("ret").alias("mu"), F.stddev_samp("ret").alias("sd")
@@ -1699,7 +1701,7 @@ def pairs_spread_zscore(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , r AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER w - 1 AS ret
+             close / nullif(lag(close) OVER w, 0) - 1 AS ret
       FROM bars
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
     ),
@@ -1746,7 +1748,7 @@ def post_shock_drift_5bar(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     stats = r.groupBy("event_type").agg(
         F.avg("ret").alias("mu"), F.stddev_samp("ret").alias("sd")
@@ -1791,7 +1793,7 @@ _DAILY_BARS_CTE = """
     oracle=_DAILY_BARS_CTE + """
     , r0 AS (
       SELECT event_type, d,
-             close / lag(close) OVER (PARTITION BY event_type ORDER BY d) - 1
+             close / nullif(lag(close) OVER (PARTITION BY event_type ORDER BY d), 0) - 1
                AS ret
       FROM bars
     ),
@@ -1835,7 +1837,7 @@ def cross_sectional_momentum(spark, sf_dir):
         "event_type", F.col("bucket_start").alias("d"), "close"
     )
     w = Window.partitionBy("event_type").orderBy("d")
-    ret = F.col("close") / F.lag("close").over(w) - 1
+    ret = F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     r = (
         bars.withColumn("ret", ret)
         .withColumn("fwd_ret", F.lead("ret").over(w))
@@ -2723,7 +2725,7 @@ def naive_forecast_eval(spark, sf_dir):
     oracle=_DAILY_BARS_CTE + """
     , r AS (
       SELECT event_type,
-             close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+             close / nullif(lag(close) OVER (PARTITION BY event_type ORDER BY d), 0)
                - 1 AS ret
       FROM bars
     ),
@@ -2760,7 +2762,7 @@ def var_es_daily(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("d")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     v = r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_obs"),
@@ -2784,12 +2786,12 @@ def var_es_daily(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , a AS (
       SELECT bucket_start,
-             close / lag(close) OVER (ORDER BY bucket_start) - 1 AS ra
+             close / nullif(lag(close) OVER (ORDER BY bucket_start), 0) - 1 AS ra
       FROM bars WHERE event_type = 'click'
     ),
     b AS (
       SELECT bucket_start,
-             close / lag(close) OVER (ORDER BY bucket_start) - 1 AS rb
+             close / nullif(lag(close) OVER (ORDER BY bucket_start), 0) - 1 AS rb
       FROM bars WHERE event_type = 'view'
     ),
     j AS (
@@ -2830,7 +2832,7 @@ def lead_lag_xcorr_pair(spark, sf_dir):
             bars.where(F.col("event_type") == sym)
             .select(
                 "bucket_start",
-                (F.col("close") / F.lag("close").over(wa) - 1).alias(out),
+                (F.col("close") / F.nullif(F.lag("close").over(wa), F.lit(0.0)) - 1).alias(out),
             )
         )
 
@@ -3291,8 +3293,8 @@ def almgren_chriss_schedule(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , r AS (
       SELECT event_type, bucket_start,
-             close / lag(close) OVER (PARTITION BY event_type
-                                      ORDER BY bucket_start) - 1 AS ret
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start), 0) - 1 AS ret
       FROM bars
     ),
     vol AS (
@@ -3335,7 +3337,7 @@ def inverse_vol_portfolio(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     vol = r.groupBy("event_type").agg(F.stddev_samp("ret").alias("sigma"))
     wts = vol.withColumn(
@@ -3367,7 +3369,7 @@ def inverse_vol_portfolio(spark, sf_dir):
     oracle=_DAILY_BARS_CTE + """
     , r AS (
       SELECT event_type, d,
-             close / lag(close) OVER (PARTITION BY event_type ORDER BY d)
+             close / nullif(lag(close) OVER (PARTITION BY event_type ORDER BY d), 0)
                - 1 AS ret
       FROM bars
     ),
@@ -3408,7 +3410,7 @@ def momentum_rank_stability(spark, sf_dir):
     )
     w = Window.partitionBy("event_type").orderBy("d")
     r = bars.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1
+        "ret", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
     ).where(F.col("ret").isNotNull())
     wd = Window.partitionBy("d")
     rk = r.select(
