@@ -717,8 +717,9 @@ def donchian_20_5m(spark, sf_dir):
     oracle=_HLC_BARS_CTE + """
     , lr AS (
       SELECT event_type, bucket_start,
-             ln(close / nullif(lag(close) OVER (PARTITION BY event_type
-                                         ORDER BY bucket_start), 0)) AS r
+             ln(nullif(close, 0)
+                / nullif(lag(close) OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start), 0)) AS r
       FROM bars
     )
     SELECT event_type, bucket_start,
@@ -3126,7 +3127,7 @@ def bootstrap_sharpe_ci(spark, sf_dir):
     WITH v AS (
       SELECT event_type,
              time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b,
-             sum(value * value) / sum(value) AS bar_vwap
+             sum(value * value) / nullif(sum(value), 0) AS bar_vwap
       FROM events GROUP BY 1, 2
     ),
     s AS (
@@ -3168,7 +3169,8 @@ def vwap_slippage_by_symbol(spark, sf_dir):
     v = ev.groupBy(
         "event_type", F.window("ts", "5 minutes").start.alias("b")
     ).agg(
-        (F.sum(F.col("value") * F.col("value")) / F.sum("value")).alias(
+        (F.sum(F.col("value") * F.col("value"))
+         / F.nullif(F.sum("value"), F.lit(0.0))).alias(
             "bar_vwap"
         )
     )
