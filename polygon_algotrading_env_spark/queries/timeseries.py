@@ -3433,3 +3433,108 @@ def momentum_rank_stability(spark, sf_dir):
             "avg_rank_move"
         ),
     )
+
+
+@register(
+    "ulcer_index_5m",
+    oracle=_BT_CTE + """
+    , eq AS (
+      SELECT event_type, bucket_start,
+             sum(pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pnl
+      FROM bt
+    ),
+    dd AS (
+      SELECT event_type,
+             max(cum_pnl) OVER (PARTITION BY event_type ORDER BY bucket_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cum_pnl AS drawdown,
+             cum_pnl,
+             bucket_start
+      FROM eq
+    )
+    SELECT event_type,
+           count(*)                                      AS n_bars,
+           round(sqrt(avg(drawdown * drawdown)), 6)      AS ulcer_index,
+           round(arg_max(cum_pnl, bucket_start)
+                 / nullif(sqrt(avg(drawdown * drawdown)), 0), 6)
+                                                         AS pain_ratio
+    FROM dd
+    GROUP BY 1
+    """,
+)
+def ulcer_index_5m(spark, sf_dir):
+    """Ulcer index per strategy leg: root-mean-square drawdown — unlike
+    max drawdown it prices DURATION as well as depth (a strategy that
+    lingers 10% underwater for weeks hurts more than a spike of the same
+    depth), and the pain ratio (final equity / ulcer) is the Martin
+    ratio's return-per-unit-of-grief. Reduces the already-verified
+    equity/drawdown relation with order-insensitive aggregates only;
+    zero-drawdown degenerates surface as NULL pain via nullif."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        equity_curve,
+        sma_crossover_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    eq = equity_curve(sma_crossover_backtest(bars))
+    ulcer = F.sqrt(F.avg(F.col("drawdown") * F.col("drawdown")))
+    return eq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(ulcer, 6).alias("ulcer_index"),
+        F.round(
+            F.max_by("cum_pnl", "bucket_start") / F.nullif(ulcer, F.lit(0)),
+            6,
+        ).alias("pain_ratio"),
+    )
+
+
+@register(
+    "weekday_effect_tstat",
+    oracle=_DAILY_BARS_CTE + """
+    , r AS (
+      SELECT event_type, d,
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                             ORDER BY d), 0) - 1 AS ret
+      FROM bars
+    )
+    SELECT CAST(dayofweek(d) AS INT)               AS dow,
+           count(ret)                              AS n_obs,
+           round(avg(ret), 6)                      AS mean_ret,
+           round(avg(ret) / nullif(stddev_samp(ret)
+                 / sqrt(count(ret)), 0), 6)        AS t_stat
+    FROM r WHERE ret IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def weekday_effect_tstat(spark, sf_dir):
+    """Calendar-anomaly screen: mean daily return and its one-sample
+    t-statistic per day-of-week, pooled across symbols — the classic
+    Monday-effect test (a uniform generator should sit well inside ±2).
+    NOTE the cross-engine trap this query certifies around: DuckDB's
+    dayofweek is 0-based (Sunday=0) and Spark's 1-based (Sunday=1), so
+    the ENGINE subtracts 1 to meet the oracle's numbering; t = mean over
+    its standard error from one aggregate pass."""
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", F.col("bucket_start").alias("d"), "close"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("d")
+    r = bars.withColumn(
+        "ret",
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1,
+    ).where(F.col("ret").isNotNull())
+    se = F.stddev_samp("ret") / F.sqrt(F.count("ret"))
+    return r.groupBy(
+        (F.dayofweek("d") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count("ret").alias("n_obs"),
+        F.round(F.avg("ret"), 6).alias("mean_ret"),
+        F.round(F.avg("ret") / F.nullif(se, F.lit(0)), 6).alias("t_stat"),
+    )
