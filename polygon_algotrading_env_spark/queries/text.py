@@ -1192,3 +1192,49 @@ def quality_percentile_by_lang(spark, sf_dir):
         "n_tokens",
         F.round(F.percent_rank().over(w), 6).alias("quality_pctile"),
     )
+
+
+@register(
+    "hapax_ratio_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT source,
+           count(*)                                        AS vocab,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)          AS hapax,
+           round(sum(CASE WHEN n = 1 THEN 1.0 ELSE 0 END)
+                 / count(*), 6)                            AS hapax_ratio
+    FROM tf GROUP BY 1
+    """,
+)
+def hapax_ratio_by_source(spark, sf_dir):
+    """Lexical-richness audit per source: the share of each source's
+    vocabulary appearing exactly once (hapax legomena) — natural text
+    runs ~40-60%, template/boilerplate mills run low, and random
+    generators run high, so the ratio separates organic sources from
+    synthetic ones before any model-based quality scoring. One tokenize
+    pass, per-source vocabulary aggregate, exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        hapax.alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1.0).otherwise(0.0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

@@ -3538,3 +3538,153 @@ def weekday_effect_tstat(spark, sf_dir):
         F.round(F.avg("ret"), 6).alias("mean_ret"),
         F.round(F.avg("ret") / F.nullif(se, F.lit(0)), 6).alias("t_stat"),
     )
+
+
+@register(
+    "volume_profile_poc",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             least(CAST(floor((e.value - r.lo) / ((r.hi - r.lo) / 20.0))
+                        AS INT), 19)            AS bin,
+             sum(e.value)                        AS vol
+      FROM events e JOIN rng r ON e.event_type = r.event_type
+      WHERE r.hi > r.lo
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, bin, vol,
+             sum(vol) OVER (PARTITION BY event_type) AS tv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY vol DESC, bin) AS rk
+      FROM binned
+    )
+    SELECT event_type,
+           bin                                   AS poc_bin,
+           round(vol, 4)                         AS poc_volume,
+           round(vol / tv, 6)                    AS poc_share
+    FROM tot WHERE rk = 1
+    """,
+)
+def volume_profile_poc(spark, sf_dir):
+    """Market-profile point of control: the 20-bin price level holding the
+    most traded volume per symbol, with its share of total — the
+    highest-acceptance price that volume-profile traders anchor support/
+    resistance on. Bin edges come from each symbol's exact (min, max)
+    broadcast back (explicit IEEE arithmetic — same convention as the
+    certified price histogram, top bin clamped); the argmax is a
+    row_number over the 20-row-per-symbol bin relation with a bin
+    tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).where(F.col("hi") > F.col("lo"))
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .groupBy(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 20.0)
+                ).cast("int"),
+                F.lit(19),
+            ).alias("bin"),
+        )
+        .agg(F.sum("value").alias("vol"))
+    )
+    w = Window.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "bin",
+        "vol",
+        F.sum("vol").over(w).alias("tv"),
+        F.row_number()
+        .over(w.orderBy(F.desc("vol"), "bin"))
+        .alias("rk"),
+    )
+    return tot.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("bin").alias("poc_bin"),
+        F.round("vol", 4).alias("poc_volume"),
+        F.round(F.col("vol") / F.col("tv"), 6).alias("poc_share"),
+    )
+
+
+@register(
+    "updown_streak_stats",
+    oracle=_DAILY_BARS_CTE + """
+    , r AS (
+      SELECT event_type, d,
+             CASE WHEN close > lag(close) OVER w THEN 1
+                  WHEN close < lag(close) OVER w THEN -1 END AS dir
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    marked AS (
+      SELECT event_type, d, dir,
+             CASE WHEN dir IS DISTINCT FROM lag(dir)
+                    OVER (PARTITION BY event_type ORDER BY d)
+                  THEN 1 ELSE 0 END AS brk
+      FROM r WHERE dir IS NOT NULL
+    ),
+    isl AS (
+      SELECT event_type, dir,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    ),
+    streaks AS (
+      SELECT event_type, dir, grp, count(*) AS len
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           count(*)                                          AS n_streaks,
+           max(CASE WHEN dir = 1  THEN len END)              AS longest_up,
+           max(CASE WHEN dir = -1 THEN len END)              AS longest_down,
+           round(avg(len), 6)                                AS avg_streak
+    FROM streaks
+    GROUP BY 1
+    """,
+)
+def updown_streak_stats(spark, sf_dir):
+    """Momentum-persistence fingerprint: the distribution of consecutive
+    up/down daily-close streaks per symbol (longest run each way, mean
+    length, streak count) — a random walk averages ~2 and long tails
+    betray trending or mean-reverting regimes before any backtest runs.
+    Gaps-and-islands with the island id as the running count of direction
+    CHANGES (IS DISTINCT FROM handles the flat-day NULLs the same way in
+    both engines); flat days break streaks by dropping out."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "1 day").select(
+        "event_type", F.col("bucket_start").alias("d"), "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    direction = (
+        F.when(F.col("close") > F.lag("close").over(w), 1)
+        .when(F.col("close") < F.lag("close").over(w), -1)
+    )
+    r = bars.withColumn("dir", direction).where(F.col("dir").isNotNull())
+    brk = F.when(
+        ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1
+    ).otherwise(0)
+    isl = r.withColumn("brk", brk).withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    streaks = isl.groupBy("event_type", "dir", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max(F.when(F.col("dir") == 1, F.col("len"))).alias("longest_up"),
+        F.max(F.when(F.col("dir") == -1, F.col("len"))).alias("longest_down"),
+        F.round(F.avg("len"), 6).alias("avg_streak"),
+    )
