@@ -3688,3 +3688,187 @@ def updown_streak_stats(spark, sf_dir):
         F.max(F.when(F.col("dir") == -1, F.col("len"))).alias("longest_down"),
         F.round(F.avg("len"), 6).alias("avg_streak"),
     )
+
+
+@register(
+    "overnight_gap_fill_rates",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+             arg_min(value, ts) AS open,
+             arg_max(value, ts) AS close,
+             max(value)         AS high,
+             min(value)         AS low
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, d, open, high, low,
+             lag(close) OVER (PARTITION BY event_type ORDER BY d)
+               AS prev_close
+      FROM daily
+    ),
+    cls AS (
+      SELECT event_type,
+             CASE WHEN open > prev_close THEN 'up'
+                  WHEN open < prev_close THEN 'down' END       AS gap_dir,
+             CASE WHEN open > prev_close AND low  <= prev_close THEN 1
+                  WHEN open < prev_close AND high >= prev_close THEN 1
+                  ELSE 0 END                                   AS filled
+      FROM g WHERE prev_close IS NOT NULL AND open <> prev_close
+    )
+    SELECT event_type, gap_dir,
+           count(*)                    AS n_gaps,
+           sum(filled)                 AS n_filled,
+           round(avg(filled * 1.0), 6) AS fill_rate
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def overnight_gap_fill_rates(spark, sf_dir):
+    """Gap analysis: how often an overnight gap 'fills' the same day (an
+    up-gap day whose low revisits the prior close, and symmetrically) —
+    the statistic behind fade-the-gap strategies, split by direction per
+    symbol. Daily OHLC from one aggregate (open/close as
+    arg_min/arg_max on exact event time), prior close from one lag, the
+    fill test from that day's own high/low — no intraday re-scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.window("ts", "1 day").start.alias("d")
+    ).agg(
+        F.min_by("value", "ts_ns").alias("open"),
+        F.max_by("value", "ts_ns").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    g = daily.withColumn("prev_close", F.lag("close").over(w)).where(
+        F.col("prev_close").isNotNull()
+        & (F.col("open") != F.col("prev_close"))
+    )
+    gap_dir = F.when(F.col("open") > F.col("prev_close"), "up").when(
+        F.col("open") < F.col("prev_close"), "down"
+    )
+    filled = (
+        F.when(
+            (F.col("open") > F.col("prev_close"))
+            & (F.col("low") <= F.col("prev_close")),
+            1,
+        )
+        .when(
+            (F.col("open") < F.col("prev_close"))
+            & (F.col("high") >= F.col("prev_close")),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        g.select("event_type", gap_dir.alias("gap_dir"), filled.alias("filled"))
+        .groupBy("event_type", "gap_dir")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("filled").alias("n_filled"),
+            F.round(F.avg(F.col("filled") * 1.0), 6).alias("fill_rate"),
+        )
+    )
+
+
+@register(
+    "swing_points_5m",
+    oracle=_HLC_BARS_CTE + """
+    , sw AS (
+      SELECT event_type, bucket_start, high, low,
+             max(high) OVER w2 AS hmax, count(*) OVER w2 AS nw,
+             min(low)  OVER w2 AS lmin
+      FROM bars
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket_start
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    )
+    SELECT event_type,
+           sum(CASE WHEN high = hmax AND nw = 5 THEN 1 ELSE 0 END)
+             AS n_swing_highs,
+           sum(CASE WHEN low = lmin AND nw = 5 THEN 1 ELSE 0 END)
+             AS n_swing_lows
+    FROM sw GROUP BY 1
+    """,
+)
+def swing_points_5m(spark, sf_dir):
+    """Swing-point census: bars whose high is the maximum (or low the
+    minimum) of the ±2-bar neighborhood — the pivot highs/lows chart
+    structure (trendlines, S/R zones, zig-zag) is built from. The ±2
+    frame is a centered rows window on the one per-symbol partitioning;
+    edge bars with partial windows are excluded by exact count; ties
+    (two equal highs in one window) count both — the oracle certifies
+    the same convention."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "high", "low"
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-2, 2)
+    )
+    sw = bars.select(
+        "event_type",
+        "high",
+        "low",
+        F.max("high").over(w2).alias("hmax"),
+        F.min("low").over(w2).alias("lmin"),
+        F.count(F.lit(1)).over(w2).alias("nw"),
+    )
+    return sw.groupBy("event_type").agg(
+        F.sum(
+            F.when((F.col("high") == F.col("hmax")) & (F.col("nw") == 5), 1)
+            .otherwise(0)
+        ).alias("n_swing_highs"),
+        F.sum(
+            F.when((F.col("low") == F.col("lmin")) & (F.col("nw") == 5), 1)
+            .otherwise(0)
+        ).alias("n_swing_lows"),
+    )
+
+
+@register(
+    "interarrival_cv",
+    oracle="""
+    WITH ia AS (
+      SELECT event_type,
+             (epoch_ms(ts) - lag(epoch_ms(ts))
+                OVER (PARTITION BY event_type ORDER BY ts)) / 1000.0
+               AS dt
+      FROM events
+    )
+    SELECT event_type,
+           count(dt)                                       AS n_obs,
+           round(avg(dt), 6)                               AS mean_dt_s,
+           round(stddev_samp(dt) / nullif(avg(dt), 0), 6)  AS cv
+    FROM ia WHERE dt IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def interarrival_cv(spark, sf_dir):
+    """Order-flow clustering diagnostic: the coefficient of variation of
+    inter-arrival times per symbol — a Poisson tape has CV ≈ 1, CV >> 1
+    means bursty (self-exciting, Hawkes-like) arrivals that invalidate
+    constant-rate assumptions in execution schedulers. Inter-arrivals
+    from one lag over epoch millis (exact integers before the single
+    float division); one aggregate pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    ms = F.expr("ts_ns DIV 1000000")
+    ia = ev.select(
+        "event_type",
+        ((ms - F.lag(ms).over(w)) / 1000.0).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return ia.groupBy("event_type").agg(
+        F.count("dt").alias("n_obs"),
+        F.round(F.avg("dt"), 6).alias("mean_dt_s"),
+        F.round(
+            F.stddev_samp("dt") / F.nullif(F.avg("dt"), F.lit(0)), 6
+        ).alias("cv"),
+    )
