@@ -564,3 +564,124 @@ def top_terms_per_doc(spark, sf_dir):
     return r.where(F.col("rnk") <= 3).select(
         "doc_id", "rnk", "tok", F.round("score", 6).alias("score")
     )
+
+
+@register(
+    "token_burstiness_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    stats AS (
+      SELECT tok,
+             count(*)                 AS tf,
+             count(DISTINCT doc_id)   AS df
+      FROM tok GROUP BY 1
+    )
+    SELECT tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round((tf - df) * 1.0 / df, 6) AS burstiness
+    FROM stats
+    WHERE df >= 5
+    ORDER BY burstiness DESC, tok
+    LIMIT 20
+    """,
+)
+def token_burstiness_topk(spark, sf_dir):
+    """Church-Gale burstiness: for each token, its mean number of EXTRA
+    occurrences per document that contains it at all ((tf − df)/df) —
+    content words burst (a doc about 'kalman' says it many times) while
+    function words spread evenly, so the top of this ranking separates
+    topical vocabulary from glue without any external wordlist. tf/df
+    come from one tokenize pass; the ranking is a TakeOrderedAndProject
+    over the vocab-sized stats with a token tiebreak; df≥5 suppresses
+    one-doc noise."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.where(F.col("df") >= 5)
+        .select(
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round((F.col("tf") - F.col("df")) * 1.0 / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.desc("burstiness"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common * 1.0
+                 / (sa.n + sb.n - i.n_common), 6) AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    redundancy map ('these two crawls are the same site') that document-
+    level near-dup misses when texts differ but draw on one vocabulary.
+    The distinct (source, token) relation is vocab-sized; the pair
+    counts come from a token equi-join of that small relation with
+    source ordering (never the raw token stream); set sizes broadcast
+    back for the Jaccard."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    v = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )

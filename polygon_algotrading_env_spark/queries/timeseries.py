@@ -3872,3 +3872,42 @@ def interarrival_cv(spark, sf_dir):
             F.stddev_samp("dt") / F.nullif(F.avg("dt"), F.lit(0)), 6
         ).alias("cv"),
     )
+
+
+@register(
+    "stale_tick_fraction",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN value = lag(value) OVER w THEN 1 ELSE 0 END AS stale
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    )
+    SELECT event_type,
+           count(*)                   AS n_ticks,
+           sum(stale)                 AS n_stale,
+           round(avg(stale * 1.0), 6) AS stale_fraction
+    FROM d GROUP BY 1
+    """,
+)
+def stale_tick_fraction(spark, sf_dir):
+    """Tape-quality audit: the share of ticks identical to their
+    predecessor per symbol — a healthy feed ticks, a stale one repeats
+    (crossed connections, cached snapshots, decimal truncation all show
+    up here first). One lag comparison on the per-symbol ordered
+    partitioning; the first tick counts as non-stale on both engines
+    (NULL ≠ value in the CASE/when)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts")
+    stale = F.when(
+        F.col("value") == F.lag("value").over(w), 1
+    ).otherwise(0)
+    return ev.select("event_type", stale.alias("stale")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("stale").alias("n_stale"),
+        F.round(F.avg(F.col("stale") * 1.0), 6).alias("stale_fraction"),
+    )
