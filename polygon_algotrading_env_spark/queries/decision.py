@@ -671,3 +671,66 @@ def yoy_revenue_growth_by_nation(spark, sf_dir):
         "yoy_growth",
         F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6),
     )
+
+
+# --- fulfillment-operations analytics -------------------------------------
+@register(
+    "shipment_span_by_priority",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderpriority,
+             CAST(floor((epoch(max(l.l_shipdate)) - epoch(min(l.l_shipdate)))
+                        / 86400) AS BIGINT) AS span_days,
+             count(*) AS n_lines
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           count(*)                                  AS n_orders,
+           round(avg(span_days), 6)                  AS avg_span_days,
+           CAST(max(span_days) AS BIGINT)            AS max_span_days,
+           round(avg(CASE WHEN n_lines > 1 AND span_days > 0
+                          THEN 1.0 ELSE 0.0 END), 6) AS frac_split_shipments
+    FROM spans GROUP BY 1
+    """,
+)
+def shipment_span_by_priority(spark, sf_dir):
+    """Fulfillment-operations report: per priority class, how long orders
+    stay partially shipped (first-to-last shipment span in days) and what
+    fraction actually split across multiple shipment days — the
+    operational cost urgent orders are supposed to avoid, surfaced
+    directly. One fact aggregate to order grain (exact epoch-day
+    arithmetic), one rollup to the 5-row priority grain."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("l_shipdate"))
+                    - F.unix_timestamp(F.min("l_shipdate"))
+                )
+                / 86400
+            ).alias("span_days"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return spans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("span_days"), 6).alias("avg_span_days"),
+        F.max("span_days").cast("bigint").alias("max_span_days"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_lines") > 1) & (F.col("span_days") > 0), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("frac_split_shipments"),
+    )

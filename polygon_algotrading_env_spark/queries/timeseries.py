@@ -3911,3 +3911,167 @@ def stale_tick_fraction(spark, sf_dir):
         F.sum("stale").alias("n_stale"),
         F.round(F.avg(F.col("stale") * 1.0), 6).alias("stale_fraction"),
     )
+
+
+@register(
+    "candle_pattern_census",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS t,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type,
+             abs(close - open)                    AS body,
+             high - low                           AS range,
+             least(open, close) - low             AS lower_wick,
+             high - greatest(open, close)         AS upper_wick,
+             lag(open)  OVER w AS p_open,
+             lag(close) OVER w AS p_close,
+             open, close
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    )
+    SELECT event_type,
+           count(*) AS n_bars,
+           sum(CASE WHEN range > 0 AND body * 10 <= range
+                    THEN 1 ELSE 0 END)                       AS n_doji,
+           sum(CASE WHEN range > 0 AND lower_wick >= 2 * body
+                     AND upper_wick * 3 <= range
+                    THEN 1 ELSE 0 END)                       AS n_hammer,
+           sum(CASE WHEN p_close IS NOT NULL
+                     AND close > open AND p_close < p_open
+                     AND close >= p_open AND open <= p_close
+                    THEN 1 ELSE 0 END)                       AS n_bull_engulf
+    FROM f GROUP BY 1
+    """,
+)
+def candle_pattern_census(spark, sf_dir):
+    """Candlestick pattern census per symbol: doji (body ≤ 10% of range),
+    hammer (long lower wick, short upper), and bullish engulfing (an up
+    body swallowing the prior down body) — the chart-pattern screens that
+    run as pure OHLC arithmetic, no images, no ML. All three thresholds
+    are integer-scaled comparisons (body·10 ≤ range, wick ≥ 2·body) so
+    the cuts are exact on both engines; engulfing needs one lag on the
+    per-symbol partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("t")
+    ).agg(
+        F.min_by("value", "ts_ns").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts_ns").alias("close"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    lower = F.least("open", "close") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    f = b.select(
+        "event_type",
+        body.alias("body"),
+        rng.alias("range"),
+        lower.alias("lower_wick"),
+        upper.alias("upper_wick"),
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+        "open",
+        "close",
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(
+            F.when(
+                (F.col("range") > 0) & (F.col("body") * 10 <= F.col("range")),
+                1,
+            ).otherwise(0)
+        ).alias("n_doji"),
+        F.sum(
+            F.when(
+                (F.col("range") > 0)
+                & (F.col("lower_wick") >= 2 * F.col("body"))
+                & (F.col("upper_wick") * 3 <= F.col("range")),
+                1,
+            ).otherwise(0)
+        ).alias("n_hammer"),
+        F.sum(
+            F.when(
+                F.col("p_close").isNotNull()
+                & (F.col("close") > F.col("open"))
+                & (F.col("p_close") < F.col("p_open"))
+                & (F.col("close") >= F.col("p_open"))
+                & (F.col("open") <= F.col("p_close")),
+                1,
+            ).otherwise(0)
+        ).alias("n_bull_engulf"),
+    )
+
+
+@register(
+    "am_pm_return_corr",
+    oracle="""
+    WITH half AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CASE WHEN extract(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END
+               AS half,
+             arg_min(value, ts) AS o,
+             arg_max(value, ts) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT event_type, d,
+             max(CASE WHEN half = 'am' THEN c / nullif(o, 0) - 1 END)
+               AS am_ret,
+             max(CASE WHEN half = 'pm' THEN c / nullif(o, 0) - 1 END)
+               AS pm_ret
+      FROM half GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*)                          AS n_days,
+           round(corr(am_ret, pm_ret), 6)    AS am_pm_corr
+    FROM wide
+    WHERE am_ret IS NOT NULL AND pm_ret IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def am_pm_return_corr(spark, sf_dir):
+    """Intraday momentum: the correlation between each day's morning and
+    afternoon returns per symbol — positive means AM strength carries
+    into the PM (intraday momentum), negative means reversal; the
+    statistic behind noon-rebalance strategies. Half-day open/close from
+    one aggregate per (symbol, day, half); the daily pivot is a 2-cell
+    conditional max; one correlation aggregate over the day-grain
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.when(F.hour("ts") < 12, "am").otherwise("pm").alias("half"),
+    ).agg(
+        F.min_by("value", "ts_ns").alias("o"),
+        F.max_by("value", "ts_ns").alias("c"),
+    )
+    ret = F.col("c") / F.nullif(F.col("o"), F.lit(0.0)) - 1
+    wide = half.groupBy("event_type", "d").agg(
+        F.max(F.when(F.col("half") == "am", ret)).alias("am_ret"),
+        F.max(F.when(F.col("half") == "pm", ret)).alias("pm_ret"),
+    )
+    return (
+        wide.where(
+            F.col("am_ret").isNotNull() & F.col("pm_ret").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("am_ret", "pm_ret"), 6).alias("am_pm_corr"),
+        )
+    )
