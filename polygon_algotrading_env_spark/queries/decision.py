@@ -734,3 +734,73 @@ def shipment_span_by_priority(spark, sf_dir):
             6,
         ).alias("frac_split_shipments"),
     )
+
+
+# --- association rules: co-purchase lift ----------------------------------
+@register(
+    "part_pair_lift_topk",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    freq AS (SELECT l_partkey, count(*) AS n_a FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           round(p.n_ab * 1.0 * x.n_orders / (fa.n_a * fb.n_a), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n x
+    ORDER BY lift DESC, p.part_a, p.part_b
+    LIMIT 20
+    """,
+)
+def part_pair_lift_topk(spark, sf_dir):
+    """Association-rule mining: the 20 co-purchased part pairs with the
+    highest lift P(A,B)/(P(A)·P(B)) at support ≥ 3 baskets — lift
+    separates genuinely-associated items from merely-popular ones, which
+    raw co-occurrence counts (the triangles/communities inputs) cannot.
+    Basket-distinct first (one row per order×part), pair counts from the
+    basket self-join with part ordering, marginals broadcast back, and
+    an exact-rational lift ranked with full tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_a"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_a").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("nb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

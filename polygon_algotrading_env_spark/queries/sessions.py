@@ -860,3 +860,81 @@ def volume_concentration_hhi(spark, sf_dir):
         F.round(F.sum(share * share), 6).alias("hhi"),
         F.round(F.max(share), 6).alias("top_share"),
     )
+
+
+@register(
+    "cohort_revenue_curve",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, ts, value,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM purch GROUP BY 1
+    ),
+    cells AS (
+      SELECT c.cohort_wk,
+             p.wk - c.cohort_wk AS age_wk,
+             sum(p.value)       AS rev,
+             count(DISTINCT p.user_id) AS n_buyers
+      FROM purch p JOIN cohort c ON p.user_id = c.user_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT cohort_wk, count(*) AS cohort_size
+      FROM cohort GROUP BY 1
+    )
+    SELECT ce.cohort_wk, ce.age_wk,
+           CAST(ce.n_buyers AS BIGINT)              AS n_buyers,
+           round(ce.rev, 4)                         AS revenue,
+           round(sum(ce.rev) OVER (PARTITION BY ce.cohort_wk
+                                   ORDER BY ce.age_wk
+                                   ROWS UNBOUNDED PRECEDING)
+                 / s.cohort_size, 6)                AS cum_ltv_per_user
+    FROM cells ce JOIN sized s ON ce.cohort_wk = s.cohort_wk
+    """,
+)
+def cohort_revenue_curve(spark, sf_dir):
+    """Cohort LTV curves: users grouped by first-purchase epoch-week, and
+    each cohort's CUMULATIVE revenue per original member by cohort age —
+    the payback-period curve finance reads off retention dashboards
+    (dividing by cohort SIZE, not active buyers, so churn shows as
+    flattening rather than survivorship-biased growth). Integer
+    epoch-week arithmetic both engines; cells are cohort×age grain; the
+    cumulative sum is a window over that tiny relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.floor(F.unix_timestamp("ts") / 604800).alias("wk"),
+    )
+    cohort = purch.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cells = (
+        purch.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(
+            F.sum("value").alias("rev"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
+    sized = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("age_wk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+            F.round("rev", 4).alias("revenue"),
+            F.round(
+                F.sum("rev").over(w) / F.col("cohort_size"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )
