@@ -804,3 +804,108 @@ def part_pair_lift_topk(spark, sf_dir):
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --- repeat-purchase cadence ----------------------------------------------
+@register(
+    "reorder_interval_by_segment",
+    oracle="""
+    WITH seq AS (
+      SELECT c.c_mktsegment,
+             CAST(floor((epoch(o.o_orderdate)
+                         - epoch(lag(o.o_orderdate)
+                             OVER (PARTITION BY o.o_custkey
+                                   ORDER BY o.o_orderdate, o.o_orderkey)))
+                        / 86400) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           count(gap_days)                         AS n_intervals,
+           round(avg(gap_days), 6)                 AS avg_gap_days,
+           round(median(gap_days), 6)              AS median_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def reorder_interval_by_segment(spark, sf_dir):
+    """Repeat-purchase cadence: days between a customer's consecutive
+    orders, summarized per market segment — the replenishment-cycle
+    input to demand forecasting and churn definitions ('inactive' should
+    mean 2-3× the segment's median gap, not an arbitrary 30 days). One
+    lag per customer (orderkey tiebreak for same-day orders), exact
+    epoch-day integers, and an exact median over the segment grain."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn(
+            "gap_days",
+            F.floor(
+                (
+                    F.unix_timestamp("o_orderdate")
+                    - F.unix_timestamp(F.lag("o_orderdate").over(w))
+                )
+                / 86400
+            ),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return seq.groupBy("c_mktsegment").agg(
+        F.count("gap_days").alias("n_intervals"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+            "median_gap_days"
+        ),
+    )
+
+
+# --- supply-chain risk: single-source parts -------------------------------
+@register(
+    "single_source_parts_by_brand",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    src AS (
+      SELECT l_partkey, count(*) AS n_suppliers FROM ps GROUP BY 1
+    )
+    SELECT p.p_brand,
+           count(*)                                            AS n_parts,
+           sum(CASE WHEN s.n_suppliers = 1 THEN 1 ELSE 0 END)  AS single_source,
+           round(avg(CASE WHEN s.n_suppliers = 1
+                          THEN 1.0 ELSE 0.0 END), 6)           AS single_source_rate
+    FROM src s JOIN part p ON p.p_partkey = s.l_partkey
+    GROUP BY 1
+    """,
+)
+def single_source_parts_by_brand(spark, sf_dir):
+    """Supply-chain concentration: per brand, the share of parts that have
+    only ever shipped from ONE supplier — the single-source risk census
+    procurement runs before a disruption makes it urgent. The
+    part↔supplier association distincts the fact once (the same bridge
+    role as the Q16 variety count, inverted to find scarcity instead of
+    variety); the brand rollup is dim-grain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    src = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    single = F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    return (
+        src.join(F.broadcast(part), src.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(single).alias("single_source"),
+            F.round(F.avg(single.cast("double")), 6).alias(
+                "single_source_rate"
+            ),
+        )
+    )

@@ -1238,3 +1238,82 @@ def hapax_ratio_by_source(spark, sf_dir):
             6,
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      WHERE 2 * length(list_intersect(a.s, b.s))
+            >= length(list_distinct(list_concat(a.s, b.s)))
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+    ),
+    clu AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    sizes AS (SELECT cluster, count(*) AS sz FROM clu GROUP BY 1)
+    SELECT sz AS cluster_size,
+           count(*)                       AS n_clusters,
+           CAST(sz * count(*) AS BIGINT)  AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Dedup effect-size report: the near-dup cluster-size distribution —
+    how many docs sit in singletons vs pairs vs bigger blobs — which is
+    the number that decides whether dedup is worth a pipeline stage at
+    all, and the denominator for 'X% of the corpus is redundant' claims.
+    CC labels reduce to cluster sizes, sizes to a histogram; both
+    reductions are tiny relative to the corpus."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from polygon_algotrading_env_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", F.array_distinct(char_ngrams("text", 5)).alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("s").alias("sb"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("lang_a") == F.col("lang_b")),
+        )
+        .filter(
+            2 * F.size(F.array_intersect("sa", "sb"))
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels = connected_components(
+        edges, vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
