@@ -4075,3 +4075,101 @@ def am_pm_return_corr(spark, sf_dir):
             F.round(F.corr("am_ret", "pm_ret"), 6).alias("am_pm_corr"),
         )
     )
+
+
+@register(
+    "return_dispersion_5m",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / nullif(lag(close) OVER (PARTITION BY event_type
+                                             ORDER BY bucket_start), 0) - 1
+               AS ret
+      FROM bars
+    ),
+    d AS (
+      SELECT bucket_start,
+             count(ret)          AS n_syms,
+             stddev_samp(ret)    AS disp
+      FROM r WHERE ret IS NOT NULL
+      GROUP BY 1 HAVING count(ret) = 5
+    )
+    SELECT count(*)                      AS n_buckets,
+           round(avg(disp), 6)           AS avg_dispersion,
+           round(max(disp), 6)           AS max_dispersion,
+           round(quantile_cont(disp, 0.9), 6) AS p90_dispersion
+    FROM d
+    """,
+)
+def return_dispersion_5m(spark, sf_dir):
+    """Cross-sectional return dispersion: the stddev ACROSS symbols within
+    each bucket — the dispersion-trading signal (high dispersion = stock-
+    picking pays, low = index-like tape) and the denominator of
+    correlation-regime monitors. Per-bucket stddev over symbol-count-
+    sized groups, balanced buckets only; the summary reduces the bucket-
+    grain series with an exact interpolated p90."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret",
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1,
+    ).where(F.col("ret").isNotNull())
+    d = (
+        r.groupBy("bucket_start")
+        .agg(
+            F.count("ret").alias("n_syms"),
+            F.stddev_samp("ret").alias("disp"),
+        )
+        .where(F.col("n_syms") == 5)
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg("disp"), 6).alias("avg_dispersion"),
+        F.round(F.max("disp"), 6).alias("max_dispersion"),
+        F.round(F.expr("percentile(disp, 0.9)"), 6).alias("p90_dispersion"),
+    )
+
+
+@register(
+    "trade_size_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value DESC, event_id) AS rnk
+      FROM events WHERE value > 0
+    )
+    SELECT count(*)                                    AS n_tail,
+           round(regr_slope(ln(rnk), ln(value)), 6)    AS tail_slope,
+           round(regr_r2(ln(rnk), ln(value)), 6)       AS r2
+    FROM ranked WHERE rnk <= 1000
+    """,
+)
+def trade_size_tail_index(spark, sf_dir):
+    """Power-law tail test for trade sizes: the log-log CCDF slope over
+    the 1000 largest trades (rank vs size) — real order flow runs a
+    Pareto tail with slope ≈ −1.5 (the 'inverse cubic law' territory)
+    while lognormal or uniform generators flatten out; execution models
+    calibrated on the wrong tail misprice large-order risk. The global
+    ranking touches only the top-k (TakeOrderedAndProject-sized at any
+    corpus scale via a size-threshold pushdown in production); the
+    regression is one moment aggregate over 1000 rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    from pyspark.sql import Window
+
+    ranked = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy(F.desc("value"), "event_id"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 1000)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(F.regr_slope(F.log("rnk"), F.log("value")), 6).alias(
+            "tail_slope"
+        ),
+        F.round(F.regr_r2(F.log("rnk"), F.log("value")), 6).alias("r2"),
+    )
