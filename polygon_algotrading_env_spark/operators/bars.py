@@ -245,8 +245,12 @@ def threshold_bars(
     bar (time bars oversample quiet periods and undersample bursts).
 
     bar_id = floor(pre-tick cumulative measure / threshold): a tick joins
-    the bar that was open when it arrived, so every bar's measure sum is
-    ≥ threshold except the (possibly partial) last. The cumulative sum is
+    the bar that was open when it arrived. A single tick larger than the
+    threshold swallows several multiples at once, so bar ids may SKIP and
+    the bar after an overshooting tick can come in under the threshold —
+    information-driven bars equalize measure only up to the granularity
+    of individual ticks (the standard caveat); ids remain strictly
+    increasing in time and measure is conserved. The cumulative sum is
     ONE ordered window per key — sequential evaluation makes the float
     prefix sums identical in any engine that orders the same way — and
     the OHLC reduction groups on (key, bar_id) like any time bar. Emits

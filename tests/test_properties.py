@@ -435,3 +435,108 @@ def test_resize_identity_and_palette_law(spark, h, w, seed):
     in_pal = {tuple(p) for p in img.reshape(-1, 3)}
     out_pal = {tuple(p) for p in out.reshape(-1, 3)}
     assert out_pal <= in_pal
+
+
+# --- threshold (dollar/volume) bars law ------------------------------------
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.5, max_value=50, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    threshold=st.floats(min_value=5, max_value=100, allow_nan=False),
+)
+def test_threshold_bars_measure_law(spark, vals, threshold):
+    """Bar assignment equals the brute-force pre-sum reference exactly
+    (identical sequential arithmetic), ids strictly increase in time,
+    tick counts and measure are conserved — for arbitrary positive
+    streams and thresholds, including single ticks that overshoot
+    several threshold multiples (which legitimately SKIP bar ids)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.bars import threshold_bars
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("K", t0 + timedelta(seconds=i), float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, value double")
+    out = threshold_bars(
+        df, measure_col="value", threshold=float(threshold), keys=("sym",),
+        ts_col="ts", price_col="value",
+    ).orderBy("bar_id").collect()
+    ref = defaultdict(lambda: [0, 0.0])  # bar_id -> [n_ticks, measure]
+    pre = 0.0
+    for v in vals:
+        b = int(pre // float(threshold))
+        ref[b][0] += 1
+        ref[b][1] += float(v)
+        pre += float(v)
+    assert {r["bar_id"] for r in out} == set(ref)
+    ids = [r["bar_id"] for r in out]
+    assert ids == sorted(ids)
+    assert sum(r["n_ticks"] for r in out) == len(vals)
+    assert abs(sum(r["measure"] for r in out) - sum(vals)) < 1e-6
+    for r in out:
+        assert r["n_ticks"] == ref[r["bar_id"]][0]
+        assert abs(r["measure"] - ref[r["bar_id"]][1]) < 1e-9
+
+
+# --- triple-barrier vs brute force -----------------------------------------
+
+@SLOW
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    pt=st.floats(min_value=0.01, max_value=0.2, allow_nan=False),
+)
+def test_triple_barrier_matches_bruteforce(spark, seed, pt):
+    """Labels and first-touch indexes equal a straight scan of the
+    forward path for random walks and any barrier width."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.backtest import (
+        triple_barrier_labels,
+    )
+
+    rng = np.random.default_rng(seed)
+    prices = 100.0 * np.cumprod(1 + rng.normal(0, 0.03, 40))
+    horizon = 6
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("S", t0 + timedelta(minutes=5 * i), float(p))
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket_start timestamp, close double"
+    )
+    got = {
+        r["bucket_start"]: (r["label"], r["bars_to_hit"])
+        for r in triple_barrier_labels(
+            df, horizon=horizon, profit_take=float(pt), stop_loss=float(pt)
+        ).collect()
+    }
+    n = len(prices)
+    assert len(got) == max(0, n - horizon)
+    for i in range(n - horizon):
+        entry = prices[i]
+        up, dn = entry * (1 + pt), entry * (1 - pt)
+        hit_up = hit_dn = None
+        for k in range(1, horizon + 1):
+            p = prices[i + k]
+            if hit_up is None and p >= up:
+                hit_up = k
+            if hit_dn is None and p <= dn:
+                hit_dn = k
+        if hit_up is not None and (hit_dn is None or hit_up < hit_dn):
+            ref = (1, hit_up)
+        elif hit_dn is not None:
+            ref = (-1, hit_dn)
+        else:
+            ref = (0, None)
+        ts = t0 + timedelta(minutes=5 * i)
+        assert got[ts] == ref, (i, got[ts], ref)
