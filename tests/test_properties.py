@@ -540,3 +540,41 @@ def test_triple_barrier_matches_bruteforce(spark, seed, pt):
             ref = (0, None)
         ts = t0 + timedelta(minutes=5 * i)
         assert got[ts] == ref, (i, got[ts], ref)
+
+
+# --- MG certificate soundness ----------------------------------------------
+
+@SLOW
+@given(
+    head=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=20, max_value=80),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    tail_n=st.integers(min_value=0, max_value=150),
+    capacity=st.integers(min_value=4, max_value=32),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_mg_certificate_soundness(spark, head, tail_n, capacity, k):
+    """Whenever the certificate comes back TRUE, the returned rows equal
+    the exact full-shuffle top-k (same keys, same counts, same order) —
+    for arbitrary skews, capacities, and k. An uncertified answer makes
+    no claim and is not checked."""
+    from collections import Counter
+
+    from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
+
+    rows = [(key,) for key, reps in head for _ in range(reps)]
+    rows += [(1000 + i,) for i in range(tail_n)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(3)
+    out = mg_heavy_hitters(df, "key", k=k, capacity=capacity).collect()
+    if not out or not out[0]["certified"]:
+        return
+    true = Counter(key for (key,) in rows)
+    expect = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[: len(out)]
+    got = [(r["key"], r["cnt"]) for r in out]
+    assert got == expect, (got, expect)
