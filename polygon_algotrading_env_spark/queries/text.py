@@ -1317,3 +1317,55 @@ def dup_cluster_size_histogram(spark, sf_dir):
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from polygon_algotrading_env_spark.queries.text import _lang_oracle
+
+    return f"""
+    WITH pred AS ({_lang_oracle()})
+    SELECT d.lang, p.lang_pred, count(*) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("lang_label_confusion", oracle=_lang_confusion_oracle())
+def lang_label_confusion(spark, sf_dir):
+    """Metadata-vs-content audit: the confusion matrix between each
+    document's DECLARED language label and the content-based stopword
+    prediction — off-diagonal mass is either mislabeled metadata or a
+    weak detector, and both mean language-conditioned curation (balanced
+    downsampling, per-lang quality cuts) is slicing on a lie. Composes
+    the certified lang-ID expression with the labels in one pass; the
+    matrix is lang×lang grain."""
+    from polygon_algotrading_env_spark.functions.text import (
+        LANG_MARKERS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = list(LANG_MARKERS)
+    hit_cols = [
+        stopword_hits("text", ws).cast("int").alias(f"h_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *hit_cols)
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = F.col(f"h_{lang}") > 0
+        for j, other in enumerate(langs):
+            if other != lang:
+                op = (
+                    F.col(f"h_{lang}") >= F.col(f"h_{other}")
+                    if j > i
+                    else F.col(f"h_{lang}") > F.col(f"h_{other}")
+                )
+                cond = cond & op
+        expr = F.when(cond, lang).otherwise(expr)
+    return (
+        scored.select("lang", expr.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
