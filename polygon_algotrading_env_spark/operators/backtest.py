@@ -285,9 +285,13 @@ def block_bootstrap_stat(
     point = series.groupBy(*keys).agg(
         (F.avg(value_col) / F.stddev_samp(value_col)).alias("sharpe_point")
     )
+    # n_resamples counts NON-NULL __sr only: a degenerate resample (zero
+    # sample stddev, or a single-row key) yields NULL __sr, which
+    # percentile() drops — the reported CI must not claim more resamples
+    # than it was computed over.
     ci = per_resample.groupBy(*keys).agg(
         F.expr("percentile(__sr, 0.025)").alias("ci_lo"),
         F.expr("percentile(__sr, 0.975)").alias("ci_hi"),
-        F.count(F.lit(1)).alias("n_resamples"),
+        F.count("__sr").alias("n_resamples"),
     )
     return point.join(ci, list(keys))

@@ -255,9 +255,13 @@ def threshold_bars(
     prefix sums identical in any engine that orders the same way — and
     the OHLC reduction groups on (key, bar_id) like any time bar. Emits
     start/end as epoch-millis bigints (cross-engine timestamp-safe).
+
+    open/close tie-break on the EXACT total order (the raw order_col, or
+    ts_col at full timestamp precision) — never on the millisecond
+    rendering, which would make sub-ms tick order nondeterministic.
     """
-    order = [F.col(order_col)] if order_col else [F.col(ts_col)]
-    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+    ord_expr = F.col(order_col) if order_col else F.col(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ord_expr).rowsBetween(
         Window.unboundedPreceding, 0
     )
     m = F.col(measure_col)
@@ -265,10 +269,11 @@ def threshold_bars(
     bar = F.floor(pre / F.lit(threshold)).alias(bar_col)
     # Exact integer DIV, never a double round-trip: epoch nanos exceed
     # 2^53, so float division can land on the wrong millisecond.
+    # unix_millis (not unix_timestamp*1000) keeps sub-second precision.
     ms = (
         F.expr(f"{order_col} DIV 1000000")
         if order_col
-        else (F.unix_timestamp(ts_col) * 1000).cast("long")
+        else F.unix_millis(F.col(ts_col).cast("timestamp"))
     )
     ticked = df.select(
         *keys,
@@ -276,12 +281,13 @@ def threshold_bars(
         F.col(price_col).alias("__p"),
         m.alias("__m"),
         ms.alias("__ms"),
+        ord_expr.alias("__ord"),
     )
     return ticked.groupBy(*keys, bar_col).agg(
-        F.min_by("__p", "__ms").alias("open"),
+        F.min_by("__p", "__ord").alias("open"),
         F.max("__p").alias("high"),
         F.min("__p").alias("low"),
-        F.max_by("__p", "__ms").alias("close"),
+        F.max_by("__p", "__ord").alias("close"),
         F.sum("__m").alias("measure"),
         F.count(F.lit(1)).alias("n_ticks"),
         F.min("__ms").alias("start_ms"),

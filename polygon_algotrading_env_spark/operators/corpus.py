@@ -174,6 +174,12 @@ def isotonic_calibrate(
     Deterministic: ties in score sort by the target then row order, and
     PAV's solution is unique regardless of pooling order. Groups with a
     single row calibrate to their own target.
+
+    WARNING — keys=() serializes the WORLD onto one task: the keyless
+    fallback is a single global PAV fit (groupBy(lit(1)) grouped map),
+    acceptable only for driver-scale calibration sets (≲ millions of
+    rows). At corpus scale always pass keys (per-domain / per-source
+    calibration), which is also the statistically-sensible fit.
     """
     import numpy as np
     import pandas as pd

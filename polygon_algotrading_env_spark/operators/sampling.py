@@ -282,8 +282,12 @@ def mixture_resample(
     membership is hash-order rank (md5 of the row key, ties by key), the
     repo's reproducible-sampling idiom: stable across runs, engines, and
     partitionings, unlike seeded sample(). Groups absent from ``weights``
-    are dropped. One count aggregate (group-sized), one broadcast of the
-    quota table, one per-group rank window — the fact shuffles once.
+    are dropped. A weight group with ZERO rows in the data is an error:
+    c = min(n/w) would be 0 and the realized mixture could silently stop
+    matching the declared targets (the check is a len(weights)-bounded
+    metadata collect, not a data funnel). One count aggregate
+    (group-sized), one broadcast of the quota table, one per-group rank
+    window — the fact shuffles once.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -294,6 +298,17 @@ def mixture_resample(
         [(g, float(w)) for g, w in weights.items()], [group_col, "wt"]
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    j_all = F.broadcast(wdf).join(counts, group_col, "left")
+    missing = [
+        r[group_col]
+        for r in j_all.where(F.col("n").isNull()).select(group_col).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"weight groups absent from data: {sorted(missing)} — every "
+            "target-mixture group needs >=1 row (c = min(n/w) would be 0 "
+            "and the realized mixture would not match the targets)"
+        )
     j = counts.join(F.broadcast(wdf), group_col)
     c = j.agg(F.min(F.col("n") / F.col("wt")).alias("c"))
     targets = (

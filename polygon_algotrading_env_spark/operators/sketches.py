@@ -135,9 +135,12 @@ def mg_heavy_hitters(
     callers see ``false`` instead of a silently-approximate answer (raise
     capacity toward N/kth_count to certify; capacity ≥ |domain| always
     certifies and still never shuffles more than the domain itself).
-    Degenerate case: on perfectly uniform data every trim subtracts the
-    common count, summaries come back empty, and the result is the empty
-    set — fewer than k rows returned IS the uncertified signal there.
+    Completeness is part of the flag: if the candidate set yields FEWER
+    than k rows (e.g. perfectly uniform data, where every trim subtracts
+    the common count and summaries come back empty), the returned prefix
+    may be exact but it is not the full top-k, so every row carries
+    ``certified = false`` — a short result can never be misread as a
+    complete certificate.
     """
     from pyspark.sql import Window
 
@@ -153,12 +156,15 @@ def mg_heavy_hitters(
     # single partition is trivial), NOT a second aggregate of the top-k
     # subtree: a crossJoin(agg(topk)) would re-execute the candidate
     # recount a second time.
-    kth = F.min("cnt").over(Window.partitionBy())
+    w_all = Window.partitionBy()
+    kth = F.min("cnt").over(w_all)
+    n_rows = F.count(F.lit(1)).over(w_all)
     return (
         topk.crossJoin(F.broadcast(n_total))
         .withColumn(
             "certified",
-            kth * F.lit(capacity + 1) > F.col("n_total"),
+            (kth * F.lit(capacity + 1) > F.col("n_total"))
+            & (n_rows == F.lit(k)),
         )
         .drop("n_total")
     )

@@ -231,7 +231,7 @@ def hashed_tfidf_features(spark, sf_dir):
 
 @register(
     "char_entropy_docs",
-    oracle="""
+    oracle=r"""
     WITH chars AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\s\S]')) AS ch
       FROM documents

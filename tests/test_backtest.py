@@ -128,3 +128,29 @@ def test_block_bootstrap_deterministic_and_sane(spark):
     ).collect()[0]
     assert abs(out1["ci_lo"] - out2["ci_lo"]) < 1e-12
     assert abs(out1["ci_hi"] - out2["ci_hi"]) < 1e-12
+
+
+def test_block_bootstrap_degenerate_resamples_not_overcounted(spark):
+    """A key whose values are constant yields NULL __sr (zero stddev) for
+    every resample; percentile() drops NULLs, so n_resamples must count
+    the non-null statistics actually aggregated — 0 here — rather than
+    the requested resample count (r4 ADVICE)."""
+    from polygon_algotrading_env_spark.operators.backtest import (
+        block_bootstrap_stat,
+    )
+
+    rows = [("FLAT", i, 1.0) for i in range(40)] + [
+        ("VAR", i, float((i * 7) % 5 - 2)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "sym string, t long, pnl double")
+    out = {
+        r["sym"]: r
+        for r in block_bootstrap_stat(
+            df, "pnl", keys=("sym",), order_col="t",
+            n_resamples=20, block_len=8,
+        ).collect()
+    }
+    assert out["FLAT"]["n_resamples"] == 0
+    assert out["FLAT"]["ci_lo"] is None and out["FLAT"]["ci_hi"] is None
+    assert out["VAR"]["n_resamples"] == 20
+    assert out["VAR"]["ci_lo"] <= out["VAR"]["ci_hi"]

@@ -158,3 +158,51 @@ def test_fill_bar_gaps_interpolate(spark):
     assert a[datetime(2024, 1, 1, 10, 15)]["close"] == 16.0
     with _pytest.raises(ValueError, match="fill method"):
         fill_bar_gaps(bars, "5 minutes", keys=("event_type",), method="spline")
+
+
+def test_threshold_bars_sub_ms_tick_order(spark):
+    """Two ticks INSIDE the same millisecond: open/close must follow the
+    exact nano order (order_col), never its millisecond rendering — the
+    sub-ms regime is the norm for real tick data (r4 ADVICE repro:
+    10.0-then-20.0 within one ms must give open=10, close=20)."""
+    from polygon_algotrading_env_spark.operators.bars import threshold_bars
+
+    base_ns = 1_704_103_200_000_000_000  # 2024-01-01 10:00:00 UTC in nanos
+    rows = [
+        ("X", datetime(2024, 1, 1, 10, 0, 0), base_ns + 100, 10.0),
+        ("X", datetime(2024, 1, 1, 10, 0, 0), base_ns + 900, 20.0),
+        ("X", datetime(2024, 1, 1, 10, 0, 0), base_ns + 500, 15.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "sym string, ts timestamp_ntz, ts_ns long, value double"
+    )
+    b = threshold_bars(
+        df, measure_col="value", threshold=1000.0, keys=("sym",),
+        ts_col="ts", price_col="value", order_col="ts_ns",
+    ).collect()
+    assert len(b) == 1
+    assert b[0]["open"] == 10.0 and b[0]["close"] == 20.0
+    assert b[0]["start_ms"] == b[0]["end_ms"] == base_ns // 1_000_000
+
+
+def test_threshold_bars_default_order_subsecond(spark):
+    """order_col=None path: sub-second timestamps must still order
+    open/close correctly AND start/end_ms must carry sub-second millis
+    (unix_millis, not unix_timestamp*1000 which truncates to seconds)."""
+    from datetime import timedelta
+
+    from polygon_algotrading_env_spark.operators.bars import threshold_bars
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("X", t0 + timedelta(milliseconds=250), 10.0),
+        ("X", t0 + timedelta(milliseconds=750), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, value double")
+    b = threshold_bars(
+        df, measure_col="value", threshold=1000.0, keys=("sym",),
+        ts_col="ts", price_col="value",
+    ).collect()
+    assert len(b) == 1
+    assert b[0]["open"] == 10.0 and b[0]["close"] == 20.0
+    assert b[0]["end_ms"] - b[0]["start_ms"] == 500

@@ -192,3 +192,19 @@ def test_mixture_resample_validates_weights(spark):
         mixture_resample(df, "grp", {})
     with _pytest.raises(ValueError):
         mixture_resample(df, "grp", {"a": 0.0})
+
+
+def test_mixture_resample_missing_weight_group_raises(spark):
+    """A declared target group with ZERO rows would drive c = min(n/w) to 0
+    and silently break the realized mixture; the operator must refuse
+    loudly instead (r4 ADVICE)."""
+    import pytest as _pytest
+    from polygon_algotrading_env_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(20)], ["doc_id", "grp"]
+    )
+    with _pytest.raises(ValueError, match="absent from data.*de"):
+        mixture_resample(df, "grp", {"en": 0.5, "fr": 0.3, "de": 0.2})

@@ -162,3 +162,25 @@ def test_mg_candidates_complete_above_threshold(spark):
     for r in truth:
         if r["count"] > n / (capacity + 1):
             assert r["k"] in cands, (r["k"], r["count"])
+
+
+def test_mg_heavy_hitters_short_result_is_uncertified(spark):
+    """Fewer candidates than k: the returned prefix may be exact but it is
+    NOT the full top-k, so completeness is folded into the flag — every
+    row must read certified=false (r4 ADVICE: a short certified result
+    must be impossible to misread as a complete top-k certificate)."""
+    from polygon_algotrading_env_spark.operators.sketches import mg_heavy_hitters
+
+    # 3 distinct keys, heavily skewed: candidates < k=5, bound holds for
+    # the rows that DO come back — but the flag must still be false.
+    df = spark.createDataFrame(
+        [(1,)] * 900 + [(2,)] * 90 + [(3,)] * 10, ["k"]
+    ).repartition(4)
+    out = mg_heavy_hitters(df, "k", k=5, capacity=64).collect()
+    assert 0 < len(out) < 5
+    assert not any(r["certified"] for r in out)
+    # with k == |domain| (and capacity clearing kth·(cap+1) > N:
+    # 10·129 > 1000) the same data certifies fully
+    full = mg_heavy_hitters(df, "k", k=3, capacity=128).collect()
+    assert [(r["k"], r["cnt"]) for r in full] == [(1, 900), (2, 90), (3, 10)]
+    assert all(r["certified"] for r in full)
