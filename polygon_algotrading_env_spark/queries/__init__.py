@@ -93,19 +93,21 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # ORACLE-BEARING query inside it (composite "suite" queries consolidate
 # single-table scalar variants to make room). Everything else follows in
 # stable order — oracle-bearing queries first, rows-only checks last.
-# Round-4 rotation (per r3 VERDICT): eight slots certified in EVERY prior
-# driver round (r1-r3, see CORRECTNESS_r0{1,2,3}.json) rotate out to the
-# post-window tail — their families stay anchored by in-window siblings or
-# by that prior certification (PRIOR_DRIVER_CERTIFIED below) — making room
-# for the round-3 flagships that have only local oracle runs so far.
+# Round-5 rotation (per r4 VERDICT): ten slots whose families are anchored
+# by recorded prior certification (CORRECTNESS_r0{1..4}.json — six
+# multi-round greens plus the four r3 flagships certified in r04) rotate
+# to the post-window tail, making room for the round-4 flagships: the
+# microstructure pack, the bigram LM, the cluster-aware split, the
+# multi-grain GROUPING SETS ladder, and four TPC-H decision shapes
+# (Q3/Q6/Q8/Q20) that have only local oracle runs so far.
 DRIVER_WINDOW: tuple[str, ...] = (
     # filters / projection / dedup / distinct (P1-P5, D1-D2)
     "filter_mktsegment",
-    "project_customer",
+    # project_customer rotated out r5 (green r1-r4); projection is also
+    # exercised by every suite query
     "dedup_overlapping_batches",
-    # ordering / top-k (O1-O4)
-    "sort_by_name_length",
-    "topk_orders_by_price",
+    # ordering / top-k rotated out r5 (green r1-r4); family anchored by
+    # prior certification. Q3 keeps an in-window top-k shape anyway.
     # set ops: union_order_slices rotated out mid-r4 (green r1+r2+r3);
     # family anchored by that prior certification
     # scalar-function suites (F1-F12 + null handling + map/timezone)
@@ -121,7 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # max_shipdate_watermark rotated out r4, argmax keeps A1-A3 anchored;
     # rollup rotated out mid-r4 after three green rounds — grouping-set
     # semantics stay anchored by that certification)
-    "argmax_order_by_price",
+    # argmax rotated out r5 (green r1-r4; A1-A3 anchored by prior certs)
     "pricing_summary",
     "count_distinct_parts_per_flag",
     "exact_percentiles_per_flag",
@@ -140,12 +142,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "left_outer_order_count_histogram",
     "star_join_revenue_by_region",
     "asof_latest_order_before_event",
-    "band_join_events_60s",
+    # band_join_events_60s rotated out r5 (green r1-r4); interval-join
+    # family anchored by prior certification
     # windows / indicators (W1-W4; lag rotated out r4, range_frame keeps
     # ordered-window semantics anchored; pairwise correlation new r4)
     "rownum_recent_orders_per_customer",
     "moving_avg_price_per_supplier",
-    "range_frame_30d_qty",
+    # range_frame_30d_qty rotated out r5 (green r1-r4)
     "rsi_14_per_event_type",
     "return_correlation_pairs",
     # time-series bars / backtest / adjusted gold / sessions (A7, W3, J3)
@@ -171,12 +174,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "train_val_test_split",
     "context_window_packing",
     "profile_orders_columns",
-    # round-3 flagship operators: distributed ordinals, SCD2 dims,
-    # replica fingerprints, degree-oriented triangle counting
-    "global_ordinals_orders",
-    "scd2_customer_refresh",
-    "fingerprint_orders",
-    "copurchase_triangles",
+    # round-3 flagships rotated out r5 after r04 certification
+    # (global_ordinals_orders, scd2_customer_refresh, fingerprint_orders,
+    # copurchase_triangles -> PRIOR_DRIVER_CERTIFIED).
+    # round-4 flagships, driver-certified for the first time this round:
+    # microstructure / labeling / LM-scoring / leakage-free-split packs
+    "pairs_spread_zscore",
+    "vpin_volume_buckets",
+    "triple_barrier_labels_5m",
+    "bigram_logprob_docs",
+    "cluster_aware_split",
+    "multigrain_bars_rollup",
+    # TPC-H decision shapes (Q3 / Q6 / Q8 / Q20)
+    "pending_order_revenue_topk",
+    "discount_band_revenue",
+    "nation_market_share_economy",
+    "excess_part_shippers",
 )
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
@@ -186,6 +199,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 5 (green r1-r4, or r04 for the four r3
+        # flagships that entered the window in round 4)
+        "project_customer",
+        "sort_by_name_length",
+        "topk_orders_by_price",
+        "argmax_order_by_price",
+        "band_join_events_60s",
+        "range_frame_30d_qty",
+        "global_ordinals_orders",
+        "scd2_customer_refresh",
+        "fingerprint_orders",
+        "copurchase_triangles",
         # rotated out in round 4 (green r1+r2+r3, or r2+r3 for the three
         # reshape reps that entered the window in round 2)
         "filter_ship_after_watermark",

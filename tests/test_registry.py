@@ -101,6 +101,17 @@ def test_every_capability_family_in_window():
         "scd2": "scd2_customer_refresh",
         "fingerprint": "fingerprint_orders",
         "graph_triangles": "copurchase_triangles",
+        # round-5 window entrants (r4 flagship families)
+        "microstructure_pairs": "pairs_spread_zscore",
+        "microstructure_vpin": "vpin_volume_buckets",
+        "labeling_triple_barrier": "triple_barrier_labels_5m",
+        "lm_scoring": "bigram_logprob_docs",
+        "split_cluster_aware": "cluster_aware_split",
+        "agg_grouping_sets": "multigrain_bars_rollup",
+        "tpch_decision_topk": "pending_order_revenue_topk",
+        "tpch_decision_scan": "discount_band_revenue",
+        "tpch_decision_share": "nation_market_share_economy",
+        "tpch_decision_corr_sub": "excess_part_shippers",
     }
     missing = {
         f: q
