@@ -5,11 +5,12 @@ scale, media travels as opaque ``binary`` columns with typed metadata
 structs; all Spark-side mechanics — schemas, partition-friendly batch
 processing via ``mapInPandas`` (Arrow record batches), frame fan-out — are
 real and tested here. The codec step is isolated behind ``decoder``
-callables: ``audio`` (RIFF/WAVE PCM) and ``image`` (Netpbm P5/P6) decode
-for real with pure-Python parsers — no codec libraries needed — while
-``video`` and other container formats need an injected decoder (ffmpeg
-etc. are not in this container); the default raises
-``NotImplementedError`` for those, and tests can inject a fake.
+callables, and all three declared kinds decode for real with pure-Python
+parsers — no codec libraries needed: ``audio`` (RIFF/WAVE PCM), ``image``
+(Netpbm P5/P6), ``video`` (YUV4MPEG2 planar). Compressed container
+formats (mp4/jpeg/mp3…) need an injected decoder (ffmpeg etc. are not in
+this container); the built-in parsers raise ValueError on bytes they
+don't own, so misrouted blobs fail loudly.
 
 Layout guidance at scale: media tables should be written with
 ``write_partitioned(..., ["kind"])`` and a bucket on ``media_id``; Arrow
@@ -200,18 +201,170 @@ def image_features(content: bytes, dim: int = 8) -> list[float]:
     return feats[:dim] + [0.0] * max(0, dim - len(feats))
 
 
+_Y4M_PLANE_DIV = {
+    # colorspace tag -> (chroma_w_divisor, chroma_h_divisor); None = no chroma
+    "C420": (2, 2), "C420jpeg": (2, 2), "C420mpeg2": (2, 2),
+    "C420paldv": (2, 2), "C422": (2, 1), "C444": (1, 1), "Cmono": None,
+}
+
+
+def decode_y4m(content: bytes) -> tuple[np.ndarray, float]:
+    """Pure-Python YUV4MPEG2 (.y4m) decode → (frames as TxHxWx3 RGB uint8,
+    fps). Y4M is the uncompressed video interchange format: a plain-text
+    stream header (``YUV4MPEG2 W.. H.. F<num>:<den> .. C<colorspace>``),
+    then per-frame ``FRAME`` marker lines each followed by raw planar YUV
+    — the same role PPM plays for images, parseable with no codec stack.
+    Supports C420 (all variants; chroma nearest-upsampled), C422, C444
+    and Cmono (broadcast), 8-bit only. YUV→RGB is BT.601 full-range.
+    Raises ValueError on malformed input — undecodable media must fail
+    loudly, not yield garbage features."""
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = 0
+    fps_num, fps_den = 25, 1
+    cs = "C420"
+    for tok in content[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "F":
+            num, _, den = t[1:].partition(":")
+            fps_num, fps_den = int(num), int(den or 1)
+        elif t[0] == "C":
+            cs = t
+        # I (interlace), A (aspect), X (extensions) don't affect the raster
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"bad frame rate {fps_num}:{fps_den}")
+    if cs not in _Y4M_PLANE_DIV:
+        raise ValueError(f"unsupported Y4M colorspace {cs} (8-bit planar only)")
+    div = _Y4M_PLANE_DIV[cs]
+    if div is not None and (width % div[0] or height % div[1]):
+        raise ValueError(f"{cs} needs dimensions divisible by {div}")
+    y_size = width * height
+    c_size = 0 if div is None else (width // div[0]) * (height // div[1])
+
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        fnl = content.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        pos = fnl + 1
+        need = y_size + 2 * c_size
+        raw = content[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated Y4M frame raster")
+        pos += need
+        y = np.frombuffer(raw, dtype=np.uint8, count=y_size).reshape(
+            height, width
+        ).astype(np.float64)
+        if div is None:
+            rgb = np.repeat(y[:, :, None], 3, axis=2)
+        else:
+            ch, cw = height // div[1], width // div[0]
+            u = np.frombuffer(raw, np.uint8, c_size, y_size).reshape(ch, cw)
+            v = np.frombuffer(raw, np.uint8, c_size, y_size + c_size).reshape(
+                ch, cw
+            )
+            # nearest-neighbor chroma upsample back to full resolution
+            u = np.repeat(np.repeat(u, div[1], 0), div[0], 1).astype(np.float64)
+            v = np.repeat(np.repeat(v, div[1], 0), div[0], 1).astype(np.float64)
+            r = y + 1.402 * (v - 128.0)
+            g = y - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
+            b = y + 1.772 * (u - 128.0)
+            rgb = np.stack([r, g, b], axis=2)
+        frames.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), fps_num / fps_den
+
+
+def encode_y4m(
+    frames: np.ndarray, fps_num: int = 25, fps_den: int = 1, mono: bool = False
+) -> bytes:
+    """Inverse of :func:`decode_y4m` (C444, or Cmono with ``mono=True``) —
+    lets tests and fixtures synthesize real video bytes without codec
+    libraries. RGB→YUV is BT.601 full-range; grayscale content survives
+    a C444 round-trip byte-exactly (U=V=128 ⇒ the transform is identity
+    on Y)."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim == 3:  # T x H x W grayscale
+        arr = np.repeat(arr[:, :, :, None], 3, axis=3)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected TxHxWx3 uint8, got shape {arr.shape}")
+    t, h, w = arr.shape[:3]
+    cs = b"Cmono" if mono else b"C444"
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps_num, fps_den, cs)]
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+    if not mono:
+        u = np.clip(
+            np.rint(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255
+        ).astype(np.uint8)
+        v = np.clip(
+            np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255
+        ).astype(np.uint8)
+    for i in range(t):
+        out.append(b"FRAME\n")
+        out.append(y[i].tobytes())
+        if not mono:
+            out.append(u[i].tobytes())
+            out.append(v[i].tobytes())
+    return b"".join(out)
+
+
+def video_features(content: bytes, dim: int = 8) -> list[float]:
+    """Real video features from Y4M bytes: frame count, duration,
+    normalized fps and dimensions, mean/std luminance across all frames,
+    and mean absolute inter-frame luminance delta (the cheap motion proxy
+    a curation pass filters static or strobing clips on). Mirrors
+    :func:`wav_features` / :func:`image_features`."""
+    frames, fps = decode_y4m(content)
+    t, h, w = frames.shape[:3]
+    px = frames.astype(np.float64) / 255.0
+    lum = 0.2126 * px[..., 0] + 0.7152 * px[..., 1] + 0.0722 * px[..., 2]
+    motion = float(np.mean(np.abs(np.diff(lum, axis=0)))) if t > 1 else 0.0
+    feats = [
+        float(t),
+        t / fps,
+        fps / 60.0,
+        w / 4096.0,
+        h / 4096.0,
+        float(lum.mean()),
+        float(lum.std()),
+        motion,
+    ]
+    return feats[:dim] + [0.0] * max(0, dim - len(feats))
+
+
 def default_decoder(content: bytes, kind: str) -> list[float]:
-    """Decode/feature-extract dispatch. ``audio`` WAV bytes and ``image``
-    Netpbm bytes decode for real (pure-Python RIFF/PCM and P5/P6 parses,
-    :func:`wav_features` / :func:`image_features`); other kinds need a
-    codec stack (ffmpeg etc.) injected via ``decoder=`` in deployments
-    that have one."""
+    """Decode/feature-extract dispatch — every declared media kind now has
+    a real pure-Python codec: ``audio`` RIFF/WAVE PCM, ``image`` Netpbm
+    P5/P6, ``video`` YUV4MPEG2 (:func:`wav_features` /
+    :func:`image_features` / :func:`video_features`). Compressed container
+    formats (mp4/mkv/jpeg/mp3…) need a codec stack (ffmpeg etc.) injected
+    via ``decoder=`` in deployments that have one — the parsers here
+    raise ValueError on bytes they don't own, so misrouted blobs fail
+    loudly instead of yielding garbage features."""
     if kind == "audio":
         return wav_features(content)
     if kind == "image":
         return image_features(content)
-    raise NotImplementedError(
-        f"no media codec for kind={kind!r} in this environment; inject decoder="
+    if kind == "video":
+        return video_features(content)
+    raise ValueError(
+        f"unknown media kind {kind!r} (expected audio/image/video); "
+        "inject decoder= for custom kinds"
     )
 
 
@@ -281,6 +434,63 @@ def plan_frame_samples(
             "frame_idx",
             (F.col("frame_idx") * F.lit(float(every_s))).alias("t_s"),
         )
+    )
+
+
+SAMPLED_FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, t_s double, width int, height int, "
+    "content binary"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_s: float = 1.0, max_frames: int = 64
+) -> DataFrame:
+    """REAL frame sampling: decode Y4M video blobs, take one frame every
+    ``every_s`` seconds (capped at ``max_frames``), re-encode each sampled
+    frame as a P6 image row — the video→image handoff that lets sampled
+    frames flow through the image pipeline (:func:`resize_images`,
+    :func:`extract_features`) unchanged.
+
+    Complements :func:`plan_frame_samples` (the metadata-only JVM plan):
+    this is the decode pass the plan schedules. mapInPandas so each Arrow
+    batch decodes in one Python invocation, non-video rows and
+    undecodable blobs are DROPPED, and a row can expand to many frame
+    rows without a join. At scale, bound blob batches via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partition by
+    media_id so one hot video cannot skew a task beyond its own frames.
+    """
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "t_s", "width", "height", "content"
+                )
+            }
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                try:
+                    frames, fps = decode_y4m(bytes(row["content"]))
+                except ValueError:
+                    continue
+                step = max(int(round(every_s * fps)), 1)
+                for n, idx in enumerate(range(0, len(frames), step)):
+                    if n >= max_frames:
+                        break
+                    frame = frames[idx]
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(idx)
+                    out["t_s"].append(idx / fps)
+                    out["height"].append(frame.shape[0])
+                    out["width"].append(frame.shape[1])
+                    out["content"].append(encode_ppm(frame))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        _proc, schema=SAMPLED_FRAME_SCHEMA
     )
 
 

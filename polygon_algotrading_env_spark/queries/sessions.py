@@ -110,15 +110,18 @@ def ema_20_per_event_type(spark, sf_dir):
 # --- multimodal: real WAV + PPM decode over binary columns (rows-only) ----
 @register("multimodal_features_from_docs", oracle=None)
 def multimodal_features_from_docs(spark, sf_dir):
-    """Multimodal column pipeline end-to-end with REAL codec paths for TWO
-    modalities: even doc_ids become deterministic mono PCM WAV blobs (tone
-    frequency and duration parameterized by doc_id), odd doc_ids become
-    P6 PPM gradient images (dimensions parameterized by doc_id) — both
-    synthesized executor-side (:func:`encode_wav` / :func:`encode_ppm`,
+    """Multimodal column pipeline end-to-end with REAL codec paths for
+    all THREE modalities, routed by doc_id mod 3: deterministic mono PCM
+    WAV blobs (tone frequency and duration parameterized by doc_id),
+    P6 PPM gradient images (dimensions parameterized by doc_id), and
+    YUV4MPEG2 moving-gradient clips (frame count and cadence
+    parameterized by doc_id) — all synthesized executor-side
+    (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_y4m`,
     Arrow-batched), then header-parsed and decoded back by the DEFAULT
-    decoder for duration/RMS/ZCR (audio) and size/luminance/contrast
-    (image) features. No fake decoder anywhere; binary column + typed
-    metadata struct conventions as in MEDIA_SCHEMA."""
+    decoder for duration/RMS/ZCR (audio), size/luminance/contrast
+    (image) and frame-count/duration/motion (video) features. No fake
+    decoder anywhere; binary column + typed metadata struct conventions
+    as in MEDIA_SCHEMA."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -127,6 +130,7 @@ def multimodal_features_from_docs(spark, sf_dir):
     from polygon_algotrading_env_spark.operators.multimodal import (
         encode_ppm,
         encode_wav,
+        encode_y4m,
         extract_features,
     )
 
@@ -138,7 +142,7 @@ def multimodal_features_from_docs(spark, sf_dir):
             blobs, kinds = [], []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     freq = 100.0 + (i % 40) * 10.0
                     dur_s = 0.05 + (i % 8) * 0.01
                     t = np.arange(int(rate * dur_s)) / rate
@@ -146,7 +150,7 @@ def multimodal_features_from_docs(spark, sf_dir):
                         encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
                     )
                     kinds.append("audio")
-                else:
+                elif i % 3 == 1:
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     yy, xx = np.mgrid[0:h, 0:w]
                     px = np.stack(
@@ -159,6 +163,13 @@ def multimodal_features_from_docs(spark, sf_dir):
                     ).astype(np.uint8)
                     blobs.append(encode_ppm(px))
                     kinds.append("image")
+                else:
+                    t_f, h, w = 3 + i % 6, 8, 8
+                    frames = np.zeros((t_f, h, w), np.uint8)
+                    for fi in range(t_f):
+                        frames[fi, :, (fi + i) % w] = 200 + i % 56
+                    blobs.append(encode_y4m(frames, fps_num=2 + i % 4))
+                    kinds.append("video")
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": kinds, "content": blobs}
             )
@@ -171,22 +182,23 @@ def multimodal_features_from_docs(spark, sf_dir):
         "content",
         F.named_struct(
             F.lit("mime"),
-            F.when(F.col("kind") == "audio", F.lit("audio/wav")).otherwise(
-                F.lit("image/x-portable-pixmap")
-            ),
+            F.when(F.col("kind") == "audio", F.lit("audio/wav"))
+            .when(F.col("kind") == "video", F.lit("video/x-yuv4mpeg"))
+            .otherwise(F.lit("image/x-portable-pixmap")),
             F.lit("width"), F.lit(None).cast("int"),
             F.lit("height"), F.lit(None).cast("int"),
             F.lit("duration_s"), F.lit(None).cast("double"),
             F.lit("fps"), F.lit(None).cast("double"),
         ).alias("meta"),
     )
-    feats = extract_features(media)  # default decoder: real WAV/PPM parse
+    feats = extract_features(media)  # default decoder: real WAV/PPM/Y4M parse
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
         # feature[1,3,5] are duration/rms/zcr for audio, height/lum-mean/
-        # red-mean for image — modality-appropriate descriptors either way
+        # red-mean for image, duration/width/lum-mean for video —
+        # modality-appropriate descriptors in every branch
         F.round(F.element_at("feature", 1), 6).alias("f1"),
         F.round(F.element_at("feature", 3), 6).alias("f3"),
         F.round(F.element_at("feature", 5), 6).alias("f5"),

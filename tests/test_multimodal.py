@@ -44,11 +44,15 @@ def test_extract_features_via_mapinpandas(spark, media):
     assert again[1] != again[2]
 
 
-def test_default_decoder_is_explicit_stub_for_codecless_kinds(spark, media):
+def test_default_decoder_rejects_malformed_video_and_unknown_kind(spark, media):
+    # fixture video bytes are not YUV4MPEG2: must fail loudly
     vids = media.filter("kind = 'video'")
     with pytest.raises(Exception) as ei:
         extract_features(vids, decoder=default_decoder).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    assert "YUV4MPEG2" in str(ei.value) or "ValueError" in str(ei.value)
+    # an undeclared kind is invalid input, not a missing codec
+    with pytest.raises(ValueError, match="unknown media kind"):
+        default_decoder(b"anything", "hologram")
 
 
 def test_default_decoder_rejects_malformed_image(spark, media):
@@ -274,3 +278,144 @@ def test_resize_images_end_to_end(spark):
     assert px.shape == (4, 4, 3)
     # row-constant gradient stays row-constant after resize
     assert (px == px[0:1, :, :]).all()
+
+
+def test_y4m_roundtrip_mono_and_c444_gray():
+    """Grayscale content survives encode→decode byte-exactly in BOTH Cmono
+    and C444 (U=V=128 makes BT.601 identity on Y); header fields parse."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    t, h, w = 4, 6, 8
+    gray = (np.arange(t * h * w, dtype=np.uint8).reshape(t, h, w) * 7) % 256
+    for mono in (True, False):
+        blob = encode_y4m(gray, fps_num=30, fps_den=1, mono=mono)
+        frames, fps = decode_y4m(blob)
+        assert fps == 30.0
+        assert frames.shape == (t, h, w, 3)
+        for c in range(3):
+            assert (frames[..., c] == gray).all(), ("mono" if mono else "c444", c)
+
+
+def test_y4m_c420_chroma_upsample_and_fps():
+    """Hand-built C420 stream: chroma planes at quarter resolution, nearest
+    upsample, fractional frame rate (30000:1001 NTSC)."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import decode_y4m
+
+    w, h = 4, 2
+    y = np.full((h, w), 128, np.uint8)
+    u = np.array([[90, 90]], np.uint8)    # 2x1 chroma for 4x2 luma
+    v = np.array([[240, 110]], np.uint8)
+    hdr = b"YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1 C420jpeg\n"
+    blob = hdr + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    frames, fps = decode_y4m(blob)
+    assert abs(fps - 30000 / 1001) < 1e-9
+    assert frames.shape == (1, 2, 4, 3)
+    # left 2x2 block shares (u=90, v=240): r = 128 + 1.402*112 ≈ 285 → 255
+    assert (frames[0, :, :2, 0] == 255).all()
+    # right block (v=110): r = 128 + 1.402*(-18) ≈ 102.8 → 103
+    assert (frames[0, :, 2:, 0] == 103).all()
+
+
+def test_y4m_malformed_inputs_fail_loudly():
+    import numpy as np
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF-not-video")
+    with _pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n" + b"\x00" * 6)
+    with _pytest.raises(ValueError, match="truncated"):
+        gray = np.zeros((1, 2, 2), np.uint8)
+        decode_y4m(encode_y4m(gray)[:-2])
+    with _pytest.raises(ValueError, match="no frames"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\n")
+    with _pytest.raises(ValueError, match="divisible"):
+        decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + b"\x00" * 9)
+
+
+def test_video_features_and_default_decoder_end_to_end(spark):
+    """Third real modality e2e: synthesize a moving-gradient Y4M executor-
+    side, decode through the DEFAULT decoder, check the motion proxy and
+    duration land where the synthesis puts them."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        encode_y4m,
+        extract_features,
+        video_features,
+    )
+
+    t, h, w = 10, 16, 16
+    frames = np.zeros((t, h, w), np.uint8)
+    for i in range(t):
+        frames[i, :, (i * 3) % w] = 255  # a bright column marching right
+    blob = encode_y4m(frames, fps_num=5, fps_den=1)
+    feats = video_features(blob)
+    assert feats[0] == 10.0            # frame count
+    assert abs(feats[1] - 2.0) < 1e-9  # duration at 5 fps
+    assert feats[7] > 0.0              # motion proxy nonzero
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob))],
+        "media_id bigint, kind string, content binary",
+    )
+    row = extract_features(media).collect()[0]
+    assert row["kind"] == "video"
+    assert list(row["feature"])[:2] == [10.0, 2.0]
+
+
+def test_sample_video_frames_to_image_pipeline(spark):
+    """Video→image handoff: sampled Y4M frames re-encode as P6 and flow
+    through resize_images unchanged; cadence and cap honored; non-video
+    and undecodable rows dropped."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_ppm,
+        encode_y4m,
+        resize_images,
+        sample_video_frames,
+    )
+
+    t = 12
+    frames = np.zeros((t, 8, 8), np.uint8)
+    for i in range(t):
+        frames[i, :, :] = i * 20  # distinguishable per-frame brightness
+    blob = encode_y4m(frames, fps_num=4, fps_den=1)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(blob)),
+            (2, "video", bytearray(b"not-a-video")),
+            (3, "image", bytearray(b"P6\n1 1\n255\n\x00\x00\x00")),
+        ],
+        "media_id bigint, kind string, content binary",
+    )
+    out = sample_video_frames(media, every_s=1.0, max_frames=2).collect()
+    assert [(r["media_id"], r["frame_idx"], r["t_s"]) for r in out] == [
+        (1, 0, 0.0),
+        (1, 4, 1.0),
+    ]
+    px = decode_ppm(bytes(out[1]["content"]))
+    assert (px == 4 * 20).all()
+    # frames are valid image rows for the downstream image pass
+    resized = resize_images(
+        spark.createDataFrame(
+            [(r["media_id"], "image", r["content"]) for r in out],
+            "media_id bigint, kind string, content binary",
+        ),
+        out_h=4,
+        out_w=4,
+    ).collect()
+    assert len(resized) == 2 and all(r["width"] == 4 for r in resized)
