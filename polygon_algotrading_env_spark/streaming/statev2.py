@@ -14,15 +14,32 @@ not grow state without bound. TTL is the state-size/correctness dial:
 duplicates arriving within ``ttl_ms`` of the first sighting are
 dropped; later replays (beyond any sane page overlap) pass through.
 
-Runtime requirement: the v2 API's Python<->JVM state protocol is
-protobuf-framed — ``google.protobuf`` must be importable on driver and
-executors or the query fails at initialization (tests skip themselves
-when it's absent; the v1 operators in streaming/stateful.py have no such
-dependency and cover the same semantics in those environments).
+Runtime requirements (both self-checkable, neither default-on in bare
+local installs):
+
+1. The v2 API's Python<->JVM state protocol is protobuf-framed —
+   ``google.protobuf`` must be importable on driver and executors.
+   :func:`ensure_protobuf_runtime` makes that true where possible: it
+   prefers an installed protobuf and otherwise falls back to the
+   pure-Python runtime bundled with a system Google Cloud SDK (a
+   standard public install location), exporting it on ``PYTHONPATH`` so
+   executor Python workers inherit it. It must run BEFORE the
+   SparkSession (JVM) starts, or workers won't see the path.
+2. transformWithState creates multiple state-store column families,
+   which the default HDFSBackedStateStoreProvider rejects — set
+   ``spark.sql.streaming.stateStore.providerClass`` to
+   ``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+   (a SQL conf, settable per-session; the RocksDB jars ship with Spark).
+
+Where neither holds, the v1 operators in streaming/stateful.py and the
+parquet-ledger dedup (streaming/pipeline.py) have no such dependencies
+and cover the same semantics.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +48,57 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+#: SQL conf required by transformWithState (multi-column-family state).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+# Public, well-known locations that bundle a pure-Python google.protobuf
+# runtime on systems where it isn't pip-installed.
+_PROTOBUF_FALLBACKS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf_runtime() -> bool:
+    """Make ``google.protobuf`` importable for this process AND for the
+    executor Python workers Spark will spawn (via ``PYTHONPATH``), using
+    a bundled pure-Python runtime when none is installed. Returns whether
+    a usable runtime is now present.
+
+    Must be called BEFORE the SparkSession starts: workers inherit the
+    JVM's environment, which inherits this process's at launch. When the
+    fallback runtime trails Spark's protobuf gencode by a minor version
+    (wire format stable across minors), protobuf's own documented escape
+    hatch ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is exported —
+    only in the fallback path, never for an installed runtime.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for base in _PROTOBUF_FALLBACKS:
+        if not os.path.isdir(os.path.join(base, "google", "protobuf")):
+            continue
+        if base not in sys.path:
+            sys.path.append(base)  # append: never shadow installed packages
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            continue
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if base not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [p for p in parts if p] + [base]
+            )
+        return True
+    return False
 
 
 class FirstSeenProcessor(StatefulProcessor):

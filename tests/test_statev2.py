@@ -1,5 +1,9 @@
 """transformWithState v2 dedup: first-seen emission, cross-batch
-suppression through a checkpoint restart."""
+suppression through a checkpoint restart. Executes for real when a
+protobuf runtime is importable or discoverable (ensure_protobuf_runtime
+ran at conftest import, before the JVM started, so executor workers
+inherit the PYTHONPATH); the RocksDB state-store provider is set per-test
+because transformWithState needs multi-column-family state."""
 
 from __future__ import annotations
 
@@ -9,20 +13,11 @@ from datetime import datetime
 
 import pytest
 
-from polygon_algotrading_env_spark.streaming.statev2 import stream_first_seen
-
-
-def _has_protobuf() -> bool:
-    # transformWithState's Python<->JVM state protocol is protobuf-framed;
-    # environments without google.protobuf can't EXECUTE the v2 operator
-    # (the driver worker crashes importing StateMessage_pb2). Construction
-    # is pure plan building and works everywhere.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+from polygon_algotrading_env_spark.streaming.statev2 import (
+    ROCKSDB_PROVIDER,
+    ensure_protobuf_runtime,
+    stream_first_seen,
+)
 
 TICK_SCHEMA = "ticker string, ts timestamp, price double, size double"
 
@@ -35,16 +30,27 @@ def tmpdir():
 
 
 def _drain(spark, src, ckpt, collected):
-    stream = spark.readStream.schema(TICK_SCHEMA).parquet(src)
-    q = (
-        stream_first_seen(stream, ["ticker", "ts"])
-        .writeStream.foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema(TICK_SCHEMA).parquet(src)
+        q = (
+            stream_first_seen(stream, ["ticker", "ts"])
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def test_construction_is_protobuf_free(spark, tmpdir):
@@ -62,7 +68,8 @@ def test_construction_is_protobuf_free(spark, tmpdir):
 
 
 @pytest.mark.skipif(
-    not _has_protobuf(), reason="google.protobuf absent: v2 state protocol"
+    not ensure_protobuf_runtime(),
+    reason="no google.protobuf runtime installed or discoverable",
 )
 def test_first_seen_dedups_within_and_across_batches(spark, tmpdir):
     src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
