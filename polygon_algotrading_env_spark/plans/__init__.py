@@ -10,3 +10,7 @@ from polygon_algotrading_env_spark.plans.inspect import (  # noqa: F401
     plan_stats,
     plan_string,
 )
+from polygon_algotrading_env_spark.plans.census import (  # noqa: F401
+    SMJ_ALLOWED,
+    census_violations,
+)

@@ -1,0 +1,89 @@
+"""Registry-wide plan-shape census: the scale-killer regression gate.
+
+Builds (never executes) every registered query and checks the physical
+plan for the shapes that silently destroy 100 TB viability long before
+they change an answer:
+
+- a SORT-MERGE JOIN where a broadcast was intended (a dim table outgrew
+  the threshold, a join key type changed, a broadcast() hint was lost);
+- a CARTESIAN PRODUCT anywhere (a join condition degenerated — at scale
+  this is |A|x|B|, never intended: the engine's scalar-join idiom plans
+  as BroadcastNestedLoopJoin over a broadcast 1-row aggregate, which is
+  fine and distinct from a shuffled cartesian).
+
+Some queries legitimately sort-merge-join two fact-sized relations;
+SMJ_ALLOWED is that documented allowlist (each entry's docstring carries
+the rationale). Everything else planning an SMJ fails the census — run
+by tests/test_plan_census.py on every pytest run and by
+tools/plan_report.py for the human-readable TSV.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import SparkSession
+
+from polygon_algotrading_env_spark.plans.inspect import plan_stats
+
+# Queries where a sort-merge/shuffled join of two FACT-sized relations is
+# the intended plan (documented in their docstrings) — everything else
+# joining via SMJ is a regression.
+SMJ_ALLOWED: frozenset[str] = frozenset(
+    {
+        # fact-fact or fact-self joins where neither side is dim-sized
+        "left_outer_order_count_histogram",  # outer drives, reuses agg exchange
+        "excess_part_shippers",              # co-partitioned quota aggregates
+        "near_dup_clusters",
+        "semantic_dedup_survivors",
+        "minhash_near_dup_pairs",
+        "minhash_verified_near_dups",
+        "simhash_verified_near_dups",
+        "ngram_jaccard_near_dup",
+        "substring_span_dedup",
+        "train_test_contamination",
+        "copurchase_triangles",
+        "pagerank_copurchase_top20",
+        "lpa_communities_copurchase",
+        "novelty_by_first_occurrence",       # gram-keyed first-occurrence model
+        "doc_rarity_scores",
+        "bm25_topk_docs",
+        "bigram_logprob_docs",
+        "kl_divergence_by_source",
+        "top_terms_per_doc",
+        "boilerplate_ngrams",
+        "sole_blame_suppliers",              # R-lines join per-order stats, both fact-keyed
+        "triple_barrier_labels_5m",
+        # Spark cannot broadcast either side of a FULL OUTER join; SMJ of
+        # the two day-grain aggregates is the only (and correct) strategy.
+        "full_outer_daily_activity",
+    }
+)
+
+
+def census_violations(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Iterable[str] | None = None,
+) -> dict[str, str]:
+    """Build every named query's plan and return {name: violation} for
+    each scale-killer shape found (empty dict = census clean). Plans are
+    built, not executed — the whole registry censuses in seconds."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    out: dict[str, str] = {}
+    for name in names if names is not None else list(REGISTRY):
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            st = plan_stats(df)
+        except Exception as e:  # noqa: BLE001 — a broken build IS a violation
+            out[name] = f"plan build failed: {type(e).__name__}: {e}"
+            continue
+        if st.cartesian_products:
+            out[name] = f"{st.cartesian_products} CartesianProduct in plan"
+        elif st.sort_merge_joins and name not in SMJ_ALLOWED:
+            out[name] = (
+                f"{st.sort_merge_joins} SortMergeJoin outside SMJ_ALLOWED "
+                "(broadcast lost, or add a documented allowlist entry)"
+            )
+    return out

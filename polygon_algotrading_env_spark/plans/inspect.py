@@ -27,6 +27,7 @@ class PlanStats:
     broadcast_joins: int
     sort_merge_joins: int
     take_ordered: int       # top-k planned without a global sort
+    cartesian_products: int  # CartesianProduct: the no-condition join, never intended
     pushed_filters: tuple[str, ...]
     read_schemas: tuple[str, ...]
     codegen_spans: int
@@ -49,6 +50,7 @@ def plan_stats(df: DataFrame, execute: bool = False) -> PlanStats:
         broadcast_joins=p.count("BroadcastHashJoin"),
         sort_merge_joins=p.count("SortMergeJoin"),
         take_ordered=p.count("TakeOrderedAndProject"),
+        cartesian_products=p.count("CartesianProduct"),
         pushed_filters=tuple(re.findall(r"PushedFilters: \[([^\]]*)\]", p)),
         read_schemas=tuple(re.findall(r"ReadSchema: struct<([^\n]*)", p)),
         # toString renders codegen stages as "*(n) Operator"; the

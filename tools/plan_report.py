@@ -26,37 +26,7 @@ from polygon_algotrading_env_spark.plans import plan_stats  # noqa: E402
 from polygon_algotrading_env_spark.queries import REGISTRY  # noqa: E402
 from polygon_algotrading_env_spark.session import get_spark  # noqa: E402
 
-# Queries where a sort-merge/shuffled join of two FACT-sized relations is
-# the intended plan (documented in their docstrings) — everything else
-# joining via SMJ is a regression.
-SMJ_ALLOWED = {
-    # fact-fact or fact-self joins where neither side is dim-sized
-    "left_outer_order_count_histogram",  # outer side drives, reuses agg exchange
-    "excess_part_shippers",              # co-partitioned quota aggregates
-    "near_dup_clusters",
-    "semantic_dedup_survivors",
-    "minhash_near_dup_pairs",
-    "minhash_verified_near_dups",
-    "simhash_verified_near_dups",
-    "ngram_jaccard_near_dup",
-    "substring_span_dedup",
-    "train_test_contamination",
-    "copurchase_triangles",
-    "pagerank_copurchase_top20",
-    "lpa_communities_copurchase",
-    "novelty_by_first_occurrence",       # gram-keyed first-occurrence model
-    "doc_rarity_scores",
-    "bm25_topk_docs",
-    "bigram_logprob_docs",
-    "kl_divergence_by_source",
-    "top_terms_per_doc",
-    "boilerplate_ngrams",
-    "sole_blame_suppliers",              # R-lines ⋈ per-order stats, both fact-keyed
-    "triple_barrier_labels_5m",
-    # Spark cannot broadcast either side of a FULL OUTER join; SMJ of the
-    # two day-grain aggregates is the only (and correct) strategy.
-    "full_outer_daily_activity",
-}
+from polygon_algotrading_env_spark.plans.census import SMJ_ALLOWED  # noqa: E402
 
 
 def main() -> int:
