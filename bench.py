@@ -15,12 +15,18 @@ spread up to 40% on identical plans), and the minimum is the standard
 steady-state estimator for engine cost — the quantity that projects to
 cluster scale.
 
-An ``sf1_spot`` block re-times the three scale-critical headliners on a
-deterministic 10x scaling of their input tables (tools/scale_fixtures.py,
-built once into a temp dir) and reports the sf1/sf0.1 ratio — the
-one-order-of-magnitude data point behind the 100 TB design claims.
-Disable with SPARK_GRAFT_SKIP_SF1=1 (e.g. when benching a non-default
-SF dir where the ratio would be meaningless).
+An ``sf1`` block re-times the WHOLE headline suite on a deterministic
+10x scaling of every input table (tools/scale_fixtures.py, built once
+into a temp dir, workload shape preserved) and reports per-query
+sf1/sf0.1 ratios — the one-order-of-magnitude data point behind the
+100 TB design claims, for every headliner, not a spot sample. Disable
+with SPARK_GRAFT_SKIP_SF1=1 (e.g. when benching a non-default SF dir
+where the ratio would be meaningless).
+
+A ``regressions`` block compares this run's min-of-2 per-query times
+against the latest recorded BENCH_r*.json beside this script and lists
+every query slower by >1.3x — so environmental noise vs real
+regressions is triaged in-round, not at judging time.
 """
 
 from __future__ import annotations
@@ -34,6 +40,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from polygon_algotrading_env_spark.queries import headline_queries  # noqa: E402
 from polygon_algotrading_env_spark.session import get_spark  # noqa: E402
+
+
+def _prior_round(sf) -> tuple[str, dict[str, float]] | None:
+    """Latest recorded BENCH_r{N}.json beside this script whose scale
+    factor matches this run's — a cross-SF time comparison would flag
+    every query as moved."""
+    import glob
+    import re
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for f in glob.glob(os.path.join(base, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), f)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            data = json.loads(fh.read())
+        # The driver wraps our JSON line under "parsed"; accept both the
+        # wrapped record and a raw bench.py output line.
+        rec = data.get("parsed") or data
+        if rec.get("sf") != sf:
+            return None
+        prior = rec.get("queries") or {}
+        return (os.path.basename(best[1]), prior) if prior else None
+    except (OSError, ValueError, AttributeError):
+        return None
 
 
 def main() -> None:
@@ -67,45 +102,60 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
             print(f"# pass{pass_no} {name}: {t}s", file=sys.stderr)
 
-    sf1_spot = None
+    sf1 = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         import tempfile
 
-        from polygon_algotrading_env_spark.queries import queries
         from tools.scale_fixtures import build_scaled_fixtures
 
-        spot_names = (
-            "minhash_near_dup_pairs", "lsh_ann_topk", "adjusted_candles_5m",
-        )
         scaled_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
             tempfile.gettempdir(),
             "spark_graft_scaled_" + sf_dir.strip("/").replace("/", "_"),
         )
         build_scaled_fixtures(spark, sf_dir, scaled_dir, factor=10)
-        qs = queries()
-        spot: dict[str, float] = {}
-        spot_pass0: dict[str, float] = {}
+        sf1_q: dict[str, float] = {}
+        sf1_pass0: dict[str, float] = {}
         for pass_no in range(2):
-            for name in spot_names:
+            for name, fn in headline_queries().items():
                 t0 = time.time()
-                qs[name](spark, scaled_dir).write.format("noop").mode(
+                fn(spark, scaled_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 t = round(time.time() - t0, 3)
                 if pass_no == 0:
-                    spot_pass0[name] = t
-                spot[name] = min(spot.get(name, t), t)
+                    sf1_pass0[name] = t
+                sf1_q[name] = min(sf1_q.get(name, t), t)
                 print(f"# sf1 pass{pass_no} {name}: {t}s", file=sys.stderr)
-        sf1_spot = {
+        sf1 = {
             "factor": 10,
-            "queries": spot,
-            "pass0": spot_pass0,
+            "total": round(sum(sf1_q.values()), 3),
+            "queries": sf1_q,
+            "pass0": sf1_pass0,
             "ratio_vs_base": {
-                n: round(spot[n] / timings[n], 2)
-                for n in spot_names
+                n: round(sf1_q[n] / timings[n], 2)
+                for n in sf1_q
                 if timings.get(n)
             },
         }
+
+    regressions = None
+    prior = _prior_round(float(sf) if sf.replace(".", "").isdigit() else sf)
+    if prior is not None:
+        prior_name, prior_q = prior
+        movers = {
+            n: {
+                "now": timings[n],
+                "prior": prior_q[n],
+                "ratio": round(timings[n] / prior_q[n], 2),
+            }
+            for n in timings
+            if n in prior_q
+            and prior_q[n] > 0
+            and timings[n] / prior_q[n] > 1.3
+        }
+        regressions = {"vs": prior_name, "threshold": 1.3, "movers": movers}
+        if movers:
+            print(f"# REGRESSED vs {prior_name}: {sorted(movers)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Both estimators in the JSON so round-over-round deltas are never
@@ -122,7 +172,8 @@ def main() -> None:
                 "pass0_total": round(sum(pass0.values()), 3),
                 "pass0": pass0,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"sf1_spot": sf1_spot} if sf1_spot else {}),
+                **({"sf1": sf1} if sf1 else {}),
+                **({"regressions": regressions} if regressions is not None else {}),
             }
         )
     )

@@ -1,10 +1,10 @@
-"""Deterministic 10x fixture scaling for bench.py's sf1 spot block.
+"""Deterministic 10x fixture scaling for bench.py's sf1 block.
 
 The driver ships sf0.001/0.01/0.1 only; the 100 TB design claims deserve
 at least one order-of-magnitude scaling data point, so the bench builds a
-synthetic "sf1" (10x sf0.1) copy of the three tables its scale-critical
-headliners read — events, documents, embeddings — under a temp/workdir
-path (never under /root/testdata, which is read-only by contract).
+synthetic "sf1" (10x sf0.1) copy of EVERY table the headline suite reads
+under a temp/workdir path (never under /root/testdata, which is
+read-only by contract).
 
 Scaling must preserve WORKLOAD SHAPE, not just row count:
 
@@ -23,6 +23,13 @@ Scaling must preserve WORKLOAD SHAPE, not just row count:
 - embeddings: vec_id shifts by a disjoint block; a small deterministic
   jitter (cos keyed on vec_id + component index) decorrelates replicas
   so ANN buckets fill 10x instead of holding 10 exact copies.
+- TPC-H facts+dims (orders/lineitem/customer/part/supplier): each
+  replica shifts every entity key by a disjoint block, CONSISTENTLY
+  across tables so FK joins stay 1:1 — the entity domains grow 10x with
+  per-entity depth unchanged, exactly how a real higher SF behaves
+  (naive replication would instead give every part 10x lineitems: a
+  depth change, not a scale change). region/nation stay fixed — TPC-H
+  pins those dims at every SF.
 
 Everything is a pure function of the source tables — no RNG, no clock —
 so repeated builds are byte-stable and the build is cached behind a
@@ -143,10 +150,45 @@ def _scaled_embeddings(
     return out
 
 
+# Disjoint key-shift blocks: far above any key at the SFs we scale from.
+_KEY_BLOCK = 10**8
+
+# FK-consistent key columns per TPC-H table (shifted by replica * block).
+_TPCH_KEYS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+
+
+def _scaled_tpch(
+    spark: SparkSession, src_dir: str, table: str, factor: int
+) -> DataFrame:
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    df = load_table(spark, src_dir, table)
+    keys = set(_TPCH_KEYS[table])
+    parts = [
+        df.select(
+            *[
+                (F.col(c) + r * _KEY_BLOCK).alias(c) if c in keys else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for r in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # Bump when the scaling transforms change: the cache marker embeds it, so
 # a stale dir built by an older algorithm is rebuilt instead of silently
-# benchmarked (v2 = seeded-permutation charmaps).
-SCALE_ALGO_VERSION = 2
+# benchmarked (v2 = seeded-permutation charmaps; v3 = +TPC-H tables).
+SCALE_ALGO_VERSION = 3
 
 
 def build_scaled_fixtures(
@@ -163,13 +205,26 @@ def build_scaled_fixtures(
                 return dst_dir
         shutil.rmtree(dst_dir, ignore_errors=True)  # stale algorithm/params
     os.makedirs(dst_dir, exist_ok=True)
+    import functools
+
     builders = {
         "events": _scaled_events,
         "documents": _scaled_documents,
         "embeddings": _scaled_embeddings,
+        **{
+            t: functools.partial(_scaled_tpch, table=t)
+            for t in _TPCH_KEYS
+        },
     }
     for name, build in builders.items():
-        build(spark, src_dir, factor).write.mode("overwrite").parquet(
+        build(spark, src_dir, factor=factor).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    # region/nation: fixed dims at every SF — copy verbatim
+    from polygon_algotrading_env_spark.catalog import load_table
+
+    for name in ("region", "nation"):
+        load_table(spark, src_dir, name).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{name}.parquet")
         )
     with open(marker, "w") as f:
