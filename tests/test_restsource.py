@@ -376,3 +376,80 @@ def test_stream_per_symbol_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["ticker"], r["t"]) for r in spark.read.parquet(out).collect())
     assert got == [("SPY", 2 * DAY_MS), ("TLT", 0), ("TLT", 1 * DAY_MS)]
+
+
+def test_pagestore_against_s3_protocol_server():
+    """Execute the ``s3://`` claim (restsource.py PageStore docstring)
+    against a REAL S3-protocol server, not just the in-memory mock: a
+    local moto server, with the store constructed from an s3:// URI
+    (endpoint/scheme/region as from_uri query params — the documented
+    pyarrow S3 URI form) and pickled first, exactly as executors receive
+    it. Covers the executor read surface — symbol listing, numeric page
+    ordering, page reads, existence probes — plus the immutability
+    short-circuit of write_page on a landed page.
+
+    Page WRITES go through boto3 here: aws-sdk-cpp's multipart upload
+    (what pyarrow's open_output_stream always uses on S3) trips a known
+    moto emulation gap (CompleteMultipartUpload parsed as an empty-body
+    200), which is an emulator artifact, not a store defect — boto3
+    multipart against the same server succeeds, and the pyarrow write
+    path is executed by the mock-FS and file:// tests above, which hit
+    the identical pyarrow FileSystem API.
+    """
+    import json as _json
+    import logging
+    import os
+    import pickle
+
+    import pytest as _pytest
+
+    try:
+        import boto3
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        _pytest.skip("moto/boto3 not available")
+
+    from polygon_algotrading_env_spark.sources.restsource import PageStore
+
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        s3 = boto3.client(
+            "s3", endpoint_url=f"http://{host}:{port}", region_name="us-east-1"
+        )
+        s3.create_bucket(Bucket="pagestore-test")
+        for sym, idx, rec in [
+            ("SPY", 0, _rec(0)),
+            ("SPY", 2, _rec(2)),
+            ("SPY", 10, _rec(10)),   # numeric, not lexicographic, ordering
+            ("TLT", 0, _rec(0)),
+        ]:
+            s3.put_object(
+                Bucket="pagestore-test",
+                Key=f"pages/{sym}/page-{idx}.json",
+                Body=_json.dumps({"results": [rec]}).encode(),
+            )
+
+        uri = (
+            "s3://pagestore-test/pages"
+            f"?endpoint_override={host}:{port}&scheme=http&region=us-east-1"
+        )
+        store = pickle.loads(pickle.dumps(PageStore(uri)))  # executor-shaped
+        assert store.list_symbols() == ["SPY", "TLT"]
+        assert store.list_pages("SPY") == [
+            "page-0.json", "page-2.json", "page-10.json"
+        ]
+        assert store.read_page("SPY", "page-10.json")["results"][0]["t"] == (
+            10 * DAY_MS
+        )
+        assert store.page_exists("SPY", 2)
+        assert not store.page_exists("SPY", 3)
+        # immutability guard short-circuits before any S3 write
+        assert not store.write_page("SPY", 0, {"results": [_rec(99)]})
+        assert store.read_page("SPY", "page-0.json")["results"][0]["t"] == 0
+    finally:
+        server.stop()
