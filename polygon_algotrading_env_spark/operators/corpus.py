@@ -214,3 +214,88 @@ def isotonic_calibrate(
     return df.groupBy(F.lit(1).alias("__g")).applyInPandas(
         lambda pdf: _pav(pdf.drop(columns="__g", errors="ignore")), schema=schema
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every document by how much
+    more likely its hashed-bigram bag is under the TARGET domain's
+    unigram-over-buckets model than under the RAW corpus model —
+    log w(x) = Σ_tokens [log p_target(b) − log p_raw(b)] — then keep the
+    highest-weight documents to build a target-like corpus from raw data.
+
+    ``target_cond`` is a boolean Column marking the target-domain rows
+    (e.g. ``F.col("lang") == "de"`` or a curated-subset flag); the raw
+    model is the whole input. Hashed features (md5 of the bigram, mod
+    ``n_buckets``) mean NO vocabulary artifact ships — the same
+    vocabulary-free property the hashed TF-IDF vectorizer exploits —
+    and both models are add-one smoothed so unseen buckets stay finite.
+
+    Plan shape (the 100 TB story): one posexplode + lead() gives the
+    bigram relation on a single (doc, pos) shuffle; per-doc bucket
+    counts are one hash aggregate; BOTH models are bucket-bounded
+    aggregates (≤ n_buckets rows each) broadcast back onto the per-doc
+    counts — the corpus text is never joined to itself and the scoring
+    join fan-in is bounded by n_buckets, independent of corpus size.
+
+    Returns (id_col, n_bigrams, log_weight) — rank or threshold
+    ``log_weight`` downstream (> 0 ⇒ more target-like than raw-like).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        target_cond.alias("__is_target"),
+        F.posexplode(word_tokens(text_col)).alias("pos", "token"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "token", "__t2")), 1, 6), 16, 10
+        ).cast("bigint")
+        % n_buckets
+    )
+    big = (
+        toks.withColumn("__t2", F.lead("token").over(w))
+        .where(F.col("__t2").isNotNull())
+        .select(id_col, "__is_target", bucket.alias("__b"))
+    )
+    per_doc = big.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.any_value("__is_target").alias("__is_target"),
+    )
+    # BOTH models in one aggregate (conditional sum), totals via a window
+    # over the model itself — the model is <= n_buckets rows, so the
+    # single-partition window is trivial and the corpus-sized relation is
+    # derived exactly TWICE (model branch + scoring branch), the same
+    # recompute-over-persist tradeoff doc_rarity_scores documents.
+    w_all = Window.partitionBy()
+    model = (
+        per_doc.groupBy("__b")
+        .agg(
+            F.sum("__n").alias("__nr"),
+            F.sum(F.when(F.col("__is_target"), F.col("__n")).otherwise(0)).alias(
+                "__nt"
+            ),
+        )
+        .withColumn("__tot_r", F.sum("__nr").over(w_all))
+        .withColumn("__tot_t", F.sum("__nt").over(w_all))
+    )
+    b = float(n_buckets)
+    log_ratio = F.log(
+        (F.col("__nt") + 1.0) / (F.col("__tot_t") + b)
+    ) - F.log((F.col("__nr") + 1.0) / (F.col("__tot_r") + b))
+    return (
+        per_doc.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__n") * log_ratio).alias("log_weight"),
+        )
+    )

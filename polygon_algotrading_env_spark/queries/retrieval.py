@@ -685,3 +685,60 @@ def source_vocab_overlap(spark, sf_dir):
             ).alias("vocab_jaccard"),
         )
     )
+
+
+@register(
+    "dsir_weights_for_target",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.lang,
+             CAST(('0x' || substring(md5(a.token || ' ' || b.token), 1, 6))
+                  ::BIGINT % 1024 AS BIGINT) AS bkt
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, bkt, count(*) AS n FROM big GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT bkt, sum(n) AS nr FROM per_doc GROUP BY 1),
+    tgt AS (SELECT bkt, sum(n) AS nt FROM per_doc WHERE lang = 'de' GROUP BY 1),
+    rt AS (SELECT sum(nr) AS total_r FROM raw),
+    tt AS (SELECT sum(nt) AS total_t FROM tgt)
+    SELECT p.doc_id,
+           CAST(sum(p.n) AS BIGINT) AS n_bigrams,
+           round(sum(p.n * (ln((coalesce(t.nt, 0) + 1.0)
+                               / (tt.total_t + 1024.0))
+                            - ln((r.nr + 1.0) / (rt.total_r + 1024.0)))),
+                 6) AS log_weight
+    FROM per_doc p
+    JOIN raw r USING (bkt)
+    LEFT JOIN tgt t USING (bkt)
+    CROSS JOIN rt CROSS JOIN tt
+    GROUP BY 1
+    """,
+)
+def dsir_weights_for_target(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): importance weight of every
+    document under a hashed-bigram bag model — log p_target/p_raw with
+    the 'de' subcorpus as the target domain — the published method for
+    assembling a target-like training set from raw web data, as one
+    declarative plan (operators/corpus.py: dsir_log_weights). Models are
+    1024-bucket aggregates broadcast back onto per-doc bucket counts:
+    corpus text never self-joins and the scoring fan-in is bounded by
+    the bucket constant, independent of corpus size. Round-6 on the
+    weight: sums of logs never sit on the rounding grid."""
+    from polygon_algotrading_env_spark.operators.corpus import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_log_weights(
+        docs, F.col("lang") == "de", n_buckets=1024
+    )
+    return out.select(
+        "doc_id", "n_bigrams", F.round("log_weight", 6).alias("log_weight")
+    )

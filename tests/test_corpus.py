@@ -108,3 +108,38 @@ def test_isotonic_calibration_groups_independent(spark):
     # isotone → passes through untouched
     assert got[("a", 0.1)] == got[("a", 0.9)] == 0.5
     assert got[("b", 0.1)] == 0.0 and got[("b", 0.9)] == 1.0
+
+
+def test_dsir_log_weights_ranks_target_like_docs(spark):
+    """DSIR sanity on a controlled corpus: documents sharing the target
+    domain's vocabulary must out-weigh documents made of off-domain
+    vocabulary, target docs themselves score highest, and the weight is
+    deterministic across runs (hashed features, no RNG)."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.corpus import dsir_log_weights
+
+    tgt_text = "quantum flux lattice spin boson fermion gauge field theory"
+    rows = (
+        [(i, "de", tgt_text) for i in range(5)]                    # target
+        + [(10 + i, "en", "quantum flux lattice spin entangled") for i in range(3)]
+        + [(20 + i, "en", "recipe butter flour sugar oven bake") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            docs, F.col("lang") == "de", n_buckets=256
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 22}
+    # physics-adjacent docs beat cooking docs; target docs beat both
+    assert min(out[i] for i in (10, 11, 12)) > max(out[i] for i in (20, 21, 22))
+    assert min(out[i] for i in range(5)) > max(out[i] for i in (10, 11, 12))
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            docs, F.col("lang") == "de", n_buckets=256
+        ).collect()
+    }
+    assert again == out
