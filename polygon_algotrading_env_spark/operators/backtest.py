@@ -279,11 +279,16 @@ def block_bootstrap_stat(
         ((F.col("__start") + F.col("__o")) % F.col("__n")).alias("__i"),
     )
     joined = positions.join(idx, [*keys, "__i"])
+    # nullif-guard the Sharpe denominators: a constant (or single-row)
+    # series has exactly-zero sample stddev, which must yield NULL — not
+    # an ANSI divide-by-zero error, and not +-inf under non-ANSI.
     per_resample = joined.groupBy(*keys, "__r").agg(
-        (F.avg("__v") / F.stddev_samp("__v")).alias("__sr")
+        (F.avg("__v") / F.nullif(F.stddev_samp("__v"), F.lit(0.0))).alias("__sr")
     )
     point = series.groupBy(*keys).agg(
-        (F.avg(value_col) / F.stddev_samp(value_col)).alias("sharpe_point")
+        (
+            F.avg(value_col) / F.nullif(F.stddev_samp(value_col), F.lit(0.0))
+        ).alias("sharpe_point")
     )
     # n_resamples counts NON-NULL __sr only: a degenerate resample (zero
     # sample stddev, or a single-row key) yields NULL __sr, which

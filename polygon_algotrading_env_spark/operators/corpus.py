@@ -299,3 +299,92 @@ def dsir_log_weights(
             F.sum(F.col("__n") * log_ratio).alias("log_weight"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    end_of_word: str = "</w>",
+):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    merge-table learning step of the tokenizer every LLM pipeline ships.
+
+    The classic formulation is what makes this scale: the corpus is
+    scanned ONCE into the word-frequency table (vocab-sized — Zipf says
+    a 100 TB corpus still has a few-million-row word vocab), and every
+    merge round operates on that tiny table: adjacent-symbol pair counts
+    weighted by word frequency (hash aggregate), the most frequent pair
+    (deterministic tie-break: count desc, then pair lexicographically —
+    a bounded 1-row collect per round, metadata not data), and an
+    in-place merge of that pair in every word's symbol array via a JVM
+    ``aggregate`` fold (left-to-right non-overlapping, the standard BPE
+    merge order; no Python in the loop). ``localCheckpoint`` truncates
+    the per-round lineage exactly as the graph iterations do.
+
+    Returns ``(merges, vocab)``: the learned merge table
+    (rank, left, right, merged, pair_freq) and the final per-word symbol
+    segmentation (word, freq, symbols). Both deterministic — merge
+    ranks are reproducible across runs, partitionings, and engines.
+    """
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.split("w", ""), F.array(F.lit(end_of_word))
+        ).alias("symbols"),
+    ).localCheckpoint()
+
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        syms = F.col("symbols")
+        # adjacent pairs via zipped slices (NOT sequence(1, size-1):
+        # Spark's sequence DESCENDS when start > stop, so a fully-merged
+        # single-symbol word would index out of bounds); slice with
+        # length 0 is just empty, so 1-symbol words contribute no pairs.
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        merges.append((rank, a, b, merged, cnt))
+        fold = F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select("w", "freq", fold.alias("symbols")).localCheckpoint()
+
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )
+    return merges_df, vocab

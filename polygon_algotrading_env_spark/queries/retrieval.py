@@ -742,3 +742,21 @@ def dsir_weights_for_target(spark, sf_dir):
     return out.select(
         "doc_id", "n_bigrams", F.round("log_weight", 6).alias("log_weight")
     )
+
+
+@register("bpe_merge_table", oracle=None)
+def bpe_merge_table(spark, sf_dir):
+    """Learn a BPE merge table from the corpus (operators/corpus.py:
+    bpe_train — Sennrich et al. 2016): the tokenizer-training step of a
+    training-data pipeline as vocab-sized Spark iterations (the corpus
+    is scanned once into word frequencies; every merge round aggregates
+    the tiny vocab table only). Rows-only: the trainer is an iterative
+    driver loop (one bounded 1-row collect per round), not a single SQL
+    expression — its correctness is pinned by the textbook-reference
+    equivalence and partitioning-invariance tests in tests/
+    test_corpus.py."""
+    from polygon_algotrading_env_spark.operators.corpus import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, n_merges=20)
+    return merges.orderBy("rank")

@@ -143,3 +143,82 @@ def test_dsir_log_weights_ranks_target_like_docs(spark):
         ).collect()
     }
     assert again == out
+
+
+def _bpe_reference(word_freqs, n_merges, eow="</w>"):
+    """Textbook BPE trainer (Sennrich et al. fig. 1) as the oracle."""
+    vocab = {tuple(list(w) + [eow]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, cnt))
+        out = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + f
+        vocab = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_textbook_reference(spark):
+    """The distributed trainer must learn the SAME merge table, in the
+    same order, as the sequential textbook algorithm — including the
+    left-to-right non-overlapping merge semantics ('aaaa' + merge (a,a)
+    → [aa, aa]) and the (count desc, pair lexicographic) tie-break."""
+    from polygon_algotrading_env_spark.operators.corpus import bpe_train
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 2
+    )
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    merges_df, vocab_df = bpe_train(docs, n_merges=8)
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    freqs = {w: corpus.count(w) for w in set(corpus)}
+    want_merges, want_vocab = _bpe_reference(freqs, 8)
+    assert got == want_merges
+    got_vocab = {
+        tuple(r["symbols"]): r["freq"] for r in vocab_df.collect()
+    }
+    assert got_vocab == want_vocab
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    from polygon_algotrading_env_spark.operators.corpus import bpe_train
+
+    rows = [(f"spark {w} engine data",) for w in ("alpha", "beta", "gamma")] * 4
+    one = spark.createDataFrame(rows, "text string").coalesce(1)
+    many = spark.createDataFrame(rows, "text string").repartition(7)
+    m1 = [tuple(r) for r in bpe_train(one, n_merges=5)[0].orderBy("rank").collect()]
+    m2 = [tuple(r) for r in bpe_train(many, n_merges=5)[0].orderBy("rank").collect()]
+    assert m1 == m2 and len(m1) == 5
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    """A corpus whose words collapse to single symbols must stop early
+    (no pairs left) rather than index past the array — the
+    sequence-descends-when-start>stop edge."""
+    from polygon_algotrading_env_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame([("a a a ab",)], "text string")
+    merges, vocab = bpe_train(docs, n_merges=10)
+    got = [tuple(r) for r in merges.orderBy("rank").collect()]
+    # (a,</w>) x3 wins round 0; then ab: (a,b) then (ab,</w>); then done
+    assert len(got) == 3 < 10
+    assert all(len(r["symbols"]) == 1 for r in vocab.collect())
