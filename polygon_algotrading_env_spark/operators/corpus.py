@@ -301,6 +301,26 @@ def dsir_log_weights(
     )
 
 
+def _apply_merge(syms, a: str, b: str):
+    """Left-to-right non-overlapping merge of adjacent (a, b) into a+b
+    inside a symbol array — the standard BPE merge step as a JVM
+    ``aggregate`` fold (a freshly-merged symbol never immediately
+    re-merges with the next input symbol)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -367,24 +387,48 @@ def bpe_train(
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merged = a + b
-        merges.append((rank, a, b, merged, cnt))
-        fold = F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select("w", "freq", fold.alias("symbols")).localCheckpoint()
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = vocab.select(
+            "w", "freq", _apply_merge(syms, a, b).alias("symbols")
+        ).localCheckpoint()
 
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq bigint"
     )
     return merges_df, vocab
+
+
+def bpe_segment(
+    words: DataFrame,
+    merges,
+    word_col: str = "w",
+    end_of_word: str = "</w>",
+    out_col: str = "symbols",
+) -> DataFrame:
+    """Tokenize words with a LEARNED BPE merge table — the apply step that
+    pairs with :func:`bpe_train` (train once, segment any corpus).
+
+    ``merges`` is the trainer's merge DataFrame (or a (rank, left,
+    right, ...) row list); like any shipped tokenizer artifact it is
+    vocab-bounded metadata, so collecting it driver-side and folding the
+    merges into the plan as literals is the scale-correct move — the
+    segmentation itself is pure JVM array algebra applied per DISTINCT
+    word (segment the word vocab, then join back to token streams; never
+    re-segment every occurrence). Merges apply in rank order, each as the
+    same left-to-right fold the trainer used, with periodic
+    localCheckpoint so M chained folds never build an M-deep codegen
+    expression.
+    """
+    if isinstance(merges, DataFrame):
+        merges = merges.orderBy("rank").collect()
+    out = words.withColumn(
+        out_col,
+        F.concat(F.split(F.col(word_col), ""), F.array(F.lit(end_of_word))),
+    )
+    for i, m in enumerate(merges):
+        out = out.withColumn(
+            out_col, _apply_merge(F.col(out_col), m["left"], m["right"])
+        )
+        if (i + 1) % 8 == 0:
+            out = out.localCheckpoint()
+    return out

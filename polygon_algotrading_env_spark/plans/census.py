@@ -49,6 +49,7 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "doc_rarity_scores",
         "bm25_topk_docs",
         "bigram_logprob_docs",
+        "kneser_ney_logprob_docs",  # same big-join-c12 family as bigram LM
         "kl_divergence_by_source",
         "top_terms_per_doc",
         "boilerplate_ngrams",

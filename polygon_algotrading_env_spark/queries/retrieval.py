@@ -760,3 +760,84 @@ def bpe_merge_table(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges, _vocab = bpe_train(docs, n_merges=20)
     return merges.orderBy("rank")
+
+
+@register(
+    "kneser_ney_logprob_docs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.token AS t1, b.token AS t2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT t1, t2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    c1 AS (
+      SELECT t1, sum(n12) AS n1, count(*) AS fanout FROM c12 GROUP BY 1
+    ),
+    cont AS (SELECT t2, count(*) AS n_cont FROM c12 GROUP BY 1),
+    tot AS (SELECT count(*) AS n_pairs FROM c12)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(
+             (m.n12 - 0.75) / c1.n1
+             + 0.75 * c1.fanout / c1.n1
+               * (co.n_cont * 1.0 / tt.n_pairs)
+           )), 6) AS avg_kn_logprob
+    FROM big g
+    JOIN c12 m ON g.t1 = m.t1 AND g.t2 = m.t2
+    JOIN c1     ON g.t1 = c1.t1
+    JOIN cont co ON g.t2 = co.t2
+    CROSS JOIN tot tt
+    GROUP BY g.doc_id
+    """,
+)
+def kneser_ney_logprob_docs(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, the
+    standard n-gram smoothing): P(w2|w1) = max(c12−d,0)/c1 +
+    d·fanout(w1)/c1 · Pcont(w2), with the continuation probability
+    Pcont(w2) = |{w1 : c(w1,w2)>0}| / |distinct bigrams| — the 'how many
+    contexts does w2 complete' estimate that makes KN beat add-one on
+    real text (frequent-but-context-locked tokens stop being
+    overweighted). Self-scored, so every doc bigram exists in the model
+    and max(·,0) never binds with d=0.75 < 1 ≤ c12. Same plan family as
+    bigram_logprob_docs: one posexplode, bigrams via lead() on the same
+    shuffle, THREE vocab-shaped model aggregates (c12/c1+fanout/
+    continuation) hash-joined back, pair total as a 1-row broadcast.
+    Round-6 on an avg of logs — never on the rounding grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.col("token").alias("t1"), "t2")
+    )
+    d = 0.75
+    c12 = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("t1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = c12.groupBy("t2").agg(F.count(F.lit(1)).alias("n_cont"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n_pairs"))
+    p_kn = (F.col("n12") - d) / F.col("n1") + d * F.col("fanout") / F.col(
+        "n1"
+    ) * (F.col("n_cont") * 1.0 / F.col("n_pairs"))
+    return (
+        big.join(c12, ["t1", "t2"])
+        .join(c1, "t1")
+        .join(cont, "t2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
+        )
+    )

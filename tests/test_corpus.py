@@ -222,3 +222,45 @@ def test_bpe_train_stops_when_fully_merged(spark):
     # (a,</w>) x3 wins round 0; then ab: (a,b) then (ab,</w>); then done
     assert len(got) == 3 < 10
     assert all(len(r["symbols"]) == 1 for r in vocab.collect())
+
+
+def test_bpe_segment_reproduces_training_segmentation_and_handles_unseen(spark):
+    """Applying the learned merge table must reproduce the trainer's own
+    final segmentation on training words, and segment UNSEEN words
+    exactly as the sequential apply would."""
+    from polygon_algotrading_env_spark.operators.corpus import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    merges, vocab = bpe_train(docs, n_merges=10)
+
+    train_words = spark.createDataFrame(
+        [(w,) for w in sorted(set(corpus))], "w string"
+    )
+    seg = {
+        r["w"]: tuple(r["symbols"])
+        for r in bpe_segment(train_words, merges).collect()
+    }
+    from_train = {r["w"]: tuple(r["symbols"]) for r in vocab.collect()}
+    assert seg == from_train
+
+    # unseen word: apply the same merges sequentially in python
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    word = "lowest"
+    ref = list(word) + ["</w>"]
+    for a, b in mlist:
+        out, i = [], 0
+        while i < len(ref):
+            if i + 1 < len(ref) and ref[i] == a and ref[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(ref[i])
+                i += 1
+        ref = out
+    unseen = spark.createDataFrame([(word,)], "w string")
+    got = tuple(bpe_segment(unseen, merges).collect()[0]["symbols"])
+    assert got == tuple(ref)
