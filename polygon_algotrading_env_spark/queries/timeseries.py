@@ -4173,3 +4173,86 @@ def trade_size_tail_index(spark, sf_dir):
         ),
         F.round(F.regr_r2(F.log("rnk"), F.log("value")), 6).alias("r2"),
     )
+
+
+@register(
+    "hurst_exponent_by_type",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type,
+             ln(close / lag(close) OVER w) AS r,
+             row_number() OVER w - 2 AS i
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    scaled AS (
+      SELECT f.event_type, m.m, f.i // m.m AS blk, sum(f.r) AS s,
+             count(*) AS n
+      FROM (SELECT * FROM rets WHERE r IS NOT NULL) f
+      CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS m) m
+      GROUP BY 1, 2, 3
+    ),
+    vars AS (
+      SELECT event_type, m, var_samp(s) AS v, count(*) AS n_blocks
+      FROM scaled WHERE n = m
+      GROUP BY 1, 2 HAVING count(*) >= 2 AND var_samp(s) > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS INT)                     AS n_scales,
+           round(regr_slope(ln(v), ln(m)) / 2, 6)    AS hurst
+    FROM vars GROUP BY 1
+    """,
+)
+def hurst_exponent_by_type(spark, sf_dir):
+    """Hurst exponent per symbol by the aggregated-variance method: if
+    log-returns were i.i.d. (H=0.5) the variance of m-aggregated block
+    sums grows linearly in m; persistent series grow faster, mean-
+    reverting slower — H = slope of ln Var(block sum) on ln m over
+    m∈{1,2,4,8,16}, divided by 2. The regime diagnostic quant pipelines
+    run before fitting anything autoregressive.
+
+    Plan: 5-minute bars → one lag() window for log returns → a 5-row
+    scale spine exploded onto the return index (integer DIV block ids,
+    complete blocks only) → variance per (key, scale) → regr_slope over
+    ≤5 points per key. Every relation after the bar aggregate is
+    key×scale-bounded; the return stream shuffles once. Round-6 on a
+    slope of logs — never on the rounding grid."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    rets = (
+        bars.select(
+            "event_type",
+            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+            (F.row_number().over(w) - 2).alias("i"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    scales = F.explode(F.array(*[F.lit(m) for m in (1, 2, 4, 8, 16)]))
+    scaled = (
+        rets.select("event_type", "r", "i", scales.alias("m"))
+        .groupBy("event_type", "m", F.expr("i DIV m").alias("blk"))
+        .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    vars_ = (
+        scaled.where(F.col("n") == F.col("m"))
+        .groupBy("event_type", "m")
+        .agg(F.var_samp("s").alias("v"), F.count(F.lit(1)).alias("n_blocks"))
+        .where((F.col("n_blocks") >= 2) & (F.col("v") > 0))
+    )
+    return vars_.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_scales"),
+        F.round(
+            F.expr("regr_slope(ln(v), ln(m))") / 2, 6
+        ).alias("hurst"),
+    )
