@@ -689,6 +689,7 @@ def source_vocab_overlap(spark, sf_dir):
 
 @register(
     "dsir_weights_for_target",
+    headline=True,
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, lang,

@@ -4177,6 +4177,7 @@ def trade_size_tail_index(spark, sf_dir):
 
 @register(
     "hurst_exponent_by_type",
+    headline=True,
     oracle="""
     WITH bars AS (
       SELECT event_type,
