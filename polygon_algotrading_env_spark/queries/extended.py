@@ -621,3 +621,69 @@ def sql_udf_discounted_pricing(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, k) AS i FROM counts
+    ),
+    s AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+             sum(2.0 * i * n) AS s2in
+      FROM ranked
+    )
+    SELECT CAST(n_keys AS BIGINT)                          AS n_keys,
+           CAST(n_rows AS BIGINT)                          AS n_rows,
+           CAST(max_n AS BIGINT)                           AS max_n,
+           round(max_n * 1.0 / n_rows, 6)                  AS max_share,
+           round((s2in - (n_keys + 1.0) * n_rows)
+                 / (n_keys * 1.0 * n_rows), 6)             AS gini
+    FROM s
+    """,
+)
+def key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew profile for a candidate join/agg key (l_partkey):
+    key count, hottest-key share, and the Gini coefficient of the
+    per-key row distribution — the pre-flight check that decides between
+    a plain hash shuffle, AQE skew handling, and explicit salting
+    (operators/skew.py). Gini uses the sorted-rank identity
+    2Σ(i·x) − (n+1)Σx over (n·Σx): counts are one hash aggregate, and
+    the global rank comes from with_global_ordinals (operators/ids.py) —
+    range-partitioned, never a one-task ORDER BY window, so the profile
+    stays parallel even when the KEY domain itself is billions of rows
+    (exactly the regime where you'd be running a skew profile). Final
+    reduction is a single row; exact-integer inputs make round-6
+    tie-free."""
+    from polygon_algotrading_env_spark.operators.ids import (
+        with_global_ordinals,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = with_global_ordinals(counts, ["n", "k"], ordinal_col="i").select(
+        "n", "i"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.sum(2.0 * F.col("i") * F.col("n")).alias("s2in"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.round(F.col("max_n") * 1.0 / F.col("n_rows"), 6).alias("max_share"),
+        F.round(
+            (F.col("s2in") - (F.col("n_keys") + 1.0) * F.col("n_rows"))
+            / (F.col("n_keys") * 1.0 * F.col("n_rows")),
+            6,
+        ).alias("gini"),
+    )
