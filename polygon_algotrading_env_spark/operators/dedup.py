@@ -581,3 +581,142 @@ def simhash_candidate_pairs(
     result = pairs.localCheckpoint(eager=True)
     fps.unpersist()
     return result
+
+
+# --- persistent, incrementally-maintained MinHash-LSH index ---------------
+# At 100 TB the signature scan is the dominant near-dup cost; re-running it
+# over the whole corpus for every ingest batch is the classic waste. The
+# index persists (sigs, band keys) once; each new batch signatures ONLY its
+# own documents, probes the stored bands for new-vs-old candidates, and
+# appends itself — the same delta ≡ full-rebuild contract as the
+# incremental bar view (operators/incremental.py).
+
+_INDEX_META = "_index_meta.json"
+
+
+def _index_params_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, _INDEX_META)
+
+
+def minhash_index_update(
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Ingest ``new_docs`` into the persistent LSH index at ``index_dir``
+    (creating it on first call) and return the near-duplicate candidate
+    pairs INVOLVING the new batch — new×old via a probe of the stored
+    band table, new×new within the batch — with the same est_jaccard
+    measure as :func:`minhash_candidate_pairs`.
+
+    Invariant (pinned in tests): the union of every batch's returned
+    pairs equals a full :func:`minhash_candidate_pairs` rebuild over the
+    union corpus — incremental maintenance changes COST, never answers.
+    Index parameters are recorded at init and validated on every update
+    (a probe with mismatched banding would silently find nothing).
+
+    Scale shape: signatures are computed for the new batch only; the
+    probe is an equi-join on uniformly-distributed 64-bit band keys
+    against a parquet table partitioned by band_idx; appends are
+    partition-aligned file adds, never a rewrite of existing data.
+    """
+    import json
+    import os
+
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
+    meta_path = _index_params_path(index_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(
+                f"index at {index_dir} was built with {stored}, "
+                f"update called with {params}"
+            )
+        existing = True
+    else:
+        existing = False
+
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    sigs_new = (
+        new_docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias(
+                "sig"
+            ),
+        )
+        .persist()
+    )
+    banded_new = sigs_new.select(
+        "id",
+        F.posexplode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("band_idx", "band_key"),
+    )
+
+    bands_path = os.path.join(index_dir, "bands")
+    sigs_path = os.path.join(index_dir, "sigs")
+    if existing:
+        bands_all = spark.read.parquet(bands_path).unionByName(banded_new)
+        sigs_all = spark.read.parquet(sigs_path).unionByName(sigs_new)
+    else:
+        bands_all, sigs_all = banded_new, sigs_new
+
+    probe = banded_new.select(
+        F.col("id").alias("id_x"), "band_idx", "band_key"
+    ).join(
+        bands_all.select(F.col("id").alias("id_y"), "band_idx", "band_key"),
+        ["band_idx", "band_key"],
+    )
+    pairs = (
+        probe.filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs_all.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs_all.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    result = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.size(F.col("sig_a"))).alias(
+                "est_jaccard"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Append AFTER the probe materialized (localCheckpoint above), so the
+    # probe never sees this batch's own rows twice.
+    banded_new.write.mode("append").partitionBy("band_idx").parquet(bands_path)
+    sigs_new.write.mode("append").parquet(sigs_path)
+    if not existing:
+        import json as _json
+
+        os.makedirs(index_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            _json.dump(params, fh)
+    sigs_new.unpersist()
+    return result

@@ -165,3 +165,50 @@ def test_remove_duplicate_spans_all_covered_and_repeats(spark):
     docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
     out2 = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(docs2).collect()}
     assert out2[0]["n_dup_tokens"] == 0
+
+
+def test_minhash_index_incremental_equals_full_rebuild(spark, tmp_path):
+    """The persistent LSH index contract: union of every batch's returned
+    pairs == one-shot minhash_candidate_pairs over the union corpus
+    (same pairs, same est_jaccard) — incremental maintenance changes
+    cost, never answers. Also: parameter mismatch on update must raise."""
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_index_update,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),                  # near-dup of 1
+            (3, "completely different text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [
+            (4, base + " today"),                    # near-dup of 1 and 2
+            (5, "another unrelated document on parquet column pruning"),
+            (6, "completely different text about spark shuffles and joins!"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_index")
+    p1 = minhash_index_update(idx, docs1)
+    p2 = minhash_index_update(idx, docs2)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in p1.collect() + p2.collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in minhash_candidate_pairs(docs1.unionByName(docs2)).collect()
+    }
+    assert got == full
+    assert any(a == 1 and b == 4 for a, b in got)     # new-vs-old found
+    assert any(a == 3 and b == 6 for a, b in got)     # across batches
+    with _pytest.raises(ValueError, match="built with"):
+        minhash_index_update(idx, docs2, bands=4)
