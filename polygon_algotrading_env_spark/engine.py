@@ -357,6 +357,41 @@ class Engine:
             bars, out_root=out_root, spark=self.spark, **kw
         )
 
+    def train_tokenizer(self, docs: DataFrame, n_merges: int = 1000, **kw):
+        """Learn a BPE merge table (operators/corpus.py: bpe_train);
+        returns (merges, vocab segmentation)."""
+        from polygon_algotrading_env_spark.operators.corpus import bpe_train
+
+        return bpe_train(docs, n_merges=n_merges, **kw)
+
+    def segment_words(self, words: DataFrame, merges, **kw) -> DataFrame:
+        """Apply a learned BPE merge table to a word vocabulary
+        (operators/corpus.py: bpe_segment)."""
+        from polygon_algotrading_env_spark.operators.corpus import bpe_segment
+
+        return bpe_segment(words, merges, **kw)
+
+    def select_for_domain(
+        self, docs: DataFrame, target_cond, **kw
+    ) -> DataFrame:
+        """DSIR importance weights toward a target domain
+        (operators/corpus.py: dsir_log_weights)."""
+        from polygon_algotrading_env_spark.operators.corpus import (
+            dsir_log_weights,
+        )
+
+        return dsir_log_weights(docs, target_cond, **kw)
+
+    def neardup_index(self, index_dir: str, new_docs: DataFrame, **kw):
+        """Ingest a batch into the persistent MinHash-LSH index and get
+        back the near-dup pairs involving it (operators/dedup.py:
+        minhash_index_update)."""
+        from polygon_algotrading_env_spark.operators.dedup import (
+            minhash_index_update,
+        )
+
+        return minhash_index_update(index_dir, new_docs, **kw)
+
     # -- declared corpus --------------------------------------------------
     def query(self, name: str, sf_dir: str = catalog.DEFAULT_SF_DIR) -> DataFrame:
         from polygon_algotrading_env_spark.queries import queries
