@@ -212,3 +212,57 @@ def test_minhash_index_incremental_equals_full_rebuild(spark, tmp_path):
     assert any(a == 3 and b == 6 for a, b in got)     # across batches
     with _pytest.raises(ValueError, match="built with"):
         minhash_index_update(idx, docs2, bands=4)
+
+
+def test_minhash_index_streaming_foreachbatch(spark, tmp_path):
+    """Streaming ingest composition: a document stream maintains the
+    persistent LSH index via foreachBatch, so near-dup pairs surface as
+    batches arrive — and the accumulated pairs still equal the one-shot
+    rebuild over everything ingested (the streaming form of the
+    incremental contract)."""
+    from polygon_algotrading_env_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_index_update,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "lsh_index")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " tonight")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, base + " today"), (4, "unrelated parquet pruning prose")],
+        "doc_id long, text string",
+    )
+    collected: list = []
+
+    def _ingest(bdf, _bid):
+        collected.extend(minhash_index_update(idx, bdf).collect())
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9) for r in collected
+    }
+    full = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 9)
+        for r in minhash_candidate_pairs(b1.unionByName(b2)).collect()
+    }
+    assert got == full and (1, 3) in got
