@@ -168,3 +168,63 @@ def mg_heavy_hitters(
         )
         .drop("n_total")
     )
+
+
+# --- deterministic bottom-k priority samples (mergeable quantile sketch) --
+
+def bottomk_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys=(),
+    k: int = 256,
+) -> DataFrame:
+    """Per-key mergeable sample sketch: the ``k`` rows with the smallest
+    md5 priority (keyed on ``id_col``, so the 'random' sample is
+    deterministic across runs, partitionings, and engines). Bottom-k by
+    a fixed priority is a uniform sample that merges EXACTLY —
+    sketch(A ∪ B) = merge(sketch(A), sketch(B)) with no error term —
+    which is what makes per-segment sketch tables answer union queries
+    without rescanning (same role as the HLL tables, but for quantiles/
+    distributions instead of distinct counts).
+
+    Scale shape (the mg_partition_candidates pattern): stage 1 reduces
+    every (key, input-partition) group to ≤ k rows map-side-local, so
+    stage 2's shuffle carries at most partitions×k rows per key — the
+    fact relation is never sorted per key and never collected whole into
+    an aggregation buffer beyond one input partition's worth.
+
+    Returns (keys..., sketch array<struct<pr,id,v>> sorted by priority,
+    n_rows exact count).
+    """
+    keys = list(keys)
+    pr = F.md5(F.col(id_col).cast("string"))
+    item = F.struct(
+        pr.alias("pr"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    part = df.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__sk"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return part.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__sk"))), 1, k
+        ).alias("sketch"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+    )
+
+
+def merge_bottomk(sketch_a, sketch_b, k: int):
+    """Column expression merging two bottom-k sketch arrays exactly."""
+    return F.slice(F.array_sort(F.concat(sketch_a, sketch_b)), 1, k)
+
+
+def bottomk_quantile(sketch, q: float):
+    """Column expression: the ``q``-quantile estimate from a sketch —
+    the sample value at floor(q·(m−1)) in value order (deterministic:
+    duplicates of v are equal, so index choice among ties is moot)."""
+    vals = F.array_sort(F.transform(sketch, lambda x: x["v"]))
+    idx = F.floor(F.lit(q) * (F.size(vals) - 1)).cast("int") + 1
+    return F.element_at(vals, idx)

@@ -367,3 +367,60 @@ def heavy_hitter_parts(spark, sf_dir):
     return mg_heavy_hitters(li, "l_partkey", k=20, capacity=16384).select(
         "l_partkey", "cnt", "certified"
     )
+
+
+@register(
+    "bottomk_sketch_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             md5(CAST(event_id AS VARCHAR)) AS pr,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)),
+                        CAST(event_id AS VARCHAR)
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    samp AS (SELECT * FROM ranked WHERE rn <= 128),
+    ordered AS (
+      SELECT event_type, value, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM samp
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(max(CASE WHEN vr = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1
+                          THEN value END), 4) AS est_p50,
+           round(max(CASE WHEN vr = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1
+                          THEN value END), 4) AS est_p90
+    FROM ordered GROUP BY 1
+    """,
+)
+def bottomk_sketch_quantiles(spark, sf_dir):
+    """Quantile estimates from the mergeable bottom-k priority sample
+    (operators/sketches.py: bottomk_sketch): per-symbol p50/p90 read off
+    a deterministic 128-row sample whose selection is a pure function of
+    event_id's md5 — so the 'random' sample is identical across runs,
+    partitionings, and ENGINES, which is what makes this sketch
+    cross-engine certifiable where HLL (implementation-defined) is not.
+    The sketch's two-phase build bounds every aggregation buffer at one
+    input partition's worth and ships at most partitions×k rows per key;
+    per-segment sketches merge EXACTLY (pinned in tests), so union
+    quantile queries never rescan the base data. The oracle replays the
+    same selection with rank windows."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        bottomk_quantile,
+        bottomk_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = bottomk_sketch(ev, "value", "event_id", ["event_type"], k=128)
+    return sk.select(
+        "event_type",
+        "n_rows",
+        F.round(bottomk_quantile(F.col("sketch"), 0.5), 4).alias("est_p50"),
+        F.round(bottomk_quantile(F.col("sketch"), 0.9), 4).alias("est_p90"),
+    )

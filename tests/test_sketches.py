@@ -184,3 +184,48 @@ def test_mg_heavy_hitters_short_result_is_uncertified(spark):
     full = mg_heavy_hitters(df, "k", k=3, capacity=128).collect()
     assert [(r["k"], r["cnt"]) for r in full] == [(1, 900), (2, 90), (3, 10)]
     assert all(r["certified"] for r in full)
+
+
+def test_bottomk_sketch_laws(spark):
+    """The three sketch laws: partitioning invariance, EXACT mergeability
+    (sketch(A∪B) == merge(sketch(A), sketch(B))), and quantile-estimate
+    accuracy on a known distribution."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        bottomk_quantile,
+        bottomk_sketch,
+        merge_bottomk,
+    )
+
+    rows = [("g", i, float((i * 7919) % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key string, id long, v double")
+    k = 256
+
+    s1 = bottomk_sketch(df.repartition(1), "v", "id", ["key"], k=k).collect()[0]
+    s7 = bottomk_sketch(df.repartition(7), "v", "id", ["key"], k=k).collect()[0]
+    assert [tuple(x) for x in s1["sketch"]] == [tuple(x) for x in s7["sketch"]]
+    assert s1["n_rows"] == 5000 and len(s1["sketch"]) == k
+
+    a = df.where("id < 2000")
+    b = df.where("id >= 2000")
+    sa = bottomk_sketch(a, "v", "id", ["key"], k=k)
+    sb = bottomk_sketch(b, "v", "id", ["key"], k=k)
+    merged = (
+        sa.select("key", F.col("sketch").alias("ska"))
+        .join(sb.select("key", F.col("sketch").alias("skb")), "key")
+        .select("key", merge_bottomk(F.col("ska"), F.col("skb"), k).alias("sketch"))
+        .collect()[0]
+    )
+    assert [tuple(x) for x in merged["sketch"]] == [
+        tuple(x) for x in s1["sketch"]
+    ]
+
+    est = (
+        bottomk_sketch(df, "v", "id", ["key"], k=k)
+        .select(bottomk_quantile(F.col("sketch"), 0.5).alias("med"))
+        .collect()[0]["med"]
+    )
+    # true median of (i*7919) % 1000 over 5000 rows ~ 500; k=256 sample
+    # keeps the estimate within a few tens
+    assert abs(est - 500.0) < 80.0
