@@ -687,3 +687,116 @@ def key_skew_profile(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'o_totalprice_positive' AS constraint_name,
+             count(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+             count(*) AS n_checked
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate_not_null',
+             count(*) FILTER (WHERE o_orderdate IS NULL), count(*)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority_in_domain',
+             count(*) FILTER (WHERE o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')),
+             count(*)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey_fk_customer',
+             count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'o_orderkey_unique',
+             (SELECT count(*) FROM
+               (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)),
+             count(DISTINCT o_orderkey)
+      FROM orders
+    )
+    SELECT constraint_name,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT)    AS n_checked,
+           n_violations = 0             AS passed
+    FROM checks
+    """,
+)
+def dq_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit over the orders table — the
+    expectation checks (non-null, domain membership, range, FK integrity,
+    key uniqueness) every pipeline runs before promoting a bronze batch.
+    Plan economics: the four row-local checks share ONE scan via
+    conditional aggregation (count(when(...))) — never one job per
+    constraint; the FK check is a broadcast left join counted in the same
+    style; uniqueness is a groupBy on the key with a HAVING-style filter.
+    Emitting counts (not booleans alone) makes the audit monotonic for
+    incremental runs: per-batch counts add up."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def check(name, bad, checked):
+        return F.struct(
+            F.lit(name).alias("constraint_name"),
+            bad.cast("bigint").alias("n_violations"),
+            checked.cast("bigint").alias("n_checked"),
+        )
+
+    n = F.count(F.lit(1))
+    bad = lambda cond: F.count(F.when(cond, 1))
+    row_local = orders.agg(
+        F.array(
+            check(
+                "o_totalprice_positive",
+                bad(F.col("o_totalprice") <= 0),
+                n,
+            ),
+            check(
+                "o_orderdate_not_null",
+                bad(F.col("o_orderdate").isNull()),
+                n,
+            ),
+            check(
+                "o_orderpriority_in_domain",
+                bad(
+                    ~F.col("o_orderpriority").isin(
+                        "1-URGENT", "2-HIGH", "3-MEDIUM",
+                        "4-NOT SPECIFIED", "5-LOW",
+                    )
+                ),
+                n,
+            ),
+        ).alias("cks")
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.array(
+                check(
+                    "o_custkey_fk_customer", bad(F.col("c_custkey").isNull()), n
+                )
+            ).alias("cks")
+        )
+    )
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.array(
+                check("o_orderkey_unique", bad(F.col("c") > 1), n)
+            ).alias("cks")
+        )
+    )
+    all_checks = row_local.unionByName(fk).unionByName(uniq)
+    return (
+        all_checks.select(F.explode("cks").alias("ck"))
+        .select("ck.*")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
