@@ -4188,7 +4188,8 @@ def trade_size_tail_index(spark, sf_dir):
     ),
     rets AS (
       SELECT event_type,
-             ln(close / lag(close) OVER w) AS r,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN ln(close / lag(close) OVER w) END AS r,
              row_number() OVER w - 2 AS i
       FROM bars
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
@@ -4231,10 +4232,18 @@ def hurst_exponent_by_type(spark, sf_dir):
         "event_type", "bucket_start", "close"
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
+    # zero prices exist in the fixture at larger SFs: returns are defined
+    # only for positive consecutive closes (NULL otherwise, dropped) —
+    # explicit on BOTH engines, since ANSI Spark errors on x/0 and DuckDB
+    # errors on ln(0).
+    prev = F.lag("close").over(w)
     rets = (
         bars.select(
             "event_type",
-            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+            F.when(
+                (F.col("close") > 0) & (prev > 0),
+                F.log(F.col("close") / prev),
+            ).alias("r"),
             (F.row_number().over(w) - 2).alias("i"),
         )
         .where(F.col("r").isNotNull())
