@@ -497,3 +497,163 @@ def semantic_dup_pairs(
         joined.select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+# --- product quantization (PQ): the memory-bound ANN tier ------------------
+# At 100 TB of embeddings the bottleneck flips from compute to MEMORY: a
+# 768-dim float32 vector is 3 KB, a PQ code is m bytes (~8-64). PQ splits
+# each vector into m subvectors, k-means-quantizes each subspace to 2^bits
+# codewords, and answers queries by Asymmetric Distance Computation: one
+# (m × 2^bits) lookup table per query, scores are m table lookups per
+# code — the codes relation is the only thing scanned, ~100-400x smaller
+# than the raw vectors.
+
+def pq_train(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_size: int = 256,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace L2 k-means on a driver-side seeded
+    sample (codebook size ≪ data, same sampling discipline as
+    ivf_centroids — cross-partition sample(), never limit()). Vectors are
+    L2-normalized first so ADC L2 ranking ≡ cosine ranking. Returns a
+    (m, codebook_size, dim//m) numpy array, deterministic for a fixed
+    seed and layout."""
+    vecs = embeddings.select(vec_col)
+    n = vecs.count()
+    if n <= sample_rows:
+        rows = vecs.collect()
+    else:
+        frac = min(1.0, 1.2 * sample_rows / n)
+        rows = vecs.sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+    sample = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(codebook_size, len(sample))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                members = sub[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-codeword ids — the build pass
+    that writes the codes silver table. Arrow-batched numpy (one matrix
+    op per subspace per batch); codes are (id, array<int> of length m).
+    Deterministic for fixed codebooks."""
+    from pyspark.sql.types import ArrayType
+
+    m, ksub, dsub = codebooks.shape
+    books = codebooks  # captured; shipped once per executor in the closure
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        out = []
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        if len(x) == 0:
+            return pd.Series(out)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            sub = x[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[None, s]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        out = [row.tolist() for row in codes]
+        return pd.Series(out)
+
+    return embeddings.select(
+        F.col(id_col), _enc(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the codes relation: the (m × ksub) distance table is
+    computed ONCE driver-side from the query and shipped in the UDF
+    closure; each code row costs m integer lookups + a sum. The raw
+    vector relation is never touched — this is the whole point of PQ.
+    Returns (id, approx_dist) ascending (smaller = closer; exact ranks
+    recoverable by re-scoring the top candidates against raw vectors)."""
+    from pyspark.sql.types import DoubleType
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    table = np.empty((m, ksub))
+    for s in range(m):
+        table[s] = ((codebooks[s] - q[s * dsub : (s + 1) * dsub]) ** 2).sum(
+            axis=1
+        )
+
+    @pandas_udf(DoubleType())
+    def _adc(code_col: pd.Series) -> pd.Series:
+        if len(code_col) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.array([list(x) for x in code_col], dtype=np.int64)
+        d = table[np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(d)
+
+    return (
+        codes.select(F.col(id_col), _adc(F.col("pq_code")).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk_reranked(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """The standard two-stage PQ query: ADC over the codes relation
+    retrieves ``n_candidates`` (cheap, memory-resident), then ONLY those
+    candidates' raw vectors are fetched (broadcast semi-join against the
+    id list) and re-scored exactly. Quantization error decides candidate
+    membership, never final ranks — the accepted production shape,
+    because within-cell ADC ranks are where PQ loses precision."""
+    cand = pq_topk(
+        codes, codebooks, query_vec, k=n_candidates, id_col=id_col
+    ).select(id_col)
+    narrowed = embeddings.join(F.broadcast(cand), id_col, "left_semi")
+    return _score_topk(
+        narrowed, query_vec, k, id_col, vec_col, score_decimals
+    )

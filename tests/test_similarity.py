@@ -237,3 +237,56 @@ def test_semantic_dup_pairs_and_survivors(spark):
     all_pairs = semantic_dup_pairs(emb, threshold=0.95)
     got_all = {(r["id_a"], r["id_b"]) for r in all_pairs.collect()}
     assert got_all == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ pipeline: codebooks train on a seeded sample, codes are m small
+    ints (the ~100-400x memory win), and ADC top-k over the CODES
+    relation recovers the brute-force cosine neighbors with high recall
+    on clustered data. Encoding is deterministic across partitionings."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_topk_reranked,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 32) * 5
+    rows = []
+    for i in range(800):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.randn(32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = (centers[2] + rng.randn(32) * 0.1).tolist()
+
+    books = pq_train(df, m=4, codebook_size=64, sample_rows=800, seed=7)
+    assert books.shape == (4, 64, 8)
+    codes = pq_encode(df, books)
+    row0 = codes.orderBy("vec_id").first()
+    assert len(row0["pq_code"]) == 4
+
+    # ADC alone must put the candidates in the right CLUSTER (coarse
+    # recall); exact ranks come from the two-stage re-ranked query.
+    cand = [
+        r["vec_id"] for r in pq_topk(codes, books, query, k=100).collect()
+    ]
+    assert sum(1 for i in cand if i % 8 == 2) >= 90, cand[:20]
+    exact = [r["vec_id"] for r in cosine_topk(df, query, k=20).collect()]
+    reranked = [
+        r["vec_id"]
+        for r in pq_topk_reranked(
+            codes, df, books, query, k=20, n_candidates=100
+        ).collect()
+    ]
+    recall = len(set(reranked) & set(exact)) / 20.0
+    assert recall >= 0.9, (recall, reranked, exact)
+
+    again = pq_encode(df.repartition(7), books)
+    a = {r["vec_id"]: list(r["pq_code"]) for r in codes.collect()}
+    b = {r["vec_id"]: list(r["pq_code"]) for r in again.collect()}
+    assert a == b
