@@ -343,3 +343,34 @@ def embedding_outliers_per_label(spark, sf_dir):
         .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id",
                 "cos_to_centroid")
     )
+
+
+@register("pq_ann_topk", oracle=None)
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN, the memory-bound tier: codebooks trained
+    once on a seeded sample and cached beside the codes table (codes are
+    m=8 small ints per vector — the ~100x memory win over raw floats);
+    the query is ADC over the CODES relation (per-query lookup table,
+    raw vectors never scanned) with the standard exact re-rank of the
+    candidate set (operators/similarity.py: pq_topk_reranked).
+    Approximate ⇒ rows-only; recall and encode determinism asserted in
+    tests/test_similarity.py."""
+    from polygon_algotrading_env_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_reranked,
+        pq_train,
+    )
+
+    idx = _ann_index_dir(sf_dir, "pq8")
+    books_file = idx + "_codebooks.npy"
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        books = pq_train(emb, m=8, codebook_size=64)
+        os.makedirs(os.path.dirname(books_file), exist_ok=True)
+        np.save(books_file, books)
+        pq_encode(emb, books).write.mode("overwrite").parquet(idx)
+    books = np.load(books_file)
+    codes = spark.read.parquet(idx)
+    return pq_topk_reranked(
+        codes, emb, books, _query_vec(spark, sf_dir), k=20, n_candidates=100
+    )
