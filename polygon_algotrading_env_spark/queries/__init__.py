@@ -100,6 +100,12 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # microstructure pack, the bigram LM, the cluster-aware split, the
 # multi-grain GROUPING SETS ladder, and four TPC-H decision shapes
 # (Q3/Q6/Q8/Q20) that have only local oracle runs so far.
+# Round-6 rotation candidates (per the standing one-oracle-per-family
+# invariant): the round-5 flagships certified locally at three scales but
+# never driver-certified — dsir_weights_for_target, kneser_ney_logprob_docs,
+# hurst_exponent_by_type, key_skew_profile, bottomk_sketch_quantiles,
+# dq_constraint_audit — in exchange for slots whose families hold multiple
+# recorded green rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
     # filters / projection / dedup / distinct (P1-P5, D1-D2)
     "filter_mktsegment",
