@@ -557,3 +557,70 @@ def stream_to_jdbc_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bottomk_sketch_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sketch_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+):
+    """Incrementally maintained quantile sketches over a stream — the
+    bottom-k analogue of :func:`stream_hll_sketch_table`: each
+    micro-batch reduces to one deterministic bottom-k priority sample
+    per key group (operators/sketches.py: bottomk_sketch) written to its
+    own ``batch_id=<id>`` partition. Exactly-once is structural twice
+    over: a replay overwrites only its own partition, and bottom-k by a
+    fixed per-id priority has set semantics — merging the same rows
+    again changes nothing. Read current quantiles any time with
+    :func:`read_bottomk_quantiles`: an EXACT merge over the k-row
+    partition sketches (bottom-k of a union = bottom-k of the merged
+    bottom-ks), never a rescan of the stream's history."""
+    from polygon_algotrading_env_spark.operators.sketches import bottomk_sketch
+
+    keys = list(key_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sk = bottomk_sketch(batch_df, value_col, id_col, keys, k=k)
+        sk.write.mode("overwrite").parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bottomk_quantiles(
+    spark: SparkSession,
+    sketch_path: str,
+    key_cols: Sequence[str],
+    k: int = 256,
+    quantiles: Sequence[float] = (0.5, 0.9),
+):
+    """Current quantile estimates per key group from the sketch table:
+    flatten each group's per-batch samples, re-take the global bottom-k
+    (exact merge), and read the estimates off the merged sample. Input
+    size = groups x batches x k rows — sketch-sized, stream-history-free."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        bottomk_quantile,
+    )
+
+    keys = list(key_cols)
+    sk = spark.read.option("basePath", sketch_path).parquet(sketch_path)
+    merged = sk.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sketch"))), 1, k
+        ).alias("sketch"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    cols = [*keys, "n_rows"] + [
+        bottomk_quantile(F.col("sketch"), q).alias(f"est_p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return merged.select(*cols)

@@ -496,3 +496,54 @@ def test_stream_mg_summary_table_completeness(spark, tmp_path):
         ).collect()
     }
     assert got2 == {7: 5, 8: 3}
+
+
+def test_stream_bottomk_sketch_table(spark, tmp_path):
+    """Streaming quantile sketch table: per-batch bottom-k partitions,
+    merged reads equal the BATCH sketch over everything ingested (the
+    exact-merge law, end to end through restarts)."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        bottomk_quantile,
+        bottomk_sketch,
+    )
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_bottomk_quantiles,
+        stream_bottomk_sketch_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skp = str(tmp_path / "sketches")
+    rows1 = [("g", i, float((i * 37) % 100)) for i in range(400)]
+    rows2 = [("g", 1000 + i, float((i * 53) % 100)) for i in range(400)]
+    schema = "key string, id long, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = stream_bottomk_sketch_table(
+            spark.readStream.schema(schema).parquet(src),
+            ckpt, skp, ["key"], "v", "id", k=64,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = read_bottomk_quantiles(spark, skp, ["key"], k=64).collect()[0]
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = (
+        bottomk_sketch(full, "v", "id", ["key"], k=64)
+        .select(
+            "n_rows",
+            bottomk_quantile(F.col("sketch"), 0.5).alias("p50"),
+            bottomk_quantile(F.col("sketch"), 0.9).alias("p90"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == want["n_rows"] == 800
+    assert got["est_p50"] == want["p50"]
+    assert got["est_p90"] == want["p90"]
