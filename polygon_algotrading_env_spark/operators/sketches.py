@@ -228,3 +228,76 @@ def bottomk_quantile(sketch, q: float):
     vals = F.array_sort(F.transform(sketch, lambda x: x["v"]))
     idx = F.floor(F.lit(q) * (F.size(vals) - 1)).cast("int") + 1
     return F.element_at(vals, idx)
+
+
+# --- KMV (k-minimum-values) distinct sketches: set algebra HLL can't do --
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    value_col: str,
+    keys=(),
+    k: int = 256,
+) -> DataFrame:
+    """Per-key KMV sketch of ``value_col``'s DISTINCT values: the k
+    smallest md5 priorities of the value domain. Where HLL answers only
+    union cardinalities, KMV supports set ALGEBRA — Jaccard and
+    intersection estimates between segments (audience overlap, shared-
+    vocabulary, common-user questions) — because the k smallest hashes
+    of a union are computable from the sketches alone and membership of
+    a hash in each side's sketch is exact. Deterministic (md5, no RNG):
+    identical across runs, partitionings, and engines.
+
+    Build shape: distinct-collapse per key (hash aggregate with map-side
+    combine), then the same two-phase bottom-k as :func:`bottomk_sketch`.
+    Returns (keys..., kmv array<string> ascending, n_exact bigint — the
+    exact per-key distinct count, essentially free here since the
+    distinct aggregate ran anyway; estimators that only have the sketch
+    use :func:`kmv_estimate_distinct`).
+    """
+    keys = list(keys)
+    vals = df.select(
+        *keys, F.col(value_col).cast("string").alias("__v")
+    ).distinct()
+    pr = F.md5("__v")
+    part = vals.groupBy(*keys, F.spark_partition_id().alias("__pid")).agg(
+        F.slice(F.array_sort(F.collect_list(pr)), 1, k).alias("__sk"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return part.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__sk"))), 1, k).alias(
+            "kmv"
+        ),
+        F.sum("__n").cast("bigint").alias("n_exact"),
+    )
+
+
+def kmv_estimate_distinct(kmv, k: int):
+    """Column expression: distinct-count estimate (k−1)/U(kth) from the
+    k-th smallest priority mapped to (0,1] via its first 12 hex digits;
+    short sketches (fewer than k distinct values) are exact — the sketch
+    IS the value set."""
+    kth_u = (
+        F.conv(F.substring(F.element_at(kmv, k), 1, 12), 16, 10).cast(
+            "double"
+        )
+        / F.lit(float(16**12))
+    )
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+        (F.lit(k) - 1.0) / kth_u
+    )
+
+
+def kmv_overlap(kmv_a, kmv_b, k: int):
+    """Column expressions (overlap_in_k, union_k_size): take the k
+    smallest priorities of the UNION (computable from the two sketches
+    alone) and count how many belong to BOTH sides — the numerator and
+    denominator of the Jaccard estimate J ≈ overlap/|union_k|. Exact
+    integers: the estimate is cross-engine hashable.
+    |A∩B| ≈ J · |A∪B| follows with any union-cardinality estimate."""
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k
+    )
+    overlap = F.size(
+        F.array_intersect(F.array_intersect(union_k, kmv_a), kmv_b)
+    )
+    return overlap, F.size(union_k)

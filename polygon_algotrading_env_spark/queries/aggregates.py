@@ -424,3 +424,70 @@ def bottomk_sketch_quantiles(spark, sf_dir):
         F.round(bottomk_quantile(F.col("sketch"), 0.5), 4).alias("est_p50"),
         F.round(bottomk_quantile(F.col("sketch"), 0.9), 4).alias("est_p90"),
     )
+
+
+@register(
+    "kmv_audience_overlap",
+    oracle="""
+    WITH pri AS (
+      SELECT DISTINCT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS pr
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, pr,
+             row_number() OVER (PARTITION BY event_type ORDER BY pr) AS rn
+      FROM pri
+    ),
+    sk AS (
+      SELECT event_type, list(pr ORDER BY pr) AS kmv
+      FROM ranked WHERE rn <= 128 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             list_sort(list_distinct(a.kmv || b.kmv))[1:128] AS union_k,
+             a.kmv AS ka, b.kmv AS kb
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(len(list_intersect(list_intersect(union_k, ka), kb))
+                AS INT)                         AS overlap_in_k,
+           CAST(len(union_k) AS INT)            AS union_k_size,
+           round(len(list_intersect(list_intersect(union_k, ka), kb))
+                 * 1.0 / len(union_k), 6)       AS jaccard_est
+    FROM pairs
+    """,
+)
+def kmv_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix from KMV sketches (operators/sketches.py):
+    estimated Jaccard of the distinct-user sets for every event-type
+    pair, computed from the 128-hash sketches ALONE — the set-algebra
+    question HLL sketches cannot answer (union-only) without rescanning
+    the fact data. The overlap and union-k counts are exact integers of
+    a deterministic md5 selection, so the whole estimate is cross-engine
+    hashable; the pair join touches only segment-count x k hashes. At
+    scale the sketches live in a silver table and ANY pair/segment
+    combination folds in sketch space."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        kmv_distinct_sketch,
+        kmv_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 128
+    sk = kmv_distinct_sketch(ev, "user_id", ["event_type"], k=k)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("ka")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ov, uk = kmv_overlap(F.col("ka"), F.col("kb"), k)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        ov.cast("int").alias("overlap_in_k"),
+        uk.cast("int").alias("union_k_size"),
+        F.round(ov.cast("double") / uk, 6).alias("jaccard_est"),
+    )

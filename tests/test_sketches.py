@@ -229,3 +229,50 @@ def test_bottomk_sketch_laws(spark):
     # true median of (i*7919) % 1000 over 5000 rows ~ 500; k=256 sample
     # keeps the estimate within a few tens
     assert abs(est - 500.0) < 80.0
+
+
+def test_kmv_sketch_estimates_and_set_algebra(spark):
+    """KMV laws: partitioning invariance, distinct estimate within
+    sampling error, and the Jaccard/intersection estimate from sketches
+    alone lands near truth on sets with known overlap."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        kmv_distinct_sketch,
+        kmv_estimate_distinct,
+        kmv_overlap,
+    )
+
+    # A = 0..5999, B = 3000..8999 → |A∩B| = 3000, |A∪B| = 9000, J = 1/3
+    rows = [("A", i) for i in range(6000)] + [
+        ("B", i) for i in range(3000, 9000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    k = 512
+    sk = kmv_distinct_sketch(df, "user_id", ["seg"], k=k)
+    a = {r["seg"]: r for r in sk.collect()}
+    b = {
+        r["seg"]: r
+        for r in kmv_distinct_sketch(
+            df.repartition(7), "user_id", ["seg"], k=k
+        ).collect()
+    }
+    assert list(a["A"]["kmv"]) == list(b["A"]["kmv"])
+    assert a["A"]["n_exact"] == 6000
+
+    est = sk.select(
+        "seg", kmv_estimate_distinct(F.col("kmv"), k).alias("e")
+    ).collect()
+    for r in est:
+        assert abs(r["e"] - 6000) / 6000 < 0.15, r
+
+    wide = (
+        sk.where("seg = 'A'")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.where("seg = 'B'").select(F.col("kmv").alias("kb")))
+    )
+    ov, uk = kmv_overlap(F.col("ka"), F.col("kb"), k)
+    got = wide.select(
+        (ov.cast("double") / uk).alias("jaccard"),
+    ).collect()[0]
+    assert abs(got["jaccard"] - 1 / 3) < 0.07, got
