@@ -153,3 +153,49 @@ def stream_first_seen(
         outputMode="append",
         timeMode="processingTime" if ttl_ms is not None else "none",
     )
+
+
+class KeyedCounterProcessor(StatefulProcessor):
+    """Running per-key row count — the minimal typed-ValueState aggregate
+    (event counters, rate tallies, per-entity ingest accounting). Emits
+    one (key, count) row per key per batch with the post-batch total."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._cnt = handle.getValueState(
+            "cnt", "cnt bigint", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        if n == 0:
+            return
+        prev = self._cnt.get()[0] if self._cnt.exists() else 0
+        total = prev + n
+        self._cnt.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "count": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def stream_keyed_counts(
+    stream: DataFrame,
+    key_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch running count per key on typed v2 state: one bigint
+    ValueState per key (RocksDB-backed, checkpoint-recovered), TTL
+    bounding unbounded key domains exactly as in
+    :func:`stream_first_seen`. Output: (key, count) — the running total
+    after each batch that touched the key."""
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        KeyedCounterProcessor(ttl_ms),
+        outputStructType="key string, count bigint",
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )

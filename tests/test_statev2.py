@@ -96,3 +96,62 @@ def test_first_seen_dedups_within_and_across_batches(spark, tmpdir):
     ).coalesce(1).write.mode("append").parquet(src)
     _drain(spark, src, ckpt, collected)
     assert [(r["ticker"], r["ts"]) for r in collected] == [("SPY", t1)]
+
+
+@pytest.mark.skipif(
+    not ensure_protobuf_runtime(),
+    reason="no google.protobuf runtime installed or discoverable",
+)
+def test_keyed_counter_accumulates_across_restart(spark, tmpdir):
+    """v2 typed-state counter: totals accumulate within a batch, and a
+    fresh run over the same checkpoint recovers state and keeps
+    counting."""
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_keyed_counts,
+    )
+
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    out: list = []
+
+    def drain():
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            stream = spark.readStream.schema("ticker string, qty long").parquet(src)
+            q = (
+                stream_keyed_counts(stream, "ticker")
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: out.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None, q.exception()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    spark.createDataFrame(
+        [("SPY", 1), ("SPY", 2), ("TLT", 3)], "ticker string, qty long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert sorted((r["key"], r["count"]) for r in out) == [("SPY", 2), ("TLT", 1)]
+
+    out.clear()
+    spark.createDataFrame(
+        [("SPY", 4)], "ticker string, qty long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert [(r["key"], r["count"]) for r in out] == [("SPY", 3)]
