@@ -1915,7 +1915,7 @@ def intraday_volume_profile(spark, sf_dir):
     "under_ingested_days",
     oracle="""
     WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, count(*) AS n
       FROM events GROUP BY 1, 2
     ),
     med AS (
@@ -4265,4 +4265,118 @@ def hurst_exponent_by_type(spark, sf_dir):
         F.round(
             F.expr("regr_slope(ln(v), ln(m))") / 2, 6
         ).alias("hurst"),
+    )
+
+
+@register(
+    "regular_hours_bars",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close,
+             count(*)           AS n_trades
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_start,
+           strftime(bucket_start, '%Y-%m-%d') AS session_day,
+           round(open, 4)  AS open,
+           round(high, 4)  AS high,
+           round(low, 4)   AS low,
+           round(close, 4) AS close,
+           n_trades
+    FROM bars
+    WHERE CAST(bucket_start AS TIME) >= TIME '13:30:00'
+      AND CAST(bucket_start AS TIME) <  TIME '20:00:00'
+    """,
+)
+def regular_hours_bars(spark, sf_dir):
+    """Regular-trading-hours filter over the 5-minute bars (13:30–20:00
+    UTC — the NYSE cash session the reference's US-stock candles live
+    in): the session-alignment step before any daily statistic, since
+    pre/post-market prints contaminate OHLC and volume profiles. The
+    predicate is pure bucket arithmetic on the already-aggregated bar
+    relation — evaluated AFTER the bar aggregate (a tumbling-window
+    bucket can't be pruned at scan time), with the session day carried
+    for downstream daily rollups."""
+    bars = _bars(spark, sf_dir, "5 minutes")
+    secs = (
+        F.unix_timestamp("bucket_start")
+        - F.unix_timestamp(F.date_trunc("DAY", "bucket_start"))
+    )
+    return (
+        bars.where(
+            (secs >= 13 * 3600 + 30 * 60) & (secs < 20 * 3600)
+        )
+        .select(
+            "event_type",
+            "bucket_start",
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("session_day"),
+            F.round("open", 4).alias("open"),
+            F.round("high", 4).alias("high"),
+            F.round("low", 4).alias("low"),
+            F.round("close", 4).alias("close"),
+            "n_trades",
+        )
+    )
+
+
+@register(
+    "overnight_intraday_returns",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             arg_min(value, ts) AS open,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, d, open, close,
+             lag(close) OVER (PARTITION BY event_type ORDER BY d)
+               AS prev_close
+      FROM daily
+    )
+    SELECT event_type, d,
+           round(open / prev_close - 1, 6)  AS overnight_ret,
+           round(close / open - 1, 6)       AS intraday_ret,
+           round(close / prev_close - 1, 6) AS total_ret
+    FROM seq
+    WHERE prev_close > 0 AND open > 0
+    """,
+)
+def overnight_intraday_returns(spark, sf_dir):
+    """Overnight/intraday return decomposition per symbol-day — the
+    classic split (close→open gap vs open→close session move) behind
+    overnight-premium studies; total return factors exactly as
+    (1+overnight)(1+intraday)−1. Daily OHLC is one hash aggregate at
+    (symbol, day) grain; prev_close is one lag over the DAY-grain
+    relation (never the tick stream); zero prices excluded on both
+    engines (the sf0.1 zero-price class)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.min_by("value", "ts_ns").alias("open"),
+        F.max_by("value", "ts_ns").alias("close"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("prev_close", F.lag("close").over(w))
+    return seq.where(
+        (F.col("prev_close") > 0) & (F.col("open") > 0)
+    ).select(
+        "event_type",
+        "d",
+        F.round(F.col("open") / F.col("prev_close") - 1, 6).alias(
+            "overnight_ret"
+        ),
+        F.round(F.col("close") / F.col("open") - 1, 6).alias("intraday_ret"),
+        F.round(F.col("close") / F.col("prev_close") - 1, 6).alias(
+            "total_ret"
+        ),
     )
