@@ -4380,3 +4380,92 @@ def overnight_intraday_returns(spark, sf_dir):
             "total_ret"
         ),
     )
+
+
+@register(
+    "lead_lag_best_correlation",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type,
+             row_number() OVER w AS i,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN ln(close / lag(close) OVER w) END AS r
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    lagged AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             corr(a.r, b.r) AS c, count(*) AS n
+      FROM (SELECT * FROM rets WHERE r IS NOT NULL) a
+      JOIN (SELECT unnest(range(-5, 6)) AS lag) l ON TRUE
+      JOIN (SELECT * FROM rets WHERE r IS NOT NULL) b
+        ON a.event_type < b.event_type AND b.i = a.i + l.lag
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 30
+    )
+    SELECT type_a, type_b,
+           CAST(arg_max(lag, abs(c)) AS INT) AS best_lag,
+           round(arg_max(c, abs(c)), 6)      AS best_corr
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def lead_lag_best_correlation(spark, sf_dir):
+    """Lead-lag structure between symbols: for every pair, the bar offset
+    (±5 bars) whose return cross-correlation has the largest magnitude —
+    positive best_lag means type_a's returns correlate with type_b's
+    LATER returns (a leads b), the screen behind lead-lag/Granger
+    studies. The lag spine (11 rows) explodes against one side of the
+    5-minute return relation and equi-joins the other on the shifted
+    ordinal — per-key time joins, never a full cross product; the
+    argmax-over-lags reduction runs on the pair-by-lag-bounded
+    aggregate. Under-populated lags (<30 overlapping bars) are dropped
+    on both engines."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    prev = F.lag("close").over(w)
+    rets = (
+        bars.select(
+            "event_type",
+            F.row_number().over(w).alias("i"),
+            F.when(
+                (F.col("close") > 0) & (prev > 0),
+                F.log(F.col("close") / prev),
+            ).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    a = rets.select(
+        F.col("event_type").alias("type_a"),
+        F.col("i").alias("ia"),
+        F.col("r").alias("ra"),
+    ).withColumn("lag", F.explode(F.sequence(F.lit(-5), F.lit(5))))
+    b = rets.select(
+        F.col("event_type").alias("type_b"),
+        F.col("i").alias("ib"),
+        F.col("r").alias("rb"),
+    )
+    lagged = (
+        a.join(
+            b,
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("ib") == F.col("ia") + F.col("lag")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(F.corr("ra", "rb").alias("c"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 30)
+    )
+    return lagged.groupBy("type_a", "type_b").agg(
+        F.max_by("lag", F.abs("c")).cast("int").alias("best_lag"),
+        F.round(F.max_by("c", F.abs("c")), 6).alias("best_corr"),
+    )
