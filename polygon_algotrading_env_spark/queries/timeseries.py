@@ -1915,7 +1915,7 @@ def intraday_volume_profile(spark, sf_dir):
     "under_ingested_days",
     oracle="""
     WITH daily AS (
-      SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, count(*) AS n
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
       FROM events GROUP BY 1, 2
     ),
     med AS (
