@@ -800,3 +800,103 @@ def dq_constraint_audit(spark, sf_dir):
         .select("ck.*")
         .withColumn("passed", F.col("n_violations") == 0)
     )
+
+
+@register(
+    "psi_price_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ),
+    tagged AS (
+      SELECT o_totalprice,
+             epoch_us(o_orderdate) * 2 <= epoch_us(lo) + epoch_us(hi)
+               AS is_base
+      FROM orders CROSS JOIN bounds
+    ),
+    edges AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+      FROM tagged WHERE is_base
+    ),
+    binned AS (
+      SELECT is_base,
+             1 + len(list_filter(e, x -> x < o_totalprice)) AS bin
+      FROM tagged CROSS JOIN edges
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (WHERE is_base)     AS nb,
+             count(*) FILTER (WHERE NOT is_base) AS nc
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(nb AS BIGINT) AS n_base,
+           CAST(nc AS BIGINT) AS n_current,
+           round(((nc * 1.0 / tc) - (nb * 1.0 / tb))
+                 * ln((nc * 1.0 / tc) / (nb * 1.0 / tb)), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    WHERE nb > 0 AND nc > 0
+    """,
+)
+def psi_price_drift(spark, sf_dir):
+    """Population Stability Index of order prices between the first and
+    second half of the date range — the drift monitor run between a
+    model's training snapshot and live data (PSI > 0.25 is the classic
+    retrain alarm; total PSI = sum of the emitted per-bin terms). Bin
+    edges are the BASELINE's exact deciles (one percentile aggregate,
+    broadcast as a 1-row relation); binning is a JVM list_filter count
+    against the broadcast edges, so the fact relation is scanned once
+    and shuffles once into decile-bounded counts. Exact-integer bin
+    counts make the rounded PSI terms cross-engine stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    # midpoint compare in exact integer micros (2*ts <= lo+hi): no
+    # interval/rounding semantics to disagree about between engines
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 2
+            <= F.unix_micros(F.col("lo").cast("timestamp"))
+            + F.unix_micros(F.col("hi").cast("timestamp"))
+        ).alias("is_base"),
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = tagged.where("is_base").agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(
+                ", ".join(str(q) for q in qs)
+            )
+        ).alias("e")
+    )
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        "is_base",
+        (
+            1
+            + F.size(
+                F.filter(F.col("e"), lambda x: x < F.col("o_totalprice"))
+            )
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_base"), 1)).alias("nb"),
+        F.count(F.when(~F.col("is_base"), 1)).alias("nc"),
+    )
+    tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    pb = F.col("nb") * 1.0 / F.col("tb")
+    pc = F.col("nc") * 1.0 / F.col("tc")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where((F.col("nb") > 0) & (F.col("nc") > 0))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("nb").cast("bigint").alias("n_base"),
+            F.col("nc").cast("bigint").alias("n_current"),
+            F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+        )
+    )
