@@ -4469,3 +4469,150 @@ def lead_lag_best_correlation(spark, sf_dir):
         F.max_by("lag", F.abs("c")).cast("int").alias("best_lag"),
         F.round(F.max_by("c", F.abs("c")), 6).alias("best_corr"),
     )
+
+
+@register(
+    "v_reversal_patterns",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, bucket_start, close,
+             lag(close, 4) OVER w AS c4,
+             lag(close, 3) OVER w AS c3,
+             lag(close, 2) OVER w AS c2,
+             lag(close, 1) OVER w AS c1
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type, bucket_start,
+           round(c2, 4)                      AS trough,
+           round((close / c2 - 1), 6)        AS rebound
+    FROM seq
+    WHERE c4 > c3 AND c3 > c2 AND c2 < c1 AND c1 < close AND c2 > 0
+    """,
+)
+def v_reversal_patterns(spark, sf_dir):
+    """Sequential pattern detection without a CEP engine: V-shaped
+    reversals (two consecutive down bars into a trough, two consecutive
+    up bars out) found with one lag-stack over the per-symbol bar order
+    — the MATCH_RECOGNIZE-style row-pattern query expressed as window
+    algebra, which is how fixed-length patterns should run on Spark
+    (state machines only pay off for unbounded patterns). One window
+    partitioning, predicates evaluated post-lag, zero joins."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    lag = lambda n: F.lag("close", n).over(w)
+    seq = bars.select(
+        "event_type",
+        "bucket_start",
+        "close",
+        lag(4).alias("c4"),
+        lag(3).alias("c3"),
+        lag(2).alias("c2"),
+        lag(1).alias("c1"),
+    )
+    return seq.where(
+        (F.col("c4") > F.col("c3"))
+        & (F.col("c3") > F.col("c2"))
+        & (F.col("c2") < F.col("c1"))
+        & (F.col("c1") < F.col("close"))
+        & (F.col("c2") > 0)
+    ).select(
+        "event_type",
+        "bucket_start",
+        F.round("c2", 4).alias("trough"),
+        F.round(F.col("close") / F.col("c2") - 1, 6).alias("rebound"),
+    )
+
+
+@register(
+    "risk_adjusted_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, d, close,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN close / lag(close) OVER w - 1 END AS r
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    cums AS (
+      SELECT event_type, d, r,
+             sum(r) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rets WHERE r IS NOT NULL
+    ),
+    eq AS (
+      SELECT event_type, d, r, cum,
+             max(cum) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cums
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                       AS n_days,
+           round(avg(r), 6)                               AS mean_ret,
+           round(sqrt(avg(CASE WHEN r < 0 THEN r * r
+                               ELSE 0 END)), 6)           AS downside_dev,
+           round(max(peak - cum), 6)                      AS max_drawdown
+    FROM eq GROUP BY 1
+    """,
+)
+def risk_adjusted_metrics(spark, sf_dir):
+    """Per-symbol risk metrics off daily returns: mean return, downside
+    deviation (the Sortino denominator — root-mean-square of negative
+    returns only), and maximum drawdown of the cumulative-return curve
+    (the Calmar denominator). Day-grain relation throughout: returns are
+    one lag, the running-peak-minus-cumsum drawdown is two nested
+    prefix-window passes over ~100 rows per key, the final reduction one
+    hash aggregate. Ratio assembly (mean/downside, return/drawdown) is
+    left to the consumer so the certified surface stays
+    division-by-zero-free on symbols with no losses. Round-6 guards the
+    prefix-sum ulp noise both engines accumulate differently."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.max_by("value", "ts_ns").alias("close"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("close").over(w)
+    rets = daily.select(
+        "event_type",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0), F.col("close") / prev - 1
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = rets.withColumn("cum", F.sum("r").over(w2)).withColumn(
+        "peak", F.max("cum").over(w2)
+    )
+    return eq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.round(
+            F.sqrt(
+                F.avg(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0))
+            ),
+            6,
+        ).alias("downside_dev"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 6).alias("max_drawdown"),
+    )
