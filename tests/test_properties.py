@@ -578,3 +578,90 @@ def test_mg_certificate_soundness(spark, head, tail_n, capacity, k):
     expect = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[: len(out)]
     got = [(r["key"], r["cnt"]) for r in out]
     assert got == expect, (got, expect)
+
+
+# --- KMV / bottom-k sketch laws --------------------------------------------
+
+@SLOW
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    cut=st.integers(min_value=0, max_value=60),
+    k=st.sampled_from([4, 8, 16]),
+)
+def test_kmv_merge_law_exact(spark, ids, cut, k):
+    """KMV bottom-k by fixed md5 priority merges EXACTLY: the union's
+    sketch equals the k smallest of the two sides' sketches combined —
+    for arbitrary value sets, arbitrary split points, and arbitrary k,
+    matching the brute-force reference selection."""
+    import hashlib
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        kmv_distinct_sketch,
+    )
+
+    cut = min(cut, len(ids))
+    a_ids, b_ids = ids[:cut], ids[cut:]
+    df = spark.createDataFrame(
+        [("a", i) for i in a_ids] + [("b", i) for i in b_ids],
+        "seg string, v long",
+    )
+    union_df = df.select(F.lit("u").alias("seg"), "v")
+    sk = {
+        r["seg"]: list(r["kmv"])
+        for r in kmv_distinct_sketch(df, "v", ["seg"], k=k).collect()
+    }
+    got_union = kmv_distinct_sketch(union_df, "v", ["seg"], k=k).collect()[0]
+    merged = sorted(set(sk.get("a", []) + sk.get("b", [])))[:k]
+    assert list(got_union["kmv"]) == merged
+    # and both equal the brute-force md5 selection over the raw ids
+    ref = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in ids)[:k]
+    assert merged == ref
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+    k=st.sampled_from([4, 16]),
+)
+def test_bottomk_sketch_matches_reference_selection(spark, vals, parts, k):
+    """The bottom-k quantile sample equals the brute-force md5-priority
+    selection for any data, any partitioning, any k — the determinism
+    the cross-engine oracle relies on."""
+    import hashlib
+
+    from polygon_algotrading_env_spark.operators.sketches import bottomk_sketch
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in vals], "key string, id long, v double"
+    ).repartition(parts)
+    got = bottomk_sketch(df, "v", "id", ["key"], k=k).collect()[0]
+    ref = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), str(i), float(np32(v)))
+        for i, v in vals
+    )[:k]
+    assert [(x["pr"], x["id"]) for x in got["sketch"]] == [
+        (pr, i) for pr, i, _ in ref
+    ]
+    assert got["n_rows"] == len(vals)
+
+
+def np32(v):
+    import numpy as np
+
+    return np.float32(v)
