@@ -625,6 +625,13 @@ def minhash_index_update(
     probe is an equi-join on uniformly-distributed 64-bit band keys
     against a parquet table partitioned by band_idx; appends are
     partition-aligned file adds, never a rewrite of existing data.
+
+    Concurrency contract: ONE writer at a time (the foreachBatch driver
+    in streaming, a single ingest job in batch) — two simultaneous
+    updates could each miss the other's in-flight batch in their probe.
+    Plain-parquet appends carry no transaction log; route concurrent
+    ingest through a queue or wrap the index in the versioned-table
+    layer (sources/versioned.py) if multi-writer is ever needed.
     """
     import json
     import os
