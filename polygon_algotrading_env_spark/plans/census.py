@@ -56,6 +56,7 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "sole_blame_suppliers",              # R-lines join per-order stats, both fact-keyed
         "triple_barrier_labels_5m",
         "lead_lag_best_correlation",  # shifted-ordinal return self-join
+        "event_study_volume_spikes",  # same shifted-ordinal join family
         # Spark cannot broadcast either side of a FULL OUTER join; SMJ of
         # the two day-grain aggregates is the only (and correct) strategy.
         "full_outer_daily_activity",
