@@ -4793,3 +4793,62 @@ def corwin_schultz_spread(spark, sf_dir):
             F.round(F.avg("s"), 6).alias("cs_spread"),
         )
     )
+
+
+@register(
+    "kyle_lambda_by_type",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close,
+             sum(value)         AS volume
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type, volume,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN abs(ln(close / lag(close) OVER w)) END AS adr
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                    AS n_bars,
+           round(regr_slope(adr, volume) * 1e6, 6)     AS lambda_ppm,
+           round(regr_r2(adr, volume), 6)              AS r2
+    FROM obs WHERE adr IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def kyle_lambda_by_type(spark, sf_dir):
+    """Kyle's lambda per symbol: the OLS slope of absolute bar returns on
+    bar volume — the canonical price-impact coefficient (how much the
+    price moves per unit of flow), reported in parts-per-million of
+    return per volume unit alongside the fit's R². One bar aggregate,
+    one lag window, one regr_slope/regr_r2 pass sharing a scan — the
+    SQL-standard estimators with identical definitions in both engines.
+    Complements the microstructure pack (Amihud illiquidity uses the
+    RATIO per bar; Kyle's lambda fits the cross-bar linear impact)."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close", "volume"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    prev = F.lag("close").over(w)
+    obs = bars.select(
+        "event_type",
+        "volume",
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.abs(F.log(F.col("close") / prev)),
+        ).alias("adr"),
+    ).where(F.col("adr").isNotNull())
+    return obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.round(F.expr("regr_slope(adr, volume)") * 1e6, 6).alias(
+            "lambda_ppm"
+        ),
+        F.round(F.expr("regr_r2(adr, volume)"), 6).alias("r2"),
+    )
