@@ -96,3 +96,38 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (bytes): parquet footer totals
+    propagated through the optimized plan's stats — free (no job), the
+    same number the broadcast-join planner uses. An ESTIMATE: projections
+    and filters scale it heuristically; treat it as sizing input, not
+    accounting truth."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def repartition_for_target_size(
+    df: DataFrame,
+    target_mb: int = 256,
+    by: Sequence[str] | None = None,
+    min_partitions: int = 1,
+) -> DataFrame:
+    """Repartition so each output partition holds ~``target_mb`` of data,
+    from Catalyst's plan-stats size estimate — the write-path sizing
+    knob: parquet files in the 100 MB-1 GB band (ARCHITECTURE.md layout
+    guidance) instead of whatever the upstream shuffle count left
+    behind, with NO extra pass over the data to count it. With ``by``
+    the movement is a hash partitioning on those columns (co-locates
+    downstream joins/aggs); without, a round-robin rebalance. The
+    partition count is a driver-side arithmetic decision, so the plan
+    stays deterministic for a fixed input."""
+    n = max(
+        min_partitions,
+        int(estimated_size_bytes(df) // (target_mb * 1024 * 1024)) + 1,
+    )
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
+    return df.repartition(n)

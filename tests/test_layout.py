@@ -102,3 +102,41 @@ def test_zordered_roundtrip_preserves_rows(spark, tmpdir):
     back = spark.read.parquet(f"{tmpdir}/t")
     assert back.count() == 1000
     assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_repartition_for_target_size(spark, sf_dir):
+    """The stats-driven sizing knob: partition count scales inversely
+    with the target size, honors the floor, and the data survives
+    unchanged; hash mode co-locates keys."""
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.operators.layout import (
+        estimated_size_bytes,
+        repartition_for_target_size,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = estimated_size_bytes(li)
+    assert est > 0
+
+    small = repartition_for_target_size(li, target_mb=1)
+    big = repartition_for_target_size(li, target_mb=10_000)
+    n_small = small.rdd.getNumPartitions()
+    n_big = big.rdd.getNumPartitions()
+    assert n_small >= n_big == 1
+    assert small.count() == li.count()
+
+    keyed = repartition_for_target_size(
+        li, target_mb=1, by=["l_orderkey"], min_partitions=4
+    )
+    assert keyed.rdd.getNumPartitions() >= 4
+    # same key never splits across partitions under hash mode
+    import pyspark.sql.functions as F
+
+    spread = (
+        keyed.withColumn("__p", F.spark_partition_id())
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("__p").alias("np"))
+        .agg(F.max("np"))
+        .first()[0]
+    )
+    assert spread == 1
