@@ -458,3 +458,80 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    restart_ids: Sequence,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to the
+    ``restart_ids`` seed set instead of spreading uniformly — ranks
+    become 'importance relative to these seeds', the standard
+    related-entity / recommendation primitive (neighbors of what this
+    user bought, pages related to this page).
+
+    Same plan shape as :func:`pagerank` — degree-annotated edges pinned
+    once, one narrow shuffle per iteration, dangling mass recovered by
+    rank conservation as a 1-row broadcast, lineage truncated every few
+    rounds. The seed preference vector is a bounded literal set (seeds
+    are metadata, not data); every iteration's update is
+    (1−d)·p + d·dangling·p + d·inflow with p = 1/|seeds| on the seed
+    set, 0 elsewhere.
+    """
+    seeds = list(restart_ids)
+    if not seeds:
+        raise ValueError("restart_ids must be non-empty")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    verts = (
+        vertices.select(F.col(id_col).alias("id"))
+        if vertices is not None
+        else e.select(F.col("u").alias("id")).unionAll(
+            e.select(F.col("v").alias("id"))
+        )
+    ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    p = F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(
+        F.lit(0.0)
+    )
+    e_deg = (
+        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.withColumn("rank", p)
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(e_deg, ranks["id"] == e_deg["u"])
+            .select(
+                F.col("v").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        emitted = contribs.agg(
+            F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("__emitted")
+        )
+        ranks = (
+            verts.join(contribs, "id", "left_outer")
+            .crossJoin(F.broadcast(emitted))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) * p
+                    + F.lit(damping) * (F.lit(1.0) - F.col("__emitted")) * p
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -950,3 +950,62 @@ def cohort_revenue_curve(spark, sf_dir):
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@register("video_frame_features_from_docs", oracle=None)
+def video_frame_features_from_docs(spark, sf_dir):
+    """REAL video frame-sampling end-to-end: deterministic Y4M clips
+    synthesized executor-side (cadence/frames parameterized by doc_id),
+    sampled at 1 frame/sec via the Y4M decode (operators/multimodal.py:
+    sample_video_frames), each sampled frame re-encoded as P6 and scored
+    by the IMAGE feature extractor — the video→image handoff as one
+    registry-visible pipeline. Rows-only: codec e2e is pinned by the
+    multimodal test suite; per-frame features are floats of synthetic
+    pixels with no SQL-oracle formulation."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        encode_y4m,
+        extract_features,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                t_f, h, w = 4 + i % 6, 8, 8
+                frames = np.zeros((t_f, h, w), np.uint8)
+                for fi in range(t_f):
+                    frames[fi, :, (fi + i) % w] = 180 + i % 76
+                blobs.append(encode_y4m(frames, fps_num=2 + i % 3))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(blobs),
+                    "content": blobs,
+                }
+            )
+
+    media = docs.mapInPandas(
+        _synth, schema="media_id bigint, kind string, content binary"
+    )
+    frames = sample_video_frames(media, every_s=1.0, max_frames=4)
+    as_images = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        "content",
+    )
+    feats = extract_features(as_images)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 4), 6).alias("lum_mean"),
+        F.round(F.element_at("feature", 5), 6).alias("lum_std"),
+    )
