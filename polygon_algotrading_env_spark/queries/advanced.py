@@ -980,3 +980,35 @@ def lpa_communities_copurchase(spark, sf_dir):
         .orderBy(F.desc("size"), "label")
         .limit(20)
     )
+
+
+@register("ppr_related_parts", oracle=None)
+def ppr_related_parts(spark, sf_dir):
+    """'Parts related to part 1' by personalized PageRank over the
+    co-ordered-parts graph: teleport and dangling mass restart at the
+    seed part, so rank measures proximity TO IT — the related-item
+    recommendation primitive, same collect-free iteration shape as the
+    global PageRank query (operators/graph.py: personalized_pagerank,
+    verified against a dense reference to 1e-9 in tests). Rows-only:
+    iterative float sums have no portable SQL formulation. Top-20
+    excluding the seed itself."""
+    from polygon_algotrading_env_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    ppr = personalized_pagerank(und, [1], n_iter=6)
+    return (
+        ppr.where(F.col("id") != 1)
+        .select(F.col("id").alias("l_partkey"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "l_partkey")
+        .limit(20)
+    )
