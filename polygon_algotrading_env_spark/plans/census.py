@@ -44,6 +44,7 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "train_test_contamination",
         "copurchase_triangles",
         "pagerank_copurchase_top20",
+        "ppr_related_parts",          # same co-ordered-parts self-join family
         "lpa_communities_copurchase",
         "novelty_by_first_occurrence",       # gram-keyed first-occurrence model
         "doc_rarity_scores",
