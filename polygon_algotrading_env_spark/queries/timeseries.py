@@ -4852,3 +4852,106 @@ def kyle_lambda_by_type(spark, sf_dir):
         ),
         F.round(F.expr("regr_r2(adr, volume)"), 6).alias("r2"),
     )
+
+
+@register(
+    "max_underwater_duration",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, d,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN close / lag(close) OVER w - 1 END AS r
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    cums AS (
+      SELECT event_type, d, r,
+             sum(r) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rets WHERE r IS NOT NULL
+    ),
+    uw AS (
+      SELECT event_type, d, cum,
+             max(cum) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cums
+    ),
+    islands AS (
+      SELECT event_type, d,
+             CAST(cum < peak - 1e-9 AS INT) AS under,
+             sum(CASE WHEN cum >= peak - 1e-9 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM uw
+    )
+    SELECT event_type,
+           CAST(max(len) AS BIGINT)   AS max_underwater_days,
+           CAST(count(*) AS BIGINT)   AS n_spells
+    FROM (
+      SELECT event_type, grp, count(*) AS len
+      FROM islands WHERE under = 1
+      GROUP BY 1, 2
+    ) s GROUP BY 1
+    """,
+)
+def max_underwater_duration(spark, sf_dir):
+    """Longest underwater spell per symbol: consecutive days where the
+    cumulative-return curve sits below its running peak — drawdown
+    DURATION, the recovery-time risk max_drawdown (depth) doesn't
+    capture. Classic gaps-and-islands: island id = running count of
+    at-peak days, spell length = rows per island, all on the day-grain
+    relation (two prefix windows + one aggregate per key). The
+    underwater predicate is cum < peak − 1e-9 on BOTH engines: exact
+    re-attainment of an earlier peak is where the engines' prefix-sum
+    ulp noise concentrates, so the classification boundary is moved off
+    zero where real gaps never sit; the resulting counts are exact
+    integers, hash-stable with no rounding policy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.max_by("value", "ts_ns").alias("close"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("close").over(w)
+    rets = daily.select(
+        "event_type",
+        "d",
+        F.when(
+            (F.col("close") > 0) & (prev > 0), F.col("close") / prev - 1
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    uw = (
+        rets.withColumn("cum", F.sum("r").over(w2))
+        .withColumn("peak", F.max("cum").over(w2))
+        .withColumn(
+            "under", (F.col("cum") < F.col("peak") - 1e-9).cast("int")
+        )
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("cum") >= F.col("peak") - 1e-9, 1
+                ).otherwise(0)
+            ).over(w2),
+        )
+    )
+    spells = (
+        uw.where(F.col("under") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return spells.groupBy("event_type").agg(
+        F.max("len").cast("bigint").alias("max_underwater_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+    )
