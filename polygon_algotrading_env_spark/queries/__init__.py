@@ -100,15 +100,18 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # microstructure pack, the bigram LM, the cluster-aware split, the
 # multi-grain GROUPING SETS ladder, and four TPC-H decision shapes
 # (Q3/Q6/Q8/Q20) that have only local oracle runs so far.
-# Round-6 rotation candidates (per the standing one-oracle-per-family
-# invariant): the round-5 flagships certified locally at three scales but
-# never driver-certified — dsir_weights_for_target, kneser_ney_logprob_docs,
-# hurst_exponent_by_type, key_skew_profile, bottomk_sketch_quantiles,
-# dq_constraint_audit — in exchange for slots whose families hold multiple
-# recorded green rounds.
+# Round-6 rotation (per r5 VERDICT item 2): the nine round-5 flagships —
+# certified locally at three scales but never driver-certified — enter in
+# exchange for nine slots whose families hold FIVE recorded green rounds
+# each (r1-r5): filter_mktsegment, pricing_summary,
+# count_distinct_parts_per_flag, join_lineitem_part_broadcast,
+# star_join_revenue_by_region, rownum_recent_orders_per_customer,
+# moving_avg_price_per_supplier, dedup_docs_by_text, near_dup_clusters.
+# All nine move to PRIOR_DRIVER_CERTIFIED; no family loses its anchor.
 DRIVER_WINDOW: tuple[str, ...] = (
     # filters / projection / dedup / distinct (P1-P5, D1-D2)
-    "filter_mktsegment",
+    # filter_mktsegment rotated out r6 (green r1-r5); equality-filter
+    # family anchored by those five recorded rounds
     # project_customer rotated out r5 (green r1-r4); projection is also
     # exercised by every suite query
     "dedup_overlapping_batches",
@@ -130,8 +133,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rollup rotated out mid-r4 after three green rounds — grouping-set
     # semantics stay anchored by that certification)
     # argmax rotated out r5 (green r1-r4; A1-A3 anchored by prior certs)
-    "pricing_summary",
-    "count_distinct_parts_per_flag",
+    # pricing_summary + count_distinct_parts_per_flag rotated out r6
+    # (green r1-r5); grouped-agg / distinct-agg families anchored
     "exact_percentiles_per_flag",
     # mid-r4 flagships: Q21's collapsed EXISTS/NOT-EXISTS, the certified
     # MG heavy-hitter pattern, and mixture reweighting (LLM pipeline)
@@ -144,16 +147,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # no-match semantics AND the previously-uncovered outer-join family. The
     # anti join stays oracle-verified in the post-window tail; semi join
     # rotated out r4 after three green rounds.)
-    "join_lineitem_part_broadcast",
+    # join_lineitem_part_broadcast + star_join_revenue_by_region rotated
+    # out r6 (green r1-r5); broadcast/star join families anchored
     "left_outer_order_count_histogram",
-    "star_join_revenue_by_region",
     "asof_latest_order_before_event",
     # band_join_events_60s rotated out r5 (green r1-r4); interval-join
     # family anchored by prior certification
     # windows / indicators (W1-W4; lag rotated out r4, range_frame keeps
     # ordered-window semantics anchored; pairwise correlation new r4)
-    "rownum_recent_orders_per_customer",
-    "moving_avg_price_per_supplier",
+    # rownum_recent_orders_per_customer + moving_avg_price_per_supplier
+    # rotated out r6 (green r1-r5); ranking / moving-window families anchored
     # range_frame_30d_qty rotated out r5 (green r1-r4)
     "rsi_14_per_event_type",
     "return_correlation_pairs",
@@ -164,11 +167,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "adjusted_candles_5m",
     "session_windows_per_user",
     # LLM-pipeline: corpus rarity / dedup / near-dup / clustering / spans
+    # dedup_docs_by_text + near_dup_clusters rotated out r6 (green r1-r5);
+    # exact-dedup / connected-components families anchored
     "doc_rarity_scores",
-    "dedup_docs_by_text",
     "minhash_verified_near_dups",
     "simhash_verified_near_dups",
-    "near_dup_clusters",
     "dedup_survivors",
     "substring_span_dedup",
     # LLM-pipeline: similarity search / retrieval
@@ -196,6 +199,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "discount_band_revenue",
     "nation_market_share_economy",
     "excess_part_shippers",
+    # round-5 flagships, entering the window for round 6: importance
+    # weighting, LM scoring, fractal/microstructure stats, sketches,
+    # drift, skew profiling, declarative DQ, and calendar-session bars
+    "dsir_weights_for_target",
+    "kneser_ney_logprob_docs",
+    "hurst_exponent_by_type",
+    "key_skew_profile",
+    "bottomk_sketch_quantiles",
+    "dq_constraint_audit",
+    "kmv_audience_overlap",
+    "regular_hours_bars",
+    "psi_price_drift",
 )
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
@@ -205,6 +220,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 6 (each green five rounds, r1-r5)
+        "filter_mktsegment",
+        "pricing_summary",
+        "count_distinct_parts_per_flag",
+        "join_lineitem_part_broadcast",
+        "star_join_revenue_by_region",
+        "rownum_recent_orders_per_customer",
+        "moving_avg_price_per_supplier",
+        "dedup_docs_by_text",
+        "near_dup_clusters",
         # rotated out in round 5 (green r1-r4, or r04 for the four r3
         # flagships that entered the window in round 4)
         "project_customer",

@@ -112,6 +112,16 @@ def test_every_capability_family_in_window():
         "tpch_decision_scan": "discount_band_revenue",
         "tpch_decision_share": "nation_market_share_economy",
         "tpch_decision_corr_sub": "excess_part_shippers",
+        # round-6 window entrants (r5 flagship families)
+        "importance_weighting": "dsir_weights_for_target",
+        "lm_smoothing": "kneser_ney_logprob_docs",
+        "fractal_stats": "hurst_exponent_by_type",
+        "skew_profiling": "key_skew_profile",
+        "sketch_quantiles": "bottomk_sketch_quantiles",
+        "dq_audit": "dq_constraint_audit",
+        "sketch_set_algebra": "kmv_audience_overlap",
+        "calendar_sessions": "regular_hours_bars",
+        "drift_psi": "psi_price_drift",
     }
     missing = {
         f: q
