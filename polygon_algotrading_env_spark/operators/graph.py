@@ -369,12 +369,17 @@ def pagerank(
             )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
+            # contribs feeds BOTH the dangling-mass scalar and the rank
+            # join below; without truncation the same join+shuffle subtree
+            # evaluates twice per round (exchange reuse is not guaranteed
+            # across the crossJoin boundary). One materialization per
+            # round, reused by both consumers.
+            .localCheckpoint(eager=True)
         )
         # Rank conservation: Σ ranks == 1 every round, and each
         # non-dangling node emits its whole rank, so dangling mass is
-        # 1 − Σ inflow. The scalar rides along as a 1-row broadcast whose
-        # subtree shares contribs' shuffle (exchange reuse) — the driver
-        # never sees it.
+        # 1 − Σ inflow. The scalar rides along as a 1-row broadcast over
+        # the checkpointed contribs — the driver never sees it.
         emitted = contribs.agg(
             F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("__emitted")
         )
@@ -515,6 +520,10 @@ def personalized_pagerank(
             )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
+            # Same truncation as pagerank(): contribs has two consumers
+            # (the mass scalar and the rank join) — checkpoint once so the
+            # join+shuffle subtree evaluates once per round.
+            .localCheckpoint(eager=True)
         )
         emitted = contribs.agg(
             F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("__emitted")

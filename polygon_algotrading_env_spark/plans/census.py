@@ -64,6 +64,32 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
     }
 )
 
+# An allowlist entry is NOT a blank cheque. Two per-entry hardenings so a
+# regression inside an allowlisted query can't hide behind its entry:
+#
+# 1. DIM-SIDE CHECK: every SMJ side must be fed by at least one fact-scaled
+#    source — a fact parquet scan (lineitem/orders/events/documents/
+#    embeddings) or a checkpointed fact-derived relation ('Scan
+#    ExistingRDD', e.g. the graph operators' edge tables). A side whose
+#    leaves are ONLY dim parquet scans means the dim broadcast was lost.
+#    `customer` is deliberately NOT in the dim set: it scales linearly
+#    with SF (Q13's outer-join side is legitimately fact-sized at 100 TB).
+# 2. SMJ BUDGET: the per-entry SMJ count, measured at both gate scales
+#    (sf0.001 and sf0.1 — identical). A count above budget means the
+#    query gained a join that now sort-merges; bump the budget only with
+#    a rationale, never silently. Entries absent from the map get
+#    DEFAULT_SMJ_BUDGET: their documented fact-fact joins broadcast at
+#    gate scale today, so any SMJ beyond that headroom is a regression.
+DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+SMJ_BUDGET: dict[str, int] = {
+    "copurchase_triangles": 10,      # pair/triangle self-join ladder
+    "lpa_communities_copurchase": 30,  # per-iteration label join, n_iter pinned
+    "pagerank_copurchase_top20": 1,
+    "ppr_related_parts": 1,
+    "full_outer_daily_activity": 1,
+}
+DEFAULT_SMJ_BUDGET = 2
+
 
 def census_violations(
     spark: SparkSession,
@@ -90,4 +116,23 @@ def census_violations(
                 f"{st.sort_merge_joins} SortMergeJoin outside SMJ_ALLOWED "
                 "(broadcast lost, or add a documented allowlist entry)"
             )
+        elif st.sort_merge_joins:
+            budget = SMJ_BUDGET.get(name, DEFAULT_SMJ_BUDGET)
+            if st.sort_merge_joins > budget:
+                out[name] = (
+                    f"{st.sort_merge_joins} SortMergeJoin exceeds the "
+                    f"allowlisted budget of {budget} — a join that used to "
+                    "broadcast now sort-merges"
+                )
+                continue
+            from polygon_algotrading_env_spark.plans.inspect import smj_sides
+
+            for left, right in smj_sides(df):
+                for side in (left, right):
+                    if side and side <= DIM_TABLES:
+                        out[name] = (
+                            f"allowlisted SMJ has a dim-only side "
+                            f"{sorted(side)} — the dim broadcast was lost"
+                        )
+                        break
     return out

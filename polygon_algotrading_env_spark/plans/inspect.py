@@ -42,6 +42,48 @@ class PlanStats:
         return True
 
 
+def _children(node):
+    """Physical-plan children via py4j, descending through AQE's wrapper
+    (AdaptiveSparkPlanExec reports no children; the pre-runtime tree hangs
+    off initialPlan)."""
+    kids = [node.children().apply(i) for i in range(node.children().length())]
+    if node.nodeName() == "AdaptiveSparkPlan":
+        kids.append(node.initialPlan())
+    return kids
+
+
+def _leaf_sources(node) -> frozenset[str]:
+    """Source names under a plan subtree: parquet table stems for file
+    scans, otherwise the leaf's nodeName (e.g. 'Scan ExistingRDD' for a
+    localCheckpoint of a derived relation)."""
+    out: set[str] = set()
+    leaves = node.collectLeaves()
+    for j in range(leaves.length()):
+        s = leaves.apply(j).toString()
+        tables = re.findall(r"/(\w+)\.parquet", s)
+        out.update(tables if tables else [leaves.apply(j).nodeName()])
+    return frozenset(out)
+
+
+def smj_sides(df: DataFrame) -> list[tuple[frozenset[str], frozenset[str]]]:
+    """For every SortMergeJoin in the (initial) physical plan, the source
+    tables feeding each side — so a census can assert that an allowlisted
+    fact-fact SMJ never quietly gains a dim-table side (a lost broadcast
+    hiding behind the allowlist entry)."""
+    found: list[tuple[frozenset[str], frozenset[str]]] = []
+
+    def visit(n) -> None:
+        if "SortMergeJoin" in n.nodeName():
+            kids = _children(n)
+            if len(kids) >= 2:
+                found.append((_leaf_sources(kids[0]), _leaf_sources(kids[1])))
+        for c in _children(n):
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return found
+
+
 def plan_stats(df: DataFrame, execute: bool = False) -> PlanStats:
     p = plan_string(df, execute=execute)
     return PlanStats(
