@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from polygon_algotrading_env_spark.catalog import load_table
 from polygon_algotrading_env_spark.functions.vectors import cosine, dot, norm
 from polygon_algotrading_env_spark.operators.similarity import (
+    _query_lit,
     add_srp_buckets,
     build_ivf_index,
     build_srp_index,
@@ -342,6 +343,139 @@ def embedding_outliers_per_label(spark, sf_dir):
         .where(F.col("rnk") <= 5)
         .select("label", F.col("rnk").cast("int").alias("rnk"), "vec_id",
                 "cos_to_centroid")
+    )
+
+
+# --- cross-engine-reproducible SRP-LSH (oracle-certified ANN tier) --------
+#
+# The indexed ANN queries above are rows-only because their bucket hash
+# (xxhash64) and trained quantizers have no DuckDB equivalent. This pair
+# closes that gap: hyperplane component h(p,d) derives from
+# md5("srp|p|d") — computable bit-identically in Python (driver-side
+# constants for the Spark plan) and in DuckDB SQL — and both engines take
+# sequential left-to-right dot products, so the bucket of every vector and
+# hence the probe's candidate set and its exact re-rank hash-match. That
+# certifies BOTH halves of the LSH design: candidate generation
+# (srp_bucket_assignments) and the exact re-rank over the probe bucket
+# (srp_topk_reranked).
+
+_SRP_PLANES = 6
+
+_SRP_BUCKET_CTE = """
+    comp AS (
+      SELECT p.p AS p, d.d AS pos,
+             (('0x' || substring(md5('srp|' || p.p || '|' || d.d), 1, 8))::BIGINT
+              / 4294967295.0) * 2 - 1 AS h
+      FROM (SELECT unnest(range(6)) AS p) p,
+           (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                                 WHERE vec_id = 0))) AS d) d
+    ),
+    pl AS (SELECT p, list(h ORDER BY pos) AS hv FROM comp GROUP BY p),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.hv) AS dp
+             FROM e, pl),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    )
+"""
+
+
+def _md5_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Hyperplane constants shared with the DuckDB oracle: component (p,d)
+    = md5("srp|p|d")'s first 8 hex digits mapped to [-1, 1]."""
+    return [
+        [
+            int(hashlib.md5(f"srp|{p}|{d}".encode()).hexdigest()[:8], 16)
+            / 4294967295.0
+            * 2
+            - 1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket_expr(planes: list[list[float]]):
+    bucket = F.lit(0).cast("bigint")
+    for p, hv in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in hv])
+        bucket = bucket + (dot("embedding", plane_lit) >= 0).cast("bigint") * (
+            1 << p
+        )
+    return bucket
+
+
+@register(
+    "srp_bucket_assignments",
+    oracle="WITH " + _SRP_BUCKET_CTE + """
+    SELECT vec_id, bucket FROM buckets
+    """,
+)
+def srp_bucket_assignments(spark, sf_dir):
+    """Every vector's SRP-LSH bucket under the md5-derived hyperplanes —
+    the ingest-time assignment pass of the build-once/probe-many index,
+    hash-certified against DuckDB recomputing the same planes in SQL.
+    One scan, no shuffle: the six dot products are constant-array
+    ``aggregate`` folds inside whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    return emb.select(
+        "vec_id", _srp_bucket_expr(_md5_planes(_SRP_PLANES, dim)).alias("bucket")
+    )
+
+
+@register(
+    "srp_topk_reranked",
+    oracle="WITH " + _SRP_BUCKET_CTE + """,
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN buckets b ON e.vec_id = b.vec_id
+      JOIN qb ON b.bucket = qb.bucket
+    )
+    SELECT vec_id, round(score, 6) AS score FROM (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * q.qn) AS score
+      FROM cand c, q
+    )
+    ORDER BY round(score, 6) DESC, vec_id ASC LIMIT 10
+    """,
+)
+def srp_topk_reranked(spark, sf_dir):
+    """SRP-LSH probe + exact cosine re-rank, end-to-end hash-certified:
+    candidates are the probe vector's bucket (md5-plane bucketing above),
+    scored exactly and cut to top-10 on the rounded-score grid with vec_id
+    tiebreak. This is the same probe-then-rerank shape as the rows-only
+    indexed ANN queries — certified here because the bucket function is
+    cross-engine reproducible. Single scan + TakeOrderedAndProject; the
+    probe bucket is a 1-row broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    planes = _md5_planes(_SRP_PLANES, len(qv))
+    qbucket = 0
+    for p, hv in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(qv, hv):
+            acc += x * y
+        if acc >= 0:
+            qbucket |= 1 << p
+    cand = emb.where(
+        _srp_bucket_expr(planes) == F.lit(qbucket).cast("bigint")
+    )
+    return (
+        cand.select(
+            "vec_id", F.round(cosine("embedding", _query_lit(qv)), 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
     )
 
 

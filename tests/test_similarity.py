@@ -290,3 +290,41 @@ def test_pq_adc_recall_and_determinism(spark):
     a = {r["vec_id"]: list(r["pq_code"]) for r in codes.collect()}
     b = {r["vec_id"]: list(r["pq_code"]) for r in again.collect()}
     assert a == b
+
+
+def test_md5_srp_bucket_matches_pure_python(spark, sf_dir):
+    """The oracle-certified SRP tier rests on md5-derived hyperplanes being
+    bit-identical across engines; pin the Spark expression against a pure-
+    Python recomputation (hashlib md5 + sequential fold, the same spec the
+    DuckDB oracle implements in SQL)."""
+    import hashlib
+
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.queries.vectors import (
+        _md5_planes,
+        _srp_bucket_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.collect()
+    dim = len(rows[0]["embedding"])
+    planes = _md5_planes(6, dim)
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id", _srp_bucket_expr(planes).alias("bucket")
+        ).collect()
+    }
+    for r in rows:
+        expect = 0
+        for p, hv in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(r["embedding"], hv):
+                acc += float(x) * y
+            if acc >= 0:
+                expect |= 1 << p
+        assert got[r["vec_id"]] == expect
+    # and the plane constants really are the md5 spec
+    assert planes[2][3] == (
+        int(hashlib.md5(b"srp|2|3").hexdigest()[:8], 16) / 4294967295.0 * 2 - 1
+    )
