@@ -7,10 +7,11 @@ processing via ``mapInPandas`` (Arrow record batches), frame fan-out — are
 real and tested here. The codec step is isolated behind ``decoder``
 callables, and all three declared kinds decode for real with pure-Python
 parsers — no codec libraries needed: ``audio`` (RIFF/WAVE PCM), ``image``
-(Netpbm P5/P6), ``video`` (YUV4MPEG2 planar). Compressed container
-formats (mp4/jpeg/mp3…) need an injected decoder (ffmpeg etc. are not in
-this container); the built-in parsers raise ValueError on bytes they
-don't own, so misrouted blobs fail loudly.
+(PNG via stdlib zlib — the first compressed container — plus Netpbm
+P5/P6), ``video`` (YUV4MPEG2 planar). Other compressed container formats
+(mp4/jpeg/mp3…) need an injected decoder (ffmpeg etc. are not in this
+container); the built-in parsers raise ValueError on bytes they don't
+own, so misrouted blobs fail loudly.
 
 Layout guidance at scale: media tables should be written with
 ``write_partitioned(..., ["kind"])`` and a bucket on ``media_id``; Arrow
@@ -180,12 +181,153 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode → HxWx3 uint8 array (zlib inflate + the five
+    scanline filters — None/Sub/Up/Average/Paeth, RFC 2083). The first
+    COMPRESSED container in the codec set: 8-bit gray (0), RGB (2),
+    gray+alpha (4) and RGBA (6) color types, non-interlaced; alpha is
+    dropped and gray broadcast to 3 channels so every image kind lands in
+    the same HxWx3 contract as :func:`decode_ppm`. Chunk CRCs are
+    verified. Raises ValueError on anything else (palette, 16-bit,
+    Adam7) — undecodable media must fail loudly, not yield garbage
+    features."""
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8-bit only)")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (no palette)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+
+    # Unfilter. Up is whole-row vectorizable; Sub/Average/Paeth carry a
+    # left-neighbor dependency, so those rows run byte-wise over a
+    # bytearray — fine for the feature/resize batch sizes this engine
+    # decodes (the scan distributes per-blob via mapInPandas).
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 0:
+            row = np.frombuffer(bytes(line), dtype=np.uint8)
+        elif ftype == 2:  # Up
+            row = (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(
+                np.uint8
+            )
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            row = np.frombuffer(bytes(line), dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = row
+        prev = row
+    px = out.reshape(height, width, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 4:  # gray + alpha: drop alpha, broadcast
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA: drop alpha
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png` (8-bit RGB, color type 2, filter 0
+    rows, one zlib IDAT) — lets tests and fixtures synthesize real
+    compressed image bytes without codec libraries."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """``kind=image`` decode dispatch by magic bytes: PNG (compressed,
+    stdlib zlib) or binary Netpbm P5/P6 (uncompressed) → HxWx3 uint8.
+    Raises ValueError for anything else."""
+    if content.startswith(_PNG_SIG):
+        return decode_png(content)
+    return decode_ppm(content)
+
+
 def image_features(content: bytes, dim: int = 8) -> list[float]:
-    """Real image features from Netpbm bytes: normalized width/height,
-    aspect ratio, mean luminance, luminance contrast (std), per-channel
-    means — the cheap descriptors a curation pass filters on (blank /
-    low-contrast / color-cast frames). Mirrors :func:`wav_features`."""
-    px = decode_ppm(content).astype(np.float64) / 255.0
+    """Real image features from PNG or Netpbm bytes: normalized
+    width/height, aspect ratio, mean luminance, luminance contrast (std),
+    per-channel means — the cheap descriptors a curation pass filters on
+    (blank / low-contrast / color-cast frames). Mirrors
+    :func:`wav_features`."""
+    px = decode_image(content).astype(np.float64) / 255.0
     h, w = px.shape[:2]
     lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
     feats = [
@@ -349,10 +491,10 @@ def video_features(content: bytes, dim: int = 8) -> list[float]:
 
 def default_decoder(content: bytes, kind: str) -> list[float]:
     """Decode/feature-extract dispatch — every declared media kind now has
-    a real pure-Python codec: ``audio`` RIFF/WAVE PCM, ``image`` Netpbm
-    P5/P6, ``video`` YUV4MPEG2 (:func:`wav_features` /
-    :func:`image_features` / :func:`video_features`). Compressed container
-    formats (mp4/mkv/jpeg/mp3…) need a codec stack (ffmpeg etc.) injected
+    a real pure-Python codec: ``audio`` RIFF/WAVE PCM, ``image`` PNG
+    (stdlib zlib) or Netpbm P5/P6, ``video`` YUV4MPEG2 (:func:`wav_features`
+    / :func:`image_features` / :func:`video_features`). Other compressed
+    containers (mp4/mkv/jpeg/mp3…) need a codec stack (ffmpeg etc.) injected
     via ``decoder=`` in deployments that have one — the parsers here
     raise ValueError on bytes they don't own, so misrouted blobs fail
     loudly instead of yielding garbage features."""
@@ -534,8 +676,9 @@ def resize_images(
             for _, row in pdf.iterrows():
                 if row["kind"] != "image":
                     continue
+                blob = bytes(row["content"])
                 try:
-                    px = decode_ppm(bytes(row["content"]))
+                    px = decode_image(blob)
                 except ValueError:
                     continue
                 rs = resize_nearest(px, out_h, out_w)
@@ -543,7 +686,11 @@ def resize_images(
                 out["kind"].append(row["kind"])
                 out["width"].append(out_w)
                 out["height"].append(out_h)
-                out["content"].append(encode_ppm(rs))
+                # re-encode in the source container so a PNG corpus stays
+                # PNG through the normalization pass
+                out["content"].append(
+                    encode_png(rs) if blob.startswith(_PNG_SIG) else encode_ppm(rs)
+                )
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "content").mapInPandas(

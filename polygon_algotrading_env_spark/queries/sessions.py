@@ -113,21 +113,23 @@ def multimodal_features_from_docs(spark, sf_dir):
     """Multimodal column pipeline end-to-end with REAL codec paths for
     all THREE modalities, routed by doc_id mod 3: deterministic mono PCM
     WAV blobs (tone frequency and duration parameterized by doc_id),
-    P6 PPM gradient images (dimensions parameterized by doc_id), and
-    YUV4MPEG2 moving-gradient clips (frame count and cadence
+    gradient images alternating between P6 PPM and COMPRESSED PNG
+    containers (stdlib-zlib codec; dimensions parameterized by doc_id),
+    and YUV4MPEG2 moving-gradient clips (frame count and cadence
     parameterized by doc_id) — all synthesized executor-side
-    (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_y4m`,
-    Arrow-batched), then header-parsed and decoded back by the DEFAULT
-    decoder for duration/RMS/ZCR (audio), size/luminance/contrast
-    (image) and frame-count/duration/motion (video) features. No fake
-    decoder anywhere; binary column + typed metadata struct conventions
-    as in MEDIA_SCHEMA."""
+    (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_png` /
+    :func:`encode_y4m`, Arrow-batched), then header-parsed and decoded
+    back by the DEFAULT decoder for duration/RMS/ZCR (audio),
+    size/luminance/contrast (image) and frame-count/duration/motion
+    (video) features. No fake decoder anywhere; binary column + typed
+    metadata struct conventions as in MEDIA_SCHEMA."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from polygon_algotrading_env_spark.operators.multimodal import (
+        encode_png,
         encode_ppm,
         encode_wav,
         encode_y4m,
@@ -161,7 +163,11 @@ def multimodal_features_from_docs(spark, sf_dir):
                         ],
                         axis=2,
                     ).astype(np.uint8)
-                    blobs.append(encode_ppm(px))
+                    # alternate container: even image rows P6 PPM, odd
+                    # rows compressed PNG — both decode via decode_image
+                    blobs.append(
+                        encode_png(px) if (i // 3) % 2 else encode_ppm(px)
+                    )
                     kinds.append("image")
                 else:
                     t_f, h, w = 3 + i % 6, 8, 8
@@ -184,6 +190,10 @@ def multimodal_features_from_docs(spark, sf_dir):
             F.lit("mime"),
             F.when(F.col("kind") == "audio", F.lit("audio/wav"))
             .when(F.col("kind") == "video", F.lit("video/x-yuv4mpeg"))
+            .when(
+                F.hex(F.substring(F.col("content"), 1, 4)) == "89504E47",
+                F.lit("image/png"),
+            )
             .otherwise(F.lit("image/x-portable-pixmap")),
             F.lit("width"), F.lit(None).cast("int"),
             F.lit("height"), F.lit(None).cast("int"),

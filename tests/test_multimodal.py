@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from polygon_algotrading_env_spark.operators.multimodal import (
@@ -419,3 +420,150 @@ def test_sample_video_frames_to_image_pipeline(spark):
         out_w=4,
     ).collect()
     assert len(resized) == 2 and all(r["width"] == 4 for r in resized)
+
+
+# --- PNG: the first compressed container (stdlib zlib) ---------------------
+
+
+def _png_forward_filter(arr, ftypes):
+    """Reference forward-filterer (RFC 2083) so the decoder's unfiltering
+    is tested against independently-constructed streams for ALL five
+    filter types, not just the filter-0 rows encode_png emits."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for r in range(h):
+        ft = ftypes[r % len(ftypes)]
+        raw.append(ft)
+        prev = flat[r - 1] if r else np.zeros(stride, np.int32)
+        line = flat[r]
+        for i in range(stride):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if (i >= ch and r) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((int(line[i]) - pred) & 0xFF)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_features():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        image_features,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    assert blob.startswith(b"\x89PNG\r\n\x1a\n")
+    assert np.array_equal(decode_png(blob), px)
+    feats = image_features(blob)
+    assert feats[0] == 9 / 4096.0 and feats[1] == 13 / 4096.0
+    assert abs(feats[5] - px[:, :, 0].mean() / 255.0) < 1e-12
+
+
+def test_png_all_five_filters_unfilter_correctly():
+    from polygon_algotrading_env_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (10, 7, 3), dtype=np.uint8)
+    # one stream cycling every filter type, and one stream per type
+    for ftypes in ([0, 1, 2, 3, 4], [1], [2], [3], [4]):
+        blob = _png_forward_filter(px, ftypes)
+        assert np.array_equal(decode_png(blob), px), f"filters {ftypes}"
+
+
+def test_png_color_types_normalize_to_rgb():
+    from polygon_algotrading_env_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (6, 5, 1), dtype=np.uint8)
+    out = decode_png(_png_forward_filter(gray, [0, 2]))
+    assert out.shape == (6, 5, 3) and np.array_equal(out[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(out[:, :, 1], out[:, :, 2])
+    ga = rng.randint(0, 256, (6, 5, 2), dtype=np.uint8)
+    out = decode_png(_png_forward_filter(ga, [1, 4]))
+    assert out.shape == (6, 5, 3) and np.array_equal(out[:, :, 0], ga[:, :, 0])
+    rgba = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    out = decode_png(_png_forward_filter(rgba, [3]))
+    assert out.shape == (4, 4, 3) and np.array_equal(out, rgba[:, :, :3])
+
+
+def test_png_malformed_inputs_fail_loudly():
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.full((4, 4, 3), 9, np.uint8)
+    blob = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"NOPE" + bytes(blob))
+    corrupt = bytearray(blob)
+    corrupt[40] ^= 0xFF  # flip an IDAT byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(bytes(blob[:30]))
+
+
+def test_png_through_extract_features_and_resize(spark):
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        decode_png,
+        encode_png,
+        extract_features,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:8]
+    px = np.stack(
+        [(xx * 31) % 256, (yy * 17) % 256, np.full((12, 8), 77)], axis=2
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(px)), ("image/png", 8, 12, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0]["feature"][0] == 8 / 4096.0
+    resized = resize_images(media, 6, 6).collect()
+    assert len(resized) == 1
+    out = bytes(resized[0]["content"])
+    assert out.startswith(b"\x89PNG")  # container preserved
+    assert decode_png(out).shape == (6, 6, 3)
+    assert decode_image(out).shape == (6, 6, 3)
