@@ -185,11 +185,57 @@ class PageStore:
         fsys, base = self._fs()
         if self.page_exists(symbol, index):
             return False
+        body = json.dumps(payload).encode("utf-8")
+        if self._put_small_object_s3(f"{symbol}/page-{index}.json", body):
+            return True
         fsys.create_dir(f"{base}/{symbol}", recursive=True)
         with fsys.open_output_stream(
             f"{base}/{symbol}/page-{index}.json"
         ) as f:
-            f.write(json.dumps(payload).encode("utf-8"))
+            f.write(body)
+        return True
+
+    def _put_small_object_s3(self, rel_key: str, body: bytes) -> bool:
+        """Single-request PutObject fast path for ``s3://`` roots. A landed
+        page is a small JSON object, and pyarrow's S3 output stream always
+        runs the multipart protocol — three round trips (Create/UploadPart/
+        Complete) per object. At ingest scale that is 3x the request count
+        and 3x the request cost for no benefit below the multipart
+        threshold, so S3 roots PUT directly via boto3 when it's available
+        (endpoint/scheme/region come from the same from_uri query params
+        pyarrow reads; credentials from the standard env/profile chain,
+        exactly as pyarrow resolves them). Returns False — caller falls
+        back to the generic pyarrow stream — for non-S3 roots or when
+        boto3 isn't importable."""
+        from urllib.parse import parse_qs, urlsplit
+
+        u = urlsplit(self.root)
+        if u.scheme != "s3":
+            return False
+        try:
+            import boto3
+        except ImportError:
+            return False
+        if getattr(self, "_s3_client", None) is None:
+            q = parse_qs(u.query)
+            endpoint = q.get("endpoint_override", [None])[0]
+            scheme = q.get("scheme", ["https"])[0]
+            # honor credential-bearing URIs (s3://key:secret@bucket/...)
+            # exactly as pyarrow's FileSystem.from_uri does; otherwise the
+            # standard env/profile chain applies
+            self._s3_client = boto3.client(
+                "s3",
+                endpoint_url=f"{scheme}://{endpoint}" if endpoint else None,
+                region_name=q.get("region", [None])[0],
+                aws_access_key_id=u.username,
+                aws_secret_access_key=u.password,
+            )
+        prefix = u.path.strip("/")
+        self._s3_client.put_object(
+            Bucket=u.hostname,
+            Key=f"{prefix}/{rel_key}" if prefix else rel_key,
+            Body=body,
+        )
         return True
 
 

@@ -453,3 +453,150 @@ def test_pagestore_against_s3_protocol_server():
         assert store.read_page("SPY", "page-0.json")["results"][0]["t"] == 0
     finally:
         server.stop()
+
+
+def test_live_fetch_soak_s3_store_midbatch_kill_and_restart(spark, tmp_path):
+    """Fault-injection soak composing the s3:// PageStore with the LIVE
+    fetch stream — the claim users run in production: pages land on an
+    object store while a poison sink kills the query mid-batch, and the
+    restart from the checkpoint must (a) land every page EXACTLY ONCE on
+    S3 (the immutability guard absorbs the replayed landing attempt),
+    (b) emit every record exactly once (the failed batch raised before
+    any sink write, so its replay is the only emission), and (c) finish
+    with stream output identical to a fresh batch read of the landed
+    store. Runs against a real S3-protocol server (moto); page writes go
+    through the store's single-PUT fast path — the same request the
+    production path sends real S3."""
+    import logging
+    import pickle
+
+    import pytest as _pytest
+
+    try:
+        import boto3
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        _pytest.skip("moto/boto3 not available")
+
+    from polygon_algotrading_env_spark.sources.restsource import (
+        PageStore,
+        PolygonPagesDataSource,
+        encode_fetcher,
+    )
+
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        boto3.client(
+            "s3", endpoint_url=f"http://{host}:{port}", region_name="us-east-1"
+        ).create_bucket(Bucket="soak-bucket")
+        # credential-bearing URI: executor Python workers have no AWS
+        # env (the JVM forked before the test set it), and both pyarrow
+        # from_uri and the store's PUT fast path honor userinfo creds
+        uri = (
+            "s3://testing:testing@soak-bucket/pages"
+            f"?endpoint_override={host}:{port}&scheme=http&region=us-east-1"
+        )
+
+        # the single-PUT fast path itself, executor-shaped (pickled store)
+        store = pickle.loads(pickle.dumps(PageStore(uri)))
+        assert store.write_page("SPY", 99, {"results": [_rec(99)]})
+        assert store.read_page("SPY", "page-99.json")["results"][0]["t"] == (
+            99 * DAY_MS
+        )
+        assert not store.write_page("SPY", 99, {"results": [_rec(0)]})
+        boto3.client(
+            "s3", endpoint_url=f"http://{host}:{port}", region_name="us-east-1"
+        ).delete_object(Bucket="soak-bucket", Key="pages/SPY/page-99.json")
+
+        api = {
+            "SPY": [
+                {"results": [_rec(0), _rec(1)]},
+                {"results": [_rec(1), _rec(2)]},  # by-design overlap dup
+                {"results": [_rec(3)]},
+            ],
+            "TLT": [{"results": [_rec(0)]}],
+        }
+
+        def fake_fetch(symbol, idx):
+            pages = api.get(symbol, [])
+            return pages[idx] if idx < len(pages) else {"results": []}
+
+        spark.dataSource.register(PolygonPagesDataSource)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        poison = str(tmp_path / "poison")
+
+        def sink(batch_df, batch_id):
+            rows = batch_df.count()
+            if rows and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError("injected mid-batch failure")
+            if rows:
+                batch_df.write.mode("append").parquet(out)
+
+        def run_live(expect_fail=False):
+            q = (
+                spark.readStream.format("polygon_pages")
+                .option("path", uri)
+                .option("symbols", "SPY,TLT")
+                .option("fetcherpickle", encode_fetcher(fake_fetch))
+                .option("maxpagespertrigger", "1")
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if expect_fail:
+                with _pytest.raises(Exception, match="injected mid-batch"):
+                    q.awaitTermination(120)
+            else:
+                q.awaitTermination(120)
+
+        # Run 1: store empty — lands page 0 per symbol on S3, emits nothing.
+        run_live()
+        assert store.page_exists("SPY", 0) and store.page_exists("TLT", 0)
+        assert not os.path.exists(out)
+
+        # Run 2 with poison: the first non-empty batch dies mid-flight —
+        # AFTER its read landed the next pages on S3, BEFORE any sink write.
+        open(poison, "w").close()
+        run_live(expect_fail=True)
+        assert not os.path.exists(poison), "poison sink never fired"
+        assert not os.path.exists(out), "failed batch must not emit"
+
+        # Restart from the checkpoint, then drain. The replayed batch's
+        # landing attempts hit the immutability guard (no second write);
+        # its rows are emitted exactly once.
+        for _ in range(4):
+            run_live()
+
+        rows = sorted(
+            (r["ticker"], r["t"]) for r in spark.read.parquet(out).collect()
+        )
+        assert rows == [
+            ("SPY", 0), ("SPY", DAY_MS), ("SPY", 2 * DAY_MS),
+            ("SPY", 3 * DAY_MS), ("TLT", 0),
+        ], f"duplicate or lost emission: {rows}"
+
+        # Exactly-once page landing: the S3 listing holds each page once.
+        assert store.list_pages("SPY") == [
+            "page-0.json", "page-1.json", "page-2.json"
+        ]
+        assert store.list_pages("TLT") == ["page-0.json"]
+
+        # Stream ≡ batch: a fresh batch scan of the landed store yields
+        # the same records the stream emitted across kill + restarts.
+        batch = (
+            spark.read.format("polygon_pages")
+            .option("path", uri)
+            .load()
+        )
+        assert sorted((r["ticker"], r["t"]) for r in batch.collect()) == rows
+    finally:
+        server.stop()
