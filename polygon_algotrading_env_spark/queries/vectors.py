@@ -431,6 +431,7 @@ def srp_bucket_assignments(spark, sf_dir):
 
 @register(
     "srp_topk_reranked",
+    headline=True,
     oracle="WITH " + _SRP_BUCKET_CTE + """,
     qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
     q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
