@@ -842,3 +842,39 @@ def kneser_ney_logprob_docs(spark, sf_dir):
             F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
         )
     )
+
+
+@register("bpe_token_stats_docs", oracle=None)
+def bpe_token_stats_docs(spark, sf_dir):
+    """The APPLY half of the BPE tokenizer (operators/corpus.py:
+    bpe_segment, pairing with bpe_merge_table's train half): learn 16
+    merges from the corpus, segment the DISTINCT word vocabulary once
+    (the merge table folds into the plan as JVM array algebra — never
+    re-segment every occurrence), then join token counts back to the
+    per-doc word stream for the per-document token count and fertility
+    (BPE tokens per word) every tokenizer-budget decision needs.
+    Rows-only: training is an iterative driver loop; apply-side
+    correctness is pinned against the trainer's own final segmentation
+    in tests/test_corpus.py."""
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+    from polygon_algotrading_env_spark.operators.corpus import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, n_merges=16)
+    words = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("w")
+    )
+    seg = bpe_segment(words.select("w").distinct(), merges)
+    tok = seg.select("w", F.size("symbols").alias("n_toks"))
+    return (
+        words.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_toks") / F.count(F.lit(1)), 6).alias("fertility"),
+        )
+    )

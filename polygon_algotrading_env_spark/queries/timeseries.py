@@ -4955,3 +4955,266 @@ def max_underwater_duration(spark, sf_dir):
         F.max("len").cast("bigint").alias("max_underwater_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_spells"),
     )
+
+
+@register(
+    "range_vol_estimators_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS d,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT *, lag(close) OVER (PARTITION BY event_type ORDER BY d) AS c_prev
+      FROM d
+    ),
+    r AS (
+      SELECT event_type,
+             ln(high / low)   AS hl,
+             ln(close / open) AS co,
+             ln(high / close) * ln(high / open)
+               + ln(low / close) * ln(low / open) AS rs,
+             ln(open / c_prev) AS o_r
+      FROM p
+      WHERE c_prev IS NOT NULL AND low > 0 AND c_prev > 0 AND open > 0
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n, avg(o_r) AS mo, avg(co) AS mc,
+             avg(hl * hl) / (4 * ln(2))                     AS park_var,
+             avg(0.5 * hl * hl - (2 * ln(2) - 1) * co * co) AS gk_var,
+             avg(rs)                                        AS rs_mean,
+             sum(rs)                                        AS rs_sum
+      FROM r GROUP BY 1
+    ),
+    v AS (
+      SELECT r.event_type,
+             any_value(m.n)                                        AS n,
+             sum((r.o_r - m.mo) * (r.o_r - m.mo)) / (any_value(m.n) - 1) AS vo,
+             sum((r.co - m.mc) * (r.co - m.mc)) / (any_value(m.n) - 1)   AS vc,
+             any_value(m.rs_sum) / (any_value(m.n) - 1)             AS vrs,
+             any_value(m.park_var)                                  AS park_var,
+             any_value(m.gk_var)                                    AS gk_var,
+             any_value(m.rs_mean)                                   AS rs_mean
+      FROM r JOIN m ON r.event_type = m.event_type
+      GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT)                              AS n_days,
+           round(sqrt(park_var), 6)                       AS parkinson_vol,
+           round(sqrt(greatest(gk_var, 0)), 6)            AS gk_vol,
+           round(sqrt(greatest(rs_mean, 0)), 6)           AS rs_vol,
+           round(sqrt(greatest(
+             vo + (0.34 / (1.34 + (n + 1.0) / (n - 1.0))) * vc
+                + (1 - 0.34 / (1.34 + (n + 1.0) / (n - 1.0))) * vrs,
+             0)), 6)                                      AS yz_vol
+    FROM v
+    """,
+)
+def range_vol_estimators_daily(spark, sf_dir):
+    """The four range-based daily volatility estimators per symbol —
+    Parkinson (1980) ln(H/L)²/4ln2, Garman-Klass (1980)
+    0.5·ln(H/L)² − (2ln2−1)·ln(C/O)², Rogers-Satchell (1991)
+    ln(H/C)ln(H/O)+ln(L/C)ln(L/O) (drift-robust), and Yang-Zhang (2000)
+    σ²_overnight + k·σ²_open-to-close + (1−k)·σ²_RS with
+    k = 0.34/(1.34+(n+1)/(n−1)) — the OHLC-only complement to the
+    close-to-close realized vol already in the registry, 5-8x more
+    efficient per bar. Daily bars shuffle once on (symbol, day); the
+    rest is a lag window and two symbol-sized aggregates, the second
+    joining the first back as a broadcast (central moments are two-pass
+    explicit sums, not var builtins, so both engines compute identical
+    population math). Negative GK/RS day-averages (documented
+    small-sample behavior) are floored at 0 before the sqrt on both
+    sides."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.window("ts", "1 day").start.alias("d")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    p = d.withColumn("c_prev", F.lag("close").over(w))
+    r = p.where(
+        F.col("c_prev").isNotNull()
+        & (F.col("low") > 0)
+        & (F.col("c_prev") > 0)
+        & (F.col("open") > 0)
+    ).select(
+        "event_type",
+        F.log(F.col("high") / F.col("low")).alias("hl"),
+        F.log(F.col("close") / F.col("open")).alias("co"),
+        (
+            F.log(F.col("high") / F.col("close"))
+            * F.log(F.col("high") / F.col("open"))
+            + F.log(F.col("low") / F.col("close"))
+            * F.log(F.col("low") / F.col("open"))
+        ).alias("rs"),
+        F.log(F.col("open") / F.col("c_prev")).alias("o_r"),
+    )
+    ln2 = 0.6931471805599453
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_r").alias("mo"),
+        F.avg("co").alias("mc"),
+        (F.avg(F.col("hl") * F.col("hl")) / (4 * ln2)).alias("park_var"),
+        F.avg(
+            0.5 * F.col("hl") * F.col("hl")
+            - (2 * ln2 - 1) * F.col("co") * F.col("co")
+        ).alias("gk_var"),
+        F.avg("rs").alias("rs_mean"),
+        F.sum("rs").alias("rs_sum"),
+    )
+    v = (
+        r.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            (
+                F.sum((F.col("o_r") - F.col("mo")) * (F.col("o_r") - F.col("mo")))
+                / (F.first("n") - 1)
+            ).alias("vo"),
+            (
+                F.sum((F.col("co") - F.col("mc")) * (F.col("co") - F.col("mc")))
+                / (F.first("n") - 1)
+            ).alias("vc"),
+            (F.first("rs_sum") / (F.first("n") - 1)).alias("vrs"),
+            F.first("park_var").alias("park_var"),
+            F.first("gk_var").alias("gk_var"),
+            F.first("rs_mean").alias("rs_mean"),
+        )
+    )
+    k = 0.34 / (1.34 + (F.col("n") + 1.0) / (F.col("n") - 1.0))
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.sqrt("park_var"), 6).alias("parkinson_vol"),
+        F.round(F.sqrt(F.greatest(F.col("gk_var"), F.lit(0.0))), 6).alias("gk_vol"),
+        F.round(F.sqrt(F.greatest(F.col("rs_mean"), F.lit(0.0))), 6).alias("rs_vol"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("vo") + k * F.col("vc") + (1 - k) * F.col("vrs"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("yz_vol"),
+    )
+
+
+@register(
+    "rank_ic_momentum_5m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b,
+             arg_min(value, ts) AS open, arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, b,
+             lag(close / open - 1)  OVER w AS signal,
+             lead(close / open - 1) OVER w AS fwd
+      FROM bars WHERE open > 0
+      WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ),
+    x AS (
+      SELECT b, event_type, signal, fwd
+      FROM rets WHERE signal IS NOT NULL AND fwd IS NOT NULL
+    ),
+    ranked AS (
+      SELECT b,
+             row_number() OVER (PARTITION BY b
+                                ORDER BY signal, event_type) AS rs,
+             row_number() OVER (PARTITION BY b
+                                ORDER BY fwd, event_type)    AS rf
+      FROM x
+    ),
+    ic AS (
+      SELECT b, count(*) AS n,
+             1.0 - 6.0 * sum((rs - rf) * (rs - rf))
+                   / (count(*) * (count(*) * count(*) - 1.0)) AS ic
+      FROM ranked GROUP BY b HAVING count(*) >= 3
+    )
+    SELECT CAST(time_bucket(INTERVAL '1 day', b) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT)                            AS n_buckets,
+           round(avg(ic), 6)                                   AS mean_ic
+    FROM ic GROUP BY 1
+    """,
+)
+def rank_ic_momentum_5m(spark, sf_dir):
+    """Cross-sectional rank information coefficient of a 1-bar momentum
+    signal: per 5-minute bucket, Spearman correlation ACROSS symbols
+    between the prior bar's return (the signal) and the next bar's
+    return (the target) — the standard alpha-research health metric —
+    then averaged per day. Ranks are unique by construction (symbol
+    tiebreak on equal values), so Spearman reduces to the closed form
+    1 − 6Σd²/(n(n²−1)) and both engines agree exactly; buckets with
+    fewer than 3 complete symbols carry no signal and are dropped.
+    Shape: one (symbol,bucket) bar shuffle, per-symbol lag/lead windows,
+    then per-bucket ranking — the wide relation is bucket×symbol, never
+    all-pairs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type", F.window("ts", "5 minutes").start.alias("b")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    ret = F.col("close") / F.col("open") - 1
+    # zero-priced ticks exist in the larger fixtures; a 0 open is not a
+    # definable return (and divides by zero under ANSI), so those bars
+    # drop before the lag/lead — identically in the oracle's WHERE.
+    rets = bars.where(F.col("open") > 0).select(
+        "event_type",
+        "b",
+        F.lag(ret).over(w).alias("signal"),
+        F.lead(ret).over(w).alias("fwd"),
+    )
+    x = rets.where(F.col("signal").isNotNull() & F.col("fwd").isNotNull())
+    ranked = x.select(
+        "b",
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("signal", "event_type"))
+        .alias("rs"),
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("fwd", "event_type"))
+        .alias("rf"),
+    )
+    # IC derives AFTER the n >= 3 cut: single-symbol buckets would feed
+    # n(n²−1) = 0 to the divisor inside the aggregate under ANSI mode.
+    ic = (
+        ranked.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("rs") - F.col("rf")) * (F.col("rs") - F.col("rf"))
+            ).alias("sumd2"),
+        )
+        .where(F.col("n") >= 3)
+        .select(
+            "b",
+            (
+                1.0
+                - 6.0 * F.col("sumd2") / (F.col("n") * (F.col("n") * F.col("n") - 1.0))
+            ).alias("ic"),
+        )
+    )
+    return ic.groupBy(
+        F.window("b", "1 day").start.alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.avg("ic"), 6).alias("mean_ic"),
+    )

@@ -264,3 +264,28 @@ def test_bpe_segment_reproduces_training_segmentation_and_handles_unseen(spark):
     unseen = spark.createDataFrame([(word,)], "w string")
     got = tuple(bpe_segment(unseen, merges).collect()[0]["symbols"])
     assert got == tuple(ref)
+
+
+def test_bpe_segment_matches_trainer_segmentation(spark):
+    """bpe_segment (the apply step) must reproduce the trainer's own
+    final vocabulary segmentation when given the trainer's merge table —
+    train/apply consistency is the tokenizer contract (a shipped merge
+    table must segment identically everywhere)."""
+    from polygon_algotrading_env_spark.operators.corpus import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [("low lower lowest newer newest wide widest low low newer",)],
+        "text string",
+    )
+    merges, vocab = bpe_train(docs, n_merges=10)
+    words = vocab.select("w")
+    seg = bpe_segment(words, merges)
+    got = {r["w"]: list(r["symbols"]) for r in seg.collect()}
+    want = {r["w"]: list(r["symbols"]) for r in vocab.collect()}
+    assert got == want
+    # and a list-of-rows merge table works the same as the DataFrame
+    seg2 = bpe_segment(words, merges.orderBy("rank").collect())
+    assert {r["w"]: list(r["symbols"]) for r in seg2.collect()} == want
