@@ -236,41 +236,57 @@ def decode_png(content: bytes) -> np.ndarray:
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG raster size mismatch")
 
-    # Unfilter. Up is whole-row vectorizable; Sub/Average/Paeth carry a
-    # left-neighbor dependency, so those rows run byte-wise over a
-    # bytearray — fine for the feature/resize batch sizes this engine
-    # decodes (the scan distributes per-blob via mapInPandas).
+    # Unfilter. None/Up are whole-row vectorized; Sub is a per-channel
+    # prefix sum mod 256, so it vectorizes EXACTLY as cumsum along the
+    # pixel axis (uint8 wraparound ≡ mod-256 arithmetic on the running
+    # sum). Average/Paeth carry a nonlinear (floor / abs-compare) left
+    # dependency, so those rows loop the WIDTH once with numpy ops over
+    # the channel stride — O(W) interpreter iterations per row instead of
+    # O(W·C) per-byte, and the dominant filters real encoders emit
+    # (1/2/4 with 0 on row boundaries) all hit a vectorized or
+    # column-vector path.
     out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
+    prev_px = np.zeros((width, channels), dtype=np.int16)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
         if ftype == 0:
-            row = np.frombuffer(bytes(line), dtype=np.uint8)
-        elif ftype == 2:  # Up
-            row = (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(
-                np.uint8
-            )
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                if ftype == 1:
-                    line[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:
-                    line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    line[i] = (line[i] + pred) & 0xFF
-            row = np.frombuffer(bytes(line), dtype=np.uint8)
+            px_row = line.reshape(width, channels).astype(np.int16)
+        elif ftype == 2:  # Up: whole-row add
+            px_row = (
+                line.reshape(width, channels) + prev_px
+            ) & 0xFF
+        elif ftype == 1:  # Sub: exact per-channel running sum mod 256
+            px_row = (
+                np.cumsum(
+                    line.reshape(width, channels), axis=0, dtype=np.uint64
+                )
+                & 0xFF
+            ).astype(np.int16)
+        elif ftype == 3:  # Average: floor((left + up) / 2) column loop
+            cur = line.reshape(width, channels).astype(np.int16)
+            cur[0] = (cur[0] + (prev_px[0] >> 1)) & 0xFF
+            for x in range(1, width):
+                cur[x] = (cur[x] + ((cur[x - 1] + prev_px[x]) >> 1)) & 0xFF
+            px_row = cur
+        elif ftype == 4:  # Paeth: min-distance predictor column loop
+            cur = line.reshape(width, channels).astype(np.int16)
+            cur[0] = (cur[0] + prev_px[0]) & 0xFF  # a = c = 0 → pred = b
+            for x in range(1, width):
+                a, b, c = cur[x - 1], prev_px[x], prev_px[x - 1]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+            px_row = cur
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        out[r] = row
-        prev = row
+        out[r] = px_row.astype(np.uint8).reshape(stride)
+        prev_px = px_row
     px = out.reshape(height, width, channels)
     if color == 0:
         return np.repeat(px, 3, axis=2)

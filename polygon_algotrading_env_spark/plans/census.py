@@ -127,7 +127,16 @@ def census_violations(
                 continue
             from polygon_algotrading_env_spark.plans.inspect import smj_sides
 
-            for left, right in smj_sides(df):
+            # The physical-plan walk itself can raise (py4j errors on an
+            # unexpected node shape, Spark version drift in initialPlan /
+            # collectLeaves); record that as THIS query's violation rather
+            # than aborting the whole census.
+            try:
+                sides = smj_sides(df)
+            except Exception as e:  # noqa: BLE001 — walk failure IS a violation
+                out[name] = f"smj_sides walk failed: {type(e).__name__}: {e}"
+                continue
+            for left, right in sides:
                 for side in (left, right):
                     if side and side <= DIM_TABLES:
                         out[name] = (

@@ -4990,6 +4990,7 @@ def max_underwater_duration(spark, sf_dir):
              avg(rs)                                        AS rs_mean,
              sum(rs)                                        AS rs_sum
       FROM r GROUP BY 1
+      HAVING count(*) >= 2
     ),
     v AS (
       SELECT r.event_type,
@@ -5029,7 +5030,11 @@ def range_vol_estimators_daily(spark, sf_dir):
     explicit sums, not var builtins, so both engines compute identical
     population math). Negative GK/RS day-averages (documented
     small-sample behavior) are floored at 0 before the sqrt on both
-    sides."""
+    sides. Symbols with fewer than 2 return rows are dropped on both
+    engines (the (n-1) sample-variance denominators need n >= 2; under
+    Spark 4's ANSI mode n=1 would raise DIVIDE_BY_ZERO while DuckDB
+    yields inf — the HAVING / where(n >= 2) guard keeps the engines
+    aligned and crash-free)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -5072,7 +5077,7 @@ def range_vol_estimators_daily(spark, sf_dir):
         ).alias("gk_var"),
         F.avg("rs").alias("rs_mean"),
         F.sum("rs").alias("rs_sum"),
-    )
+    ).where(F.col("n") >= 2)
     v = (
         r.join(F.broadcast(m), "event_type")
         .groupBy("event_type")

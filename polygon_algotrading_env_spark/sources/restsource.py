@@ -207,7 +207,7 @@ class PageStore:
         exactly as pyarrow resolves them). Returns False — caller falls
         back to the generic pyarrow stream — for non-S3 roots or when
         boto3 isn't importable."""
-        from urllib.parse import parse_qs, urlsplit
+        from urllib.parse import parse_qs, unquote, urlsplit
 
         u = urlsplit(self.root)
         if u.scheme != "s3":
@@ -222,13 +222,21 @@ class PageStore:
             scheme = q.get("scheme", ["https"])[0]
             # honor credential-bearing URIs (s3://key:secret@bucket/...)
             # exactly as pyarrow's FileSystem.from_uri does; otherwise the
-            # standard env/profile chain applies
+            # standard env/profile chain applies. urlsplit returns the
+            # userinfo still percent-encoded (AWS secrets routinely contain
+            # '/' or '+', which MUST be %-encoded in a URI), while pyarrow
+            # decodes it — unquote before handing to boto3 so both paths
+            # sign with the same secret.
             self._s3_client = boto3.client(
                 "s3",
                 endpoint_url=f"{scheme}://{endpoint}" if endpoint else None,
                 region_name=q.get("region", [None])[0],
-                aws_access_key_id=u.username,
-                aws_secret_access_key=u.password,
+                aws_access_key_id=(
+                    unquote(u.username) if u.username is not None else None
+                ),
+                aws_secret_access_key=(
+                    unquote(u.password) if u.password is not None else None
+                ),
             )
         prefix = u.path.strip("/")
         self._s3_client.put_object(

@@ -1,0 +1,61 @@
+"""Regression guards for timeseries queries that divide by (n-1) under
+Spark 4's default ANSI mode — a group with a single return row used to
+abort the whole query with DIVIDE_BY_ZERO (and diverge from DuckDB's inf)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+
+def _write_events(spark, path: str) -> None:
+    """Crafted events table: 'thin' has exactly 2 daily bars (one return
+    row → n=1, the ANSI crash case), 'fat' has 5 (n=4, healthy)."""
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def bar(sym, day, o, h, lo, c):
+        nonlocal eid
+        d = base + datetime.timedelta(days=day)
+        for off, v in ((0, o), (60, h), (120, lo), (180, c)):
+            rows.append(
+                (eid, d + datetime.timedelta(seconds=off), 1, sym, float(v), "{}")
+            )
+            eid += 1
+
+    bar("thin", 0, 100, 110, 95, 105)
+    bar("thin", 1, 105, 115, 100, 110)  # 2 days → 1 return row → n=1
+    for day in range(5):
+        bar("fat", day, 100 + day, 112 + day, 93 + day, 104 + day)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_range_vol_n1_group_dropped_not_crashed(spark, tmp_path):
+    """An event_type with exactly 2 daily bars (one return row) must be
+    dropped by the n>=2 guard on BOTH engines — before the guard, Spark
+    raised DIVIDE_BY_ZERO at (n-1) while DuckDB returned inf."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    _write_events(spark, sf)
+    entry = REGISTRY["range_vol_estimators_daily"]
+
+    out = entry.fn(spark, sf).collect()  # must not raise under ANSI
+    assert [r["event_type"] for r in out] == ["fat"]
+    assert out[0]["n_days"] == 4
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle = con.sql(entry.oracle).fetchall()
+    assert [r[0] for r in oracle] == ["fat"]
+    assert all(v == v and abs(v) != float("inf") for r in oracle for v in r[1:])
