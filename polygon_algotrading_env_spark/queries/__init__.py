@@ -108,6 +108,15 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # star_join_revenue_by_region, rownum_recent_orders_per_customer,
 # moving_avg_price_per_supplier, dedup_docs_by_text, near_dup_clusters.
 # All nine move to PRIOR_DRIVER_CERTIFIED; no family loses its anchor.
+# Round-7 rotation (per r6 VERDICT item 1): the round-6 SRP ANN tier
+# (srp_bucket_assignments, srp_topk_reranked — the first hash-matched ANN
+# rows) plus three never-certified oracle-bearing headliners (vwap_5m,
+# doc_quality_features, view_click_purchase_funnel) enter. Out: the three
+# mid-r4 flagships green r4-r6 (sole_blame_suppliers, heavy_hitter_parts,
+# mixture_resample_by_lang) and two of the TPC-H quartet (Q3
+# pending_order_revenue_topk, Q6 discount_band_revenue — top-k ordering
+# and filtered-agg families are anchored by many other greens; Q8/Q20 keep
+# the complex join shapes in-window one more round).
 DRIVER_WINDOW: tuple[str, ...] = (
     # filters / projection / dedup / distinct (P1-P5, D1-D2)
     # filter_mktsegment rotated out r6 (green r1-r5); equality-filter
@@ -136,11 +145,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pricing_summary + count_distinct_parts_per_flag rotated out r6
     # (green r1-r5); grouped-agg / distinct-agg families anchored
     "exact_percentiles_per_flag",
-    # mid-r4 flagships: Q21's collapsed EXISTS/NOT-EXISTS, the certified
-    # MG heavy-hitter pattern, and mixture reweighting (LLM pipeline)
-    "sole_blame_suppliers",
-    "heavy_hitter_parts",
-    "mixture_resample_by_lang",
+    # mid-r4 flagships rotated out r7 (green r4-r6): sole_blame_suppliers,
+    # heavy_hitter_parts, mixture_resample_by_lang -> PRIOR_DRIVER_CERTIFIED
     # joins (J1-J3 + range join)
     # (anti_join_customers_without_orders certifies 0 rows at driver SF — a
     # wasted slot; the Q13 histogram's c_count=0 bucket covers the same
@@ -194,9 +200,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bigram_logprob_docs",
     "cluster_aware_split",
     "multigrain_bars_rollup",
-    # TPC-H decision shapes (Q3 / Q6 / Q8 / Q20)
-    "pending_order_revenue_topk",
-    "discount_band_revenue",
+    # TPC-H decision shapes (Q8 / Q20; Q3+Q6 rotated out r7 after two green
+    # rounds — their top-k / filtered-agg families are anchored elsewhere)
     "nation_market_share_economy",
     "excess_part_shippers",
     # round-5 flagships, entering the window for round 6: importance
@@ -211,6 +216,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmv_audience_overlap",
     "regular_hours_bars",
     "psi_price_drift",
+    # round-7 entries: the oracle-certified SRP ANN tier (md5-derived
+    # hyperplanes reproduced bit-identically in DuckDB SQL — the ANN
+    # family's first hash-matched driver rows) and three headline queries
+    # that were oracle-bearing from day one but never held a window slot
+    "srp_bucket_assignments",
+    "srp_topk_reranked",
+    "vwap_5m",
+    "doc_quality_features",
+    "view_click_purchase_funnel",
 )
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
@@ -220,6 +234,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 7 (green r4-r6, or r5-r6 for the two TPC-H
+        # shapes whose families are anchored by many other greens)
+        "sole_blame_suppliers",
+        "heavy_hitter_parts",
+        "mixture_resample_by_lang",
+        "pending_order_revenue_topk",
+        "discount_band_revenue",
         # rotated out in round 6 (each green five rounds, r1-r5)
         "filter_mktsegment",
         "pricing_summary",

@@ -122,6 +122,18 @@ def test_every_capability_family_in_window():
         "sketch_set_algebra": "kmv_audience_overlap",
         "calendar_sessions": "regular_hours_bars",
         "drift_psi": "psi_price_drift",
+        # round-7 window entrants: the oracle-certified SRP ANN tier and
+        # three headliners that never held a slot before
+        "ann_srp_buckets": "srp_bucket_assignments",
+        "ann_srp_rerank": "srp_topk_reranked",
+        "bars_vwap": "vwap_5m",
+        "doc_quality": "doc_quality_features",
+        "funnel": "view_click_purchase_funnel",
+        # families rotated out in r7 keep their anchors via
+        # PRIOR_DRIVER_CERTIFIED
+        "exists_not_exists": "sole_blame_suppliers",
+        "heavy_hitters": "heavy_hitter_parts",
+        "mixture_resample": "mixture_resample_by_lang",
     }
     missing = {
         f: q
