@@ -500,14 +500,55 @@ def scd2_customer_refresh(spark, sf_dir):
 
 
 # --- PageRank over the co-purchase graph (rows-only: iterative float) -----
-@register("pagerank_copurchase_top20", oracle=None)
+@register(
+    "pagerank_copurchase_top20",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    deg AS (SELECT u, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+    ranks(iter, id, rank) AS (
+      SELECT 0, id, 1.0 / (SELECT count(*) FROM verts) FROM verts
+      UNION ALL
+      SELECT iter + 1, id,
+             (1 - 0.85) / (SELECT count(*) FROM verts)
+             + (0.85 / (SELECT count(*) FROM verts))
+               * (1.0 - sum(inflow) OVER ())
+             + 0.85 * inflow
+      FROM (
+        SELECT r.iter, v.id, COALESCE(c.inflow, 0.0) AS inflow
+        FROM (SELECT DISTINCT iter FROM ranks) r
+        CROSS JOIN verts v
+        LEFT JOIN (
+          SELECT e.v AS id, sum(ranks.rank / d.outdeg) AS inflow
+          FROM ranks JOIN edges e ON ranks.id = e.u JOIN deg d ON d.u = e.u
+          GROUP BY e.v
+        ) c ON c.id = v.id
+      )
+      WHERE iter < 6
+    )
+    SELECT id AS l_partkey, round(rank, 8) AS rank
+    FROM ranks WHERE iter = 6
+    ORDER BY round(rank, 8) DESC, id
+    LIMIT 20
+    """,
+)
 def pagerank_copurchase_top20(spark, sf_dir):
     """PageRank (6 rounds, d=0.85) over the undirected co-ordered-parts
     graph, top-20 parts by centrality. Per round one narrow (id, rank)
     shuffle; dangling mass folded in as a scalar — no dangling→all edge
     materialization (operators/graph.py: pagerank, verified against a
-    dense power iteration to 1e-9 in tests). Iterative float sums have
-    no portable SQL formulation ⇒ rows-only."""
+    dense power iteration to 1e-9 in tests). Oracle (r7): the same 6
+    fixed power-iteration rounds as a DuckDB recursive CTE — the working
+    table carries (iter, id, rank), inflow is a join+group-by on the
+    previous iteration, and the emitted-mass scalar is a window SUM over
+    the new row set (rank conservation, same identity the Spark plan
+    uses). Round-8 on ~1e-3 ranks dominates the cross-engine float
+    reorder noise (<1e-15) by seven orders of magnitude."""
     from polygon_algotrading_env_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -982,16 +1023,58 @@ def lpa_communities_copurchase(spark, sf_dir):
     )
 
 
-@register("ppr_related_parts", oracle=None)
+@register(
+    "ppr_related_parts",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    deg AS (SELECT u, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+    ranks(iter, id, rank) AS (
+      -- explicit DOUBLE: a bare CASE literal types as DECIMAL(2,1) and
+      -- silently truncates every subsequent rank to one fractional digit
+      SELECT 0, id, CAST(CASE WHEN id = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+      FROM verts
+      UNION ALL
+      SELECT iter + 1, id,
+             (1 - 0.85) * p
+             + 0.85 * (1.0 - sum(inflow) OVER ()) * p
+             + 0.85 * inflow
+      FROM (
+        SELECT r.iter, v.id,
+               CAST(CASE WHEN v.id = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS p,
+               COALESCE(c.inflow, 0.0) AS inflow
+        FROM (SELECT DISTINCT iter FROM ranks) r
+        CROSS JOIN verts v
+        LEFT JOIN (
+          SELECT e.v AS id, sum(ranks.rank / d.outdeg) AS inflow
+          FROM ranks JOIN edges e ON ranks.id = e.u JOIN deg d ON d.u = e.u
+          GROUP BY e.v
+        ) c ON c.id = v.id
+      )
+      WHERE iter < 6
+    )
+    SELECT id AS l_partkey, round(rank, 8) AS rank
+    FROM ranks WHERE iter = 6 AND id <> 1
+    ORDER BY round(rank, 8) DESC, id
+    LIMIT 20
+    """,
+)
 def ppr_related_parts(spark, sf_dir):
     """'Parts related to part 1' by personalized PageRank over the
     co-ordered-parts graph: teleport and dangling mass restart at the
     seed part, so rank measures proximity TO IT — the related-item
     recommendation primitive, same collect-free iteration shape as the
     global PageRank query (operators/graph.py: personalized_pagerank,
-    verified against a dense reference to 1e-9 in tests). Rows-only:
-    iterative float sums have no portable SQL formulation. Top-20
-    excluding the seed itself."""
+    verified against a dense reference to 1e-9 in tests). Oracle (r7):
+    the same 6 fixed rounds as a DuckDB recursive CTE with the seeded
+    preference vector p = 1[id=1] in both the teleport and dangling
+    terms; emitted mass via a window SUM over the new row set. Top-20
+    excluding the seed itself, round-8 both sides."""
     from polygon_algotrading_env_spark.operators.graph import (
         personalized_pagerank,
     )
