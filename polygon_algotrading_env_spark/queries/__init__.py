@@ -117,6 +117,17 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # pending_order_revenue_topk, Q6 discount_band_revenue — top-k ordering
 # and filtered-agg families are anchored by many other greens; Q8/Q20 keep
 # the complex join shapes in-window one more round).
+# Round-8 rotation (per r7 VERDICT item 1): the PageRank family — the
+# first iterative-float plans to earn recursive-CTE DuckDB oracles
+# (pagerank_copurchase_top20, ppr_related_parts, queries/advanced.py) —
+# enters alongside three never-driver-certified oracle-bearing queries
+# from uncertified-so-far families: full_outer_daily_activity (FULL OUTER
+# join), theil_sen_trend_daily (robust median-slope regression),
+# weekly_cohort_retention (cohort retention matrix). Out: the remaining
+# TPC-H pair Q8/Q20 (green r5-r7) and return_correlation_pairs (r4-r7),
+# vpin_volume_buckets + pairs_spread_zscore (r5-r7) — every exiting
+# family holds >=3 recorded green rounds and moves to
+# PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
     # filters / projection / dedup / distinct (P1-P5, D1-D2)
     # filter_mktsegment rotated out r6 (green r1-r5); equality-filter
@@ -164,8 +175,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # rownum_recent_orders_per_customer + moving_avg_price_per_supplier
     # rotated out r6 (green r1-r5); ranking / moving-window families anchored
     # range_frame_30d_qty rotated out r5 (green r1-r4)
+    # return_correlation_pairs rotated out r8 (green r4-r7); pairwise
+    # correlation family anchored by four recorded rounds
     "rsi_14_per_event_type",
-    "return_correlation_pairs",
     # time-series bars / backtest / adjusted gold / sessions (A7, W3, J3)
     "ohlcv_bars_5m",
     "ohlcv_bars_1h_resampled",
@@ -194,16 +206,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # copurchase_triangles -> PRIOR_DRIVER_CERTIFIED).
     # round-4 flagships, driver-certified for the first time this round:
     # microstructure / labeling / LM-scoring / leakage-free-split packs
-    "pairs_spread_zscore",
-    "vpin_volume_buckets",
+    # pairs_spread_zscore + vpin_volume_buckets rotated out r8 (green
+    # r5-r7); microstructure families anchored
     "triple_barrier_labels_5m",
     "bigram_logprob_docs",
     "cluster_aware_split",
     "multigrain_bars_rollup",
-    # TPC-H decision shapes (Q8 / Q20; Q3+Q6 rotated out r7 after two green
-    # rounds — their top-k / filtered-agg families are anchored elsewhere)
-    "nation_market_share_economy",
-    "excess_part_shippers",
+    # TPC-H decision shapes all rotated out by r8 (Q3+Q6 r7 after two
+    # green rounds; Q8+Q20 r8 after three, green r5-r7) — the complex
+    # join/subquery families are anchored by those recorded rounds
     # round-5 flagships, entering the window for round 6: importance
     # weighting, LM scoring, fractal/microstructure stats, sketches,
     # drift, skew profiling, declarative DQ, and calendar-session bars
@@ -225,6 +236,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vwap_5m",
     "doc_quality_features",
     "view_click_purchase_funnel",
+    # round-8 entries: the PageRank family's first driver slots (both
+    # hash-match six-round recursive-CTE DuckDB oracles locally) plus
+    # three never-certified oracle-bearing queries from families without
+    # any recorded driver row: FULL OUTER join, Theil–Sen robust trend,
+    # weekly cohort retention
+    "pagerank_copurchase_top20",
+    "ppr_related_parts",
+    "full_outer_daily_activity",
+    "theil_sen_trend_daily",
+    "weekly_cohort_retention",
 )
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
@@ -234,6 +255,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 8 (green r4-r7 or r5-r7)
+        "nation_market_share_economy",
+        "excess_part_shippers",
+        "return_correlation_pairs",
+        "vpin_volume_buckets",
+        "pairs_spread_zscore",
         # rotated out in round 7 (green r4-r6, or r5-r6 for the two TPC-H
         # shapes whose families are anchored by many other greens)
         "sole_blame_suppliers",

@@ -129,6 +129,13 @@ def test_every_capability_family_in_window():
         "bars_vwap": "vwap_5m",
         "doc_quality": "doc_quality_features",
         "funnel": "view_click_purchase_funnel",
+        # round-8 window entrants: the PageRank family's first driver
+        # slots plus three families with no recorded driver row before
+        "graph_pagerank": "pagerank_copurchase_top20",
+        "graph_ppr": "ppr_related_parts",
+        "join_full_outer": "full_outer_daily_activity",
+        "robust_regression": "theil_sen_trend_daily",
+        "cohort_retention": "weekly_cohort_retention",
         # families rotated out in r7 keep their anchors via
         # PRIOR_DRIVER_CERTIFIED
         "exists_not_exists": "sole_blame_suppliers",
