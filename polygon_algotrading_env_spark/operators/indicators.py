@@ -279,6 +279,103 @@ def with_ema(
     return df.groupBy(*keys).applyInPandas(_ema, schema=schema)
 
 
+def ema_block_size(span: int, block: int = 512) -> int:
+    """Largest safe block size for :func:`with_ema_closed_form`: the
+    in-block normalizer r^{-p} (p < block) must stay well inside double
+    range, so block·ln(1/r) ≤ 600 (e^600 ≈ 3.8e260 < DBL_MAX)."""
+    import math
+
+    a = 2.0 / (span + 1.0)
+    r = 1.0 - a
+    return max(1, min(block, int(600.0 / math.log(1.0 / r))))
+
+
+def with_ema_closed_form(
+    df: DataFrame,
+    price: str,
+    span: int,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    out: str | None = None,
+    block: int = 512,
+    carry_terms: int = 14,
+) -> DataFrame:
+    """EMA(span, adjust=False) as PURE JVM window algebra — no Python.
+
+    The recursion ema_1 = x_1, ema_t = r·ema_{t-1} + a·x_t (a = 2/(span+1),
+    r = 1−a) has the closed form ema_t = Σ_i coef_i · r^{t−i} · x_i
+    (coef_1 = 1, else a). Evaluating that directly via a normalized prefix
+    sum Σ x_i·r^{−i} overflows for long series, so rows are split into
+    blocks of K rows (K from :func:`ema_block_size`, exponents ≤ 600/ln(1/r)):
+
+    - in-block: partial_t = r^{p} · Σ_{i ≤ t in block} coef_i·x_i·r^{−p_i}
+      (p = 0-based offset in block) — one running window sum;
+    - cross-block: the carry e_{b−1} (EMA at the previous block's last
+      row) satisfies e_b = c·e_{b−1} + P_b with c = r^K and P_b the
+      block's own partial, so e_{b−1} = Σ_{j≥1} c^{j−1}·P_{b−j} — taken
+      as ``carry_terms`` lag() terms over the tiny per-block relation.
+      The dropped tail is ≤ c^carry_terms ≈ e^{−600·carry_terms·…},
+      orders of magnitude below one ulp of the result (for span 20,
+      c^14 ≈ 3e−312), so the truncated value equals the mathematical
+      EMA to the same ~n·ulp tolerance as the sequential recursion;
+    - ema_t = partial_t + carry_b · r^{p+1}.
+
+    Scale shape: one exchange on ``keys`` (row numbering), one on
+    ``(keys, block)`` (in-block running sum — same data, narrower keys),
+    then a groupBy on the ALREADY-partitioned (keys, block) and a
+    broadcast join of the K×-smaller block relation back onto the rows.
+    At cluster scale the block relation is data/K rows; if it outgrows
+    broadcast, the join key (keys, b) still co-partitions with the
+    second exchange. Equivalence to pandas ``ewm(span, adjust=False)``
+    is pinned in tests/test_indicators.py.
+    """
+    import math
+
+    out = out or f"ema_{span}"
+    a = 2.0 / (span + 1.0)
+    r = 1.0 - a
+    K = ema_block_size(span, block)
+    c = r**K
+    # Enough carry lags that the dropped tail c^carry_terms < 1e-30 —
+    # matters only when a caller forces a small block (tests).
+    carry_terms = max(carry_terms, math.ceil(70.0 / (K * math.log(1.0 / r))))
+
+    w = _w(keys, order_cols)
+    t = F.row_number().over(w) - F.lit(1)
+    dfp = (
+        df.withColumn("__t", t)
+        .withColumn("__p", F.col("__t") % K)
+        .withColumn("__b", F.floor(F.col("__t") / K))
+        .withColumn(
+            "__u",
+            F.when(F.col("__t") == 0, F.col(price)).otherwise(a * F.col(price))
+            * F.pow(F.lit(r), -F.col("__p")),
+        )
+    )
+    wb = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(*[F.col(x).asc() for x in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dfp = dfp.withColumn("__partial", F.pow(F.lit(r), F.col("__p")) * F.sum("__u").over(wb))
+
+    blk = dfp.groupBy(*keys, "__b").agg(F.max_by("__partial", "__p").alias("__P"))
+    wl = Window.partitionBy(*keys).orderBy("__b")
+    carry = sum(
+        (
+            F.lit(c**(j - 1)) * F.coalesce(F.lag("__P", j).over(wl), F.lit(0.0))
+            for j in range(1, carry_terms + 1)
+        ),
+        F.lit(0.0),
+    )
+    blk = blk.select(*keys, "__b", carry.alias("__carry"))
+
+    joined = dfp.join(F.broadcast(blk), [*keys, "__b"])
+    return joined.withColumn(
+        out, F.col("__partial") + F.col("__carry") * F.pow(F.lit(r), F.col("__p") + 1)
+    ).drop("__t", "__p", "__b", "__u", "__partial", "__carry")
+
+
 def with_kalman_level(
     df: DataFrame,
     price: str,

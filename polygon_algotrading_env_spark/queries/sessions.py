@@ -90,21 +90,56 @@ def session_windows_per_user(spark, sf_dir):
     )
 
 
-# --- EMA via grouped-map applyInPandas (recursive → no SQL oracle) --------
-@register("ema_20_per_event_type", oracle=None)
+# --- EMA as closed-form window algebra (oracle-bearing since round 8) -----
+def _ema20_oracle() -> str:
+    from polygon_algotrading_env_spark.queries._ema_sql import ema_pass_ctes
+
+    ctes, final = ema_pass_ctes(
+        "ema20",
+        "d",
+        keys=["event_type"],
+        ord_col="ts, event_id",
+        val="value",
+        span=20,
+        out="__ema",
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS __t
+      FROM events
+    ),{ctes}
+    SELECT event_type, event_id, round(__ema, 6) AS ema_20
+    FROM {final}
+    """
+
+
+@register("ema_20_per_event_type", oracle=_ema20_oracle())
 def ema_20_per_event_type(spark, sf_dir):
-    """EMA-20 of value per event_type — the inherently recursive indicator,
-    run as an Arrow grouped-map (one symbol's series per group). Rows-only:
-    a recursive smoothing has no portable SQL formulation."""
-    from polygon_algotrading_env_spark.operators.indicators import with_ema
+    """EMA-20 of value per event_type — the recursive indicator, evaluated
+    WITHOUT Python: ``with_ema_closed_form`` expands the recursion into
+    two-level pow-normalized prefix sums (in-block running sum + bounded
+    lag-combination carry), all JVM window expressions. The DuckDB oracle
+    (``queries/_ema_sql.py``) evaluates the IDENTICAL formula with the
+    same embedded double literals, so the hash compare certifies the
+    closed form on both engines; equivalence to pandas
+    ``ewm(span=20, adjust=False)`` is separately pinned in
+    tests/test_indicators.py. Round-6: values carry ~1e-13 cross-engine
+    float noise, five orders under the grid."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_ema_closed_form,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "ts_ns", "value"
     )
-    out = with_ema(
+    out = with_ema_closed_form(
         ev, "value", span=20, keys=["event_type"], order_cols=["ts_ns", "event_id"]
     )
-    return out.select("event_type", "event_id", "ema_20")
+    return out.select(
+        "event_type", "event_id", F.round("ema_20", 6).alias("ema_20")
+    )
 
 
 # --- multimodal: real WAV + PPM decode over binary columns (rows-only) ----

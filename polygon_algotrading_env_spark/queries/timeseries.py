@@ -836,28 +836,72 @@ def obv_5m(spark, sf_dir):
     )
 
 
-@register("macd_12_26_9_5m", oracle=None)
+def _macd_oracle() -> str:
+    from polygon_algotrading_env_spark.queries._ema_sql import ema_pass_ctes
+
+    c12, s12 = ema_pass_ctes(
+        "f", "d", keys=["event_type"], ord_col="bucket_start",
+        val="close", span=12, out="__f",
+    )
+    c26, s26 = ema_pass_ctes(
+        "s", s12, keys=["event_type"], ord_col="bucket_start",
+        val="close", span=26, out="__s",
+    )
+    c9, s9 = ema_pass_ctes(
+        "sig", s26, keys=["event_type"], ord_col="bucket_start",
+        val="__f - __s", span=9, out="__sig",
+    )
+    return f"""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    d AS (
+      SELECT event_type, bucket_start, close,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) - 1 AS __t
+      FROM bars
+    ),{c12},{c26},{c9}
+    SELECT event_type, bucket_start,
+           round(__f - __s, 6)           AS macd,
+           round(__sig, 6)               AS macd_signal,
+           round((__f - __s) - __sig, 6) AS macd_hist
+    FROM {s9}
+    """
+
+
+@register("macd_12_26_9_5m", oracle=_macd_oracle())
 def macd_12_26_9_5m(spark, sf_dir):
     """MACD(12,26,9) over 5-minute bar closes — the EMA-family trend
-    indicator. Recursive smoothing has no portable SQL formulation (the
-    same reason ema_20_per_event_type is rows-only), so all three EMAs
-    run in ONE Arrow-batched grouped map per symbol
-    (operators/indicators.with_macd); correctness is pinned by the
-    pandas-equivalence unit test."""
-    from polygon_algotrading_env_spark.operators.indicators import with_macd
+    indicator, oracle-bearing since round 8: all three recursions expand
+    to closed-form window algebra (``with_ema_closed_form`` — in-block
+    pow-normalized prefix sums + bounded lag-carry, zero Python), and the
+    DuckDB oracle chains three passes of the IDENTICAL formula
+    (``queries/_ema_sql.py``). The signal line is an EMA *of the macd
+    line*, so pass 3's input is pass 1 minus pass 2 — certifying closed
+    forms compose. Pandas `ewm` equivalence (the sequential recursion)
+    is pinned separately in tests/test_indicators.py."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_ema_closed_form,
+    )
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
-    out = with_macd(
-        bars, "close", keys=["event_type"], order_cols=["bucket_start"]
-    )
-    return out.select(
+    keys, order = ["event_type"], ["bucket_start"]
+    x = with_ema_closed_form(bars, "close", 12, keys, order, out="__f")
+    x = with_ema_closed_form(x, "close", 26, keys, order, out="__s")
+    x = x.withColumn("__macd", F.col("__f") - F.col("__s"))
+    x = with_ema_closed_form(x, "__macd", 9, keys, order, out="__sig")
+    return x.select(
         "event_type",
         "bucket_start",
-        F.round("macd", 6).alias("macd"),
-        F.round("macd_signal", 6).alias("macd_signal"),
-        F.round("macd_hist", 6).alias("macd_hist"),
+        F.round("__macd", 6).alias("macd"),
+        F.round("__sig", 6).alias("macd_signal"),
+        F.round(F.col("__macd") - F.col("__sig"), 6).alias("macd_hist"),
     )
 
 

@@ -191,6 +191,45 @@ def test_ema_matches_pandas(spark, series):
         assert abs(out[("SPY", i)] - expected[i]) < 1e-9
 
 
+def test_ema_closed_form_matches_pandas_across_blocks(spark):
+    """The pure-JVM closed form (two-level pow-normalized prefix sums +
+    bounded lag-carry) must equal the sequential pandas recursion — with a
+    block size small enough that every row crosses multiple carry terms,
+    and group lengths straddling several blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_ema_closed_form,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 700
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], n),
+            "seq": np.tile(np.arange(n), 2),
+            "x": np.round(rng.uniform(10, 500, 2 * n), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for span, block in [(20, 512), (20, 16), (9, 32), (3, 512)]:
+        out = (
+            with_ema_closed_form(df, "x", span, ["k"], ["seq"], out="ema", block=block)
+            .orderBy("k", "seq")
+            .toPandas()
+        )
+        exp = (
+            pdf.sort_values(["k", "seq"])
+            .groupby("k")["x"]
+            .transform(lambda s, sp=span: s.ewm(span=sp, adjust=False).mean())
+        )
+        assert np.max(np.abs(out["ema"].to_numpy() - exp.to_numpy())) < 1e-9, (
+            span,
+            block,
+        )
+
+
 # --- Kalman local-level filter --------------------------------------------
 
 def _kalman_ref(y, q, r):
