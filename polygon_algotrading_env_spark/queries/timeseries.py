@@ -1530,13 +1530,70 @@ def kyle_lambda_5m(spark, sf_dir):
     )
 
 
-@register("kalman_level_5m", oracle=None)
+@register(
+    "kalman_level_5m",
+    oracle="""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT event_type, bucket_start, close,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) AS t
+      FROM (
+        SELECT event_type,
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                 AS bucket_start,
+               arg_max(value, ts) AS close
+        FROM events GROUP BY event_type, bucket_start)
+    ),
+    n AS MATERIALIZED (SELECT max(t) AS maxt FROM d),
+    -- Gain recursion is DATA-INDEPENDENT for the local-level model
+    -- (depends only on q/r and t), so it replays once on a single-row
+    -- chain, not per group: pp = p + q; k = pp/(pp+r); p' = (1-k)*pp.
+    -- Literals are e-notation: 0.01 would type as DECIMAL and quantize
+    -- the whole chain (the CASE-literal trap from the PageRank oracles).
+    g AS (
+      SELECT 1 AS t, 1e-2 AS p, 0e0 AS k
+      UNION ALL
+      SELECT t + 1,
+             (1e0 - (p + 1e-4) / ((p + 1e-4) + 1e-2)) * (p + 1e-4),
+             (p + 1e-4) / ((p + 1e-4) + 1e-2)
+      FROM g WHERE t < (SELECT maxt FROM n)
+    ),
+    -- MATERIALIZED wrapper so the level recursion reads a computed
+    -- table: joining the recursive g directly re-executes its whole
+    -- chain every level iteration (O(n^2) replays — minutes, not
+    -- seconds, at sf0.01).
+    gm AS MATERIALIZED (SELECT t, k FROM g),
+    -- Level recursion replays in LOCKSTEP across all groups: iteration
+    -- i advances every event_type from t=i to t=i+1 at once, exactly
+    -- the arithmetic of the engine's scalar loop (x += k*(y-x)).
+    lv AS (
+      SELECT event_type, t, close AS x FROM d WHERE t = 1
+      UNION ALL
+      SELECT d.event_type, d.t, w.x + gm.k * (d.close - w.x)
+      FROM lv w
+      JOIN d ON d.event_type = w.event_type AND d.t = w.t + 1
+      JOIN gm ON gm.t = d.t
+    )
+    SELECT d.event_type, d.bucket_start,
+           round(d.close, 4)  AS close,
+           round(lv.x, 6)     AS kalman_level,
+           round(gm.k, 6)     AS kalman_gain
+    FROM d
+    JOIN lv ON lv.event_type = d.event_type AND lv.t = d.t
+    JOIN gm ON gm.t = d.t
+    """,
+)
 def kalman_level_5m(spark, sf_dir):
-    """Kalman local-level denoised close per symbol (rows-only: the gain
-    recursion is not SQL-expressible — same reason the EMA family is
-    rows-only; correctness is pinned by steady-state/limit property tests
-    in tests/test_indicators.py). Output exposes the filtered level and
-    the converged gain so downstream signals can threshold on both."""
+    """Kalman local-level denoised close per symbol — oracle-bearing since
+    round 8: the closed-form scalar recursion replays in a DuckDB
+    recursive CTE (the PageRank-oracle recipe applied to a per-row
+    recursion). The gain chain is data-independent so it recurses on ONE
+    row per step; the level chain advances every symbol in lockstep, and
+    both engines evaluate the identical update expression x + k*(y − x)
+    on identical 2-decimal closes, so the replay is bit-exact and the
+    round-6 grid is untouched by float noise. Steady-state/limit property
+    tests remain in tests/test_indicators.py. Output exposes the filtered
+    level and the gain so downstream signals can threshold on both."""
     from polygon_algotrading_env_spark.operators.indicators import (
         with_kalman_level,
     )
