@@ -91,6 +91,39 @@ SMJ_BUDGET: dict[str, int] = {
 DEFAULT_SMJ_BUDGET = 2
 
 
+# BNLJ broadcast sides that are BOUNDED BY A KEY DOMAIN rather than a
+# mechanically-visible scalar/limit shape. kmv_audience_overlap pair-joins
+# two per-event_type SKETCH relations (type_a < type_b): each side is a
+# grouped aggregate with exactly |event_type| rows (a handful at any SF —
+# the sketch table is KB-sized by construction), so the nested loop is a
+# |D|²/2 pairing of tiny rows, not a row multiplier.
+BNLJ_ALLOWED: frozenset[str] = frozenset({"kmv_audience_overlap"})
+
+# Violations whose value starts with this prefix mean the PLAN WALK broke
+# (py4j/env error, Spark node-shape drift) — the query's plan may be fine.
+# Consumers that alert on genuine plan regressions should partition on it.
+WALK_FAILURE_PREFIX = "walk_failure: "
+
+
+def _bnlj_violation(df) -> str | None:
+    """None if every BroadcastNestedLoopJoin broadcast side is one of the
+    documented scalar/tiny idioms; else the violation text."""
+    from polygon_algotrading_env_spark.plans.inspect import bnlj_broadcast_sides
+
+    try:
+        sides = bnlj_broadcast_sides(df)
+    except Exception as e:  # noqa: BLE001 — tagged so consumers can split it out
+        return f"{WALK_FAILURE_PREFIX}bnlj walk: {type(e).__name__}: {e}"
+    for head, bounded in sides:
+        if not bounded:
+            return (
+                f"BroadcastNestedLoopJoin over an UNBOUNDED broadcast side "
+                f"({head}) — the scalar/tiny-aggregate idiom regressed to a "
+                "row-multiplying relation"
+            )
+    return None
+
+
 def census_violations(
     spark: SparkSession,
     sf_dir: str,
@@ -111,6 +144,12 @@ def census_violations(
             continue
         if st.cartesian_products:
             out[name] = f"{st.cartesian_products} CartesianProduct in plan"
+        elif (
+            st.bnl_joins
+            and name not in BNLJ_ALLOWED
+            and (v := _bnlj_violation(df)) is not None
+        ):
+            out[name] = v
         elif st.sort_merge_joins and name not in SMJ_ALLOWED:
             out[name] = (
                 f"{st.sort_merge_joins} SortMergeJoin outside SMJ_ALLOWED "
@@ -133,8 +172,10 @@ def census_violations(
             # than aborting the whole census.
             try:
                 sides = smj_sides(df)
-            except Exception as e:  # noqa: BLE001 — walk failure IS a violation
-                out[name] = f"smj_sides walk failed: {type(e).__name__}: {e}"
+            except Exception as e:  # noqa: BLE001 — recorded, tagged as walk breakage
+                out[name] = (
+                    f"{WALK_FAILURE_PREFIX}smj_sides: {type(e).__name__}: {e}"
+                )
                 continue
             for left, right in sides:
                 for side in (left, right):

@@ -28,6 +28,7 @@ class PlanStats:
     sort_merge_joins: int
     take_ordered: int       # top-k planned without a global sort
     cartesian_products: int  # CartesianProduct: the no-condition join, never intended
+    bnl_joins: int          # BroadcastNestedLoopJoin: fine ONLY over a bounded broadcast
     pushed_filters: tuple[str, ...]
     read_schemas: tuple[str, ...]
     codegen_spans: int
@@ -84,6 +85,48 @@ def smj_sides(df: DataFrame) -> list[tuple[frozenset[str], frozenset[str]]]:
     return found
 
 
+# Shapes that bound a BNLJ broadcast side to scalar/tiny row counts — the
+# engine's documented idioms (census.py:9-12): a SCALAR aggregate
+# (keys=[] → exactly one row), an explicit Limit, literal in-plan rows
+# (LocalTableScan — e.g. a collected codebook), or a ReusedExchange
+# (checked where the original exchange is built). A broadcast side with
+# NONE of these is an unbounded relation riding a nested-loop join — a
+# silent row multiplier the CartesianProduct check can't see.
+_BOUNDED_BROADCAST_RE = re.compile(
+    r"HashAggregate\(keys=\[\]"
+    r"|SortAggregate\(key=\[\]"
+    r"|ObjectHashAggregate\(keys=\[\]"
+    r"|GlobalLimit|LocalLimit|TakeOrderedAndProject"
+    r"|LocalTableScan"
+    r"|ReusedExchange"
+)
+
+
+def bnlj_broadcast_sides(df: DataFrame) -> list[tuple[str, bool]]:
+    """For every BroadcastNestedLoopJoin in the (initial) physical plan,
+    (join head line, broadcast-side-is-bounded) — bounded meaning the
+    build subtree contains one of the scalar/tiny idioms above. Lets the
+    census assert the BNLJ idiom is never a blank cheque: a `bounds`/
+    `edges` relation that silently grows would multiply rows without
+    tripping the CartesianProduct or SMJ checks."""
+    found: list[tuple[str, bool]] = []
+
+    def visit(n) -> None:
+        if "BroadcastNestedLoopJoin" in n.nodeName():
+            head = n.toString().splitlines()[0].strip()
+            kids = _children(n)
+            if len(kids) >= 2:
+                build = kids[0] if "BuildLeft" in head else kids[1]
+                found.append(
+                    (head, bool(_BOUNDED_BROADCAST_RE.search(build.toString())))
+                )
+        for c in _children(n):
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return found
+
+
 def plan_stats(df: DataFrame, execute: bool = False) -> PlanStats:
     p = plan_string(df, execute=execute)
     return PlanStats(
@@ -93,6 +136,7 @@ def plan_stats(df: DataFrame, execute: bool = False) -> PlanStats:
         sort_merge_joins=p.count("SortMergeJoin"),
         take_ordered=p.count("TakeOrderedAndProject"),
         cartesian_products=p.count("CartesianProduct"),
+        bnl_joins=p.count("BroadcastNestedLoopJoin"),
         pushed_filters=tuple(re.findall(r"PushedFilters: \[([^\]]*)\]", p)),
         read_schemas=tuple(re.findall(r"ReadSchema: struct<([^\n]*)", p)),
         # toString renders codegen stages as "*(n) Operator"; the

@@ -8,8 +8,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polygon_algotrading_env_spark.plans import SMJ_ALLOWED, census_violations
-from polygon_algotrading_env_spark.plans.census import DIM_TABLES, SMJ_BUDGET
-from polygon_algotrading_env_spark.plans.inspect import smj_sides
+from polygon_algotrading_env_spark.plans.census import (
+    BNLJ_ALLOWED,
+    DIM_TABLES,
+    SMJ_BUDGET,
+    _bnlj_violation,
+)
+from polygon_algotrading_env_spark.plans.inspect import bnlj_broadcast_sides, smj_sides
 from polygon_algotrading_env_spark.queries import REGISTRY
 
 
@@ -27,6 +32,36 @@ def test_smj_allowlist_entries_still_exist():
     assert not stale, f"SMJ_ALLOWED entries not in registry: {stale}"
     stale_budget = set(SMJ_BUDGET) - SMJ_ALLOWED
     assert not stale_budget, f"SMJ_BUDGET entries not allowlisted: {stale_budget}"
+
+
+def test_bnlj_allowlist_entries_still_exist():
+    stale = BNLJ_ALLOWED - set(REGISTRY)
+    assert not stale, f"BNLJ_ALLOWED entries not in registry: {stale}"
+
+
+def test_bnlj_detector_flags_multi_row_broadcast(spark, sf_dir):
+    """The BNLJ idiom is not a blank cheque: a broadcast side that is a
+    plain multi-row relation (no scalar aggregate, no limit) must be
+    flagged. Forge it — crossJoin against a broadcast of raw part rows —
+    and assert the census helper reports the violation; then check the
+    documented scalar idiom (crossJoin against a 1-row global aggregate)
+    passes clean."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name")
+
+    forged = li.crossJoin(F.broadcast(part))
+    sides = bnlj_broadcast_sides(forged)
+    assert sides, "forged broadcast crossJoin did not plan a BNLJ"
+    assert _bnlj_violation(forged) is not None, (
+        "multi-row broadcast side not flagged"
+    )
+
+    scalar = li.crossJoin(F.broadcast(li.agg(F.max("l_quantity").alias("mx"))))
+    assert _bnlj_violation(scalar) is None, (
+        "documented scalar-aggregate idiom wrongly flagged"
+    )
 
 
 def test_smj_dim_side_detector_catches_lost_broadcast(spark, sf_dir):
