@@ -328,12 +328,262 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 4096  # 12-bit LZW cap per the GIF spec
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, npix: int) -> np.ndarray:
+    """Variable-width LSB-first LZW per the GIF87a spec: initial width
+    min_code+1, clear/end codes, table growth to the 12-bit cap with
+    deferred-clear tolerance (a full table keeps decoding, no implicit
+    reset). The width bumps when the table reaches 1<<width — the exact
+    dual of the encoder's next_code == (1<<width)+1 rule."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    cs = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = pos = 0
+    while len(out) < npix:
+        while nbits < cs:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            table = list(base)
+            cs = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first GIF code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < _GIF_MAX_CODE:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if len(table) == (1 << cs) and cs < 12:
+            cs += 1
+        out += entry
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("GIF pixel data ended early")
+    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(min_code: int, indices: bytes) -> bytes:
+    """Real LZW compression (not the clear-code-spam trick), emitting the
+    stream :func:`_gif_lzw_decode` reads back: dictionary growth, width
+    bumps one step ahead of the decoder's table (next_code ==
+    (1<<width)+1 — the decoder lags one entry), explicit clear + reset
+    at the 12-bit cap."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    d: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    cs = min_code + 1
+    emit(clear, cs)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w], cs)
+        if next_code < _GIF_MAX_CODE:
+            d[wc] = next_code
+            next_code += 1
+            if next_code == (1 << cs) + 1 and cs < 12:
+                cs += 1
+        else:
+            emit(clear, cs)
+            d = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            cs = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(d[w], cs)
+    emit(end, cs)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decode → HxWx3 uint8 (first frame). GIF87a core —
+    logical screen descriptor, global/local color tables, interlaced or
+    sequential rows, variable-width LZW — plus GIF89a streams (extension
+    blocks are skipped; the first image frame is returned; transparency
+    keeps its palette color since features carry no alpha). Raises
+    ValueError on malformed input — undecodable media must fail loudly,
+    not yield garbage features. Second compressed container next to PNG
+    (the reference stores media externally; multimodal columns are
+    extension surface)."""
+    if content[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    packed = content[10]
+    pos = 13
+    gct: np.ndarray | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(content):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(content):
+            raise ValueError("no image descriptor before end of stream")
+        intro = content[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            raise ValueError("GIF ends with no image data")
+        if intro == 0x21:  # extension: label then sub-blocks to a 0 byte
+            pos += 1
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+        break
+    if pos + 9 > len(content):
+        raise ValueError("truncated image descriptor")
+    w = int.from_bytes(content[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(content[pos + 6 : pos + 8], "little")
+    ipacked = content[pos + 8]
+    pos += 9
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(content):
+            raise ValueError("truncated local color table")
+        ct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF has neither global nor local color table")
+    if pos >= len(content):
+        raise ValueError("missing LZW minimum code size")
+    min_code = content[pos]
+    pos += 1
+    chunks = []
+    while True:
+        if pos >= len(content):
+            raise ValueError("unterminated GIF data sub-blocks")
+        ln = content[pos]
+        pos += 1
+        if ln == 0:
+            break
+        chunks.append(content[pos : pos + ln])
+        if len(chunks[-1]) < ln:
+            raise ValueError("truncated GIF data sub-block")
+        pos += ln
+    idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+    if idx.max(initial=0) >= len(ct):
+        raise ValueError("GIF pixel index outside the color table")
+    rows = idx.reshape(h, w)
+    if ipacked & 0x40:  # interlaced: rows arrive in four passes
+        order = [
+            r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)
+        ]
+        de = np.empty_like(rows)
+        de[order] = rows
+        rows = de
+    return ct[rows]
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Inverse of :func:`decode_gif` (GIF87a, global color table built
+    from the image's unique colors — ≤256 required, real LZW). With
+    ``interlace=True`` rows are written in the four-pass spec order with
+    the interlace flag set, exercising the decoder's de-interleave."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors exceed GIF's 256-entry table")
+    ct_bits = max(1, (len(colors) - 1).bit_length())
+    n = 1 << ct_bits
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(colors)] = colors
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [
+            r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)
+        ]
+        idx = idx[order]
+    min_code = max(2, ct_bits)
+    lzw = _gif_lzw_encode(min_code, idx.tobytes())
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF87a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (ct_bits - 1), 0, 0])
+        + table.tobytes()
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0x00])
+        + bytes([min_code])
+        + blocks
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """``kind=image`` decode dispatch by magic bytes: PNG (compressed,
-    stdlib zlib) or binary Netpbm P5/P6 (uncompressed) → HxWx3 uint8.
-    Raises ValueError for anything else."""
+    stdlib zlib), GIF87a/89a (compressed, pure-Python LZW) or binary
+    Netpbm P5/P6 (uncompressed) → HxWx3 uint8. Raises ValueError for
+    anything else."""
     if content.startswith(_PNG_SIG):
         return decode_png(content)
+    if content[:6] in _GIF_SIGS:
+        return decode_gif(content)
     return decode_ppm(content)
 
 

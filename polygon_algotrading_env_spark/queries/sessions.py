@@ -148,8 +148,10 @@ def multimodal_features_from_docs(spark, sf_dir):
     """Multimodal column pipeline end-to-end with REAL codec paths for
     all THREE modalities, routed by doc_id mod 3: deterministic mono PCM
     WAV blobs (tone frequency and duration parameterized by doc_id),
-    gradient images alternating between P6 PPM and COMPRESSED PNG
-    containers (stdlib-zlib codec; dimensions parameterized by doc_id),
+    gradient images rotating across P6 PPM, COMPRESSED PNG (stdlib
+    zlib) and COMPRESSED GIF87a (pure-Python LZW) containers
+    (dimensions parameterized by doc_id; the GIF variant quantizes its
+    gradient to honor the 256-color table),
     and YUV4MPEG2 moving-gradient clips (frame count and cadence
     parameterized by doc_id) — all synthesized executor-side
     (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_png` /
@@ -164,6 +166,7 @@ def multimodal_features_from_docs(spark, sf_dir):
     import pandas as pd
 
     from polygon_algotrading_env_spark.operators.multimodal import (
+        encode_gif,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -190,18 +193,32 @@ def multimodal_features_from_docs(spark, sf_dir):
                 elif i % 3 == 1:
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     yy, xx = np.mgrid[0:h, 0:w]
-                    px = np.stack(
-                        [
-                            (xx * 255 // max(w - 1, 1)),
-                            (yy * 255 // max(h - 1, 1)),
-                            np.full((h, w), i % 256),
-                        ],
-                        axis=2,
-                    ).astype(np.uint8)
-                    # alternate container: even image rows P6 PPM, odd
-                    # rows compressed PNG — both decode via decode_image
+                    variant = (i // 3) % 3
+                    if variant == 2:
+                        # GIF variant: quantize the y-gradient to 8 levels
+                        # so unique colors stay under the 256-entry table
+                        px = np.stack(
+                            [
+                                (xx * 255 // max(w - 1, 1)),
+                                (yy * 255 // max(h - 1, 1)) // 32 * 32,
+                                np.full((h, w), i % 256),
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                    else:
+                        px = np.stack(
+                            [
+                                (xx * 255 // max(w - 1, 1)),
+                                (yy * 255 // max(h - 1, 1)),
+                                np.full((h, w), i % 256),
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                    # container rotation: P6 PPM (uncompressed), PNG
+                    # (zlib), GIF87a (LZW) — all via decode_image's
+                    # magic-byte dispatch
                     blobs.append(
-                        encode_png(px) if (i // 3) % 2 else encode_ppm(px)
+                        [encode_ppm, encode_png, encode_gif][variant](px)
                     )
                     kinds.append("image")
                 else:

@@ -567,3 +567,137 @@ def test_png_through_extract_features_and_resize(spark):
     assert out.startswith(b"\x89PNG")  # container preserved
     assert decode_png(out).shape == (6, 6, 3)
     assert decode_image(out).shape == (6, 6, 3)
+
+
+# --- GIF87a/LZW: the second compressed image container --------------------
+
+def test_gif_roundtrip_including_interlace_and_width_growth():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w, nc in [(16, 16, 4), (40, 60, 200), (23, 23, 256), (1, 1, 1)]:
+        palette = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        img = palette[rng.integers(0, nc, (h, w))]
+        for interlace in (False, True):
+            blob = encode_gif(img, interlace=interlace)
+            assert np.array_equal(decode_gif(blob), img)
+        assert np.array_equal(decode_image(encode_gif(img)), img)
+    # noise at 300x300 with a full 256-color table forces code-width
+    # growth to 12 bits AND multiple 4096-entry clear/reset cycles
+    palette = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 256, (300, 300))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_decoder_reads_spec_valid_uncompressed_variant():
+    """Decoder validity independent of our OWN encoder: hand-build the
+    classic 'uncompressed GIF' — every pixel a literal code, a clear
+    code re-emitted before the table can ever grow past the initial
+    width — which a spec decoder must accept without exercising any of
+    the encoder's width-bump timing."""
+    from polygon_algotrading_env_spark.operators.multimodal import decode_gif
+
+    w = h = 6
+    idx = np.arange(w * h, dtype=np.uint8) % 4
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    min_code, cs = 2, 3
+    clear, end = 4, 5
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, px in enumerate(idx):
+        if i and i % 2 == 0:  # clear long before the table could grow
+            emit(clear)
+        emit(int(px))
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    blob = (
+        b"GIF87a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x81, 0, 0])
+        + palette.tobytes()
+        + b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00" + bytes([min_code])
+        + bytes([len(out)]) + bytes(out) + b"\x00\x3b"
+    )
+    assert np.array_equal(decode_gif(blob), palette[idx.reshape(h, w)])
+
+
+def test_gif89a_extensions_skipped_and_local_table_wins():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 8, (10, 10))]
+    blob = encode_gif(img)
+    # split at end of header+GCT: 13 + 3 * 2^ct_bits, ct_bits = 3 -> 8 entries
+    head = 13 + 3 * 8
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    g89 = b"GIF89a" + blob[6:head] + ext + blob[head:]
+    assert np.array_equal(decode_gif(g89), img)
+
+
+def test_gif_malformed_inputs_fail_loudly():
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    blob = encode_gif(img)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + blob[6:])
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        decode_gif(b"GIF87a")
+    with pytest.raises(ValueError, match="truncated|unterminated|ended early"):
+        decode_gif(blob[:20])
+    with pytest.raises(ValueError, match="256"):
+        rng = np.random.default_rng(1)
+        encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_through_extract_features_and_resize(spark):
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_gif,
+        extract_features,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:8]
+    px = np.stack(
+        [(xx * 31) % 256, (yy * 17) % 32, np.full((12, 8), 77)], axis=2
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_gif(px)), ("image/gif", 8, 12, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0]["feature"][0] == 8 / 4096.0
+    resized = resize_images(media, 6, 6).collect()
+    assert len(resized) == 1
+    assert decode_image(bytes(resized[0]["content"])).shape == (6, 6, 3)
