@@ -155,3 +155,106 @@ def test_keyed_counter_accumulates_across_restart(spark, tmpdir):
     ).coalesce(1).write.mode("append").parquet(src)
     drain()
     assert [(r["key"], r["count"]) for r in out] == [("SPY", 3)]
+
+
+@pytest.mark.skipif(
+    not ensure_protobuf_runtime(),
+    reason="no google.protobuf runtime installed or discoverable",
+)
+def test_first_seen_soak_midbatch_kill_and_restart(spark, tmpdir):
+    """Fault-injection soak for the transformWithState v2 tier, mirroring
+    the ingest tier's (tests/test_restsource.py): a poison foreachBatch
+    sink kills the query on its first non-empty batch AFTER the stateful
+    operator ran but BEFORE any sink write, then a restart from the same
+    checkpoint must (a) replay the failed batch against the PRE-batch
+    RocksDB state (no phantom first-seen suppression from the aborted
+    attempt), (b) emit every record exactly once across both runs, and
+    (c) end with emissions identical to an uninterrupted twin run over
+    the same files through a fresh checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_first_seen,
+    )
+
+    src = f"{tmpdir}/src"
+    poison = f"{tmpdir}/poison"
+
+    t = datetime(2024, 1, 1)
+    batches = [
+        [("SPY", t, 1.0, 1.0), ("TLT", t, 2.0, 1.0)],
+        [("SPY", t, 9.0, 9.0), ("QQQ", t, 3.0, 1.0)],  # SPY dup suppressed
+        [("QQQ", t, 9.0, 9.0), ("IWM", t, 4.0, 1.0)],  # QQQ dup suppressed
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, TICK_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt, out_dir, expect_fail):
+        def sink(bdf, bid):
+            rows = bdf.collect()
+            if rows and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError("injected mid-batch failure")
+            if rows:
+                spark.createDataFrame(rows, bdf.schema).write.mode(
+                    "append"
+                ).parquet(out_dir)
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            stream = (
+                spark.readStream.schema(TICK_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                stream_first_seen(stream, ["ticker"])
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if expect_fail:
+                with pytest.raises(Exception, match="injected mid-batch"):
+                    q.awaitTermination(120)
+            else:
+                q.awaitTermination(120)
+                assert q.exception() is None, q.exception()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    def emissions(out_dir):
+        return sorted(
+            (r["ticker"], r["price"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # killed run: poison eats the first non-empty batch, nothing lands
+    open(poison, "w").close()
+    run(f"{tmpdir}/ckpt", f"{tmpdir}/out", expect_fail=True)
+    assert not os.path.exists(poison), "poison sink never fired"
+    # restart over the SAME checkpoint drains to completion
+    run(f"{tmpdir}/ckpt", f"{tmpdir}/out", expect_fail=False)
+    got = emissions(f"{tmpdir}/out")
+
+    # uninterrupted twin over the same source files, fresh checkpoint
+    run(f"{tmpdir}/ckpt2", f"{tmpdir}/out2", expect_fail=False)
+    expected = emissions(f"{tmpdir}/out2")
+
+    assert got == expected == [
+        ("IWM", 4.0), ("QQQ", 3.0), ("SPY", 1.0), ("TLT", 2.0)
+    ], (got, expected)
