@@ -144,6 +144,62 @@ def main() -> None:
             },
         }
 
+    # Opt-in TWO-order-of-magnitude evidence: SPARK_GRAFT_SF100=1 builds a
+    # deterministic 100x scaling of the bench SF dir and re-times the FULL
+    # headline suite on it (min-of-2), recording per-query 100x/1x ratios
+    # with the worst case named — the suite-wide version of the spot
+    # measurements in ARCHITECTURE.md. Run it as a one-off against
+    # sf0.01 and commit SCALE_DETAIL.json for the record.
+    sf100 = None
+    if os.environ.get("SPARK_GRAFT_SF100"):
+        import tempfile
+
+        from tools.scale_fixtures import build_scaled_fixtures
+
+        scaled100 = os.environ.get("SPARK_GRAFT_SF100_DIR") or os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_scaled100_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        build_scaled_fixtures(spark, sf_dir, scaled100, factor=100)
+        sf100_q: dict[str, float] = {}
+        for pass_no in range(2):
+            for name, fn in headline_queries().items():
+                t0 = time.time()
+                fn(spark, scaled100).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                t = round(time.time() - t0, 3)
+                sf100_q[name] = min(sf100_q.get(name, t), t)
+                print(f"# sf100 pass{pass_no} {name}: {t}s", file=sys.stderr)
+        ratios = {
+            n: round(sf100_q[n] / timings[n], 2)
+            for n in sf100_q
+            if timings.get(n)
+        }
+        worst = max(ratios, key=ratios.get) if ratios else None
+        sf100 = {
+            "factor": 100,
+            "total": round(sum(sf100_q.values()), 3),
+            "queries": sf100_q,
+            "ratio_vs_base": ratios,
+            **({"worst": {worst: ratios[worst]}} if worst else {}),
+        }
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "SCALE_DETAIL.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(
+                    {"sf": sf, "base_queries": timings, "sf100": sf100}, fh,
+                    indent=1,
+                )
+                fh.write("\n")
+        except OSError as exc:
+            print(f"# SCALE_DETAIL.json not written: {exc}", file=sys.stderr)
+
     regressions = None
     prior = _prior_round(float(sf) if sf.replace(".", "").isdigit() else sf)
     if prior is not None:
@@ -201,6 +257,7 @@ def main() -> None:
         "pass0": pass0,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **({"sf1": sf1} if sf1 else {}),
+        **({"sf100": sf100} if sf100 else {}),
         **({"regressions": regressions} if regressions is not None else {}),
     }
     print("# DETAIL " + json.dumps(detail), file=sys.stderr)

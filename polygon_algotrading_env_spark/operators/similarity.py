@@ -114,6 +114,7 @@ def add_srp_buckets(
     n_planes: int = 12,
     seed: int = 42,
     out: str = "bucket",
+    planes=None,
 ) -> DataFrame:
     """Materialize bucket ids (do this once, write partitioned by bucket —
     then every ANN probe is a partition-pruned scan).
@@ -128,7 +129,13 @@ def add_srp_buckets(
     first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:  # empty relation: nothing to bucket
         return embeddings.withColumn(out, F.lit(None).cast("bigint"))
-    hmat = hyperplane_matrix(spark, n_planes, int(first["d"]), seed)
+    if planes is not None:
+        # caller-supplied hyperplanes (e.g. the md5-derived cross-engine-
+        # reproducible set behind the oracle-certified SRP tier)
+        hmat = np.asarray(planes, dtype=np.float64)
+        n_planes = hmat.shape[0]
+    else:
+        hmat = hyperplane_matrix(spark, n_planes, int(first["d"]), seed)
     weights = 2 ** np.arange(n_planes - 1, -1, -1, dtype=np.int64)
 
     @pandas_udf("bigint")

@@ -292,22 +292,67 @@ def near_dup_clusters(spark, sf_dir):
     )
 
 
-@register("embedding_near_dup_srp", oracle=None)
+@register(
+    "embedding_near_dup_srp",
+    oracle="""
+    WITH comp AS (
+      SELECT p.p AS p, d.d AS pos,
+             (('0x' || substring(md5('srp|' || p.p || '|' || d.d), 1, 8))::BIGINT
+              / 4294967295.0) * 2 - 1 AS h
+      FROM (SELECT unnest(range(6)) AS p) p,
+           (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                                 WHERE vec_id = 0))) AS d) d
+    ),
+    pl AS (SELECT p, list(h ORDER BY pos) AS hv FROM comp GROUP BY p),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.hv) AS dp
+             FROM e, pl),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    ev AS (
+      SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.bucket
+      FROM e JOIN buckets b USING (vec_id)
+    ),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+      FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    r AS (
+      SELECT id_a, id_b, score,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY score DESC, id_b ASC) AS rk
+      FROM s
+    )
+    SELECT id_a, id_b, score FROM r WHERE rk <= 1
+    """,
+)
 def embedding_near_dup_srp(spark, sf_dir):
     """Embedding-cosine near-dup at scale: SRP-bucket blocking (the 100 TB
-    path — equi-join on bucket, no cross join), cosine ≥ 0.95 pairs."""
+    path — equi-join on bucket, never a cross join), nearest in-bucket
+    neighbor per vector. Oracle-bearing since round 8: bucketing uses the
+    md5-derived hyperplanes of the certified SRP tier (queries/vectors.py)
+    through the BULK path — the Arrow matmul assignment — so the hash
+    match certifies matmul bucketing ≡ DuckDB's per-plane dot products ≡
+    (via the pinned equivalence test) the per-query expression form.
+    A production near-dup pass would threshold the round-6 score; the
+    fixture's random embeddings have no true duplicates, so the query
+    exposes the neighbor + score instead of an empty thresholded set."""
     from polygon_algotrading_env_spark.operators.similarity import (
         add_srp_buckets,
         pairwise_cosine_topk,
     )
+    from polygon_algotrading_env_spark.queries.vectors import _md5_planes
 
-    emb = add_srp_buckets(
-        load_table(spark, sf_dir, "embeddings"), n_planes=8, seed=42
-    )
-    # Nearest in-bucket neighbor per vector; a production near-dup pass
-    # would threshold the score (the fixture's random embeddings have no
-    # true duplicates, so a threshold would return an empty — if valid —
-    # result).
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    emb = add_srp_buckets(emb, planes=_md5_planes(6, int(first["d"])))
     return pairwise_cosine_topk(emb, k=1, block_col="bucket").select(
         "id_a", "id_b", "score"
     )
