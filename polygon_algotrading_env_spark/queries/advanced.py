@@ -988,8 +988,51 @@ def benford_price_digits(spark, sf_dir):
     )
 
 
-# --- label-propagation communities (rows-only: iterative argmax) ----------
-@register("lpa_communities_copurchase", oracle=None)
+# --- label-propagation communities (oracle-bearing since round 8) ---------
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """DuckDB replay of the synchronous-LPA rounds. The iteration count is
+    FIXED (cap-and-stop is the LPA contract), so no recursion is needed:
+    each round is a plain CTE — neighbor-label counts, per-vertex argmax
+    with count DESC / label ASC (the smallest-label tiebreak), isolated
+    vertices keeping their label via the left join. All-integer
+    arithmetic ⇒ exact cross-engine equality, no rounding grid."""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+    r{i} AS (
+      SELECT l.id, coalesce(b.nl, l.label) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT id, label AS nl FROM (
+          SELECT s.v AS id, l2.label, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY s.v
+                                    ORDER BY count(*) DESC, l2.label ASC)
+                   AS rk
+          FROM {prev} l2 JOIN sym s ON l2.id = s.u
+          GROUP BY s.v, l2.label
+        ) WHERE rk = 1
+      ) b ON l.id = b.id
+    )""")
+    return f"""
+    WITH sym AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    r0 AS (
+      SELECT DISTINCT u AS id, CAST(u AS BIGINT) AS label FROM sym
+    ),{",".join(rounds)}
+    SELECT label,
+           count(*)     AS size,
+           min(id)      AS min_member
+    FROM r{n_iter}
+    GROUP BY label
+    ORDER BY size DESC, label
+    LIMIT 20
+    """
+
+
+@register("lpa_communities_copurchase", oracle=_lpa_oracle(4))
 def lpa_communities_copurchase(spark, sf_dir):
     """Deterministic label-propagation communities over the co-ordered-
     parts graph, reported as the 20 largest communities with size and
@@ -998,8 +1041,10 @@ def lpa_communities_copurchase(spark, sf_dir):
     catalog-taxonomy view CC flattens); synchronous rounds + smallest-
     label tiebreak make the result partitioning-independent
     (operators/graph.py: label_propagation, pinned against a Python
-    reference). Iterative mode-argmax has no portable SQL formulation ⇒
-    rows-only."""
+    reference). Oracle-bearing since round 8: the fixed iteration count
+    means DuckDB replays the synchronous rounds as four chained CTEs
+    (no recursion) with the identical count-then-smallest-label argmax —
+    all-integer, so the hash match is exact."""
     from polygon_algotrading_env_spark.operators.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
