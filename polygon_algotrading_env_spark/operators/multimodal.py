@@ -7,9 +7,10 @@ processing via ``mapInPandas`` (Arrow record batches), frame fan-out — are
 real and tested here. The codec step is isolated behind ``decoder``
 callables, and all three declared kinds decode for real with pure-Python
 parsers — no codec libraries needed: ``audio`` (RIFF/WAVE PCM), ``image``
-(PNG via stdlib zlib — the first compressed container — plus Netpbm
-P5/P6), ``video`` (YUV4MPEG2 planar). Other compressed container formats
-(mp4/jpeg/mp3…) need an injected decoder (ffmpeg etc. are not in this
+(three compressed containers — PNG via stdlib zlib, GIF87a/89a via
+pure-Python LZW, baseline JPEG via pure-numpy Huffman+IDCT — plus
+Netpbm P5/P6), ``video`` (YUV4MPEG2 planar). Other container formats
+(mp4/mp3/webp…) need an injected decoder (ffmpeg etc. are not in this
 container); the built-in parsers raise ValueError on bytes they don't
 own, so misrouted blobs fail loudly.
 
@@ -575,15 +576,467 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT, pure numpy) ----------------
+#
+# The third compressed container. Spec leverage: a JPEG stream EMBEDS its
+# quantization (DQT) and Huffman (DHT) tables, so the decoder is fully
+# general over baseline streams while the encoder may emit any VALID
+# canonical tables — ours are simple fixed-length codes (12 DC categories
+# at 5 bits, 162 AC symbols at 8 bits; Kraft-complete, no all-ones code,
+# so the 1-padding at scan end can't alias a symbol). Interop therefore
+# never depends on transcribing Annex K's optimized tables correctly.
+
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C (FDCT: C @ B @ C.T on the
+    level-shifted block; IDCT is the transpose pair)."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+def _jpeg_huff_lengths(nsymbols: int, length: int) -> list[int]:
+    bits = [0] * 16
+    bits[length - 1] = nsymbols
+    return bits
+
+
+# (BITS, HUFFVAL) for the encoder's stream-embedded tables
+_JPEG_DC_SPEC = (_jpeg_huff_lengths(12, 5), list(range(12)))
+_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_SPEC = (_jpeg_huff_lengths(len(_JPEG_AC_SYMBOLS), 8), _JPEG_AC_SYMBOLS)
+
+
+def _jpeg_canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first entropy reader with 0xFF00 unstuffing; RST markers are
+    surfaced to the MCU loop (predictor reset + realign)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data ended early")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError("unexpected marker inside JPEG scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_restart(self) -> None:
+        """Byte-align (dropping the encoder's 1-padding bits) and consume
+        the RSTn marker that must sit at this restart boundary."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decode_tree(bits, vals):
+    """(code, length) -> symbol lookup dict keyed by (length, code)."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(rd: _JpegBitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0) decode → HxWx3 uint8, pure numpy: marker
+    walk, stream-embedded DQT/DHT tables, interleaved-MCU Huffman scan
+    with 0xFF00 unstuffing and DRI/RSTn predictor resets, dequantize →
+    inverse zigzag → matrix IDCT, nearest chroma upsample for any
+    h/v sampling in {1,2} (4:4:4, 4:2:2, 4:2:0), JFIF full-range
+    YCbCr→RGB, grayscale broadcast to 3 channels. Raises ValueError on
+    non-baseline streams (progressive SOF2, 12-bit, arithmetic coding)
+    — undecodable media must fail loudly."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG (no SOS)")
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = content[pos + 1]
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        body = content[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables are not baseline")
+                tab = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                if len(tab) != 64:
+                    raise ValueError("short quant table")
+                qt[tq] = tab.astype(np.float64)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("short Huffman table")
+                huff[(tc, th)] = _jpeg_huff_decode_tree(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            scan_tables = []
+            for c in range(ns):
+                _cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables.append((tsel >> 4, tsel & 0x0F))
+            data_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    h, w, comps = frame
+    if len(scan_tables) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+        raise ValueError("sampling factors beyond 2 are unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _jpeg_dct_basis()
+    planes = [
+        np.zeros((mcuy * ci[2] * 8, mcux * ci[1] * 8), np.float64)
+        for ci in comps
+    ]
+    rd = _JpegBitReader(content, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                rd.expect_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (comp, (dct_id, act_id)) in enumerate(
+                zip(comps, scan_tables)
+            ):
+                _cid, hi, vi, tq = comp
+                if tq not in qt:
+                    raise ValueError(f"missing quant table {tq}")
+                for by in range(vi):
+                    for bx in range(hi):
+                        coeffs = np.zeros(64, np.float64)
+                        t = _jpeg_read_symbol(rd, huff[(0, dct_id)])
+                        diff = _jpeg_extend(rd.receive(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_read_symbol(rd, huff[(1, act_id)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coeffs[k] = _jpeg_extend(rd.receive(size), size)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[_JPEG_ZIGZAG] = coeffs * qt[tq][_JPEG_ZIGZAG]
+                        sp = basis.T @ block.reshape(8, 8) @ basis + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
+    out = []
+    for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        p = planes[ci][:ch, :cw]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, 0), hmax // hi, 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quant: int = 4, subsample: str = "444",
+    restart_interval: int = 0, gray: bool = False,
+) -> bytes:
+    """Baseline JPEG encoder (fixture/test source): flat quantization at
+    ``quant`` (bounded, predictable loss), 4:4:4 or 4:2:0 chroma,
+    optional DRI/RSTn emission, and simple fixed-length canonical
+    Huffman tables written into DHT — spec-valid by construction (see
+    module comment), so :func:`decode_jpeg` and any baseline decoder
+    read them from the stream."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+    h, w = arr.shape[:2]
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    if gray:
+        sampling = [(1, 1)]
+        pad_y = (-h) % 8
+        pad_x = (-w) % 8
+        planes = [np.pad(y, ((0, pad_y), (0, pad_x)), mode="edge")]
+    elif subsample == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        pad_y = (-h) % 16
+        pad_x = (-w) % 16
+        y_p = np.pad(y, ((0, pad_y), (0, pad_x)), mode="edge")
+        cb_p = np.pad(cb, ((0, pad_y), (0, pad_x)), mode="edge")
+        cr_p = np.pad(cr, ((0, pad_y), (0, pad_x)), mode="edge")
+        cb_s = cb_p.reshape(cb_p.shape[0] // 2, 2, cb_p.shape[1] // 2, 2).mean((1, 3))
+        cr_s = cr_p.reshape(cr_p.shape[0] // 2, 2, cr_p.shape[1] // 2, 2).mean((1, 3))
+        planes = [y_p, cb_s, cr_s]
+    else:
+        sampling = [(1, 1), (1, 1), (1, 1)]
+        pad_y = (-h) % 8
+        pad_x = (-w) % 8
+        planes = [
+            np.pad(p, ((0, pad_y), (0, pad_x)), mode="edge") for p in (y, cb, cr)
+        ]
+
+    basis = _jpeg_dct_basis()
+    qtab = np.full(64, float(quant))
+    dc_codes = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
+    ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
+
+    bitbuf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            bitbuf.append(b)
+            if b == 0xFF:
+                bitbuf.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def flush(pad: bool = True) -> None:
+        nonlocal acc, nbits
+        if nbits and pad:
+            emit((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    def encode_block(block: np.ndarray, pred: int) -> int:
+        co = basis @ (block - 128.0) @ basis.T
+        q = np.round(co / qtab.reshape(8, 8)).astype(np.int64)
+        zz = q.reshape(-1)[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - pred
+        t = category(diff)
+        c, ln = dc_codes[t]
+        emit(c, ln)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max(np.nonzero(zz[1:])[0], default=-1)
+        for k in range(1, 2 + last_nz if last_nz >= 0 else 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                emit(c, ln)
+                run -= 16
+            s = category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            emit(c, ln)
+            emit(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 62:
+            c, ln = ac_codes[0x00]
+            emit(c, ln)
+        return int(zz[0])
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = planes[0].shape[1] // (8 * hmax)
+    mcuy = planes[0].shape[0] // (8 * vmax)
+    pred = [0] * len(sampling)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                flush()
+                bitbuf.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                pred = [0] * len(sampling)
+            mcu_count += 1
+            for ci, (p, (hi, vi)) in enumerate(zip(planes, sampling)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        pred[ci] = encode_block(
+                            p[y0 : y0 + 8, x0 : x0 + 8], pred[ci]
+                        )
+    flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(qtab[z]) for z in _JPEG_ZIGZAG))
+    sof_comps = b"".join(
+        bytes([cid + 1, (hi << 4) | vi, 0])
+        for cid, (hi, vi) in enumerate(sampling)
+    )
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([len(sampling)]) + sof_comps)
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    sos = seg(0xDA, bytes([len(sampling)]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(len(sampling))
+    ) + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof
+        + dht(0, 0, _JPEG_DC_SPEC) + dht(1, 0, _JPEG_AC_SPEC)
+        + dri + sos + bytes(bitbuf) + b"\xff\xd9"
+    )
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """``kind=image`` decode dispatch by magic bytes: PNG (compressed,
-    stdlib zlib), GIF87a/89a (compressed, pure-Python LZW) or binary
-    Netpbm P5/P6 (uncompressed) → HxWx3 uint8. Raises ValueError for
-    anything else."""
+    stdlib zlib), GIF87a/89a (compressed, pure-Python LZW), baseline
+    JPEG (SOF0, pure numpy) or binary Netpbm P5/P6 (uncompressed) →
+    HxWx3 uint8. Raises ValueError for anything else."""
     if content.startswith(_PNG_SIG):
         return decode_png(content)
     if content[:6] in _GIF_SIGS:
         return decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     return decode_ppm(content)
 
 

@@ -149,9 +149,10 @@ def multimodal_features_from_docs(spark, sf_dir):
     all THREE modalities, routed by doc_id mod 3: deterministic mono PCM
     WAV blobs (tone frequency and duration parameterized by doc_id),
     gradient images rotating across P6 PPM, COMPRESSED PNG (stdlib
-    zlib) and COMPRESSED GIF87a (pure-Python LZW) containers
-    (dimensions parameterized by doc_id; the GIF variant quantizes its
-    gradient to honor the 256-color table),
+    zlib), COMPRESSED GIF87a (pure-Python LZW) and baseline JPEG
+    (pure-numpy Huffman+IDCT, lossy) containers (dimensions
+    parameterized by doc_id; the GIF variant quantizes its gradient to
+    honor the 256-color table),
     and YUV4MPEG2 moving-gradient clips (frame count and cadence
     parameterized by doc_id) — all synthesized executor-side
     (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_png` /
@@ -167,6 +168,7 @@ def multimodal_features_from_docs(spark, sf_dir):
 
     from polygon_algotrading_env_spark.operators.multimodal import (
         encode_gif,
+        encode_jpeg,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -193,7 +195,7 @@ def multimodal_features_from_docs(spark, sf_dir):
                 elif i % 3 == 1:
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     yy, xx = np.mgrid[0:h, 0:w]
-                    variant = (i // 3) % 3
+                    variant = (i // 3) % 4
                     if variant == 2:
                         # GIF variant: quantize the y-gradient to 8 levels
                         # so unique colors stay under the 256-entry table
@@ -215,10 +217,12 @@ def multimodal_features_from_docs(spark, sf_dir):
                             axis=2,
                         ).astype(np.uint8)
                     # container rotation: P6 PPM (uncompressed), PNG
-                    # (zlib), GIF87a (LZW) — all via decode_image's
-                    # magic-byte dispatch
+                    # (zlib), GIF87a (LZW), baseline JPEG (Huffman+DCT,
+                    # lossy) — all via decode_image's magic-byte dispatch
                     blobs.append(
-                        [encode_ppm, encode_png, encode_gif][variant](px)
+                        [encode_ppm, encode_png, encode_gif, encode_jpeg][
+                            variant
+                        ](px)
                     )
                     kinds.append("image")
                 else:

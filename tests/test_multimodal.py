@@ -701,3 +701,120 @@ def test_gif_through_extract_features_and_resize(spark):
     resized = resize_images(media, 6, 6).collect()
     assert len(resized) == 1
     assert decode_image(bytes(resized[0]["content"])).shape == (6, 6, 3)
+
+
+# --- baseline JPEG: the third compressed image container -------------------
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.clip(
+        np.stack(
+            [
+                128 + 100 * np.sin(xx / 10),
+                128 + 100 * np.cos(yy / 9),
+                128 + 80 * np.sin((xx + yy) / 14),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(smooth, quant=2, subsample="444"))
+    assert d444.shape == smooth.shape and _psnr(smooth, d444) > 45
+    d420 = decode_jpeg(encode_jpeg(smooth, quant=2, subsample="420"))
+    assert d420.shape == smooth.shape and _psnr(smooth, d420) > 30
+    # constant image survives EXACTLY (DC-only blocks, flat quant)
+    const = np.full((13, 17, 3), 120, np.uint8)  # odd dims: edge padding
+    for sub in ("444", "420"):
+        d = decode_jpeg(encode_jpeg(const, quant=4, subsample=sub))
+        assert np.array_equal(d, const), sub
+    assert decode_image(encode_jpeg(const)).shape == (13, 17, 3)
+
+
+def test_jpeg_grayscale_single_component():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = (np.mgrid[0:20, 0:30][1] * 8 % 256).astype(np.uint8)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    d = decode_jpeg(encode_jpeg(img, quant=2, gray=True))
+    assert d.shape == (20, 30, 3)
+    # pure-gray input -> luma == input; flat quant 2 keeps the ramp exact
+    assert np.array_equal(d, img)
+
+
+def test_jpeg_restart_markers_reset_predictors():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quant=2, subsample="444"))
+    with_dri = decode_jpeg(
+        encode_jpeg(img, quant=2, subsample="444", restart_interval=3)
+    )
+    # restart segmentation is lossless relative to the same-quant stream
+    assert np.array_equal(plain, with_dri)
+
+
+def test_jpeg_rejects_non_baseline_and_malformed():
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"XX" + bytes(blob[2:]))
+    with pytest.raises(ValueError, match="truncated|ended early|marker"):
+        decode_jpeg(bytes(blob[:40]))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    sof = bytes(blob).find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_through_extract_features_and_resize(spark):
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_jpeg,
+        extract_features,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:8]
+    px = np.stack(
+        [(xx * 20) % 256, (yy * 15) % 256, np.full((12, 8), 77)], axis=2
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(px, quant=2)),
+         ("image/jpeg", 8, 12, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0]["feature"][0] == 8 / 4096.0
+    resized = resize_images(media, 6, 6).collect()
+    assert len(resized) == 1
+    assert decode_image(bytes(resized[0]["content"])).shape == (6, 6, 3)
