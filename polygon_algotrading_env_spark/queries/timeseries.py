@@ -876,32 +876,30 @@ def _macd_oracle() -> str:
 @register("macd_12_26_9_5m", oracle=_macd_oracle())
 def macd_12_26_9_5m(spark, sf_dir):
     """MACD(12,26,9) over 5-minute bar closes — the EMA-family trend
-    indicator, oracle-bearing since round 8: all three recursions expand
-    to closed-form window algebra (``with_ema_closed_form`` — in-block
-    pow-normalized prefix sums + bounded lag-carry, zero Python), and the
-    DuckDB oracle chains three passes of the IDENTICAL formula
-    (``queries/_ema_sql.py``). The signal line is an EMA *of the macd
-    line*, so pass 3's input is pass 1 minus pass 2 — certifying closed
-    forms compose. Pandas `ewm` equivalence (the sequential recursion)
-    is pinned separately in tests/test_indicators.py."""
-    from polygon_algotrading_env_spark.operators.indicators import (
-        with_ema_closed_form,
-    )
+    indicator, oracle-bearing since round 8. The engine runs all three
+    recursions in ONE Arrow grouped map per symbol (with_macd — measured
+    ~6× faster at sf0.1 than chaining three closed-form passes, whose
+    carry joins duplicate plan subtrees); the DuckDB oracle chains three
+    passes of the CLOSED FORM (``queries/_ema_sql.py`` — pow-normalized
+    block prefix sums, signal = pass over pass1−pass2). The hash match
+    therefore certifies sequential-recursion ≡ closed-form across
+    engines (~1e-13 apart, five orders under the round-6 grid); the same
+    equivalence is pinned deterministically in tests/test_indicators.py
+    via with_ema_closed_form."""
+    from polygon_algotrading_env_spark.operators.indicators import with_macd
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
-    keys, order = ["event_type"], ["bucket_start"]
-    x = with_ema_closed_form(bars, "close", 12, keys, order, out="__f")
-    x = with_ema_closed_form(x, "close", 26, keys, order, out="__s")
-    x = x.withColumn("__macd", F.col("__f") - F.col("__s"))
-    x = with_ema_closed_form(x, "__macd", 9, keys, order, out="__sig")
-    return x.select(
+    out = with_macd(
+        bars, "close", keys=["event_type"], order_cols=["bucket_start"]
+    )
+    return out.select(
         "event_type",
         "bucket_start",
-        F.round("__macd", 6).alias("macd"),
-        F.round("__sig", 6).alias("macd_signal"),
-        F.round(F.col("__macd") - F.col("__sig"), 6).alias("macd_hist"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
     )
 
 
