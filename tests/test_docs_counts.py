@@ -27,6 +27,17 @@ def test_readme_registry_counts_match():
     )
 
 
+def test_architecture_registry_counts_match():
+    text = (README.parent / "ARCHITECTURE.md").read_text()
+    m = re.search(
+        r"(\d+) of (\d+) registered queries carry a DuckDB oracle", text
+    )
+    assert m, "ARCHITECTURE query-count sentence missing or reworded"
+    n_oracle, n_reg = int(m.group(1)), int(m.group(2))
+    assert n_reg == len(REGISTRY)
+    assert n_oracle == sum(1 for s in REGISTRY.values() if s.oracle)
+
+
 def test_readme_test_count_matches_collection():
     text = README.read_text()
     m = re.search(r"(\d+) tests incl\.", text)
