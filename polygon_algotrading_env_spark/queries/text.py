@@ -8,6 +8,8 @@ declare no oracle and get the driver's rows-only check.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 
 from polygon_algotrading_env_spark.catalog import load_table
@@ -355,6 +357,183 @@ def embedding_near_dup_srp(spark, sf_dir):
     emb = add_srp_buckets(emb, planes=_md5_planes(6, int(first["d"])))
     return pairwise_cosine_topk(emb, k=1, block_col="bucket").select(
         "id_a", "id_b", "score"
+    )
+
+
+# --- cross-engine-reproducible MinHash (oracle-certified tier) ------------
+#
+# The production MinHash kernel (operators/dedup.py) mixes with numpy
+# multiply-shift over xxhash64 — fast, but engine-private, so its queries
+# are rows-only (recall is certified against exact n-gram ground truth
+# instead). This pair closes the remaining gap the way the SRP tier did
+# for ANN in r6: base shingle hash = md5 (bit-identical in Spark and
+# DuckDB), per-permutation mix = (a_i·x + b_i) mod (2^31−1) with the
+# SAME Python-derived constants inlined in both engines, everything
+# exact int64 — certifying signature math AND banded candidate
+# generation cross-engine, zero Python on either side.
+
+_MH_M = (1 << 31) - 1
+_MH_N = 8
+
+
+def _mh_consts() -> tuple[list[int], list[int]]:
+    a = [
+        int(hashlib.md5(f"mh-a|{i}".encode()).hexdigest()[:7], 16) | 1
+        for i in range(_MH_N)
+    ]
+    b = [
+        int(hashlib.md5(f"mh-b|{i}".encode()).hexdigest()[:7], 16)
+        for i in range(_MH_N)
+    ]
+    return a, b
+
+
+def _mh_sig_sql() -> str:
+    a, b = _mh_consts()
+    mins = ",\n           ".join(
+        f"min(({a[i]} * x + {b[i]}) % {_MH_M}) AS h{i}" for i in range(_MH_N)
+    )
+    return f"""
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) < 5 THEN [lower(text)]
+                    ELSE list_distinct([substring(lower(text), i, 5)
+                                        FOR i IN range(1, length(text) - 3)])
+                    END) AS g
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT % {_MH_M} AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM hx GROUP BY doc_id
+    )"""
+
+
+def _mh_sig_df(spark, sf_dir):
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    a, b = _mh_consts()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_ngrams("text", 5))).alias("g"),
+    )
+    x = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long") % _MH_M
+    sh = sh.select("doc_id", x.alias("x"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a[i]) * F.col("x") + F.lit(b[i])) % _MH_M).alias(
+                f"h{i}"
+            )
+            for i in range(_MH_N)
+        ]
+    )
+
+
+@register(
+    "minhash_md5_signatures",
+    oracle="WITH " + _mh_sig_sql() + """
+    SELECT * FROM sig
+    """,
+)
+def minhash_md5_signatures(spark, sf_dir):
+    """Every document's 8-permutation MinHash signature under the
+    md5-based cross-engine hash family — the ingest-time assignment pass
+    of the banded near-dup index, hash-certified value-for-value against
+    DuckDB recomputing the identical mixes. One explode + one grouped
+    aggregation (8 min()s on one shuffle); shingling and hashing are
+    pure JVM expressions inside codegen."""
+    return _mh_sig_df(spark, sf_dir)
+
+
+@register(
+    "minhash_md5_band_pairs",
+    oracle="WITH " + _mh_sig_sql() + """,
+    bands AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN h0 ELSE h4 END AS x,
+             CASE b WHEN 0 THEN h1 ELSE h5 END AS y,
+             CASE b WHEN 0 THEN h2 ELSE h6 END AS z,
+             CASE b WHEN 0 THEN h3 ELSE h7 END AS w
+      FROM sig, (SELECT unnest(range(2)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.x = r.x AND l.y = r.y AND l.z = r.z
+           AND l.w = r.w AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+              + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+              + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+              + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS BIGINT)
+             AS n_equal
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+        + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+        + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+        + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT >= 6
+    """,
+)
+def minhash_md5_band_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs from the md5 MinHash signatures (2
+    bands × 4 rows — a 4-hash band key keeps the salad corpus's broad
+    ~0.4 background Jaccard out of the candidate set), kept when ≥6 of
+    8 hashes agree (est. Jaccard ≥ 0.75) — certifying the full candidate-generation chain (shingle →
+    signature → band bucket → equi-join → estimate) cross-engine in
+    EXACT integer arithmetic. The join is (band, key) equi — never
+    all-pairs — the same shuffle shape as the production banded join."""
+    sig = _mh_sig_df(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("b"),
+            F.col(f"h{4 * bnd}").alias("x"),
+            F.col(f"h{4 * bnd + 1}").alias("y"),
+            F.col(f"h{4 * bnd + 2}").alias("z"),
+            F.col(f"h{4 * bnd + 3}").alias("w"),
+        )
+        for bnd in range(2)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.b", "bk.x", "bk.y", "bk.z", "bk.w")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(r, ["b", "x", "y", "z", "w"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_N)],
+    )
+    n_equal = sum(
+        (
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            for i in range(_MH_N)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_equal.alias("n_equal"))
+        .where(F.col("n_equal") >= 6)
     )
 
 
