@@ -537,6 +537,91 @@ def minhash_md5_band_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "winnow_md5_overlap_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i,
+             ('0x' || substring(md5(substring(lower(text), i, 16)), 1, 8))
+               ::BIGINT AS x
+      FROM documents, LATERAL unnest(range(1, length(text) - 14)) AS t(i)
+      WHERE length(text) >= 16
+    ),
+    w AS (
+      SELECT doc_id, i,
+             min(x) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, m
+      FROM w WHERE rn >= 16 OR (n <= 16 AND rn = n)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 8
+    """,
+)
+def winnow_md5_overlap_pairs(spark, sf_dir):
+    """Winnowing (MOSS) partial-overlap pairs under the md5 cross-engine
+    hash: 16-gram hashes, trailing 16-window min selection (any shared
+    region of ≥ 31 chars yields a shared fingerprint), pairs sharing ≥8
+    fingerprints. The whole chain — gram extraction, hashing, window-min
+    selection, fingerprint equi-join, pair count — is JVM window algebra
+    certified value-for-value against DuckDB in exact integer
+    arithmetic; the production polynomial-rolling-hash kernel
+    (winnow_overlap_pairs) stays as the throughput path. Same
+    selectivity discipline as that query: long grams + high min_shared
+    keep the salad corpus's ubiquitous short overlaps out."""
+    from pyspark.sql import Window
+
+    k, w, min_shared = 16, 16, 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.lower(F.col("text"))
+    n = F.length(t)
+    grams = F.when(
+        n < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+    ex = docs.select("doc_id", F.posexplode(grams).alias("pos", "g")).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("x"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    wp = Window.partitionBy("doc_id")
+    sel = ex.select(
+        "doc_id",
+        "pos",
+        F.min("x").over(wf).alias("m"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).where(
+        (F.col("pos") >= w - 1)
+        | ((F.col("n") <= w) & (F.col("pos") == F.col("n") - 1))
+    )
+    fps = sel.select("doc_id", "m").distinct()
+    a = fps.select(F.col("doc_id").alias("id_a"), "m")
+    b = fps.select(F.col("doc_id").alias("id_b"), "m")
+    return (
+        a.join(b, "m")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 @register("winnow_overlap_pairs", oracle=None)
 def winnow_overlap_pairs(spark, sf_dir):
     """Winnowing-fingerprint partial-overlap pairs (MOSS scheme): detects
