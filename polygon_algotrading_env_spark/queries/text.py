@@ -537,6 +537,67 @@ def minhash_md5_band_pairs(spark, sf_dir):
     )
 
 
+def _simhash_md5_oracle() -> str:
+    bits = ",\n           ".join(
+        f"CASE WHEN 2 * sum((x >> {b}) & 1) >= count(*) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END AS s{b}"
+        for b in range(32)
+    )
+    total = " + ".join(f"s{b}" for b in range(32))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) < 5 THEN [lower(text)]
+                    ELSE list_distinct([substring(lower(text), i, 5)
+                                        FOR i IN range(1, length(text) - 3)])
+                    END) AS g
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, ('0x' || substring(md5(g), 1, 8))::BIGINT AS x FROM sh
+    ),
+    maj AS (
+      SELECT doc_id,
+           {bits}
+      FROM hx GROUP BY doc_id
+    )
+    SELECT doc_id, {total} AS simhash32 FROM maj
+    """
+
+
+@register("simhash_md5_signatures", oracle=_simhash_md5_oracle())
+def simhash_md5_signatures(spark, sf_dir):
+    """Every document's 32-bit SimHash under the md5 cross-engine hash:
+    per-bit majority vote over the distinct-5-gram hash multiset (ties
+    round UP on both engines: 2·ones ≥ n). Completes the md5-certified
+    dedup tier — MinHash signatures+bands, winnowing fingerprints, and
+    now SimHash bit-majorities all hash-match DuckDB in exact integer
+    arithmetic with zero Python; the production 64-bit xxhash kernel
+    (simhash_docs / simhash_verified_near_dups) stays the throughput
+    path."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_ngrams("text", 5))).alias("g"),
+    )
+    x = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    sh = sh.select("doc_id", x.alias("x"))
+    n = F.count(F.lit(1))
+    sig = sum(
+        (
+            F.when(
+                2 * F.sum(F.shiftright(F.col("x"), b) % 2) >= n,
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(32)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return sh.groupBy("doc_id").agg(sig.alias("simhash32"))
+
+
 @register(
     "winnow_md5_overlap_pairs",
     oracle="""
