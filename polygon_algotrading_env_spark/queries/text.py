@@ -22,7 +22,6 @@ from polygon_algotrading_env_spark.functions.text import (
 )
 from polygon_algotrading_env_spark.operators.dedup import (
     minhash_candidate_pairs,
-    ngram_jaccard_pairs,
     ngram_overlap_pairs,
     remove_duplicate_spans,
     simhash64,
@@ -759,17 +758,89 @@ def simhash_verified_near_dups(spark, sf_dir):
     return exact.filter(2 * F.col("n_common") >= F.col("n_union"))
 
 
-@register("ngram_jaccard_near_dup", oracle=None)
-def ngram_jaccard_near_dup(spark, sf_dir):
-    """Exact n-gram Jaccard verification of the LSH candidates (two-stage
-    near-dup: candidates from LSH, exact set similarity only on those)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs, num_hashes=32, bands=8, shingle_n=5)
-    exact = ngram_jaccard_pairs(
-        pairs.select("id_a", "id_b"), docs, shingle_n=5
+@register(
+    "ngram_jaccard_near_dup",
+    oracle="WITH " + _mh_sig_sql() + """,
+    bands AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN h0 ELSE h4 END AS x,
+             CASE b WHEN 0 THEN h1 ELSE h5 END AS y,
+             CASE b WHEN 0 THEN h2 ELSE h6 END AS z,
+             CASE b WHEN 0 THEN h3 ELSE h7 END AS w
+      FROM sig, (SELECT unnest(range(2)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.x = r.x AND l.y = r.y AND l.z = r.z
+           AND l.w = r.w AND l.doc_id < r.doc_id
+    ),
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             length(list_intersect(a.s, b.s))                    AS nc,
+             length(list_distinct(list_concat(a.s, b.s)))        AS nu
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.id_a
+      JOIN sets b ON b.doc_id = c.id_b
     )
-    return exact.filter(F.col("jaccard") >= 0.3).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    SELECT id_a, id_b,
+           round(CAST(nc AS DOUBLE) / nu, 6) AS jaccard
+    FROM v WHERE 10 * nc >= 3 * nu
+    """,
+)
+def ngram_jaccard_near_dup(spark, sf_dir):
+    """Exact n-gram Jaccard verification of LSH candidates (two-stage
+    near-dup: candidates from LSH, exact set similarity only on those).
+    Oracle-bearing since round 8: the candidate stage is the certified
+    md5-MinHash band generator (same CTEs as minhash_md5_band_pairs), so
+    the whole two-stage chain — signatures → bands → candidate equi-join
+    → exact distinct-5-gram intersection/union — hash-matches DuckDB.
+    The keep threshold is the INTEGER cross-multiplication
+    10·|A∩B| ≥ 3·|A∪B| (exact, no float boundary); the reported jaccard
+    is the identical IEEE division of identical integers on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _mh_sig_df(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("b"),
+            F.col(f"h{4 * bnd}").alias("x"),
+            F.col(f"h{4 * bnd + 1}").alias("y"),
+            F.col(f"h{4 * bnd + 2}").alias("z"),
+            F.col(f"h{4 * bnd + 3}").alias("w"),
+        )
+        for bnd in range(2)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.b", "bk.x", "bk.y", "bk.z", "bk.w")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(r, ["b", "x", "y", "z", "w"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    exact = ngram_overlap_pairs(cand, docs, shingle_n=5)
+    return (
+        exact.where(10 * F.col("n_common") >= 3 * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_union"), 6
+            ).alias("jaccard"),
+        )
     )
 
 
