@@ -199,3 +199,141 @@ def stream_keyed_counts(
         outputMode="append",
         timeMode="processingTime" if ttl_ms is not None else "none",
     )
+
+
+# --- stream-stream AS-OF join (the batch flagship's streaming twin) -------
+
+_ASOF_OUT_SCHEMA = "key string, ts_ms bigint, left_v double, right_v double"
+
+
+class AsofJoinProcessor(StatefulProcessor):
+    """Watermark-correct backward as-of join over a union-tagged pair of
+    streams: per key, every LEFT row is matched to the latest RIGHT row
+    at-or-before its event time — but only EMITTED once the watermark
+    passes that event time, so any right row that could still arrive
+    (disorder ≤ the watermark delay) is guaranteed to have been buffered
+    first. Structured Streaming has interval equi-joins but no as-of
+    join; this is the missing operator, built on v2 typed state:
+
+    - ``rights``: ListState of (ts_ms, v) — buffered right rows; once the
+      watermark passes, everything older than the LATEST right ≤ watermark
+      is evicted (that single row keeps LOCF alive for future lefts —
+      state is O(disorder window), never O(stream)).
+    - ``lefts``: ListState of (ts_ms, v) — rows awaiting the watermark.
+    - an event-time TIMER at the earliest pending left wakes the key when
+      the watermark passes it even if no new input arrives for the key.
+
+    Rows with a side tag other than L/R advance the watermark without
+    touching state (test harnesses use a sentinel to flush the tail).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._rights = handle.getListState("rights", "ts_ms bigint, v double")
+        self._lefts = handle.getListState("lefts", "ts_ms bigint, v double")
+
+    def _drain(self, key, wm: int):
+        rights = sorted(tuple(r) for r in self._rights.get())
+        lefts = sorted(tuple(r) for r in self._lefts.get())
+        out, keep_lefts = [], []
+        for lt, lv in lefts:
+            if lt <= wm:
+                rv = None
+                for rt, rv_c in rights:
+                    if rt <= lt:
+                        rv = rv_c
+                    else:
+                        break
+                out.append((key[0], lt, lv, rv))
+            else:
+                keep_lefts.append((lt, lv))
+        latest_le, keep_rights = None, []
+        for rt, rv_c in rights:
+            if rt <= wm:
+                latest_le = (rt, rv_c)
+            else:
+                keep_rights.append((rt, rv_c))
+        if latest_le is not None:
+            keep_rights = [latest_le] + keep_rights
+        self._lefts.clear()
+        if keep_lefts:
+            self._lefts.put(keep_lefts)
+        self._rights.clear()
+        if keep_rights:
+            self._rights.put(keep_rights)
+        if keep_lefts:
+            # idempotent wake-up: duplicate timers only cause extra
+            # no-op drains
+            self._h.registerTimer(min(t for t, _ in keep_lefts))
+        return out
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for side, ts_ms, v in zip(pdf["side"], pdf["ts_ms"], pdf["v"]):
+                if side == "L":
+                    self._lefts.appendValue((int(ts_ms), float(v)))
+                elif side == "R":
+                    self._rights.appendValue((int(ts_ms), float(v)))
+        out = self._drain(key, timerValues.getCurrentWatermarkInMs())
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts_ms", "left_v", "right_v"]
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        out = self._drain(key, timerValues.getCurrentWatermarkInMs())
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts_ms", "left_v", "right_v"]
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Stream-stream BACKWARD as-of join (latest right value at-or-before
+    each left row's event time) — the streaming twin of
+    ``operators/asof.asof_join``, which Structured Streaming's built-in
+    join surface cannot express. Both inputs must carry ``key_col``, an
+    event-time ``ts_col`` (timestamp) and ``value_col`` (double).
+
+    Mechanics: the two streams union with a side tag, take ONE watermark
+    of ``delay`` on the union, group by key, and run
+    :class:`AsofJoinProcessor` in event-time mode — emission of a left
+    row waits for the watermark to pass its timestamp, so results are
+    deterministic under any cross-stream arrival disorder bounded by
+    ``delay``. Output: (key, ts_ms, left_v, right_v nullable).
+
+    Scale shape: state is one (ts,v) list per key bounded by the
+    disorder window plus ONE LOCF row; keys shard across the cluster
+    exactly like the batch operator's single shuffle."""
+    import pyspark.sql.functions as F
+
+    def tag(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.lit(side).alias("side"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+
+    union = tag(left, "L").unionByName(tag(right, "R"))
+    tagged = union.withWatermark("ts", delay).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts"))
+    )
+    return tagged.groupBy("key").transformWithStateInPandas(
+        AsofJoinProcessor(),
+        outputStructType=_ASOF_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -258,3 +258,109 @@ def test_first_seen_soak_midbatch_kill_and_restart(spark, tmpdir):
     assert got == expected == [
         ("IWM", 4.0), ("QQQ", 3.0), ("SPY", 1.0), ("TLT", 2.0)
     ], (got, expected)
+
+
+@pytest.mark.skipif(
+    not ensure_protobuf_runtime(),
+    reason="no google.protobuf runtime installed or discoverable",
+)
+def test_stream_asof_join_matches_batch_under_disorder(spark, tmpdir):
+    """Stream-stream as-of join (the batch flagship's streaming twin):
+    files delivered out of cross-stream order — rights for a window
+    arrive a whole RUN after the lefts inside it — must still produce
+    exactly the batch asof_join's answer, because emission waits for the
+    watermark (the 60s delay covers the cross-stream skew; nothing can
+    emit until the flusher). The second drain also exercises ListState
+    checkpoint recovery: the buffered lefts survive the restart. A final
+    far-future right row advances the watermark past every left so the
+    tail flushes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polygon_algotrading_env_spark.operators.asof import asof_join
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_asof_join,
+    )
+
+    schema = "k string, ts timestamp, v double"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(s):
+        from datetime import timedelta
+
+        return base + timedelta(seconds=s)
+
+    lefts = [
+        ("A", t(5), 1.0), ("A", t(12), 2.0), ("A", t(20), 3.0),
+        ("B", t(3), 4.0), ("B", t(30), 5.0),
+    ]
+    rights = [
+        ("A", t(0), 10.0), ("A", t(11), 11.0), ("A", t(19), 12.0),
+        ("B", t(29), 13.0),  # B's first left predates every right -> null
+    ]
+    # delivery order: lefts FIRST (their rights arrive in the NEXT run,
+    # within the 60s watermark delay), then rights, then the flusher
+    lsrc, rsrc = f"{tmpdir}/l", f"{tmpdir}/r"
+    spark.createDataFrame(lefts, schema).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame([("A", t(0), 0.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rsrc)  # rights stream needs a first file to start
+
+    out: list = []
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        def drain():
+            ls = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(lsrc)
+            rs = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(rsrc)
+            q = (
+                stream_asof_join(ls, rs, "k", "ts", "v", delay="60 seconds")
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: out.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmpdir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None, q.exception()
+
+        drain()
+        # the real rights (late but inside the watermark) + flusher
+        spark.createDataFrame(rights, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(rsrc)
+        spark.createDataFrame(
+            [("A", t(3600), 99.0)], schema
+        ).coalesce(1).write.mode("append").parquet(rsrc)
+        drain()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = sorted((r["key"], r["ts_ms"], r["left_v"], r["right_v"]) for r in out)
+
+    ldf = spark.createDataFrame(lefts, schema)
+    rdf = spark.createDataFrame(
+        [("A", t(0), 0.0), *rights], "k string, ts timestamp, v double"
+    ).withColumnRenamed("v", "rv").withColumnRenamed("ts", "rts")
+    batch = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts"
+    ).select(
+        "k", F.unix_millis("ts").alias("ts_ms"), "v", "rv"
+    )
+    expected = sorted(
+        (r["k"], r["ts_ms"], r["v"], r["rv"]) for r in batch.collect()
+    )
+    assert got == expected, (got, expected)
