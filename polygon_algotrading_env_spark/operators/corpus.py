@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -432,3 +433,188 @@ def bpe_segment(
         if (i + 1) % 8 == 0:
             out = out.localCheckpoint()
     return out
+
+
+# --- unigram-LM tokenizer (Kudo 2018, hard-EM subset) ----------------------
+
+def _viterbi_pieces(word: str, logp: dict, max_len: int):
+    """Best unigram segmentation of ``word`` under piece log-probs, or
+    None when no path exists. Deterministic tie-break: at equal path
+    score the LONGER final piece wins (lengths scanned ascending with a
+    >= update), so results are stable across runs and partitionings."""
+    n = len(word)
+    neg = float("-inf")
+    score = [neg] * (n + 1)
+    back = [0] * (n + 1)
+    score[0] = 0.0
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - ln : i])
+            if lp is None:
+                continue
+            cand = score[i - ln] + lp
+            if cand >= score[i]:
+                score[i] = cand
+                back[i] = ln
+    if score[n] == neg:
+        return None
+    out = []
+    i = n
+    while i > 0:
+        out.append(word[i - back[i] : i])
+        i -= back[i]
+    out.reverse()
+    return out
+
+
+def _unigram_segment_udf(logp: dict, max_len: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _seg(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _viterbi_pieces(w, logp, max_len) if w is not None else None
+                for w in words
+            ]
+        )
+
+    return _seg
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    seed_max_len: int = 6,
+    seed_size: int = 512,
+    n_iter: int = 4,
+    vocab_size: int = 128,
+):
+    """Distributed unigram-LM tokenizer training (Kudo 2018's model, the
+    hard-EM/Viterbi variant) — the OTHER tokenizer family next to BPE:
+    instead of growing merges bottom-up, start from a large substring
+    seed vocabulary and iteratively re-estimate piece probabilities from
+    the corpus' best segmentations, then keep the ``vocab_size`` most
+    probable pieces (single characters are never pruned — the fallback
+    that makes every string segmentable).
+
+    Scale shape — the same discipline as :func:`bpe_train`: ONE corpus
+    scan builds the word-frequency table (vocab-sized under Zipf at any
+    corpus size); seeding explodes substrings of the DISTINCT words
+    (bounded by vocab × seed_max_len); each EM round segments only the
+    distinct words (Arrow UDF with the piece table broadcast as a plain
+    dict — tokenizer artifacts are KB-sized metadata) and re-estimates
+    probabilities from a vocab-shaped aggregate. Driver materialization
+    is bounded by ``seed_size`` rows per round, never corpus-shaped.
+    Deterministic: seed selection orders (count desc, piece asc), the
+    Viterbi tie-break is fixed, and probabilities derive from exact
+    integer counts — reproducible across runs and partitionings (pinned
+    by tests against a straight-Python reference).
+
+    Returns ``(pieces, words)``: the final piece table
+    (piece, logprob double) sorted by prob desc then piece, and the
+    word-frequency table with each word's final segmentation.
+    """
+    import math
+
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+
+    # Seed: every substring of length 1..seed_max_len of every distinct
+    # word, weighted by word frequency; top seed_size by weighted count
+    # (chars always kept). JVM-side nested transform + flatten.
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(seed_max_len), F.length("w") - i + 1
+                            ),
+                        ),
+                        lambda ln: F.col("w").substr(i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    chars = {
+        r["piece"]: r["cnt"]
+        for r in counts.where(F.length("piece") == 1).collect()
+    }
+    top = {
+        r["piece"]: r["cnt"]
+        for r in counts.orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    }
+    top.update(chars)
+
+    def normalize(cnts: dict) -> dict:
+        total = sum(cnts.values())
+        return {p: math.log(c / total) for p, c in cnts.items() if c > 0}
+
+    logp = normalize(top)
+    for _ in range(n_iter):
+        seg = _unigram_segment_udf(logp, seed_max_len)
+        piece_counts = (
+            words.select("freq", F.explode(seg(F.col("w"))).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .collect()
+        )
+        cnts = {r["piece"]: r["cnt"] for r in piece_counts}
+        for ch, c in chars.items():  # fallback floor: chars never vanish
+            cnts.setdefault(ch, 1)
+        logp = normalize(cnts)
+
+    # Final prune to vocab_size by probability (desc, piece asc), chars
+    # always kept, then renormalize.
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p for p, _ in ranked[:vocab_size]} | set(chars)
+    final_counts = {p: math.exp(lp) for p, lp in logp.items() if p in kept}
+    logp = {
+        p: math.log(x / sum(final_counts.values()))
+        for p, x in final_counts.items()
+    }
+
+    spark = docs.sparkSession
+    pieces = spark.createDataFrame(
+        sorted(logp.items(), key=lambda kv: (-kv[1], kv[0])),
+        "piece string, logprob double",
+    )
+    seg = _unigram_segment_udf(logp, seed_max_len)
+    return pieces, words.select(
+        "w", "freq", seg(F.col("w")).alias("pieces")
+    )
+
+
+def unigram_segment(
+    words: DataFrame,
+    pieces,
+    word_col: str = "w",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Segment words with a LEARNED unigram piece table (train once,
+    segment any corpus) — the apply step pairing with
+    :func:`unigram_train`. ``pieces`` is the trainer's (piece, logprob)
+    DataFrame or a row list; vocab-bounded metadata, broadcast into the
+    Arrow segmentation kernel. Unseen characters make a word
+    unsegmentable → NULL (fail loudly, never silently drop bytes)."""
+    if isinstance(pieces, DataFrame):
+        pieces = pieces.collect()
+    logp = {r["piece"]: r["logprob"] for r in pieces}
+    max_len = max((len(p) for p in logp), default=1)
+    seg = _unigram_segment_udf(logp, max_len)
+    return words.withColumn(out_col, seg(F.col(word_col)))

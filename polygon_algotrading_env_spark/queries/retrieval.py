@@ -763,6 +763,32 @@ def bpe_merge_table(spark, sf_dir):
     return merges.orderBy("rank")
 
 
+@register("unigram_vocab_docs", oracle=None)
+def unigram_vocab_docs(spark, sf_dir):
+    """Learn a unigram-LM tokenizer vocabulary from the corpus
+    (operators/corpus.py: unigram_train — Kudo 2018's model, hard-EM
+    variant): the OTHER tokenizer family next to BPE. Substring seed
+    vocabulary from one scan of the distinct-word table, fixed EM
+    rounds re-estimating piece probabilities from Viterbi-best
+    segmentations (Arrow kernel over the vocab-sized word table,
+    piece table broadcast as KB-scale metadata), prune to vocab_size
+    with single characters never dropped. Rows-only for the same
+    reason as bpe_merge_table: an iterative float-EM driver loop, not
+    one SQL expression — correctness pinned by the straight-Python
+    reference equivalence, partition-invariance, char-fallback and
+    Viterbi tie-break tests in tests/test_corpus.py. Output: the piece
+    table with probabilities on a fixed rounding grid."""
+    from polygon_algotrading_env_spark.operators.corpus import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces, _words = unigram_train(
+        docs, n_iter=3, seed_size=256, vocab_size=64
+    )
+    return pieces.select(
+        "piece", F.round("logprob", 6).alias("logprob")
+    ).orderBy("piece")
+
+
 @register(
     "kneser_ney_logprob_docs",
     oracle=r"""

@@ -289,3 +289,113 @@ def test_bpe_segment_matches_trainer_segmentation(spark):
     # and a list-of-rows merge table works the same as the DataFrame
     seg2 = bpe_segment(words, merges.orderBy("rank").collect())
     assert {r["w"]: list(r["symbols"]) for r in seg2.collect()} == want
+
+
+# --- unigram-LM tokenizer (Kudo 2018, hard-EM subset) ----------------------
+
+def _unigram_reference(word_freqs, seed_max_len, seed_size, n_iter, vocab_size):
+    """Straight-Python replica of unigram_train's algorithm for the
+    merge-for-merge style equivalence check."""
+    import math
+
+    from polygon_algotrading_env_spark.operators.corpus import _viterbi_pieces
+
+    counts = {}
+    for w, f in word_freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, min(seed_max_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                counts[p] = counts.get(p, 0) + f
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    top = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    )
+    top.update(chars)
+
+    def norm(c):
+        t = sum(c.values())
+        return {p: math.log(v / t) for p, v in c.items() if v > 0}
+
+    logp = norm(top)
+    for _ in range(n_iter):
+        cnts = {}
+        for w, f in word_freqs.items():
+            for p in _viterbi_pieces(w, logp, seed_max_len):
+                cnts[p] = cnts.get(p, 0) + f
+        for ch, _c in chars.items():
+            cnts.setdefault(ch, 1)
+        logp = norm(cnts)
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {p for p, _ in ranked[:vocab_size]} | set(chars)
+    fc = {p: math.exp(lp) for p, lp in logp.items() if p in kept}
+    return {p: math.log(x / sum(fc.values())) for p, x in fc.items()}
+
+
+def test_unigram_train_matches_python_reference_and_is_partition_invariant(
+    spark,
+):
+    from polygon_algotrading_env_spark.operators.corpus import unigram_train
+
+    rows = [(i, "ababab cdcd ababab xyz") for i in range(20)] + [
+        (100, "ababab ababab"),
+        (101, "cdcd xyz xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces, words = unigram_train(
+        docs, n_iter=3, seed_size=64, vocab_size=16
+    )
+    got = {r["piece"]: r["logprob"] for r in pieces.collect()}
+
+    wf = {}
+    for _i, text in rows:
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+    exp = _unigram_reference(wf, 6, 64, 3, 16)
+    assert set(got) == set(exp)
+    for p in exp:
+        assert abs(got[p] - exp[p]) < 1e-12, p
+
+    # partition invariance: the model must not depend on data layout
+    pieces2, _ = unigram_train(
+        docs.repartition(7), n_iter=3, seed_size=64, vocab_size=16
+    )
+    got2 = {r["piece"]: r["logprob"] for r in pieces2.collect()}
+    assert got2 == got
+
+    # the dominant word is learned as ONE piece and wins the vocabulary
+    top = max(got, key=got.get)
+    assert top == "ababab"
+    segs = {r["w"]: list(r["pieces"]) for r in words.collect()}
+    assert segs["ababab"] == ["ababab"]
+
+
+def test_unigram_segment_fallback_and_unseen(spark):
+    from polygon_algotrading_env_spark.operators.corpus import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello world")], "doc_id long, text string"
+    )
+    pieces, _ = unigram_train(docs, n_iter=2, seed_size=64, vocab_size=8)
+    new = spark.createDataFrame(
+        [("hello",), ("holle",), ("zzz",)], "w string"
+    )
+    out = {r["w"]: r["pieces"] for r in unigram_segment(new, pieces).collect()}
+    assert out["hello"] == ["hello"] or out["hello"] is not None
+    # characters all seen -> segmentable even for an unseen word
+    assert out["holle"] is not None and "".join(out["holle"]) == "holle"
+    # unseen character -> NULL, never silent byte drops
+    assert out["zzz"] is None
+
+
+def test_viterbi_tie_break_prefers_longer_piece():
+    import math
+
+    from polygon_algotrading_env_spark.operators.corpus import _viterbi_pieces
+
+    # p(ab) == p(a)+p(b) exactly -> tie; the longer piece must win
+    logp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.0625)}
+    assert _viterbi_pieces("ab", logp, 2) == ["ab"]
+    assert _viterbi_pieces("aab", logp, 2) == ["a", "ab"]
