@@ -789,6 +789,38 @@ def unigram_vocab_docs(spark, sf_dir):
     ).orderBy("piece")
 
 
+@register("unigram_token_stats_docs", oracle=None)
+def unigram_token_stats_docs(spark, sf_dir):
+    """Apply the learned unigram vocabulary back to the corpus — the
+    tokenize-the-training-set step pairing with unigram_vocab_docs
+    (exactly as bpe_token_stats_docs pairs with bpe_merge_table): per
+    document, piece count and mean piece length under Viterbi-best
+    segmentation. Segmentation runs per DISTINCT word then joins back
+    to the token stream (never re-segments every occurrence — the
+    bpe_segment discipline). Rows-only: rides the iterative trainer."""
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+    from polygon_algotrading_env_spark.operators.corpus import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces, _ = unigram_train(docs, n_iter=3, seed_size=256, vocab_size=64)
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("w")
+    )
+    seg = unigram_segment(toks.select("w").distinct(), pieces)
+    return (
+        toks.join(seg, "w")
+        .select("doc_id", F.size("pieces").alias("np"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+
+
 @register(
     "kneser_ney_logprob_docs",
     oracle=r"""

@@ -252,3 +252,14 @@ def test_vpin_no_joins(spark, sf_dir, q):
     aggregates — zero joins of any kind in the plan."""
     st = plan_stats(q["vpin_volume_buckets"](spark, sf_dir))
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
+
+
+def test_ema_closed_form_two_exchanges_broadcast_carry(spark, sf_dir, q):
+    """The closed-form EMA is pure window algebra with a bounded block
+    relation: exactly the two documented shuffles (keys for row
+    numbering, (keys, block) for the in-block running sum), the carry
+    join BROADCAST (never SMJ), and no cartesian/BNLJ anywhere."""
+    st = plan_stats(q["ema_20_per_event_type"](spark, sf_dir))
+    assert st.shuffle_exchanges == 2, st
+    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    assert st.cartesian_products == 0 and st.bnl_joins == 0
