@@ -6,7 +6,8 @@ structs; all Spark-side mechanics — schemas, partition-friendly batch
 processing via ``mapInPandas`` (Arrow record batches), frame fan-out — are
 real and tested here. The codec step is isolated behind ``decoder``
 callables, and all three declared kinds decode for real with pure-Python
-parsers — no codec libraries needed: ``audio`` (RIFF/WAVE PCM), ``image``
+parsers — no codec libraries needed: ``audio`` (RIFF/WAVE PCM +
+native FLAC, lossless-compressed — operators/flac.py), ``image``
 (three compressed containers — PNG via stdlib zlib, GIF87a/89a via
 pure-Python LZW, baseline JPEG via pure-numpy Huffman+IDCT — plus
 Netpbm P5/P6), ``video`` (YUV4MPEG2 planar). Other container formats
@@ -102,12 +103,23 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return hdr + body
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """``kind=audio`` decode dispatch by magic bytes: RIFF/WAVE PCM
+    (uncompressed) or native FLAC (lossless-compressed, pure Python —
+    operators/flac.py) → (mono float64 samples, rate)."""
+    if content[:4] == b"fLaC":
+        from polygon_algotrading_env_spark.operators.flac import decode_flac
+
+        return decode_flac(content)
+    return decode_wav(content)
+
+
 def wav_features(content: bytes, dim: int = 8) -> list[float]:
-    """Real audio features from WAV bytes: duration, normalized rate, RMS,
-    peak, zero-crossing rate, plus low/mid/high spectral band energy —
-    the standard cheap descriptors a curation pass filters on (silence,
-    clipping, tone-vs-noise)."""
-    samples, rate = decode_wav(content)
+    """Real audio features from WAV or FLAC bytes (magic-byte dispatch):
+    duration, normalized rate, RMS, peak, zero-crossing rate, plus
+    low/mid/high spectral band energy — the standard cheap descriptors a
+    curation pass filters on (silence, clipping, tone-vs-noise)."""
+    samples, rate = decode_audio(content)
     n = len(samples)
     if n == 0:
         return [0.0] * dim
@@ -1210,8 +1222,8 @@ def video_features(content: bytes, dim: int = 8) -> list[float]:
 
 def default_decoder(content: bytes, kind: str) -> list[float]:
     """Decode/feature-extract dispatch — every declared media kind now has
-    a real pure-Python codec: ``audio`` RIFF/WAVE PCM, ``image`` PNG
-    (stdlib zlib) or Netpbm P5/P6, ``video`` YUV4MPEG2 (:func:`wav_features`
+    a real pure-Python codec: ``audio`` RIFF/WAVE PCM or FLAC, ``image``
+    PNG/GIF/JPEG or Netpbm P5/P6, ``video`` YUV4MPEG2 (:func:`wav_features`
     / :func:`image_features` / :func:`video_features`). Other compressed
     containers (mp4/mkv/jpeg/mp3…) need a codec stack (ffmpeg etc.) injected
     via ``decoder=`` in deployments that have one — the parsers here

@@ -146,8 +146,9 @@ def ema_20_per_event_type(spark, sf_dir):
 @register("multimodal_features_from_docs", oracle=None)
 def multimodal_features_from_docs(spark, sf_dir):
     """Multimodal column pipeline end-to-end with REAL codec paths for
-    all THREE modalities, routed by doc_id mod 3: deterministic mono PCM
-    WAV blobs (tone frequency and duration parameterized by doc_id),
+    all THREE modalities, routed by doc_id mod 3: deterministic mono
+    tones rotating between PCM WAV and lossless-compressed native FLAC
+    containers (frequency and duration parameterized by doc_id),
     gradient images rotating across P6 PPM, COMPRESSED PNG (stdlib
     zlib), COMPRESSED GIF87a (pure-Python LZW) and baseline JPEG
     (pure-numpy Huffman+IDCT, lossy) containers (dimensions
@@ -166,6 +167,7 @@ def multimodal_features_from_docs(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    from polygon_algotrading_env_spark.operators.flac import encode_flac
     from polygon_algotrading_env_spark.operators.multimodal import (
         encode_gif,
         encode_jpeg,
@@ -188,8 +190,13 @@ def multimodal_features_from_docs(spark, sf_dir):
                     freq = 100.0 + (i % 40) * 10.0
                     dur_s = 0.05 + (i % 8) * 0.01
                     t = np.arange(int(rate * dur_s)) / rate
+                    tone = 0.5 * np.sin(2 * np.pi * freq * t)
+                    # container rotation: WAV (uncompressed) / FLAC
+                    # (lossless) — both via decode_audio's dispatch
                     blobs.append(
-                        encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+                        encode_flac(tone, rate)
+                        if (i // 3) % 2
+                        else encode_wav(tone, rate)
                     )
                     kinds.append("audio")
                 elif i % 3 == 1:
