@@ -588,6 +588,132 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+def decode_gif_anim(content: bytes) -> tuple[np.ndarray, float]:
+    """Animated-GIF decode → (frames as TxHxWx3 RGB uint8, fps) — the
+    COMPRESSED video container next to uncompressed Y4M, reusing the
+    still-GIF LZW machinery. Subset: every frame must cover the full
+    logical screen with no local color table (what :func:`encode_gif_anim`
+    emits); per-frame delays come from Graphic Control Extensions
+    (centiseconds; fps = 100/mean delay, 10 fps when absent/zero).
+    Raises ValueError on malformed input or partial-frame compositing."""
+    if content[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(content) < 13:
+        raise ValueError("truncated GIF header")
+    sw = int.from_bytes(content[6:8], "little")
+    sh = int.from_bytes(content[8:10], "little")
+    packed = content[10]
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("animated GIF subset requires a global color table")
+    n = 2 << (packed & 0x07)
+    gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+    pos += 3 * n
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while pos < len(content):
+        intro = content[pos]
+        pos += 1
+        if intro == 0x3B:
+            break
+        if intro == 0x21:
+            label = content[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(content) and content[pos] >= 4:
+                pending_delay = int.from_bytes(
+                    content[pos + 2 : pos + 4], "little"
+                )
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+        left = int.from_bytes(content[pos : pos + 2], "little")
+        top = int.from_bytes(content[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(content[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(content[pos + 6 : pos + 8], "little")
+        ipacked = content[pos + 8]
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh) or ipacked & 0xC0:
+            raise ValueError(
+                "animated GIF subset requires full-screen, non-interlaced "
+                "frames with the global color table"
+            )
+        min_code = content[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(content):
+                raise ValueError("unterminated GIF data sub-blocks")
+            ln = content[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(content[pos : pos + ln])
+            if len(chunks[-1]) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            pos += ln
+        idx = _gif_lzw_decode(min_code, b"".join(chunks), w * h)
+        if idx.max(initial=0) >= len(gct):
+            raise ValueError("GIF pixel index outside the color table")
+        frames.append(gct[idx.reshape(h, w)])
+        delays.append(pending_delay)
+        pending_delay = 0
+    if not frames:
+        raise ValueError("GIF stream contains no frames")
+    mean_delay = sum(delays) / len(delays)
+    fps = 100.0 / mean_delay if mean_delay > 0 else 10.0
+    return np.stack(frames), fps
+
+
+def encode_gif_anim(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """Inverse of :func:`decode_gif_anim` (GIF89a, one global color table
+    from the union of all frames' colors — ≤256 required, real LZW, a
+    Graphic Control Extension with the frame delay before every image)."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim == 3:
+        arr = np.repeat(arr[..., None], 3, axis=3)
+    if arr.ndim != 4 or arr.shape[3] != 3 or not len(arr):
+        raise ValueError(f"expected TxHxWx3 uint8, got shape {arr.shape}")
+    t, h, w = arr.shape[:3]
+    flat = arr.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors exceed GIF's 256-entry table")
+    ct_bits = max(1, (len(colors) - 1).bit_length())
+    n = 1 << ct_bits
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(colors)] = colors
+    idx = inv.astype(np.uint8).reshape(t, h, w)
+    min_code = max(2, ct_bits)
+    delay = max(1, round(100.0 / fps))
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (ct_bits - 1), 0, 0]) + table.tobytes()
+    for f in range(t):
+        out += b"\x21\xf9\x04\x00" + delay.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        lzw = _gif_lzw_encode(min_code, idx[f].tobytes())
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_video(content: bytes) -> tuple[np.ndarray, float]:
+    """``kind=video`` decode dispatch by magic bytes: YUV4MPEG2
+    (uncompressed planar) or animated GIF (LZW-compressed) →
+    (frames TxHxWx3, fps)."""
+    if content[:6] in _GIF_SIGS:
+        return decode_gif_anim(content)
+    return decode_y4m(content)
+
+
 # --- baseline JPEG (ITU-T T.81 sequential DCT, pure numpy) ----------------
 #
 # The third compressed container. Spec leverage: a JPEG stream EMBEDS its
@@ -1200,9 +1326,10 @@ def video_features(content: bytes, dim: int = 8) -> list[float]:
     """Real video features from Y4M bytes: frame count, duration,
     normalized fps and dimensions, mean/std luminance across all frames,
     and mean absolute inter-frame luminance delta (the cheap motion proxy
-    a curation pass filters static or strobing clips on). Mirrors
-    :func:`wav_features` / :func:`image_features`."""
-    frames, fps = decode_y4m(content)
+    a curation pass filters static or strobing clips on). Accepts Y4M or
+    animated-GIF bytes (magic dispatch). Mirrors :func:`wav_features` /
+    :func:`image_features`."""
+    frames, fps = decode_video(content)
     t, h, w = frames.shape[:3]
     px = frames.astype(np.float64) / 255.0
     lum = 0.2126 * px[..., 0] + 0.7152 * px[..., 1] + 0.0722 * px[..., 2]

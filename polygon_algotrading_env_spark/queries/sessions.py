@@ -154,7 +154,8 @@ def multimodal_features_from_docs(spark, sf_dir):
     (pure-numpy Huffman+IDCT, lossy) containers (dimensions
     parameterized by doc_id; the GIF variant quantizes its gradient to
     honor the 256-color table),
-    and YUV4MPEG2 moving-gradient clips (frame count and cadence
+    and moving-gradient clips rotating between YUV4MPEG2 and
+    LZW-compressed animated-GIF containers (frame count and cadence
     parameterized by doc_id) — all synthesized executor-side
     (:func:`encode_wav` / :func:`encode_ppm` / :func:`encode_png` /
     :func:`encode_y4m`, Arrow-batched), then header-parsed and decoded
@@ -170,6 +171,7 @@ def multimodal_features_from_docs(spark, sf_dir):
     from polygon_algotrading_env_spark.operators.flac import encode_flac
     from polygon_algotrading_env_spark.operators.multimodal import (
         encode_gif,
+        encode_gif_anim,
         encode_jpeg,
         encode_png,
         encode_ppm,
@@ -237,7 +239,13 @@ def multimodal_features_from_docs(spark, sf_dir):
                     frames = np.zeros((t_f, h, w), np.uint8)
                     for fi in range(t_f):
                         frames[fi, :, (fi + i) % w] = 200 + i % 56
-                    blobs.append(encode_y4m(frames, fps_num=2 + i % 4))
+                    # container rotation: Y4M (uncompressed planar) /
+                    # animated GIF (LZW) — both via decode_video
+                    blobs.append(
+                        encode_gif_anim(frames, fps=float(2 + i % 4))
+                        if (i // 3) % 2
+                        else encode_y4m(frames, fps_num=2 + i % 4)
+                    )
                     kinds.append("video")
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "kind": kinds, "content": blobs}

@@ -818,3 +818,67 @@ def test_jpeg_through_extract_features_and_resize(spark):
     resized = resize_images(media, 6, 6).collect()
     assert len(resized) == 1
     assert decode_image(bytes(resized[0]["content"])).shape == (6, 6, 3)
+
+
+# --- animated GIF: the compressed video container --------------------------
+
+def test_gif_anim_roundtrip_and_video_features():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif_anim,
+        decode_video,
+        encode_gif_anim,
+        video_features,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = pal[rng.integers(0, 16, (5, 12, 10))]
+    blob = encode_gif_anim(frames, fps=4.0)
+    back, fps = decode_gif_anim(blob)
+    assert np.array_equal(back, frames)
+    assert abs(fps - 4.0) < 0.2
+    f = video_features(blob)
+    assert f[0] == 5.0 and abs(f[1] - 5 / fps) < 1e-9
+    # grayscale TxHxW broadcast; dispatch routes by magic bytes
+    g = (rng.integers(0, 4, (3, 6, 6)) * 80).astype(np.uint8)
+    assert decode_video(encode_gif_anim(g, fps=10))[0].shape == (3, 6, 6, 3)
+
+
+def test_gif_anim_rejects_partial_frames_and_bad_input():
+    import pytest
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif_anim,
+        encode_gif_anim,
+    )
+
+    frames = np.zeros((2, 4, 4, 3), np.uint8)
+    blob = bytearray(encode_gif_anim(frames))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_anim(b"NOPE!!" + bytes(blob[6:]))
+    # forge a non-full-screen frame: shrink the image descriptor width
+    im = bytes(blob).find(b"\x2c")
+    blob[im + 5 : im + 7] = (3).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="full-screen"):
+        decode_gif_anim(bytes(blob))
+    with pytest.raises(ValueError, match="256"):
+        rng = np.random.default_rng(1)
+        encode_gif_anim(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_anim_through_extract_features(spark):
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif_anim,
+        extract_features,
+    )
+
+    frames = np.zeros((4, 8, 8, 3), np.uint8)
+    frames[:, :, ::2] = 200
+    rows = [
+        (1, "video", bytearray(encode_gif_anim(frames, fps=2.0)),
+         ("image/gif", 8, 8, 2.0, 2.0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0]["feature"][0] == 4.0
