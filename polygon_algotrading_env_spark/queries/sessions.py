@@ -115,7 +115,7 @@ def _ema20_oracle() -> str:
     """
 
 
-@register("ema_20_per_event_type", oracle=_ema20_oracle())
+@register("ema_20_per_event_type", oracle=_ema20_oracle(), headline=True)
 def ema_20_per_event_type(spark, sf_dir):
     """EMA-20 of value per event_type — the recursive indicator, evaluated
     WITHOUT Python: ``with_ema_closed_form`` expands the recursion into

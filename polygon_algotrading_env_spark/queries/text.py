@@ -452,6 +452,7 @@ def minhash_md5_signatures(spark, sf_dir):
 
 @register(
     "minhash_md5_band_pairs",
+    headline=True,
     oracle="WITH " + _mh_sig_sql() + """,
     bands AS (
       SELECT doc_id, b,
