@@ -11,8 +11,9 @@ Usage:
     python tools/plan_report.py [sf_dir] [query ...]
 
 Output: one TSV row per query (name, shuffles, broadcast joins, SMJ,
-take-ordered, scans) plus a summary; exit 1 if any query plans a
-sort-merge join without being on the documented allowlist.
+BNLJ, take-ordered, scans) plus a summary; exit 1 if any query plans a
+sort-merge join off the documented allowlist or a BroadcastNestedLoopJoin
+over an unbounded broadcast side.
 """
 
 from __future__ import annotations
@@ -26,7 +27,11 @@ from polygon_algotrading_env_spark.plans import plan_stats  # noqa: E402
 from polygon_algotrading_env_spark.queries import REGISTRY  # noqa: E402
 from polygon_algotrading_env_spark.session import get_spark  # noqa: E402
 
-from polygon_algotrading_env_spark.plans.census import SMJ_ALLOWED  # noqa: E402
+from polygon_algotrading_env_spark.plans.census import (  # noqa: E402
+    BNLJ_ALLOWED,
+    SMJ_ALLOWED,
+    _bnlj_violation,
+)
 
 
 def main() -> int:
@@ -36,7 +41,7 @@ def main() -> int:
         app_name="plan-report", master="local[4]", shuffle_partitions=8
     )
     bad: list[str] = []
-    print("query\tshuffles\tbcast\tsmj\ttopk\tscans")
+    print("query\tshuffles\tbcast\tsmj\tbnlj\ttopk\tscans")
     for name in names:
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
@@ -49,9 +54,16 @@ def main() -> int:
         if st.sort_merge_joins and name not in SMJ_ALLOWED:
             flag = "  <-- UNEXPECTED SMJ"
             bad.append(name)
+        elif (
+            st.bnl_joins
+            and name not in BNLJ_ALLOWED
+            and _bnlj_violation(df) is not None
+        ):
+            flag = "  <-- UNBOUNDED BNLJ BROADCAST"
+            bad.append(name)
         print(
             f"{name}\t{st.shuffle_exchanges}\t{st.broadcast_joins}"
-            f"\t{st.sort_merge_joins}\t{st.take_ordered}"
+            f"\t{st.sort_merge_joins}\t{st.bnl_joins}\t{st.take_ordered}"
             f"\t{len(st.read_schemas)}{flag}"
         )
     print(f"\n{len(names)} queries, {len(bad)} flagged", file=sys.stderr)
