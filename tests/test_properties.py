@@ -665,3 +665,93 @@ def np32(v):
     import numpy as np
 
     return np.float32(v)
+
+
+# --- codec round-trip laws (no Spark needed: pure codec properties) --------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    nc=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_law(h, w, nc, interlace, seed):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, nc, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_constant_blocks_law(h, w, sub, seed):
+    """Flat-color images survive baseline JPEG to within ±1 per channel
+    at flat quant (DC-only blocks, no AC loss, any dimensions via edge
+    padding; the ±1 is the YCbCr↔RGB double-rounding inherent to
+    JPEG — ~20% of flat colors land one LSB off), and flat GRAY images
+    survive exactly (Cb=Cr=128, Y=gray: no chroma rounding)."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), rng.integers(0, 256, 3, dtype=np.uint8))
+    out = decode_jpeg(encode_jpeg(img, quant=4, subsample=sub))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    g = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(g, quant=4, subsample=sub)), g)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    bps=st.sampled_from([8, 16]),
+    blocksize=st.sampled_from([256, 1024, 4096]),
+    stereo=st.sampled_from([None, "independent", "left_side", "mid_side"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_lossless_law(n, bps, blocksize, stereo, seed):
+    """FLAC is LOSSLESS for arbitrary quantized PCM at any block/bit
+    configuration and stereo decorrelation — the defining codec law."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    scale = float(1 << (bps - 1))
+
+    def q(x):
+        return np.clip(np.round(np.clip(x, -1, 1) * scale), -scale, scale - 1) / scale
+
+    if stereo is None:
+        sig = rng.uniform(-1, 1, n)
+        back, _ = decode_flac(
+            encode_flac(sig, 8000, bps=bps, blocksize=blocksize)
+        )
+        assert np.array_equal(back, q(sig))
+    else:
+        st2 = rng.uniform(-1, 1, (2, n))
+        back, _ = decode_flac(
+            encode_flac(st2, 8000, bps=bps, blocksize=blocksize, stereo_mode=stereo)
+        )
+        assert np.array_equal(back, (q(st2[0]) + q(st2[1])) / 2)
