@@ -1140,3 +1140,96 @@ def ppr_related_parts(spark, sf_dir):
         .orderBy(F.desc("rank"), "l_partkey")
         .limit(20)
     )
+
+
+# --- privacy-preserving release (k-anonymity + DP counts) ------------------
+@register(
+    "k_anonymous_customer_release",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n,
+             round(sum(c_acctbal), 2) AS total_balance
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS n_all FROM g)
+    SELECT g.c_mktsegment, g.c_nationkey, g.n, g.total_balance,
+           CAST((SELECT sum(n) FROM g WHERE n < 6) AS BIGINT)
+             AS n_suppressed_rows
+    FROM g WHERE g.n >= 6
+    """,
+)
+def k_anonymous_customer_release(spark, sf_dir):
+    """k-anonymity release (k=6) over the (mktsegment, nationkey)
+    quasi-identifier: equivalence classes smaller than k are SUPPRESSED
+    (publishing them would isolate ≤5 customers), surviving classes ship
+    their aggregate, and every released row carries the total suppressed
+    row count so consumers can bound the distortion. One hash aggregate
+    + a scalar suppression tally broadcast back — the privacy gate runs
+    at dimension-table cost regardless of fact scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+    suppressed = g.where(F.col("n") < 6).agg(
+        F.sum("n").cast("bigint").alias("n_suppressed_rows")
+    )
+    return (
+        g.where(F.col("n") >= 6)
+        .crossJoin(F.broadcast(suppressed))
+        .select(
+            "c_mktsegment", "c_nationkey", "n", "total_balance",
+            "n_suppressed_rows",
+        )
+    )
+
+
+@register(
+    "dp_noisy_segment_counts",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+    ),
+    u AS (
+      SELECT c_mktsegment, n,
+             ('0x' || substring(md5('dp|' || c_mktsegment), 1, 8))::BIGINT
+               / 4294967296.0 - 0.5 AS v
+      FROM g
+    )
+    SELECT c_mktsegment, n,
+           round(n + -2.0 * (CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END)
+                     * ln(1.0 - 2.0 * abs(v)), 6) AS noisy_n
+    FROM u
+    """,
+)
+def dp_noisy_segment_counts(spark, sf_dir):
+    """ε-differentially-private counts per market segment via the Laplace
+    mechanism (sensitivity 1, ε=0.5 → scale 2): noise = −scale·sign(u)·
+    ln(1−2|u|) with u ∈ (−½,½) by inverse-CDF. The uniform is
+    DERANDOMIZED from md5 of the key — that makes the mechanism testable
+    and hash-certifiable cross-engine but NOT actually private (a fixed
+    seed is a published function of the data); a production release
+    swaps the md5 uniform for a real RNG draw and keeps everything else.
+    The raw count ships alongside so tests can bound the injected noise.
+    Plan: one hash aggregate, noise as scalar expressions in codegen."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    v = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|"), F.col("c_mktsegment"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    noise = (
+        F.lit(-2.0)
+        * F.when(v < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(v))
+    )
+    return g.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )
