@@ -544,3 +544,65 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition by FIXED-ROUND peeling: every round removes
+    vertices whose degree within the surviving set is < k; after
+    ``n_rounds`` rounds returns (id, core_degree, converged) where
+    ``converged`` records whether the last round was a fixpoint (no
+    vertex removed) — fixed rounds keep the computation deterministic and
+    SQL-replayable (the LPA recipe), and the flag makes an unconverged
+    cap loud instead of silently approximate.
+
+    Per round: one semi-join restriction of the (checkpointed) symmetric
+    edge set to surviving endpoints + one degree aggregate — two narrow
+    shuffles, lineage truncated every ``checkpoint_every`` rounds like
+    the other iterative graph loops. Cascades shrink the vertex set
+    monotonically, so round cost only decreases."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    alive = sym.select(F.col("u").alias("id")).distinct()
+    prev_n = None
+    for i in range(n_rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("id", "u"), "u")
+            .join(alive.select(F.col("id").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select(F.col("u").alias("id"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
+            alive = alive.localCheckpoint(eager=True)
+    last = alive.localCheckpoint(eager=True)
+    final_deg = (
+        sym.join(last.withColumnRenamed("id", "u"), "u")
+        .join(last.select(F.col("id").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    # converged <=> one more peel round removes nothing
+    next_n = final_deg.where(F.col("core_degree") >= k).agg(
+        F.count(F.lit(1)).alias("__next_n")
+    )
+    cur_n = last.agg(F.count(F.lit(1)).alias("__cur_n"))
+    return (
+        final_deg.crossJoin(F.broadcast(cur_n))
+        .crossJoin(F.broadcast(next_n))
+        .select(
+            F.col("u").alias("id"),
+            "core_degree",
+            (F.col("__next_n") == F.col("__cur_n")).alias("converged"),
+        )
+    )

@@ -1142,6 +1142,73 @@ def ppr_related_parts(spark, sf_dir):
     )
 
 
+# --- k-core decomposition (fixed-round peeling, LPA-recipe oracle) ---------
+def _kcore_oracle(k: int = 80, n_rounds: int = 8) -> str:
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        prev = f"a{i - 1}"
+        rounds.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT u AS id FROM (
+        SELECT e.u, count(*) AS deg
+        FROM sym e
+        JOIN {prev} x ON e.u = x.id
+        JOIN {prev} y ON e.v = y.id
+        GROUP BY e.u
+      ) WHERE deg >= {k}
+    )""")
+    return f"""
+    WITH sym AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),{",".join(rounds)},
+    fdeg AS MATERIALIZED (
+      SELECT e.u AS id, count(*) AS core_degree
+      FROM sym e
+      JOIN a{n_rounds} x ON e.u = x.id
+      JOIN a{n_rounds} y ON e.v = y.id
+      GROUP BY e.u
+    ),
+    conv AS (
+      SELECT (SELECT count(*) FROM fdeg WHERE core_degree >= {k})
+               = (SELECT count(*) FROM a{n_rounds}) AS converged
+    )
+    SELECT f.id AS l_partkey, f.core_degree, conv.converged
+    FROM fdeg f, conv
+    """
+
+
+@register("kcore80_copurchase_parts", oracle=_kcore_oracle())
+def kcore80_copurchase_parts(spark, sf_dir):
+    """80-core of the co-purchase graph: parts surviving iterated removal
+    of low-degree vertices — the density filter that isolates the
+    strongly cross-sold assortment (communities/CC keep bridge-connected
+    fluff; the k-core doesn't). Fixed 8 peeling rounds make the
+    computation deterministic and DuckDB-replayable as chained CTEs (the
+    LPA recipe; the co-purchase graph reaches its fixpoint in ≤6 rounds
+    at every fixture SF — asserted by the emitted ``converged`` flag,
+    which both engines derive as 'one more round removes nothing').
+    All-integer ⇒ exact hash equality. Scale: each round is a semi-join
+    restriction + degree aggregate on a monotonically shrinking set."""
+    from polygon_algotrading_env_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "o")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    out = k_core(und, k=80, n_rounds=8)
+    return out.select(
+        F.col("id").alias("l_partkey"), "core_degree", "converged"
+    )
+
+
 # --- privacy-preserving release (k-anonymity + DP counts) ------------------
 @register(
     "k_anonymous_customer_release",

@@ -282,3 +282,37 @@ def test_personalized_pagerank_matches_reference(spark):
     assert got[0] == max(got.values())  # mass concentrates at the seed
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_k_core_peels_tails_and_keeps_clique(spark):
+    """4-clique + a pendant chain: the 3-core is exactly the clique (each
+    member has in-core degree 3); chain vertices peel over successive
+    rounds (the cascade the fixed-round loop must propagate); converged
+    flag set. k above the clique degree empties the core."""
+    from polygon_algotrading_env_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    out = k_core(edges, k=3, n_rounds=6).collect()
+    got = {r["id"]: (r["core_degree"], r["converged"]) for r in out}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == (3, True) for v in got.values()), got
+
+    assert k_core(edges, k=4, n_rounds=6).count() == 0
+
+
+def test_k_core_unconverged_cap_is_loud(spark):
+    """A long chain with k=1 peels one endpoint... stays converged;
+    instead force non-convergence: k=2 on a 12-vertex path removes the
+    two endpoints each round — 1 round is NOT a fixpoint and the flag
+    must say so."""
+    from polygon_algotrading_env_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(11)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    out = k_core(edges, k=2, n_rounds=1).collect()
+    assert out and all(r["converged"] is False for r in out)
+    # enough rounds: path fully dissolves (no 2-core in a tree)
+    assert k_core(edges, k=2, n_rounds=6).count() == 0
