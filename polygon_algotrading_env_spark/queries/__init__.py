@@ -248,6 +248,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "weekly_cohort_retention",
 )
 
+# Round-9 rotation candidates (never driver-certified, oracle-bearing,
+# hash-matched locally at three SFs during round 8): the newly-converted
+# EMA family (ema_20_per_event_type, macd_12_26_9_5m), kalman_level_5m,
+# lpa_communities_copurchase, embedding_near_dup_srp,
+# ngram_jaccard_near_dup, and the round-8 additions
+# (minhash_md5_signatures, minhash_md5_band_pairs,
+# winnow_md5_overlap_pairs, simhash_md5_signatures,
+# kcore80_copurchase_parts, k_anonymous_customer_release,
+# dp_noisy_segment_counts). Rotate against slots whose families hold
+# >=3 recorded green rounds by then.
+
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
 # out of the 50-slot window. Family-coverage checks accept these as
