@@ -606,3 +606,72 @@ def k_core(
             (F.col("__next_n") == F.col("__cur_n")).alias("converged"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distance by FIXED-ROUND frontier relaxation:
+    every round each reached vertex offers ``hops + 1`` to its neighbors
+    and every vertex keeps its minimum offer; after ``n_rounds`` rounds
+    returns (id, hops, converged) where ``converged`` records whether the
+    last round reached no new vertex (hop labels are min-stable, so "no
+    new vertex" IS the BFS fixpoint). Fixed rounds keep the computation
+    deterministic and SQL-replayable as chained CTEs (the LPA / k-core
+    recipe), and the flag makes an unconverged cap loud instead of
+    silently truncated.
+
+    Per round: one equi-join of the symmetric edge set against the
+    reached relation + one min aggregate — two narrow (id)-keyed
+    shuffles; the reached set only grows, never the edge set, and
+    lineage is truncated every ``checkpoint_every`` rounds like the
+    other iterative graph loops. At 100 TB the reached relation is
+    (id, hops) — two bigints per vertex — and each round's join is
+    frontier-bounded work under AQE."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    reached = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "id BIGINT, hops INT"
+    )
+    penult = reached
+    for i in range(n_rounds):
+        offers = (
+            sym.join(
+                reached.select(
+                    F.col("id").alias("u"), F.col("hops").alias("h")
+                ),
+                "u",
+            )
+            .select(F.col("v").alias("id"), (F.col("h") + 1).alias("hops"))
+        )
+        nxt = (
+            reached.unionAll(offers)
+            .groupBy("id")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i + 1 == n_rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        if i + 1 == n_rounds:
+            penult = reached.localCheckpoint(eager=True)
+        reached = nxt
+    n_last = reached.agg(F.count(F.lit(1)).alias("__n_last"))
+    n_prev = penult.agg(F.count(F.lit(1)).alias("__n_prev"))
+    return (
+        reached.crossJoin(F.broadcast(n_last))
+        .crossJoin(F.broadcast(n_prev))
+        .select(
+            "id",
+            "hops",
+            (F.col("__n_last") == F.col("__n_prev")).alias("converged"),
+        )
+    )

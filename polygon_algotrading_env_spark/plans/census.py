@@ -46,6 +46,11 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "pagerank_copurchase_top20",
         "ppr_related_parts",          # same co-ordered-parts self-join family
         "lpa_communities_copurchase",
+        "kcore80_copurchase_parts",   # per-round semi-join restriction of the
+                                      # checkpointed co-purchase edge set
+                                      # against the surviving-vertex relation
+                                      # (fact-derived both sides, same family
+                                      # as the LPA/PageRank iterations)
         "novelty_by_first_occurrence",       # gram-keyed first-occurrence model
         "doc_rarity_scores",
         "bm25_topk_docs",
@@ -84,6 +89,11 @@ DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 SMJ_BUDGET: dict[str, int] = {
     "copurchase_triangles": 10,      # pair/triangle self-join ladder
     "lpa_communities_copurchase": 30,  # per-iteration label join, n_iter pinned
+    # 8 peel rounds x 2 endpoint restrictions + the final degree pair, but
+    # AQE broadcasts the shrinking survivor set in most rounds: measured 4
+    # at BOTH gate scales (stable). Budget 6 = measured + small headroom;
+    # above that the shrink-to-broadcast behavior regressed.
+    "kcore80_copurchase_parts": 6,
     "pagerank_copurchase_top20": 1,
     "ppr_related_parts": 1,
     "full_outer_daily_activity": 1,

@@ -1300,3 +1300,148 @@ def dp_noisy_segment_counts(spark, sf_dir):
         "n",
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
     )
+
+
+# --- BFS hop distance (fixed-round frontier, LPA-recipe oracle) ------------
+def _bfs_oracle(n_rounds: int = 10, thresh: int = 48) -> str:
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        prev = f"a{i - 1}"
+        rounds.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT id, CAST(min(hops) AS INT) AS hops FROM (
+        SELECT id, hops FROM {prev}
+        UNION ALL
+        SELECT e.v AS id, x.hops + 1 AS hops
+        FROM {prev} x JOIN sym e ON e.u = x.id
+      ) GROUP BY id
+    )""")
+    return f"""
+    WITH sym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT l_partkey AS u, 10000000 + l_suppkey AS v
+        FROM lineitem WHERE l_quantity >= {thresh}
+        UNION ALL
+        SELECT 10000000 + l_suppkey AS u, l_partkey AS v
+        FROM lineitem WHERE l_quantity >= {thresh}
+      )
+    ),
+    a0 AS MATERIALIZED (
+      SELECT min(l_partkey) AS id, 0 AS hops
+      FROM lineitem WHERE l_quantity >= {thresh}
+    ),{",".join(rounds)}
+    SELECT CAST(hops AS INT) AS hops,
+           count(*) AS n_vertices,
+           min(id) AS min_id,
+           (SELECT count(*) FROM a{n_rounds})
+             = (SELECT count(*) FROM a{n_rounds - 1}) AS converged
+    FROM a{n_rounds}
+    GROUP BY hops
+    """
+
+
+@register("bfs_hops_part_supplier", oracle=_bfs_oracle())
+def bfs_hops_part_supplier(spark, sf_dir):
+    """BFS hop distance over the THINNED part-supplier bipartite graph
+    (edges = distinct (part, supplier) pairs shipped at quantity >= 48;
+    suppliers offset into their own id space), seeded at the smallest
+    part with any bulk edge (a deterministic seed that EXISTS at every
+    fixture SF — a fixed literal seed goes edge-less at sf0.1): hop 1 =
+    the seed's bulk suppliers, hop 2 = parts those suppliers also ship
+    in bulk, ... — the supply-chain proximity primitive (recall ladders,
+    impact radii). Fixed 10 relaxation rounds make the computation
+    deterministic and DuckDB-replayable as chained MATERIALIZED CTEs
+    (the LPA / k-core recipe); the emitted ``converged`` flag records
+    'the last round reached no new vertex' on both engines (the fixture
+    graph's true eccentricity from the seed is 6 at sf0.01). Output is
+    the per-hop census — (hops, n_vertices, min_id) — all exact
+    integers ⇒ exact hash equality. Scale: per round one
+    frontier-bounded equi-join + min aggregate on (id); the edge
+    relation is built once; the seed lookup is one bounded scalar
+    aggregate (the probe-vector precedent)."""
+    from polygon_algotrading_env_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = li.where(F.col("l_quantity") >= 48)
+    e = bulk.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    seed = bulk.agg(F.min("l_partkey")).collect()[0][0]
+    out = bfs_hops(e, seeds=[seed], n_rounds=10)
+    return (
+        out.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("id").alias("min_id"),
+            F.first("converged").alias("converged"),
+        )
+        .select("hops", "n_vertices", "min_id", "converged")
+    )
+
+
+# --- Adamic-Adar link prediction over supplier co-occurrence ---------------
+@register(
+    "adamic_adar_part_links",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= 48
+    ),
+    deg AS (
+      SELECT s, count(*) AS d FROM e GROUP BY s HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_common, aa_score FROM (
+      SELECT a.p AS part_a, b.p AS part_b,
+             count(*) AS n_common,
+             round(sum(1.0 / ln(deg.d)), 6) AS aa_score
+      FROM e a
+      JOIN e b ON a.s = b.s AND a.p < b.p
+      JOIN deg ON deg.s = a.s
+      GROUP BY 1, 2
+    )
+    ORDER BY aa_score DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def adamic_adar_part_links(spark, sf_dir):
+    """Adamic-Adar link prediction on the thinned part-supplier
+    co-occurrence graph: for every part pair sharing a bulk supplier,
+    score = sum over common suppliers of 1/ln(degree) — rare shared
+    suppliers count more than ubiquitous ones (Adamic & Adar 2003, the
+    standard common-neighbor link-prediction baseline). Top-20 pairs.
+    The mediator degree table is supplier-sized ⇒ broadcast; the wedge
+    enumeration is sum-over-suppliers deg² — bounded because 'parts per
+    supplier at quantity >= 48' tracks assortment width, not fact-table
+    scale, and the standard super-node exclusion (cap or drop ubiquitous
+    mediators) slots into the HAVING if a skewed domain needs it. Score
+    is a short sum of reciprocal logs (magnitude <= ~40, reorder error
+    ~1e-15) ⇒ the 6-decimal grid is exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.where(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 2)
+    )
+    a = e.select(F.col("p").alias("part_a"), "s")
+    b = e.select(F.col("p").alias("part_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("part_a") < F.col("part_b"))
+        .join(F.broadcast(deg), "s")
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("aa_score"), "part_a", "part_b"
+    ).limit(20)

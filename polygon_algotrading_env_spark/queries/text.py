@@ -1817,3 +1817,65 @@ def lang_label_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- RAG-style chunking: overlapping token windows -------------------------
+@register(
+    "chunk_docs_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_token,
+           CAST(least(32, n - start) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM s
+    WHERE start = 0 OR start + 8 < n
+    """,
+)
+def chunk_docs_overlap(spark, sf_dir):
+    """Overlapping-window document chunking — the context-preparation
+    primitive for RAG / embedding pipelines: whitespace tokens cut into
+    32-token chunks with stride 24 (8-token overlap), emitting one row
+    per (doc, chunk) with its token offset and reassembled text. The
+    emission rule is the standard sliding-window chunker's: emit while
+    the window starts inside the doc AND the previous window didn't
+    already reach the end (start = 0 OR start + 8 < n) — so a 40-token
+    doc yields exactly two chunks, not a redundant fully-contained
+    third. All offsets are exact integers and the chunk text is an
+    exact substring join ⇒ exact hash equality cross-engine. Scale: one
+    narrow projection + a bounded explode (ceil(n/24) rows per doc, no
+    shuffle at all — the chunker is map-side and composes with any
+    downstream partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    starts = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(24))
+        ).alias("start"),
+    ).where((F.col("start") == 0) | (F.col("start") + 8 < F.col("n")))
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 24).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.least(F.lit(32), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start") + 1, F.lit(32))
+        ).alias("chunk_text"),
+    )

@@ -316,3 +316,77 @@ def test_k_core_unconverged_cap_is_loud(spark):
     assert out and all(r["converged"] is False for r in out)
     # enough rounds: path fully dissolves (no 2-core in a tree)
     assert k_core(edges, k=2, n_rounds=6).count() == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    """5-vertex path seeded at one end: hops are exactly the path
+    distances and the flag converges once rounds cover the diameter."""
+    from polygon_algotrading_env_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    out = bfs_hops(edges, seeds=[0], n_rounds=6).collect()
+    got = {r["id"]: r["hops"] for r in out}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    assert all(r["converged"] for r in out)
+
+
+def test_bfs_hops_unconverged_cap_is_loud(spark):
+    """One round on the same path reaches only hop 1 — the flag must say
+    the cap truncated the frontier."""
+    from polygon_algotrading_env_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    out = bfs_hops(edges, seeds=[0], n_rounds=1).collect()
+    got = {r["id"]: r["hops"] for r in out}
+    assert got == {0: 0, 1: 1}
+    assert all(r["converged"] is False for r in out)
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    """Two seeds on the path: every vertex gets the min distance to any
+    seed (the multi-source BFS contract); disconnected vertices never
+    appear."""
+    from polygon_algotrading_env_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(4)] + [(100, 101)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    out = bfs_hops(edges, seeds=[0, 4], n_rounds=6).collect()
+    got = {r["id"]: r["hops"] for r in out}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_adamic_adar_matches_python_reference(spark, sf_dir):
+    """The registered AA link-prediction query vs a straight-Python
+    computation of the same semantics over the same fixture parquet."""
+    import math
+    from collections import defaultdict
+
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    by_s = defaultdict(set)
+    for r in li:
+        if r["l_quantity"] >= 48:
+            by_s[r["l_suppkey"]].add(r["l_partkey"])
+    scores: dict[tuple[int, int], float] = defaultdict(float)
+    common: dict[tuple[int, int], int] = defaultdict(int)
+    for s, parts in by_s.items():
+        d = len(parts)
+        if d < 2:
+            continue
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                scores[(ps[i], ps[j])] += 1.0 / math.log(d)
+                common[(ps[i], ps[j])] += 1
+    want = sorted(
+        ((round(v, 6), a, b) for (a, b), v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = REGISTRY["adamic_adar_part_links"].fn(spark, sf_dir).collect()
+    assert [(r["aa_score"], r["part_a"], r["part_b"]) for r in got] == want
+    assert all(
+        r["n_common"] == common[(r["part_a"], r["part_b"])] for r in got
+    )
