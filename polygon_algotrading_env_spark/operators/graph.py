@@ -675,3 +675,63 @@ def bfs_hops(
             (F.col("__n_last") == F.col("__n_prev")).alias("converged"),
         )
     )
+
+
+def hash_min_labels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-round hash-min component labels: every round each vertex
+    keeps the minimum label among itself and its neighbors; after
+    ``n_rounds`` rounds returns (id, label, converged) where ``converged``
+    records whether the final round changed no label (hash-min labels
+    only ever decrease, so an unchanged round IS the component fixpoint
+    — every vertex then carries its component's minimum id).
+
+    This is the deterministic, SQL-replayable sibling of
+    ``connected_components`` (which pointer-jumps under a driver-side
+    convergence loop and is the 100 TB path): fixed rounds + the loud
+    ``converged`` flag make the label table certifiable cross-engine as
+    chained CTEs — the LPA / k-core / BFS recipe. Use it when the match
+    graph's component diameter is bounded by construction (e.g. blocked
+    record-linkage graphs, where a component lives inside one block).
+
+    Per round: one equi-join of the symmetric edge set against the label
+    relation + one min aggregate — two narrow (id)-keyed shuffles."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col(src) != F.col(dst)
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    penult = labels
+    for i in range(n_rounds):
+        offers = sym.join(
+            labels.select(F.col("id").alias("v"), F.col("label").alias("l")),
+            "v",
+        ).select(F.col("u").alias("id"), F.col("l").alias("label"))
+        nxt = (
+            labels.unionAll(offers)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i + 1 == n_rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        if i + 1 == n_rounds:
+            penult = labels.localCheckpoint(eager=True)
+        labels = nxt
+    n_changed = (
+        labels.select("id", F.col("label").alias("la"))
+        .join(penult.select("id", F.col("label").alias("lb")), "id")
+        .where(F.col("la") != F.col("lb"))
+        .agg(F.count(F.lit(1)).alias("__n_changed"))
+    )
+    return labels.crossJoin(F.broadcast(n_changed)).select(
+        "id", "label", (F.col("__n_changed") == 0).alias("converged")
+    )

@@ -66,6 +66,13 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         # Spark cannot broadcast either side of a FULL OUTER join; SMJ of
         # the two day-grain aggregates is the only (and correct) strategy.
         "full_outer_daily_activity",
+        # FULL OUTER fusion of the two top-50 rank lists (bounded by the
+        # rank cutoff, not data scale) — same no-broadcast-full-outer rule.
+        "rrf_hybrid_retrieval",
+        # hash_min_labels' converged-flag join compares the last two
+        # checkpointed label relations row-wise — fact-derived both sides,
+        # the iterative-graph family's convergence audit.
+        "entity_resolution_parts",
     }
 )
 

@@ -936,3 +936,125 @@ def bpe_token_stats_docs(spark, sf_dir):
             F.round(F.sum("n_toks") / F.count(F.lit(1)), 6).alias("fertility"),
         )
     )
+
+
+# --- hybrid search: reciprocal-rank fusion of BM25 + embedding cosine ------
+@register(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    df AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN ('vector', 'hash', 'stream')
+      GROUP BY 1
+    ),
+    lex_top AS (
+      SELECT doc_id, round(score, 6) AS s FROM (
+        SELECT tf.doc_id,
+               sum(
+                 ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * ({_K1} + 1.0))
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df    ON tf.token  = df.token
+        JOIN dl    ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+      )
+      ORDER BY s DESC, doc_id LIMIT 50
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM lex_top
+    ),
+    vec_top AS (
+      SELECT doc_id, round(score, 6) AS s FROM (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+        FROM embeddings e,
+             (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0) q
+      )
+      ORDER BY s DESC, doc_id LIMIT 50
+    ),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM vec_top
+    )
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           CAST(coalesce(l.r, 0) AS INT) AS lex_rank,
+           CAST(coalesce(v.r, 0) AS INT) AS vec_rank,
+           round(coalesce(1.0 / (60 + l.r), 0.0)
+                 + coalesce(1.0 / (60 + v.r), 0.0), 8) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+)
+def rrf_hybrid_retrieval(spark, sf_dir):
+    """Hybrid search — reciprocal-rank fusion (Cormack et al. 2009) of
+    the certified lexical ranker (BM25, 3-term probe) and the certified
+    dense ranker (cosine to the vec_id-0 probe): each system contributes
+    1/(60 + rank) over its top-50, fused top-15 ships with both source
+    ranks (0 = unranked by that system). Ranks are row_numbers over
+    ROUNDED scores with doc_id tie-break, so both engines derive
+    identical rank tables from their already-hash-matched score
+    relations, and the fused sum of two dyadic-bounded doubles is
+    IEEE-identical cross-engine (round 8 belt-and-braces). Scale: both
+    rankers end in TakeOrderedAndProject; the rank windows and the FULL
+    OUTER fusion run on two 50-row relations — constant-size work after
+    the retrieval stages, the standard first-stage-fusion shape in
+    RAG / search stacks."""
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from polygon_algotrading_env_spark.operators.similarity import (
+        _query_lit,
+    )
+    from polygon_algotrading_env_spark.functions.vectors import cosine
+    from polygon_algotrading_env_spark.queries.vectors import _query_vec
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex_top = (
+        bm25_scores(docs, _BM25_QUERY, k1=_K1, b=_B)
+        .select(F.col("id").alias("doc_id"), F.round("score", 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(50)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    vec_top = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), _query_lit(qv)), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("s"), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(w).alias("lr"))
+    vec = vec_top.select("doc_id", F.row_number().over(w).alias("vr"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lr"), F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce(F.col("vr"), F.lit(0)).cast("int").alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vr")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)

@@ -390,3 +390,68 @@ def test_adamic_adar_matches_python_reference(spark, sf_dir):
     assert all(
         r["n_common"] == common[(r["part_a"], r["part_b"])] for r in got
     )
+
+
+def test_hash_min_labels_components_and_flag(spark):
+    """Two components: labels are each component's min id; one round on
+    a long chain must report unconverged."""
+    from polygon_algotrading_env_spark.operators.graph import (
+        hash_min_labels,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "src long, dst long"
+    )
+    out = hash_min_labels(edges, n_rounds=6).collect()
+    got = {r["id"]: r["label"] for r in out}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+    assert all(r["converged"] for r in out)
+
+    chain = [(i, i + 1) for i in range(9, 0, -1)]  # labels flow uphill
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    short = hash_min_labels(edges, n_rounds=2).collect()
+    assert all(r["converged"] is False for r in short)
+    full = hash_min_labels(edges, n_rounds=12).collect()
+    assert all(r["label"] == 1 and r["converged"] for r in full)
+
+
+def test_entity_resolution_crafted_duplicates(spark):
+    """Hand-built catalog with a known duplicate cluster: three listings
+    of the same product (tiny edit distances, adjacent sizes) must fold
+    into one cluster whose golden record is the min partkey; an
+    unrelated same-block listing with a far name must stay out."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    rows = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5],
+            "p_name": [
+                "red widget",
+                "reed widget",   # lev 1 to #1 (typo outside the block key)
+                "redd widget",   # lev 1 to #1
+                "turquoise widget",  # same block, lev 8 — no match
+                "red bolt",      # different noun — different block
+            ],
+            "p_brand": ["Brand#1"] * 5,
+            "p_type": ["t"] * 5,
+            "p_size": [10, 10, 11, 10, 10],
+            "p_retailprice": [1.0] * 5,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        out = REGISTRY["entity_resolution_parts"].fn(spark, d).collect()
+    assert len(out) == 1
+    (c,) = out
+    assert c["cluster_id"] == 1
+    assert c["n_members"] == 3
+    assert c["n_distinct_names"] == 3
+    assert c["canonical_name"] == "red widget"
+    assert c["converged"]

@@ -73,3 +73,26 @@ def test_engine_text_search_and_ordinals(spark):
     assert len(top) == 1 and top[0]["id"] == 1
     ords = eng.ordinals(docs, ["doc_id"]).orderBy("ordinal").collect()
     assert [r["doc_id"] for r in ords] == [1, 2, 3]
+
+
+def test_rrf_fuses_certified_rankers(spark, sf_dir):
+    """RRF output must equal the hand-fused ranks of its two source
+    rankers (recomputed in Python from the same collected score lists),
+    and the probe doc (vec_id 0, cosine 1.0 to itself) must surface."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    out = REGISTRY["rrf_hybrid_retrieval"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        want = 0.0
+        if r["lex_rank"] > 0:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] > 0:
+            want += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf"] - round(want, 8)) < 1e-12, r
+    # the probe embedding is its own nearest neighbor -> vec_rank 1
+    by_vec = {r["vec_rank"]: r["doc_id"] for r in out}
+    assert by_vec.get(1) == 0
+    # fused list is sorted by rrf desc then doc_id
+    pairs = [(-r["rrf"], r["doc_id"]) for r in out]
+    assert pairs == sorted(pairs)
