@@ -1,0 +1,127 @@
+"""Distributed k-means over embedding columns — the semantic-clustering
+primitive (cluster-balanced curation, semantic dedup, topic bucketing for
+mixture design) a training-data pipeline runs after embedding its corpus.
+
+Two design decisions make the operator certifiable cross-engine while
+keeping the plan the one you'd run at 100 TB:
+
+- **Integer quantization** (the md5-tier recipe: certify an exact twin of
+  the float production path): inputs are quantized to ``floor(x * 2^20)``
+  BIGINTs — floor of an IEEE product is bit-deterministic on identical
+  doubles, every distance is then EXACT integer arithmetic (dot products
+  stay < 2^53, so even engines that route them through doubles are exact),
+  and argmin ties break to the smallest centroid id identically on both
+  engines. A float Lloyd iteration could flip an assignment on a last-ulp
+  reorder; the quantized twin cannot.
+- **Fixed rounds + bounded driver state** (the LPA / BPE recipe): Lloyd
+  runs a pinned ``n_rounds``; the only driver-side data is the k x dim
+  centroid table (KB-sized, independent of corpus scale — the PQ-codebook
+  precedent), refreshed once per round from one per-(cluster, dim) sum
+  aggregate. Assignment is a constant-array codegen expression — no
+  Python in the scan, no join, no shuffle; the update aggregate shuffles
+  k x dim partial sums after map-side combine.
+
+Centroid update uses TRUNCATING integer division (DuckDB's ``//``
+semantics, matched exactly on the driver) and keeps the previous centroid
+for a cluster that loses all members, so the round recursion is replayable
+as chained MATERIALIZED CTEs.
+
+At 100 TB: per round = one corpus scan + one (cluster, dim)-keyed
+aggregate whose post-combine size is k x dim rows per partition — the
+textbook scalable Lloyd. Inertia sums are exact BIGINTs at fixture scale;
+a trillion-row corpus would emit them as doubles (documented overflow
+boundary ~2^53 of summed squared distance).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _truncdiv(s: int, n: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` on
+    BIGINTs (Python's ``//`` floors, which differs on negative sums)."""
+    t = abs(s) // n
+    return t if s >= 0 else -t
+
+
+def kmeans_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Fixed-round quantized Lloyd k-means. Returns (assignments, centroids)
+    where assignments = (vec_id, cid, dist) under the FINAL centroids and
+    centroids is the k x dim integer table (bounded driver state).
+
+    Seeding is deterministic without an RNG: the k rows with the smallest
+    ``md5(vec_id)`` (vec_id tie-break) in hash order — the repo's
+    md5-uniform idiom, reproducible in SQL on any engine with md5."""
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    seeds = (
+        q.select(
+            "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[int]] = [list(r["qv"]) for r in seeds]
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cv in cents
+        ]
+        arr = F.array(*dists)
+        cid = (F.array_position(arr, F.array_min(arr)) - 1).cast("long")
+        return q.select(
+            "vec_id",
+            "qv",
+            cid.alias("cid"),
+            F.array_min(arr).alias("dist"),
+        )
+
+    for _ in range(n_rounds):
+        stats = (
+            assign(cents)
+            .select("cid", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
+        cents = [
+            [
+                _truncdiv(by[ci][p][0], by[ci][p][1])
+                for p in range(len(cents[ci]))
+            ]
+            if ci in by
+            else cents[ci]
+            for ci in range(k)
+        ]
+
+    return assign(cents), cents

@@ -1970,15 +1970,20 @@ def cross_sectional_momentum(spark, sf_dir):
       SELECT event_type,
              CAST(ts AS DATE)        AS d,
              extract(hour FROM ts)   AS hr,
-             sum(value)              AS hv
+             sum(CAST(round(value * 100) AS BIGINT)) AS hv
       FROM events GROUP BY 1, 2, 3
     ),
-    dtot AS (SELECT event_type, d, sum(hv) AS dv FROM h GROUP BY 1, 2)
+    dtot AS (
+      SELECT event_type, d, CAST(sum(hv) AS BIGINT) AS dv
+      FROM h GROUP BY 1, 2
+    )
     SELECT h.event_type,
            CAST(h.hr AS INT)                       AS hr,
            count(*)                                AS n_days,
-           round(avg(h.hv), 4)                     AS avg_volume,
-           round(avg(h.hv / t.dv), 6)              AS avg_share_of_day
+           round(CAST(sum(h.hv) AS DOUBLE) / count(*) / 100, 4)
+                                                   AS avg_volume,
+           round(avg(CAST(h.hv AS DOUBLE) / CAST(t.dv AS DOUBLE)), 6)
+                                                   AS avg_share_of_day
     FROM h JOIN dtot t ON h.event_type = t.event_type AND h.d = t.d
     GROUP BY 1, 2
     """,
@@ -1989,23 +1994,37 @@ def intraday_volume_profile(spark, sf_dir):
     scheduling (trade more when the tape does). Hour cells aggregate
     once; daily totals are the same relation re-grouped (both tiny);
     the share averages the per-day ratio, not the ratio of averages, so
-    thin days weigh equally — the execution-calendar convention."""
+    thin days weigh equally — the execution-calendar convention.
+
+    ``value`` lives on a 2-decimal grid, so hour cells sum EXACT integer
+    hundredths (one cast at the scan) and every downstream quantity is a
+    deterministic function of exact integers — the float ``sum(value)``
+    form flaked once at the round-4 boundary because partial-aggregation
+    order varies run to run (the registry docstring's magnitude-aware
+    rounding rule, applied: round at the inputs' exact decimal width)."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("d"),
         F.hour("ts").alias("hr"),
-    ).agg(F.sum("value").alias("hv"))
-    dtot = h.groupBy("event_type", "d").agg(F.sum("hv").alias("dv"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("hv")
+    )
+    dtot = h.groupBy("event_type", "d").agg(
+        F.sum("hv").cast("bigint").alias("dv")
+    )
     return (
         h.join(dtot, ["event_type", "d"])
         .groupBy("event_type", F.col("hr").cast("int").alias("hr"))
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("hv"), 4).alias("avg_volume"),
-            F.round(F.avg(F.col("hv") / F.col("dv")), 6).alias(
-                "avg_share_of_day"
-            ),
+            F.round(
+                F.sum("hv").cast("double") / F.count(F.lit(1)) / 100, 4
+            ).alias("avg_volume"),
+            F.round(
+                F.avg(F.col("hv").cast("double") / F.col("dv").cast("double")),
+                6,
+            ).alias("avg_share_of_day"),
         )
     )
 

@@ -509,3 +509,120 @@ def pq_ann_topk(spark, sf_dir):
     return pq_topk_reranked(
         codes, emb, books, _query_vec(spark, sf_dir), k=20, n_candidates=100
     )
+
+
+# --- semantic clustering: fixed-round quantized k-means --------------------
+def _kmeans_oracle(k: int = 8, n_rounds: int = 3, scale: int = 1 << 20) -> str:
+    dist = (
+        "CAST(list_dot_product({q}.qv, {q}.qv)"
+        " - 2 * list_dot_product({q}.qv, {c}.cv)"
+        " + list_dot_product({c}.cv, {c}.cv) AS BIGINT)"
+    )
+    parts = []
+    for r in range(1, n_rounds + 1):
+        d = dist.format(q="q", c="c")
+        parts.append(f"""
+    asg{r} AS MATERIALIZED (
+      SELECT vec_id, qv, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT q.vec_id, q.qv, c.cid, {d} AS dist
+          FROM q CROSS JOIN c{r - 1} c
+        )
+      ) WHERE rn = 1
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT c{r - 1}.cid, COALESCE(n.cv, c{r - 1}.cv) AS cv
+      FROM c{r - 1} LEFT JOIN (
+        SELECT cid, list(d ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, sum(x) // count(*) AS d
+          FROM (
+            SELECT cid, unnest(qv) AS x,
+                   generate_subscripts(qv, 1) AS pos
+            FROM asg{r}
+          )
+          GROUP BY cid, pos
+        ) GROUP BY cid
+      ) n ON n.cid = c{r - 1}.cid
+    )""")
+    d_final = dist.format(q="q", c="c")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k}
+    ),{",".join(parts)},
+    asgF AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT q.vec_id, q.qv, c.cid, {d_final} AS dist
+          FROM q CROSS JOIN c{n_rounds} c
+        )
+      ) WHERE rn = 1
+    )
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_members,
+           CAST(sum(a.dist) AS BIGINT) AS inertia,
+           min(a.vec_id) AS min_member,
+           CAST(min(list_sum(c.cv)) AS BIGINT) AS centroid_sum
+    FROM asgF a JOIN c{n_rounds} c ON c.cid = a.cid
+    GROUP BY a.cid
+    """
+
+
+@register("kmeans_clusters_embeddings", oracle=_kmeans_oracle())
+def kmeans_clusters_embeddings(spark, sf_dir):
+    """Semantic clustering of the embedding corpus: fixed-round QUANTIZED
+    Lloyd k-means (k=8, 3 rounds, floor(x * 2^20) integer space — see
+    operators/clustering.py for why the quantized twin is exactly
+    certifiable while a float Lloyd is not), md5-ordered deterministic
+    seeding, truncating-division centroid updates, empty clusters keep
+    their previous centroid. Output is the per-cluster census — size,
+    exact integer inertia under the final centroids, smallest member id,
+    centroid component sum — replayed in DuckDB as chained MATERIALIZED
+    CTEs (the LPA recipe, here with the k x dim centroid table flowing
+    through the CTE chain instead of labels). Scale: per round one
+    corpus scan with a constant-array codegen assignment expression plus
+    one (cluster, dim)-keyed aggregate that map-side-combines to k x dim
+    rows per partition; driver state is the KB-sized centroid table (the
+    PQ-codebook precedent)."""
+    from polygon_algotrading_env_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    final, cents = kmeans_quantized(emb, k=8, n_rounds=3)
+    sums = {i: sum(cv) for i, cv in enumerate(cents)}
+    centroid_sum = F.lit(None).cast("long")
+    for i, s in sums.items():
+        centroid_sum = (
+            F.when(F.col("cid") == i, F.lit(int(s)))
+            .otherwise(centroid_sum)
+        )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            "min_member",
+            centroid_sum.cast("long").alias("centroid_sum"),
+        )
+    )
