@@ -256,7 +256,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (minhash_md5_signatures, minhash_md5_band_pairs,
 # winnow_md5_overlap_pairs, simhash_md5_signatures,
 # kcore80_copurchase_parts, k_anonymous_customer_release,
-# dp_noisy_segment_counts). Rotate against slots whose families hold
+# dp_noisy_segment_counts), plus the six new late-round-8 families
+# (kmeans_clusters_embeddings, entity_resolution_parts,
+# bfs_hops_part_supplier, adamic_adar_part_links, rrf_hybrid_retrieval,
+# chunk_docs_overlap). Rotate against slots whose families hold
 # >=3 recorded green rounds by then.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded

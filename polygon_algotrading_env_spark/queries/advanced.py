@@ -1499,7 +1499,7 @@ def _er_oracle(n_rounds: int = 8) -> str:
     """
 
 
-@register("entity_resolution_parts", oracle=_er_oracle())
+@register("entity_resolution_parts", headline=True, oracle=_er_oracle())
 def entity_resolution_parts(spark, sf_dir):
     """Record linkage / entity resolution over part listings — the
     blocking -> pairwise-match -> cluster -> golden-record pipeline every

@@ -582,7 +582,7 @@ def _kmeans_oracle(k: int = 8, n_rounds: int = 3, scale: int = 1 << 20) -> str:
     """
 
 
-@register("kmeans_clusters_embeddings", oracle=_kmeans_oracle())
+@register("kmeans_clusters_embeddings", headline=True, oracle=_kmeans_oracle())
 def kmeans_clusters_embeddings(spark, sf_dir):
     """Semantic clustering of the embedding corpus: fixed-round QUANTIZED
     Lloyd k-means (k=8, 3 rounds, floor(x * 2^20) integer space — see
@@ -625,4 +625,62 @@ def kmeans_clusters_embeddings(spark, sf_dir):
             "min_member",
             centroid_sum.cast("long").alias("centroid_sum"),
         )
+    )
+
+
+# --- exact Gram matrix of the quantized embedding corpus -------------------
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    u AS MATERIALIZED (
+      SELECT vec_id, unnest(qv) AS x,
+             generate_subscripts(qv, 1) - 1 AS i
+      FROM q
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS g
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark, sf_dir):
+    """Exact Gram matrix X'X of the quantized embedding corpus (upper
+    triangle, dim x dim = 2,080 cells) — the one-pass sufficient
+    statistic behind whitening, PCA, ridge regression, and linear-probe
+    fits over an embedded corpus. Quantization (floor(x * 2^20), the
+    k-means twin's grid) makes every cell an EXACT BIGINT on both
+    engines: products <= ~2^42 and corpus sums stay far under 2^63 at
+    fixture scale (a ~10^7-row corpus approaches the boundary — at that
+    scale production emits doubles, documented here). Plan: one
+    posexplode + a vec_id equi-self-join fanned to dim²/2 products, then
+    a (i, j)-keyed aggregate that map-side-combines each partition down
+    to 2,080 cells before the only shuffle — the standard distributed
+    Gram shape; output size is dim²/2 regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    u = q.select("vec_id", F.posexplode("qv").alias("i", "x"))
+    a = u.select("vec_id", F.col("i").alias("i"), F.col("x").alias("xa"))
+    b = u.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    return (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+        )
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("g"))
     )

@@ -94,3 +94,28 @@ def test_kmeans_tiebreak_prefers_smallest_cid(spark):
     assert all(r["dist"] == 0 for r in out)
     # the empty cluster kept its (identical) seed centroid
     assert cents[0] == cents[1]
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """The distributed Gram query vs numpy's X'X on the same quantized
+    matrix — exact integer equality, upper triangle complete."""
+    import math
+
+    import numpy as np
+
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [
+            [math.floor(float(x) * (1 << 20)) for x in r["embedding"]]
+            for r in sorted(emb, key=lambda r: r["vec_id"])
+        ],
+        dtype=object,  # exact Python ints, no int64 overflow ambiguity
+    )
+    G = X.T @ X
+    rows = REGISTRY["embedding_gram_matrix"].fn(spark, sf_dir).collect()
+    dim = X.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        assert r["g"] == int(G[r["i"], r["j"]]), (r["i"], r["j"])
