@@ -170,15 +170,32 @@ def _scaled_tpch(
 
     df = load_table(spark, src_dir, table)
     keys = set(_TPCH_KEYS[table])
-    parts = [
-        df.select(
-            *[
-                (F.col(c) + r * _KEY_BLOCK).alias(c) if c in keys else F.col(c)
-                for c in df.columns
-            ]
-        )
-        for r in range(factor)
-    ]
+    parts = []
+    for r in range(factor):
+        cols = []
+        for c in df.columns:
+            if c in keys:
+                cols.append((F.col(c) + r * _KEY_BLOCK).alias(c))
+            elif table == "part" and c == "p_name" and r > 0:
+                # Replica-keyed letter permutation (the documents
+                # precedent): a real 10x catalog grows its NAME domain,
+                # it doesn't stock 10 identical listings per (brand,
+                # noun, size) cell. Verbatim replication saturates every
+                # record-linkage block and turns the within-block
+                # pairing quadratic — a workload-shape change, not a
+                # scale change (observed: entity_resolution_parts 5-7x
+                # time at 10x data before this, ~linear after).
+                import random
+
+                rng = random.Random(982451653 * r + 54321)
+                la = list(_ALPHA)
+                rng.shuffle(la)
+                cols.append(
+                    F.translate(F.col(c), _ALPHA, "".join(la)).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -187,8 +204,10 @@ def _scaled_tpch(
 
 # Bump when the scaling transforms change: the cache marker embeds it, so
 # a stale dir built by an older algorithm is rebuilt instead of silently
-# benchmarked (v2 = seeded-permutation charmaps; v3 = +TPC-H tables).
-SCALE_ALGO_VERSION = 3
+# benchmarked (v2 = seeded-permutation charmaps; v3 = +TPC-H tables;
+# v4 = part-name permutation per replica so record-linkage blocks scale
+# linearly like a real catalog).
+SCALE_ALGO_VERSION = 4
 
 
 def build_scaled_fixtures(
