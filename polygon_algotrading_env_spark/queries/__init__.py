@@ -207,9 +207,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-4 flagships, driver-certified for the first time this round:
     # microstructure / labeling / LM-scoring / leakage-free-split packs
     # pairs_spread_zscore + vpin_volume_buckets rotated out r8 (green
-    # r5-r7); microstructure families anchored
-    "triple_barrier_labels_5m",
-    "bigram_logprob_docs",
+    # r5-r7); triple_barrier_labels_5m + bigram_logprob_docs rotated out
+    # late r8 (green r4-r7, four recorded rounds each) in favor of the
+    # two late-round-8 flagship families below
     "cluster_aware_split",
     "multigrain_bars_rollup",
     # TPC-H decision shapes all rotated out by r8 (Q3+Q6 r7 after two
@@ -246,6 +246,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "full_outer_daily_activity",
     "theil_sen_trend_daily",
     "weekly_cohort_retention",
+    # late-round-8 entrants: the two new flagship families built this
+    # round — quantized k-means semantic clustering and blocked record
+    # linkage — both exact-integer/string oracles hash-matched locally
+    # at three SFs and partition-order-stable under tools/flake_probe.py
+    "kmeans_clusters_embeddings",
+    "entity_resolution_parts",
 )
 
 # Round-9 rotation candidates (never driver-certified, oracle-bearing,
@@ -269,6 +275,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out late round 8 (green r4-r7, four recorded rounds)
+        "triple_barrier_labels_5m",
+        "bigram_logprob_docs",
         # rotated out in round 8 (green r4-r7 or r5-r7)
         "nation_market_share_economy",
         "excess_part_shippers",
