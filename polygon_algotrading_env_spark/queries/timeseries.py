@@ -5341,3 +5341,107 @@ def rank_ic_momentum_5m(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.round(F.avg("ic"), 6).alias("mean_ic"),
     )
+
+
+# --- two-sample Kolmogorov-Smirnov temporal drift --------------------------
+@register(
+    "ks_temporal_drift_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, epoch_ns(ts) AS tns FROM events
+    ),
+    rng AS (
+      SELECT event_type, min(tns) AS lo, max(tns) AS hi FROM ev GROUP BY 1
+    ),
+    tagged AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN 2 * e.tns <= r.lo + r.hi THEN 1 ELSE 2 END AS grp
+      FROM ev e JOIN rng r USING (event_type)
+    ),
+    cell AS (
+      SELECT event_type, value,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+      FROM cell
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks
+    FROM cum
+    WHERE n1 > 0 AND n2 > 0
+    GROUP BY event_type, n1, n2
+    """,
+)
+def ks_temporal_drift_by_type(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test per event_type: each
+    symbol's value distribution in the FIRST half of its time range vs
+    the SECOND half — the nonparametric complement to psi_price_drift
+    (PSI needs binning; KS is the sup-distance between the raw ECDFs,
+    sensitive anywhere on the support). Everything up to the final
+    statistic is EXACT integer arithmetic: the half-split is the integer
+    cross-multiplication 2*ts_ns <= lo+hi (no float midpoint), the ECDF
+    gap is |cum1*n2 - cum2*n1| (the common-denominator form), and the
+    emitted d_num/n1/n2 are exact bigints — ks itself is one
+    deterministic division. Scale: one (type, value) hash aggregate,
+    then window cumsums over the DISTINCT-value relation (bounded by
+    price-grid cardinality per symbol, not event count); the range table
+    is dim-sized and broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts_ns"
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    )
+    tagged = ev.join(F.broadcast(rng), "event_type").withColumn(
+        "grp",
+        F.when(
+            F.col("ts_ns") * 2 <= F.col("lo") + F.col("hi"), F.lit(1)
+        ).otherwise(F.lit(2)),
+    )
+    cell = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cell.select(
+        "event_type",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        cum.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.max(d).alias("d_num"))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks"),
+        )
+    )

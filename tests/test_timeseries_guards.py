@@ -59,3 +59,41 @@ def test_range_vol_n1_group_dropped_not_crashed(spark, tmp_path):
     oracle = con.sql(entry.oracle).fetchall()
     assert [r[0] for r in oracle] == ["fat"]
     assert all(v == v and abs(v) != float("inf") for r in oracle for v in r[1:])
+
+
+def test_ks_drift_matches_python_reference(spark, sf_dir):
+    """The registered KS query vs a straight-Python two-sample KS over
+    the same half-split rule — exact integer d_num and count equality."""
+    from collections import defaultdict
+
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts_ns"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append((r["ts_ns"], r["value"]))
+    want = {}
+    for et, pairs in by_type.items():
+        lo = min(t for t, _ in pairs)
+        hi = max(t for t, _ in pairs)
+        s1 = sorted(v for t, v in pairs if 2 * t <= lo + hi)
+        s2 = sorted(v for t, v in pairs if 2 * t > lo + hi)
+        if not s1 or not s2:
+            continue
+        n1, n2 = len(s1), len(s2)
+        grid = sorted(set(s1) | set(s2))
+        import bisect
+
+        d = max(
+            abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+            for v in grid
+        )
+        want[et] = (n1, n2, d, round(d / (n1 * n2), 6))
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["d_num"], r["ks"])
+        for r in REGISTRY["ks_temporal_drift_by_type"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
