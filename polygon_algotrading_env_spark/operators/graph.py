@@ -735,3 +735,83 @@ def hash_min_labels(
     return labels.crossJoin(F.broadcast(n_changed)).select(
         "id", "label", (F.col("__n_changed") == 0).alias("converged")
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_rounds: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-round Bellman-Ford single/multi-source cheapest paths over
+    non-negative INTEGER edge weights: every round each reached vertex
+    offers ``dist + w`` along its (symmetrized) edges and every vertex
+    keeps its minimum offer; after ``n_rounds`` rounds returns
+    (id, dist, converged) where ``converged`` records that the final
+    round neither reached a new vertex nor lowered any distance (with
+    non-negative weights, distances are min-stable, so an unchanged
+    round IS the shortest-path fixpoint — the weighted generalization of
+    ``bfs_hops``).
+
+    Deterministic fixed rounds + exact integer distances make the table
+    SQL-replayable as chained MATERIALIZED CTEs. Per round: one
+    equi-join of the weighted symmetric edge set against the reached
+    relation + one min aggregate — two narrow (id)-keyed shuffles,
+    lineage truncated every ``checkpoint_every`` rounds."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).where(F.col(src) != F.col(dst))
+    sym = (
+        e.unionAll(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    reached = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "id BIGINT, dist BIGINT"
+    )
+    penult = reached
+    for i in range(n_rounds):
+        offers = sym.join(
+            reached.select(F.col("id").alias("u"), F.col("dist").alias("d")),
+            "u",
+        ).select(F.col("v").alias("id"), (F.col("d") + F.col("w")).alias("dist"))
+        nxt = (
+            reached.unionAll(offers)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i + 1 == n_rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        if i + 1 == n_rounds:
+            penult = reached.localCheckpoint(eager=True)
+        reached = nxt
+    n_last = reached.agg(F.count(F.lit(1)).alias("__n_last"))
+    n_prev = penult.agg(F.count(F.lit(1)).alias("__n_prev"))
+    n_moved = (
+        reached.select("id", F.col("dist").alias("da"))
+        .join(penult.select("id", F.col("dist").alias("db")), "id")
+        .where(F.col("da") != F.col("db"))
+        .agg(F.count(F.lit(1)).alias("__n_moved"))
+    )
+    return (
+        reached.crossJoin(F.broadcast(n_last))
+        .crossJoin(F.broadcast(n_prev))
+        .crossJoin(F.broadcast(n_moved))
+        .select(
+            "id",
+            "dist",
+            (
+                (F.col("__n_last") == F.col("__n_prev"))
+                & (F.col("__n_moved") == 0)
+            ).alias("converged"),
+        )
+    )

@@ -73,6 +73,8 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         # checkpointed label relations row-wise — fact-derived both sides,
         # the iterative-graph family's convergence audit.
         "entity_resolution_parts",
+        # bellman_ford's converged-flag join, same convergence-audit shape.
+        "cheapest_supply_paths",
     }
 )
 

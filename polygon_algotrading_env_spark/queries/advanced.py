@@ -1593,3 +1593,78 @@ def entity_resolution_parts(spark, sf_dir):
             "converged",
         )
     )
+
+
+# --- Bellman-Ford cheapest supply paths (weighted BFS sibling) -------------
+def _bf_oracle(n_rounds: int = 10, thresh: int = 48) -> str:
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        prev = f"a{i - 1}"
+        rounds.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.v AS id, x.dist + e.w AS dist
+        FROM {prev} x JOIN sym e ON e.u = x.id
+      ) GROUP BY id
+    )""")
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT l_partkey AS u, 10000000 + l_suppkey AS v,
+             51 - CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_quantity >= {thresh}
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v, min(w) AS w FROM (
+        SELECT u, v, w FROM raw
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM raw
+      ) GROUP BY u, v
+    ),
+    a0 AS MATERIALIZED (
+      SELECT min(l_partkey) AS id, CAST(0 AS BIGINT) AS dist
+      FROM lineitem WHERE l_quantity >= {thresh}
+    ),{",".join(rounds)},
+    conv AS (
+      SELECT ((SELECT count(*) FROM a{n_rounds})
+                = (SELECT count(*) FROM a{n_rounds - 1}))
+             AND (SELECT count(*) FROM a{n_rounds} x
+                  JOIN a{n_rounds - 1} y ON x.id = y.id
+                  WHERE x.dist <> y.dist) = 0 AS converged
+    )
+    SELECT a.id, a.dist, conv.converged
+    FROM a{n_rounds} a CROSS JOIN conv
+    ORDER BY a.dist, a.id
+    LIMIT 20
+    """
+
+
+@register("cheapest_supply_paths", oracle=_bf_oracle())
+def cheapest_supply_paths(spark, sf_dir):
+    """Bellman-Ford cheapest paths over the thinned part-supplier
+    bipartite graph with BULK-DISCOUNT edge weights (w = 51 - quantity,
+    so a 50-unit shipment is a cheaper hop than a 48-unit one; duplicate
+    edges keep their min weight) — the weighted sibling of the BFS
+    query: supply-chain substitution cost from the seed part, not just
+    hop count. Same fixed-round recipe (10 relaxation rounds, chained
+    MATERIALIZED CTEs, min-stable integer distances) with a STRONGER
+    converged flag: the final round must neither reach a new vertex nor
+    LOWER any distance (weighted relaxations can improve known vertices
+    long after first touch). Top-20 nearest by (dist, id) — all exact
+    integers ⇒ exact hash equality. Scale: per round one equi-join of
+    the weighted edge relation against the reached set + one min
+    aggregate; the convergence audit is a row-wise compare of the last
+    two checkpointed distance relations."""
+    from polygon_algotrading_env_spark.operators.graph import bellman_ford
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = li.where(F.col("l_quantity") >= 48)
+    e = bulk.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        (F.lit(51) - F.col("l_quantity").cast("bigint")).alias("w"),
+    )
+    seed = bulk.agg(F.min("l_partkey")).collect()[0][0]
+    out = bellman_ford(e, seeds=[seed], n_rounds=10)
+    return out.orderBy("dist", "id").limit(20)

@@ -455,3 +455,37 @@ def test_entity_resolution_crafted_duplicates(spark):
     assert c["n_distinct_names"] == 3
     assert c["canonical_name"] == "red widget"
     assert c["converged"]
+
+
+def test_bellman_ford_weighted_path(spark):
+    """Weighted diamond: the 2-hop cheap route (1+1) must beat the
+    1-hop expensive edge (5); a round cap too small to propagate the
+    improvement must report unconverged."""
+    from polygon_algotrading_env_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(0, 9, 5), (0, 1, 1), (1, 9, 1), (9, 7, 1)],
+        "src long, dst long, w long",
+    )
+    out = bellman_ford(edges, seeds=[0], n_rounds=6).collect()
+    got = {r["id"]: r["dist"] for r in out}
+    assert got == {0: 0, 1: 1, 9: 2, 7: 3}
+    assert all(r["converged"] for r in out)
+
+    # one round: 9 still holds the direct cost 5; flag must be False
+    short = bellman_ford(edges, seeds=[0], n_rounds=1).collect()
+    got1 = {r["id"]: r["dist"] for r in short}
+    assert got1[9] == 5
+    assert all(r["converged"] is False for r in short)
+
+
+def test_bellman_ford_duplicate_edges_keep_min(spark):
+    from polygon_algotrading_env_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(0, 1, 7), (0, 1, 2), (1, 0, 9)],
+        "src long, dst long, w long",
+    )
+    out = bellman_ford(edges, seeds=[0], n_rounds=3).collect()
+    got = {r["id"]: r["dist"] for r in out}
+    assert got == {0: 0, 1: 2}
