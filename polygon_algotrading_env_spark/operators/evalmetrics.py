@@ -1,0 +1,454 @@
+"""Model-evaluation and feature-association metrics as exact distributed
+aggregates.
+
+A training-data pipeline is judged by the models it feeds, so the engine
+needs the evaluation tier next to the curation tier: ranking quality of a
+retriever (precision@k / MRR / NDCG against labels), discrimination of a
+signal (tie-corrected Mann-Whitney AUC), threshold metrics (confusion
+matrix / F1), decile lift tables, inter-rater agreement (Cohen's kappa),
+feature association (chi-square, mutual information), and rank correlation
+(tie-corrected Spearman). The reference repo scores its trading signals
+downstream in pandas notebooks; here each metric is a first-class
+distributed operator.
+
+Numeric discipline (the repo-wide cross-engine contract): every COUNT-like
+quantity is an exact BIGINT aggregate; every derived metric is computed
+from those exact integers by a fixed sequence of scalar double operations
+(cast, multiply, divide, sqrt, log2), which IEEE-754 rounds identically on
+both engines — no double SUM feeds a metric except the explicitly-rounded
+DCG term, whose ≤k addends keep reorder error ~1e-15 against a 1e-6 grid.
+
+Scale notes per operator are in the docstrings; none of these shuffles
+anything wider than (group, value) aggregates plus scalar/tiny broadcast
+joins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _flag(c: Column) -> Column:
+    return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+
+def auc_rank_sum(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney AUC of ``score_col`` separating rows
+    where ``positive`` holds, per key group: returns (keys..., n_pos,
+    n_neg, auc_num2, auc) where ``auc_num2`` = 2·U = Σ over pairs of
+    (2·[pos>neg] + 1·[tie]) — an exact BIGINT, so the hash-compared
+    payload is integer and ``auc = auc_num2 / (2·n_pos·n_neg)`` is one
+    deterministic double division.
+
+    Plan: one (keys, score) hash aggregate collapses the fact table to
+    its score grid, one window cumsum over that grid per group (grid
+    cardinality, not row count), one final hash aggregate. At 100 TB the
+    window's sort is bounded by the number of DISTINCT scores per group —
+    for quantized prices/scores that is orders of magnitude below the row
+    count, and partial aggregation combines map-side."""
+    keys = keys or []
+    pos = _flag(positive)
+    grid = (
+        df.select(*keys, F.col(score_col).alias("__score"), pos.alias("__p"))
+        .groupBy(*keys, "__score")
+        .agg(
+            F.sum("__p").alias("__np"),
+            F.sum(F.lit(1) - F.col("__p")).alias("__nn"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.withColumn(
+        "__cumneg", F.coalesce(F.sum("__nn").over(w), F.lit(0))
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+        F.sum(
+            F.col("__np") * (2 * F.col("__cumneg") + F.col("__nn"))
+        ).alias("auc_num2"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.try_divide(
+                F.col("auc_num2").cast("double"),
+                2.0 * F.col("n_pos") * F.col("n_neg"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+# 1/log2(i+1) discount weights and their ideal-DCG prefix sums, emitted as
+# repr'd double literals so Spark and DuckDB parse bit-identical constants.
+def dcg_discounts(k: int) -> list[float]:
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def idcg_prefix(k: int) -> list[float]:
+    out, acc = [], 0.0
+    for d in dcg_discounts(k):
+        acc += d
+        out.append(acc)
+    return out
+
+
+def label_topk_eval(
+    emb: DataFrame,
+    query_rows: list[tuple[int, list[float], int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval evaluation of the exact-cosine ranker against label
+    ground truth: for each (qid, qvec, qlabel) in ``query_rows``, rank all
+    OTHER rows by (round(cosine,6) DESC, id) and score the top ``k`` —
+    returns (qid, hits, p_at_k, mrr, dcg, ndcg) with ``hits`` an exact
+    BIGINT and the graded metrics rounded at 6dp.
+
+    The query set enters as a CONSTANT array of structs exploded onto
+    every candidate row — no join node at all, |Q|·n rows out of a single
+    scan (the standard eval-harness shape: |Q| is dozens, the corpus is
+    the big side). NDCG's ideal normalizer is looked up from a prefix-sum
+    literal array indexed by the exact integer hit count, so both engines
+    divide identical doubles."""
+    from polygon_algotrading_env_spark.functions.vectors import cosine
+
+    qstructs = [
+        F.struct(
+            F.lit(int(qid)).alias("qid"),
+            F.array(*[F.lit(float(x)) for x in qvec]).alias("qvec"),
+            F.lit(int(qlabel)).alias("qlabel"),
+        )
+        for qid, qvec, qlabel in query_rows
+    ]
+    fanned = (
+        emb.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.col(label_col).alias("clabel"),
+            F.explode(F.array(*qstructs)).alias("q"),
+        )
+        .where(F.col("q.qid") != F.col("cid"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "cid",
+            F.round(cosine("cvec", F.col("q.qvec")), 6).alias("score"),
+            _flag(F.col("clabel") == F.col("q.qlabel")).alias("rel"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("cid").asc()
+        )
+    )
+    top = fanned.withColumn("rn", rn).where(F.col("rn") <= k)
+    discounts = dcg_discounts(k)
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in discounts]), F.col("rn").cast("int")
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in idcg_prefix(k)]),
+        F.col("hits").cast("int"),
+    )
+    agg = top.groupBy("qid").agg(
+        F.sum("rel").alias("hits"),
+        F.round(F.sum("rel") / float(k), 6).alias("p_at_k"),
+        F.round(
+            F.max(F.col("rel") * (F.lit(1.0) / F.col("rn"))), 6
+        ).alias("mrr"),
+        F.round(F.sum(F.col("rel") * disc), 6).alias("dcg"),
+        F.sum(F.col("rel") * disc).alias("__dcg_raw"),
+    )
+    return agg.select(
+        "qid",
+        "hits",
+        "p_at_k",
+        "mrr",
+        "dcg",
+        F.when(F.col("hits") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("__dcg_raw") / idcg, 6))
+        .alias("ndcg"),
+    )
+
+
+def contingency_assoc(
+    df: DataFrame, a: str, b: str, with_mi: bool = False
+) -> DataFrame:
+    """Contingency-table association decomposition of two categorical
+    columns: per (a, b) cell returns the exact BIGINT sufficient
+    statistics (o = cell count, r = row marginal, c = column marginal,
+    n = total) plus:
+
+    - ``d = n·o − r·c`` (exact BIGINT — the scaled deviation whose square
+      over n·r·c is the cell's chi-square contribution), and
+      ``chi2_term = d²/(n·r·c)`` as a deterministic double;
+    - with ``with_mi``: ``mi_term = (o/n)·log2(n·o/(r·c))`` — the cell's
+      mutual-information contribution in bits.
+
+    Plan: one (a,b) hash aggregate over the fact table; marginals are
+    cell-table aggregates re-derived FROM the cell relation (domain-sized,
+    never a second fact scan) joined back broadcast. Everything after the
+    first aggregate is bounded by |A|·|B|. BIGINT headroom: |d| ≤ n·max(o,
+    r·c/n) ≈ n·r — fine to ~3e9 rows per marginal; beyond that promote d
+    to DECIMAL(38,0)."""
+    cells = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy(a).agg(F.sum("o").alias("r"))
+    cols = cells.groupBy(b).agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows), a)
+        .join(F.broadcast(cols), b)
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    out = j.select(
+        a,
+        b,
+        "o",
+        "r",
+        "c",
+        "n",
+        d.alias("d"),
+        F.round(
+            F.try_divide(
+                (d * d).cast("double"),
+                (F.col("n") * F.col("r") * F.col("c")).cast("double"),
+            ),
+            6,
+        ).alias("chi2_term"),
+    )
+    if with_mi:
+        out = out.withColumn(
+            "mi_term",
+            F.round(
+                (F.col("o").cast("double") / F.col("n"))
+                * F.log2(
+                    (F.col("n") * F.col("o")).cast("double")
+                    / (F.col("r") * F.col("c")).cast("double")
+                ),
+                6,
+            ),
+        )
+    return out
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lift / capture table: rows are bucketed by exact score quantiles
+    (bucket 1 = lowest scores) and each bucket reports its exact BIGINT
+    (n, n_pos) plus ``rate``, ``lift`` (bucket rate over overall rate) and
+    ``capture`` (share of all positives) as deterministic doubles.
+
+    Bucket assignment is by comparison against the n_buckets−1 exact
+    percentile cutoffs broadcast as one row — a scan-side expression, NOT
+    a global ntile() sort (which would be a single-partition window at
+    scale). Ties straddling a cutoff all land in the lower bucket, so
+    bucket sizes wobble with ties but assignment is value-deterministic
+    on both engines."""
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(score_col), F.lit(i / n_buckets)).alias(
+                f"__c{i}"
+            )
+            for i in range(1, n_buckets)
+        ]
+    )
+    pos = _flag(positive)
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + _flag(F.col(score_col) > F.col(f"__c{i}"))
+    per = (
+        df.select(F.col(score_col).alias(score_col), pos.alias("__p"))
+        .crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), F.col("__p"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__p").alias("n_pos"))
+    )
+    tot = per.agg(
+        F.sum("n").alias("__tn"), F.sum("n_pos").alias("__tpos")
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    overall = F.col("__tpos").cast("double") / F.col("__tn")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(rate, 6).alias("rate"),
+            F.round(F.try_divide(rate, overall), 6).alias("lift"),
+            F.round(
+                F.try_divide(
+                    F.col("n_pos").cast("double"), F.col("__tpos")
+                ),
+                6,
+            ).alias("capture"),
+        )
+    )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    threshold: Column | None = None,
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Binary-classifier threshold metrics: predict positive where
+    ``score > threshold`` (default: the exact score ``quantile``) and
+    return one row of exact BIGINT tp/fp/fn/tn plus precision / recall /
+    f1 / accuracy as deterministic doubles from those integers.
+
+    The threshold is a one-row broadcast aggregate; the counts are a
+    single scan-side conditional aggregate — two jobs, no wide shuffle."""
+    if threshold is None:
+        thr = df.agg(
+            F.percentile(F.col(score_col), F.lit(quantile)).alias("__thr")
+        )
+        base = df.crossJoin(F.broadcast(thr))
+        thr_col = F.col("__thr")
+    else:
+        base = df
+        thr_col = threshold
+    p = positive
+    pred = F.col(score_col) > thr_col
+    agg = base.agg(
+        F.sum(_flag(pred & p)).alias("tp"),
+        F.sum(_flag(pred & ~p)).alias("fp"),
+        F.sum(_flag(~pred & p)).alias("fn"),
+        F.sum(_flag(~pred & ~p)).alias("tn"),
+    )
+    prec = F.try_divide(
+        F.col("tp").cast("double"), F.col("tp") + F.col("fp")
+    )
+    rec = F.try_divide(
+        F.col("tp").cast("double"), F.col("tp") + F.col("fn")
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2.0 * prec * rec, prec + rec), 6).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Inter-rater agreement between two boolean raters: one row of the
+    exact BIGINT 2×2 agreement counts (n11, n10, n01, n00) plus observed
+    agreement ``po``, chance agreement ``pe`` and Cohen's kappa — all
+    deterministic doubles from the exact integers. One conditional
+    aggregate over a single scan."""
+    a, b = rater_a, rater_b
+    agg = df.agg(
+        F.sum(_flag(a & b)).alias("n11"),
+        F.sum(_flag(a & ~b)).alias("n10"),
+        F.sum(_flag(~a & b)).alias("n01"),
+        F.sum(_flag(~a & ~b)).alias("n00"),
+    )
+    n = (
+        F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    ).cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (n * n)
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.try_divide(po - pe, 1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def spearman_by_group(
+    df: DataFrame, x: str, y: str, keys: list[str]
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation of two numeric columns per
+    key group: ranks use the average-rank convention encoded EXACTLY as
+    ``2·avgrank = 2·rank() + tie_count − 1`` (an integer), so the five
+    rank moments (sx, sy, sxx, syy, sxy) are exact BIGINT aggregates and
+    ``rho = (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))`` is a
+    fixed scalar double recipe both engines evaluate identically (the
+    bigint→double casts round-to-nearest the same way).
+
+    Plan: two rank windows (one sort shuffle per axis, both keyed on the
+    group) + one hash aggregate. BIGINT headroom: sxy ≤ n·(2n)² — exact
+    to n ≈ 1.3e6 rows per group; larger groups should promote the moment
+    sums to DECIMAL(38,0)."""
+    gw = lambda c: Window.partitionBy(*keys).orderBy(c)  # noqa: E731
+    tie = lambda c: Window.partitionBy(*keys, c)  # noqa: E731
+    two = F.lit(2).cast("bigint")
+    ranked = df.select(
+        *keys,
+        (
+            two * F.rank().over(gw(x)) + F.count(F.lit(1)).over(tie(x)) - 1
+        ).alias("rx"),
+        (
+            two * F.rank().over(gw(y)) + F.count(F.lit(1)).over(tie(y)) - 1
+        ).alias("ry"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.round(
+            F.try_divide(num, F.sqrt(denx) * F.sqrt(deny)), 6
+        ).alias("rho"),
+    )

@@ -81,6 +81,7 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
     advanced,
     retrieval,
     decision,
+    mleval,
 )
 
 # ---------------------------------------------------------------------------

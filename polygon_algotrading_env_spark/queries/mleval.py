@@ -1,0 +1,433 @@
+"""Model-evaluation / feature-association tier (extension surface).
+
+The reference pipeline's outputs feed signal research that is scored in
+downstream pandas notebooks (AUC of a signal, lift of a decile, agreement
+of two labelers); a training-data engine needs those scoreboards as
+first-class distributed queries. Every metric here follows the repo's
+exact-integer discipline: the hash-compared payload is BIGINT sufficient
+statistics (pair counts, rank moments, contingency cells) plus metrics
+derived from them by fixed scalar double recipes that IEEE-754 evaluates
+identically on Spark and DuckDB — see operators/evalmetrics.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.catalog import load_table
+from polygon_algotrading_env_spark.operators.evalmetrics import (
+    auc_rank_sum,
+    cohens_kappa,
+    confusion_at_threshold,
+    contingency_assoc,
+    dcg_discounts,
+    decile_lift,
+    idcg_prefix,
+    label_topk_eval,
+    spearman_by_group,
+)
+from polygon_algotrading_env_spark.queries import register
+
+_URGENT = "o_orderpriority = '1-URGENT'"
+
+
+# --- tie-corrected Mann-Whitney AUC ---------------------------------------
+@register(
+    "auc_urgent_price_by_status",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderstatus AS g, o_totalprice AS score,
+             CAST(sum(CASE WHEN {_URGENT} THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN {_URGENT} THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT g, np, nn,
+             coalesce(sum(nn) OVER (
+               PARTITION BY g ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM s
+    )
+    SELECT g AS o_orderstatus,
+           CAST(sum(np) AS BIGINT)                      AS n_pos,
+           CAST(sum(nn) AS BIGINT)                      AS n_neg,
+           CAST(sum(np * (2 * cumneg + nn)) AS BIGINT)  AS auc_num2,
+           round(CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE)
+                 / (2.0 * sum(np) * sum(nn)), 6)        AS auc
+    FROM c GROUP BY g
+    """,
+)
+def auc_urgent_price_by_status(spark, sf_dir):
+    """Does order value discriminate URGENT orders, per order status? —
+    tie-corrected Mann-Whitney AUC with the 2U numerator emitted as an
+    exact BIGINT (every tied pair contributes exactly 1, every win 2).
+    Plan: the fact table collapses to its (status, price) grid in one
+    hash aggregate; the pair count is a window cumsum over the GRID (its
+    cardinality, not the row count) plus one final aggregate — the same
+    shape at 100 TB provided scores are grid-valued, which prices are."""
+    o = load_table(spark, sf_dir, "orders")
+    return auc_rank_sum(
+        o,
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+        keys=["o_orderstatus"],
+    )
+
+
+# --- retrieval eval vs label ground truth ---------------------------------
+_K = 10
+_DISC_SQL = "[" + ", ".join(repr(d) for d in dcg_discounts(_K)) + "]"
+_IDCG_SQL = "[" + ", ".join(repr(v) for v in idcg_prefix(_K)) + "]"
+
+_QUERY_ROWS_CACHE: dict[str, list[tuple[int, list[float], int]]] = {}
+
+
+def _eval_query_rows(spark, sf_dir):
+    """The 20 evaluation probes (vec_id < 20) with their labels — models
+    the eval-harness shape where the query set arrives with the request;
+    cached per fixture dir like the ANN probe vector."""
+    key = os.path.abspath(sf_dir)
+    if key not in _QUERY_ROWS_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 20)
+            .select("vec_id", "embedding", "label")
+            .collect()
+        )
+        _QUERY_ROWS_CACHE[key] = [
+            (r["vec_id"], list(r["embedding"]), r["label"]) for r in rows
+        ]
+    return _QUERY_ROWS_CACHE[key]
+
+
+@register(
+    "retrieval_label_eval_top10",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sc AS (
+      SELECT q.qid, e.vec_id AS cid,
+             round(list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(q.qv, x -> x * x)))),
+                   6) AS score,
+             CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    r AS (
+      SELECT qid, cid, rel,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+               AS rn
+      FROM sc
+    ),
+    a AS (
+      SELECT qid,
+             CAST(sum(rel) AS BIGINT)                       AS hits,
+             round(sum(rel) / 10.0, 6)                      AS p_at_k,
+             round(max(rel * (1.0 / rn)), 6)                AS mrr,
+             round(sum(rel * ({_DISC_SQL})[rn]), 6)         AS dcg,
+             sum(rel * ({_DISC_SQL})[rn])                   AS dcg_raw
+      FROM r WHERE rn <= {_K} GROUP BY qid
+    )
+    SELECT qid, hits, p_at_k, mrr, dcg,
+           CASE WHEN hits = 0 THEN 0.0
+                ELSE round(dcg_raw / ({_IDCG_SQL})[hits], 6) END AS ndcg
+    FROM a
+    """,
+)
+def retrieval_label_eval_top10(spark, sf_dir):
+    """Scoreboard for the exact-cosine retriever against label ground
+    truth: per evaluation probe, precision@10, MRR, DCG and NDCG with the
+    hit count as an exact BIGINT. The probe set rides as a constant
+    struct array exploded onto the corpus scan (|Q|·n rows, no join
+    node); ranking is per-probe top-k on (rounded score, id); NDCG's
+    ideal normalizer is a literal prefix-sum array indexed by the integer
+    hit count, so both engines divide identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_topk_eval(emb, _eval_query_rows(spark, sf_dir), k=_K)
+
+
+# --- chi-square feature association ---------------------------------------
+@register(
+    "chi_square_brand_type",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS o
+      FROM part GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT p_brand, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT p_type, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+    SELECT ce.p_brand, ce.p_type, ce.o, r.r, c.c, t.n,
+           CAST(t.n * ce.o - r.r * c.c AS BIGINT) AS d,
+           round(CAST((t.n * ce.o - r.r * c.c)
+                      * (t.n * ce.o - r.r * c.c) AS DOUBLE)
+                 / CAST(t.n * r.r * c.c AS DOUBLE), 6) AS chi2_term
+    FROM cells ce
+    JOIN rows_ r USING (p_brand)
+    JOIN cols_ c USING (p_type)
+    CROSS JOIN tot t
+    """,
+)
+def chi_square_brand_type(spark, sf_dir):
+    """Is part type independent of brand? — the full chi-square
+    decomposition: per (brand, type) cell the exact BIGINT sufficient
+    statistics and the scaled deviation d = n·o − r·c (d²/(n·r·c) sums to
+    the chi-square statistic; emitting per-cell terms makes the query a
+    feature-selection report, not just one number). Marginals are
+    re-aggregated FROM the domain-sized cell relation — the fact table is
+    scanned exactly once at any scale."""
+    return contingency_assoc(
+        load_table(spark, sf_dir, "part"), "p_brand", "p_type"
+    )
+
+
+# --- mutual information ----------------------------------------------------
+@register(
+    "mutual_info_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+    SELECT ce.lang, ce.source, ce.o, r.r, c.c, t.n,
+           CAST(t.n * ce.o - r.r * c.c AS BIGINT) AS d,
+           round(CAST((t.n * ce.o - r.r * c.c)
+                      * (t.n * ce.o - r.r * c.c) AS DOUBLE)
+                 / CAST(t.n * r.r * c.c AS DOUBLE), 6) AS chi2_term,
+           round((CAST(ce.o AS DOUBLE) / t.n)
+                 * log2(CAST(t.n * ce.o AS DOUBLE)
+                        / CAST(r.r * c.c AS DOUBLE)), 6) AS mi_term
+    FROM cells ce
+    JOIN rows_ r USING (lang)
+    JOIN cols_ c USING (source)
+    CROSS JOIN tot t
+    """,
+)
+def mutual_info_lang_source(spark, sf_dir):
+    """How much does a document's source tell you about its language? —
+    pointwise mutual-information decomposition over the (lang, source)
+    contingency table (mi_term sums to I(lang; source) in bits), with the
+    chi-square deviation alongside for the same cells. The log2 argument
+    is a ratio of exact BIGINT products cast to double, keeping the only
+    cross-engine wobble inside log2's last ulp — far below the 1e-6
+    rounding grid. Corpus-curation use: rank metadata columns by how much
+    language signal they leak before choosing mixture strata."""
+    return contingency_assoc(
+        load_table(spark, sf_dir, "documents"), "lang", "source", with_mi=True
+    )
+
+
+# --- decile lift -----------------------------------------------------------
+def _decile_cuts_sql() -> str:
+    cols = ", ".join(
+        f"quantile_cont(o_totalprice, {i / 10}) AS c{i}" for i in range(1, 10)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+    WITH cuts AS (SELECT {cols} FROM orders),
+    b AS (
+      SELECT 1 + {bucket} AS bucket,
+             CASE WHEN {_URGENT} THEN 1 ELSE 0 END AS p
+      FROM orders, cuts
+    ),
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS BIGINT) AS n_pos
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tpos
+      FROM per
+    )
+    SELECT bucket, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+           round((CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(tpos AS DOUBLE) / tn), 6) AS lift,
+           round(CAST(n_pos AS DOUBLE) / tpos, 6) AS capture
+    FROM per CROSS JOIN tot
+    """
+
+
+@register("decile_lift_urgent_orders", oracle=_decile_cuts_sql())
+def decile_lift_urgent_orders(spark, sf_dir):
+    """Decile lift table for order value as an urgency signal: bucket by
+    exact price deciles, report each bucket's exact (n, n_pos) and its
+    rate / lift / capture. Buckets come from comparing against the nine
+    exact percentile cutoffs broadcast as one row (a scan expression) —
+    NOT a global ntile() sort, which would funnel the fact table through
+    one partition at scale."""
+    return decile_lift(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+    )
+
+
+# --- confusion matrix / F1 -------------------------------------------------
+@register(
+    "confusion_f1_price_median",
+    oracle=f"""
+    WITH thr AS (SELECT quantile_cont(o_totalprice, 0.5) AS t FROM orders),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN o_totalprice > t AND {_URGENT}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN o_totalprice > t AND NOT ({_URGENT})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN o_totalprice <= t AND {_URGENT}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN o_totalprice <= t AND NOT ({_URGENT})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM orders, thr
+    ),
+    m AS (
+      SELECT tp, fp, fn, tn,
+             CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+             CAST(tp AS DOUBLE) / (tp + fn) AS rec
+      FROM a
+    )
+    SELECT tp, fp, fn, tn,
+           round(prec, 6) AS precision,
+           round(rec, 6)  AS recall,
+           round(2.0 * prec * rec / (prec + rec), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+             AS accuracy
+    FROM m
+    """,
+)
+def confusion_f1_price_median(spark, sf_dir):
+    """Threshold metrics for the price-predicts-urgency classifier at
+    the exact median cutoff: one row of exact BIGINT tp/fp/fn/tn plus
+    precision / recall / F1 / accuracy derived from those integers by
+    the identical scalar double recipe on both engines. The median is a
+    one-row broadcast; the counts one conditional scan aggregate."""
+    return confusion_at_threshold(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+    )
+
+
+# --- Cohen's kappa ---------------------------------------------------------
+@register(
+    "cohens_kappa_doc_raters",
+    oracle="""
+    WITH a AS (
+      SELECT
+        CAST(sum(CASE WHEN n_chars >= 306
+                   AND length(text) - length(replace(text, ' ', '')) >= 55
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN n_chars >= 306
+                   AND length(text) - length(replace(text, ' ', '')) < 55
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN n_chars < 306
+                   AND length(text) - length(replace(text, ' ', '')) >= 55
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN n_chars < 306
+                   AND length(text) - length(replace(text, ' ', '')) < 55
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM documents
+    ),
+    m AS (
+      SELECT n11, n10, n01, n00,
+             CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS n,
+             CAST(n11 + n00 AS DOUBLE)
+               / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+             CAST((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00) AS DOUBLE)
+               / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                  * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe
+      FROM a
+    )
+    SELECT n11, n10, n01, n00,
+           round(po, 6) AS po,
+           round(pe, 6) AS pe,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM m
+    """,
+)
+def cohens_kappa_doc_raters(spark, sf_dir):
+    """Agreement between two deterministic document-quality raters —
+    rater A: character count ≥ corpus-median 306; rater B: whitespace
+    count ≥ median 55 (a token-count proxy): exact BIGINT 2×2 agreement
+    counts plus observed/chance agreement and Cohen's kappa. The
+    labeling-pipeline primitive: kappa between a cheap heuristic and an
+    expensive labeler decides whether the heuristic can pre-filter. One
+    conditional aggregate, no shuffle wider than the 1-row result."""
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    return cohens_kappa(d, F.col("n_chars") >= 306, spaces >= 55)
+
+
+# --- tie-corrected Spearman -----------------------------------------------
+_SPEARMAN_RHO_SQL = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "spearman_qty_price_by_flag",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag, l_linestatus,
+             2 * rank() OVER (PARTITION BY l_returnflag, l_linestatus
+                              ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+                                l_quantity) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag, l_linestatus
+                              ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+                                l_extendedprice) - 1 AS ry
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT)      AS n,
+             CAST(sum(rx) AS BIGINT)       AS sx,
+             CAST(sum(ry) AS BIGINT)       AS sy,
+             CAST(sum(rx * rx) AS BIGINT)  AS sxx,
+             CAST(sum(ry * ry) AS BIGINT)  AS syy,
+             CAST(sum(rx * ry) AS BIGINT)  AS sxy
+      FROM r GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, n, sx, sy, sxx, syy, sxy,
+           round({_SPEARMAN_RHO_SQL}, 6) AS rho
+    FROM a
+    """,
+)
+def spearman_qty_price_by_flag(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation of quantity vs extended
+    price per (returnflag, linestatus) — the monotone-association
+    complement to the certified Pearson pair query (outliers can't drag
+    rank correlation). Average ranks are encoded exactly as the integer
+    2·avgrank = 2·rank() + tie_count − 1, so the five rank moments are
+    exact BIGINTs and rho is one fixed scalar double recipe on both
+    engines. Plan: two group-keyed rank windows + one hash aggregate;
+    BIGINT moment headroom to ~1.3e6 rows per group, DECIMAL(38,0)
+    beyond (docstring in operators/evalmetrics.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_by_group(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        keys=["l_returnflag", "l_linestatus"],
+    )
