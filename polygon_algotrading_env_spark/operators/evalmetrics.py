@@ -406,21 +406,26 @@ def spearman_by_group(
     fixed scalar double recipe both engines evaluate identically (the
     bigint→double casts round-to-nearest the same way).
 
-    Plan: two rank windows (one sort shuffle per axis, both keyed on the
-    group) + one hash aggregate. BIGINT headroom: sxy ≤ n·(2n)² — exact
-    to n ≈ 1.3e6 rows per group; larger groups should promote the moment
-    sums to DECIMAL(38,0)."""
-    gw = lambda c: Window.partitionBy(*keys).orderBy(c)  # noqa: E731
-    tie = lambda c: Window.partitionBy(*keys, c)  # noqa: E731
-    two = F.lit(2).cast("bigint")
+    Plan: every window partitions on the GROUP KEY ALONE — the tie count
+    never forces a (group, value)-keyed exchange because the average rank
+    is rewritten through the identity ``2·avgrank = rank_asc + (n + 1) −
+    rank_desc`` (min rank ascending + max rank ascending, and the max
+    ascending rank of a tie block is n + 1 − its min DESCENDING rank). One
+    hash exchange on the group, four in-partition sorts, one final hash
+    aggregate. BIGINT headroom: sxy ≤ n·(2n)² — exact to n ≈ 1.3e6 rows
+    per group; larger groups should promote the moment sums to
+    DECIMAL(38,0)."""
+    asc = lambda c: Window.partitionBy(*keys).orderBy(F.col(c).asc())  # noqa: E731
+    desc = lambda c: Window.partitionBy(*keys).orderBy(F.col(c).desc())  # noqa: E731
+    n_w = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    rank2 = lambda c: (  # noqa: E731
+        F.rank().over(asc(c)).cast("bigint")
+        + n_w
+        + 1
+        - F.rank().over(desc(c))
+    )
     ranked = df.select(
-        *keys,
-        (
-            two * F.rank().over(gw(x)) + F.count(F.lit(1)).over(tie(x)) - 1
-        ).alias("rx"),
-        (
-            two * F.rank().over(gw(y)) + F.count(F.lit(1)).over(tie(y)) - 1
-        ).alias("ry"),
+        *keys, rank2(x).alias("rx"), rank2(y).alias("ry")
     )
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),

@@ -266,8 +266,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # dp_noisy_segment_counts), plus the six new late-round-8 families
 # (kmeans_clusters_embeddings, entity_resolution_parts,
 # bfs_hops_part_supplier, adamic_adar_part_links, rrf_hybrid_retrieval,
-# chunk_docs_overlap). Rotate against slots whose families hold
-# >=3 recorded green rounds by then.
+# chunk_docs_overlap), the end-of-round-8 graph/drift pair
+# (cheapest_supply_paths, ks_temporal_drift_by_type), and the ML-eval
+# tier (auc_urgent_price_by_status, retrieval_label_eval_top10,
+# chi_square_brand_type, mutual_info_lang_source,
+# decile_lift_urgent_orders, confusion_f1_price_median,
+# cohens_kappa_doc_raters, spearman_qty_price_by_flag). Rotate against
+# slots whose families hold >=3 recorded green rounds by then.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated

@@ -36,6 +36,7 @@ _URGENT = "o_orderpriority = '1-URGENT'"
 # --- tie-corrected Mann-Whitney AUC ---------------------------------------
 @register(
     "auc_urgent_price_by_status",
+    headline=True,
     oracle=f"""
     WITH s AS (
       SELECT o_orderstatus AS g, o_totalprice AS score,
@@ -386,6 +387,7 @@ _SPEARMAN_RHO_SQL = (
 
 @register(
     "spearman_qty_price_by_flag",
+    headline=True,
     oracle=f"""
     WITH r AS (
       SELECT l_returnflag, l_linestatus,
