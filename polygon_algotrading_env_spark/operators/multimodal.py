@@ -341,6 +341,133 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+_QOI_SIG = b"qoif"
+
+
+def decode_qoi(content: bytes) -> np.ndarray:
+    """Pure-Python QOI decode (the public qoiformat.org spec) → HxWx3
+    uint8. Supports both 3- and 4-channel streams (alpha dropped on
+    return, like the other image decoders); all six op types: RGB, RGBA,
+    INDEX (64-entry running hash table, hash = (3r+5g+7b+11a) mod 64),
+    DIFF (2-bit channel deltas, bias 2), LUMA (6-bit green delta bias 32
+    plus 4-bit red/blue deltas relative to it, bias 8), RUN (1..62,
+    bias −1). Deltas wrap mod 256 per spec. Raises ValueError on bad
+    magic, bad channel count, or a stream that ends before width·height
+    pixels are produced."""
+    if len(content) < 14 or content[:4] != _QOI_SIG:
+        raise ValueError("not a QOI stream")
+    w, h = struct.unpack(">II", content[4:12])
+    channels, _colorspace = content[12], content[13]
+    if channels not in (3, 4):
+        raise ValueError(f"bad QOI channel count {channels}")
+    if w <= 0 or h <= 0 or w * h > 1 << 26:
+        raise ValueError(f"bad QOI dimensions {w}x{h}")
+    npix = w * h
+    out = np.empty((npix, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, emitted, n = 14, 0, len(content)
+    while emitted < npix:
+        if pos >= n:
+            raise ValueError("truncated QOI stream")
+        byte = content[pos]
+        pos += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > n:
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = content[pos], content[pos + 1], content[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > n:
+                raise ValueError("truncated QOI_OP_RGBA")
+            r, g, b, a = (
+                content[pos],
+                content[pos + 1],
+                content[pos + 2],
+                content[pos + 3],
+            )
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF
+                r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                b = (b + (byte & 3) - 2) & 0xFF
+            elif tag == 2:  # QOI_OP_LUMA
+                if pos >= n:
+                    raise ValueError("truncated QOI_OP_LUMA")
+                dg = (byte & 0x3F) - 32
+                rb = content[pos]
+                pos += 1
+                r = (r + dg + ((rb >> 4) & 0xF) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (rb & 0xF) - 8) & 0xFF
+            else:  # QOI_OP_RUN
+                run = (byte & 0x3F) + 1
+                if emitted + run > npix:
+                    raise ValueError("QOI run past end of image")
+                out[emitted : emitted + run] = (r, g, b, a)
+                emitted += run
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) & 0x3F] = (r, g, b, a)
+        out[emitted] = (r, g, b, a)
+        emitted += 1
+    return out[:, :3].reshape(h, w, 3)
+
+
+def encode_qoi(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_qoi` (3-channel, spec-greedy op choice:
+    RUN, then INDEX, then DIFF, then LUMA, then RGB) — losslessly
+    round-trips any HxWx3 uint8 array; lets fixtures synthesize real
+    compressed bytes for the fifth image container."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    out = bytearray(_QOI_SIG + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb = 0, 0, 0
+    run = 0
+    for r, g, b in flat.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = (r * 3 + g * 5 + b * 7 + 255 * 11) & 0x3F
+        px = (r, g, b, 255)
+        if index[hidx] == px:
+            out.append(hidx)
+        else:
+            index[hidx] = px
+            dr = ((r - pr + 128) & 0xFF) - 128
+            dg = ((g - pg + 128) & 0xFF) - 128
+            db = ((b - pb + 128) & 0xFF) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 _GIF_MAX_CODE = 4096  # 12-bit LZW cap per the GIF spec
 
@@ -1167,14 +1294,17 @@ def encode_jpeg(
 def decode_image(content: bytes) -> np.ndarray:
     """``kind=image`` decode dispatch by magic bytes: PNG (compressed,
     stdlib zlib), GIF87a/89a (compressed, pure-Python LZW), baseline
-    JPEG (SOF0, pure numpy) or binary Netpbm P5/P6 (uncompressed) →
-    HxWx3 uint8. Raises ValueError for anything else."""
+    JPEG (SOF0, pure numpy), QOI (byte-oriented diff/run/index coding)
+    or binary Netpbm P5/P6 (uncompressed) → HxWx3 uint8. Raises
+    ValueError for anything else."""
     if content.startswith(_PNG_SIG):
         return decode_png(content)
     if content[:6] in _GIF_SIGS:
         return decode_gif(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:4] == _QOI_SIG:
+        return decode_qoi(content)
     return decode_ppm(content)
 
 

@@ -150,10 +150,10 @@ def multimodal_features_from_docs(spark, sf_dir):
     tones rotating between PCM WAV and lossless-compressed native FLAC
     containers (frequency and duration parameterized by doc_id),
     gradient images rotating across P6 PPM, COMPRESSED PNG (stdlib
-    zlib), COMPRESSED GIF87a (pure-Python LZW) and baseline JPEG
-    (pure-numpy Huffman+IDCT, lossy) containers (dimensions
-    parameterized by doc_id; the GIF variant quantizes its gradient to
-    honor the 256-color table),
+    zlib), COMPRESSED GIF87a (pure-Python LZW), baseline JPEG
+    (pure-numpy Huffman+IDCT, lossy) and QOI (byte-oriented
+    diff/run/index) containers (dimensions parameterized by doc_id; the
+    GIF variant quantizes its gradient to honor the 256-color table),
     and moving-gradient clips rotating between YUV4MPEG2 and
     LZW-compressed animated-GIF containers (frame count and cadence
     parameterized by doc_id) — all synthesized executor-side
@@ -175,6 +175,7 @@ def multimodal_features_from_docs(spark, sf_dir):
         encode_jpeg,
         encode_png,
         encode_ppm,
+        encode_qoi,
         encode_wav,
         encode_y4m,
         extract_features,
@@ -204,7 +205,7 @@ def multimodal_features_from_docs(spark, sf_dir):
                 elif i % 3 == 1:
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     yy, xx = np.mgrid[0:h, 0:w]
-                    variant = (i // 3) % 4
+                    variant = (i // 3) % 5
                     if variant == 2:
                         # GIF variant: quantize the y-gradient to 8 levels
                         # so unique colors stay under the 256-entry table
@@ -227,11 +228,16 @@ def multimodal_features_from_docs(spark, sf_dir):
                         ).astype(np.uint8)
                     # container rotation: P6 PPM (uncompressed), PNG
                     # (zlib), GIF87a (LZW), baseline JPEG (Huffman+DCT,
-                    # lossy) — all via decode_image's magic-byte dispatch
+                    # lossy), QOI (diff/run/index) — all via
+                    # decode_image's magic-byte dispatch
                     blobs.append(
-                        [encode_ppm, encode_png, encode_gif, encode_jpeg][
-                            variant
-                        ](px)
+                        [
+                            encode_ppm,
+                            encode_png,
+                            encode_gif,
+                            encode_jpeg,
+                            encode_qoi,
+                        ][variant](px)
                     )
                     kinds.append("image")
                 else:

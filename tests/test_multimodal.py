@@ -882,3 +882,129 @@ def test_gif_anim_through_extract_features(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = extract_features(media).collect()
     assert len(feats) == 1 and feats[0]["feature"][0] == 4.0
+
+
+# --- QOI codec -------------------------------------------------------------
+def test_qoi_roundtrip_random_and_features():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_image,
+        decode_qoi,
+        encode_qoi,
+        image_features,
+    )
+
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, (11, 7, 3), dtype=np.uint8)
+    blob = encode_qoi(px)
+    assert blob.startswith(b"qoif") and blob.endswith(b"\x00" * 7 + b"\x01")
+    assert np.array_equal(decode_qoi(blob), px)
+    # magic-byte dispatch routes QOI through the shared image path
+    assert np.array_equal(decode_image(blob), px)
+    feats = image_features(blob)
+    assert feats[0] == 7 / 4096.0 and feats[1] == 11 / 4096.0
+
+
+def test_qoi_compresses_structured_images_via_all_ops():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    # constant image: pure RUN coding, incl. the 62-run chunk cap
+    flat = np.full((16, 16, 3), 99, np.uint8)
+    blob = encode_qoi(flat)
+    assert np.array_equal(decode_qoi(blob), flat)
+    assert len(blob) < 14 + 8 + 16  # header + end marker + a few run bytes
+
+    # two-color checkerboard: INDEX hits after the first two pixels
+    cb = np.zeros((8, 8, 3), np.uint8)
+    cb[(np.arange(8)[:, None] + np.arange(8)) % 2 == 1] = (1, 2, 3)
+    blob = encode_qoi(cb)
+    assert np.array_equal(decode_qoi(blob), cb)
+    assert len(blob) < 14 + 8 + 2 * 8 * 8  # far under 1 op-byte/pixel avg
+
+    # smooth gradient: DIFF/LUMA coding beats raw bytes
+    yy, xx = np.mgrid[0:16, 0:16]
+    grad = np.stack([xx * 2, yy * 2, xx + yy], axis=2).astype(np.uint8)
+    blob = encode_qoi(grad)
+    assert np.array_equal(decode_qoi(blob), grad)
+    assert len(blob) < 16 * 16 * 3
+
+
+def test_qoi_decodes_handcrafted_rgba_ops_and_wrapping():
+    import struct as _struct
+
+    from polygon_algotrading_env_spark.operators.multimodal import decode_qoi
+
+    # 4x1 RGBA stream: RGBA op, DIFF with mod-256 wrap (255+1 -> 0),
+    # INDEX recall of the first pixel (hash(255,0,0,128) = 61), RUN 1.
+    blob = (
+        b"qoif"
+        + _struct.pack(">IIBB", 4, 1, 4, 0)
+        + bytes([0xFF, 255, 0, 0, 128, 0x7A, 61, 0xC0])
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    out = decode_qoi(blob)
+    assert out.shape == (1, 4, 3)  # alpha dropped on return
+    assert [tuple(p) for p in out[0]] == [
+        (255, 0, 0), (0, 0, 0), (255, 0, 0), (255, 0, 0)
+    ]
+
+    # 1x1 LUMA op from the spec-defined (0,0,0,255) start pixel:
+    # dg=+10, dr=+12, db=+5
+    blob = (
+        b"qoif"
+        + _struct.pack(">IIBB", 1, 1, 3, 0)
+        + bytes([0xAA, 0xA3])
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    assert [tuple(p) for p in decode_qoi(blob)[0]] == [(12, 10, 5)]
+
+
+def test_qoi_malformed_inputs_fail_loudly():
+    import struct as _struct
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = encode_qoi(px)
+    with pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi(b"qoix" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="channel count"):
+        decode_qoi(blob[:12] + b"\x02" + blob[13:])
+    # a run chunk that overshoots width*height
+    over = (
+        b"qoif"
+        + _struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes([0xFE, 9, 9, 9, 0xC0 | 61])
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    with pytest.raises(ValueError, match="run past end"):
+        decode_qoi(over)
+    with pytest.raises(ValueError, match="expected HxWx3"):
+        encode_qoi(np.zeros((2, 2, 4), np.uint8))
+
+
+def test_qoi_through_extract_features_and_resize(spark):
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_qoi,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_qoi(px)), ("image/qoi", 9, 12, None, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert len(feats) == 1
+    assert feats[0]["feature"][0] == 9 / 4096.0
+    assert feats[0]["feature"][1] == 12 / 4096.0

@@ -755,3 +755,27 @@ def test_flac_lossless_law(n, bps, blocksize, stereo, seed):
             encode_flac(st2, 8000, bps=bps, blocksize=blocksize, stereo_mode=stereo)
         )
         assert np.array_equal(back, (q(st2[0]) + q(st2[1])) / 2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    levels=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_qoi_roundtrip_law(h, w, levels, seed):
+    """QOI is lossless for ANY uint8 RGB image; `levels` sweeps entropy
+    from constant (pure RUN coding) to full-range (RGB/LUMA heavy)."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = (
+        rng.integers(0, levels, (h, w, 3)) * (255 // max(levels - 1, 1))
+    ).astype(np.uint8)
+    assert np.array_equal(decode_qoi(encode_qoi(img)), img)
