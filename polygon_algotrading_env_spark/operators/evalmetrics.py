@@ -457,3 +457,76 @@ def spearman_by_group(
             F.try_divide(num, F.sqrt(denx) * F.sqrt(deny)), 6
         ).alias("rho"),
     )
+
+
+def fairness_gaps(
+    df: DataFrame,
+    score_col: str,
+    positive: Column,
+    segment_col: str,
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Group-fairness audit of a thresholded classifier across a
+    protected/segment column: per segment the exact BIGINT confusion
+    counts plus positive-prediction rate (demographic parity), TPR and
+    FPR (equalized odds), and each rate's GAP against the overall rate —
+    all deterministic doubles from the exact integers. The threshold is
+    the exact score ``quantile`` over the whole relation (one-row
+    broadcast), so every segment is scored against the same decision
+    rule. The curation use: a quality gate whose pass rate collapses for
+    one language/source segment is a dataset bias about to be trained
+    in.
+
+    Plan: threshold broadcast → one conditional (segment) hash aggregate
+    over a single scan → segment-cardinality relation re-aggregated for
+    the overall rates and broadcast back. Nothing wider than the segment
+    domain shuffles."""
+    thr = df.agg(
+        F.percentile(F.col(score_col), F.lit(quantile)).alias("__thr")
+    )
+    p = positive
+    pred = F.col(score_col) > F.col("__thr")
+    per = (
+        df.crossJoin(F.broadcast(thr))
+        .groupBy(segment_col)
+        .agg(
+            F.sum(_flag(pred & p)).alias("tp"),
+            F.sum(_flag(pred & ~p)).alias("fp"),
+            F.sum(_flag(~pred & p)).alias("fn"),
+            F.sum(_flag(~pred & ~p)).alias("tn"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tp").alias("__ttp"),
+        F.sum("fp").alias("__tfp"),
+        F.sum("fn").alias("__tfn"),
+        F.sum("tn").alias("__ttn"),
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    ppr = (F.col("tp") + F.col("fp")).cast("double") / n
+    tpr = F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fn"))
+    fpr = F.try_divide(F.col("fp").cast("double"), F.col("fp") + F.col("tn"))
+    tn_all = (
+        F.col("__ttp") + F.col("__tfp") + F.col("__tfn") + F.col("__ttn")
+    )
+    ppr_o = (F.col("__ttp") + F.col("__tfp")).cast("double") / tn_all
+    tpr_o = F.try_divide(
+        F.col("__ttp").cast("double"), F.col("__ttp") + F.col("__tfn")
+    )
+    fpr_o = F.try_divide(
+        F.col("__tfp").cast("double"), F.col("__tfp") + F.col("__ttn")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        segment_col,
+        n.alias("n"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(ppr, 6).alias("ppr"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(ppr - ppr_o, 6).alias("dp_gap"),
+        F.round(tpr - tpr_o, 6).alias("tpr_gap"),
+        F.round(fpr - fpr_o, 6).alias("fpr_gap"),
+    )

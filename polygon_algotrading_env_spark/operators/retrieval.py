@@ -95,3 +95,40 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.sum(w).alias("score"))
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase search: documents containing the token
+    sequence ``phrase`` at consecutive positions, as ``(id, n_matches,
+    first_pos)`` with 1-based first match position — the inverted-index
+    operation BM25's bag-of-words scoring cannot express.
+
+    Plan (the classic positional-postings intersection): the token
+    relation is FILTERED to the phrase's terms before anything joins —
+    the pushed ``token = term_i`` predicates shrink each side to that
+    term's postings — then term i joins term 0 on ``(id, pos − i)``
+    equality. Every join is an equi-join between phrase-term posting
+    lists (corpus-frequency-sized, not corpus-sized); AQE broadcasts the
+    rarest term's side. No window, no self-join of the full token
+    relation."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    base = toks.where(F.col("token") == phrase[0]).select("id", "pos")
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.where(F.col("token") == term).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, ["id", "pos"])
+    return base.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("pos") + 1).cast("bigint").alias("first_pos"),
+    )

@@ -433,3 +433,72 @@ def spearman_qty_price_by_flag(spark, sf_dir):
         "l_extendedprice",
         keys=["l_returnflag", "l_linestatus"],
     )
+
+
+# --- group-fairness audit --------------------------------------------------
+@register(
+    "fairness_gaps_by_segment",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS score,
+             CASE WHEN o.{_URGENT} THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    thr AS (SELECT quantile_cont(score, 0.5) AS t FROM j),
+    per AS (
+      SELECT segment,
+        CAST(sum(CASE WHEN score > t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN score > t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN score <= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN score <= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM j, thr GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(sum(tp) AS BIGINT) AS ttp, CAST(sum(fp) AS BIGINT) AS tfp,
+             CAST(sum(fn) AS BIGINT) AS tfn, CAST(sum(tn) AS BIGINT) AS ttn
+      FROM per
+    )
+    SELECT segment,
+           CAST(tp + fp + fn + tn AS BIGINT) AS n, tp, fp, fn, tn,
+           round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6) AS ppr,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS tpr,
+           round(CAST(fp AS DOUBLE) / (fp + tn), 6) AS fpr,
+           round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn)
+                 - CAST(ttp + tfp AS DOUBLE) / (ttp + tfp + tfn + ttn), 6)
+             AS dp_gap,
+           round(CAST(tp AS DOUBLE) / (tp + fn)
+                 - CAST(ttp AS DOUBLE) / (ttp + tfn), 6) AS tpr_gap,
+           round(CAST(fp AS DOUBLE) / (fp + tn)
+                 - CAST(tfp AS DOUBLE) / (tfp + ttn), 6) AS fpr_gap
+    FROM per CROSS JOIN tot
+    """,
+)
+def fairness_gaps_by_segment(spark, sf_dir):
+    """Group-fairness audit of the price-predicts-urgency classifier
+    across market segments: per segment the exact BIGINT confusion
+    counts, demographic-parity rate (ppr), equalized-odds rates
+    (tpr/fpr), and each rate's gap vs the overall population — the bias
+    scoreboard a curation gate needs before a heuristic filter ships.
+    One broadcast dim join + one-row threshold broadcast + one
+    conditional segment aggregate; only the segment domain shuffles."""
+    from polygon_algotrading_env_spark.operators.evalmetrics import (
+        fairness_gaps,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return fairness_gaps(
+        j,
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+        "segment",
+    )

@@ -1058,3 +1058,46 @@ def rrf_hybrid_retrieval(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
+# --- positional phrase search ---------------------------------------------
+@register(
+    "phrase_search_docs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                 '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT)  AS n_matches,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.token = 'row' AND b.token = 'column' AND c.token = 'sort'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_docs(spark, sf_dir):
+    """Exact positional phrase search for the three-token phrase
+    "row column sort": per matching document the exact match count and
+    1-based first position — the inverted-index operation bag-of-words
+    BM25 cannot express (reference parity: grep-style content search
+    over landed text payloads). Spark plan: the token relation is
+    filtered to the THREE phrase terms before any join, so each join is
+    an equi-join of that term's posting list on (doc, aligned pos) —
+    corpus-frequency-sized sides, AQE-broadcast, never a full-corpus
+    self-join. The oracle's join-on-pos-offset replays the same
+    intersection 1-based (relative offsets cancel the base; first_pos is
+    emitted 1-based on both engines)."""
+    from polygon_algotrading_env_spark.operators.retrieval import (
+        phrase_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, ["row", "column", "sort"]).select(
+        F.col("id").alias("doc_id"), "n_matches", "first_pos"
+    )

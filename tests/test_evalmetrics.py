@@ -245,3 +245,47 @@ def test_spearman_monotone_and_reversed(spark):
     out = {r["g"]: r for r in spearman_by_group(df, "x", "y", keys=["g"]).collect()}
     assert out["m"]["rho"] == 1.0
     assert out["r"]["rho"] == -1.0
+
+
+# --- fairness gaps ---------------------------------------------------------
+def test_fairness_gaps_hand_computed(spark):
+    from polygon_algotrading_env_spark.operators.evalmetrics import (
+        fairness_gaps,
+    )
+
+    # threshold = exact median of 1..8 = 4.5 → pred := score > 4.5
+    # seg A: scores 1,2,5,6 labels F,T,T,F → tp=1 fp=1 fn=1 tn=1
+    # seg B: scores 3,4,7,8 labels F,F,T,T → tp=2 fp=0 fn=0 tn=2
+    rows = [
+        ("A", 1.0, False), ("A", 2.0, True), ("A", 5.0, True), ("A", 6.0, False),
+        ("B", 3.0, False), ("B", 4.0, False), ("B", 7.0, True), ("B", 8.0, True),
+    ]
+    df = spark.createDataFrame(rows, "seg string, score double, y boolean")
+    out = {
+        r["seg"]: r
+        for r in fairness_gaps(df, "score", F.col("y"), "seg").collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a["tp"], a["fp"], a["fn"], a["tn"]) == (1, 1, 1, 1)
+    assert (b["tp"], b["fp"], b["fn"], b["tn"]) == (2, 0, 0, 2)
+    assert a["ppr"] == 0.5 and b["ppr"] == 0.5
+    # overall ppr = 4/8 → zero demographic-parity gaps
+    assert a["dp_gap"] == 0.0 and b["dp_gap"] == 0.0
+    assert a["tpr"] == 0.5 and b["tpr"] == 1.0
+    assert a["fpr"] == 0.5 and b["fpr"] == 0.0
+    # overall tpr = 3/4, fpr = 1/4
+    assert a["tpr_gap"] == round(0.5 - 0.75, 6)
+    assert b["tpr_gap"] == round(1.0 - 0.75, 6)
+    assert a["fpr_gap"] == round(0.5 - 0.25, 6)
+    assert b["fpr_gap"] == round(0.0 - 0.25, 6)
+
+
+def test_fairness_gaps_single_segment_zero_gaps(spark):
+    from polygon_algotrading_env_spark.operators.evalmetrics import (
+        fairness_gaps,
+    )
+
+    rows = [("s", float(i), i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "seg string, score double, y boolean")
+    r = fairness_gaps(df, "score", F.col("y"), "seg").collect()[0]
+    assert r["dp_gap"] == 0.0 and r["tpr_gap"] == 0.0 and r["fpr_gap"] == 0.0

@@ -96,3 +96,50 @@ def test_rrf_fuses_certified_rankers(spark, sf_dir):
     # fused list is sorted by rrf desc then doc_id
     pairs = [(-r["rrf"], r["doc_id"]) for r in out]
     assert pairs == sorted(pairs)
+
+
+# --- positional phrase search ---------------------------------------------
+def test_phrase_occurrences_positions_and_overlaps(spark):
+    from polygon_algotrading_env_spark.operators.retrieval import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x hash join y hash join hash join"),  # matches at 2,5,7
+            (2, "hash x join"),                        # no adjacent match
+            (3, "join hash"),                          # wrong order
+            (4, "a a a a"),                            # self-overlap probe
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in phrase_occurrences(docs, ["hash", "join"]).collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_matches"] == 3 and out[1]["first_pos"] == 2
+
+    over = {
+        r["id"]: r for r in phrase_occurrences(docs, ["a", "a"]).collect()
+    }
+    # "a a a a": starts at 1,2,3 — overlapping matches all count
+    assert over[4]["n_matches"] == 3 and over[4]["first_pos"] == 1
+
+
+def test_phrase_occurrences_three_terms_and_validation(spark):
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.retrieval import (
+        phrase_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "row column sort row column sort x"), (2, "row column x sort")],
+        "doc_id long, text string",
+    )
+    out = phrase_occurrences(docs, ["row", "column", "sort"]).collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 1 and out[0]["n_matches"] == 2
+    with _pytest.raises(ValueError, match=">= 2"):
+        phrase_occurrences(docs, ["row"])
