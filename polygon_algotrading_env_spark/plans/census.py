@@ -116,7 +116,15 @@ DEFAULT_SMJ_BUDGET = 2
 # grouped aggregate with exactly |event_type| rows (a handful at any SF —
 # the sketch table is KB-sized by construction), so the nested loop is a
 # |D|²/2 pairing of tiny rows, not a row multiplier.
-BNLJ_ALLOWED: frozenset[str] = frozenset({"kmv_audience_overlap"})
+BNLJ_ALLOWED: frozenset[str] = frozenset(
+    {
+        "kmv_audience_overlap",
+        # minhash_recall_report broadcasts the 50-row probe shingle
+        # relation (doc_id < 50) onto one corpus scan — bounded by the
+        # probe predicate, which the scalar/limit regex can't see.
+        "minhash_recall_report",
+    }
+)
 
 # Violations whose value starts with this prefix mean the PLAN WALK broke
 # (py4j/env error, Spark node-shape drift) — the query's plan may be fine.

@@ -413,6 +413,36 @@ def _mh_sig_sql() -> str:
     )"""
 
 
+def _md5_band_cand_df(sig):
+    """Banded candidate pairs (2 bands × 4 rows) from an md5-MinHash
+    signature relation — the shared LSH candidate generator behind
+    minhash_md5_band_pairs / ngram_jaccard_near_dup /
+    minhash_recall_report. (band, 4-hash key) equi-join, never
+    all-pairs."""
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("b"),
+            F.col(f"h{4 * bnd}").alias("x"),
+            F.col(f"h{4 * bnd + 1}").alias("y"),
+            F.col(f"h{4 * bnd + 2}").alias("z"),
+            F.col(f"h{4 * bnd + 3}").alias("w"),
+        )
+        for bnd in range(2)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.b", "bk.x", "bk.y", "bk.z", "bk.w")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, ["b", "x", "y", "z", "w"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def _mh_sig_df(spark, sf_dir):
     from polygon_algotrading_env_spark.functions.text import char_ngrams
 
@@ -498,28 +528,7 @@ def minhash_md5_band_pairs(spark, sf_dir):
     where a reuse miss would re-run the full corpus shingle+md5 scan
     three times. Dominant cost is the one unavoidable signature scan."""
     sig = _mh_sig_df(spark, sf_dir).localCheckpoint(eager=True)
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("b"),
-            F.col(f"h{4 * bnd}").alias("x"),
-            F.col(f"h{4 * bnd + 1}").alias("y"),
-            F.col(f"h{4 * bnd + 2}").alias("z"),
-            F.col(f"h{4 * bnd + 3}").alias("w"),
-        )
-        for bnd in range(2)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.b", "bk.x", "bk.y", "bk.z", "bk.w")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(r, ["b", "x", "y", "z", "w"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _md5_band_cand_df(sig)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_N)],
@@ -816,28 +825,7 @@ def ngram_jaccard_near_dup(spark, sf_dir):
     engines."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _mh_sig_df(spark, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("b"),
-            F.col(f"h{4 * bnd}").alias("x"),
-            F.col(f"h{4 * bnd + 1}").alias("y"),
-            F.col(f"h{4 * bnd + 2}").alias("z"),
-            F.col(f"h{4 * bnd + 3}").alias("w"),
-        )
-        for bnd in range(2)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.b", "bk.x", "bk.y", "bk.z", "bk.w")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(r, ["b", "x", "y", "z", "w"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _md5_band_cand_df(sig)
     exact = ngram_overlap_pairs(cand, docs, shingle_n=5)
     return (
         exact.where(10 * F.col("n_common") >= 3 * F.col("n_union"))
@@ -1878,4 +1866,137 @@ def chunk_docs_overlap(spark, sf_dir):
         F.concat_ws(
             " ", F.slice("toks", F.col("start") + 1, F.lit(32))
         ).alias("chunk_text"),
+    )
+
+
+# --- dedup-index recall/precision audit -----------------------------------
+_MH_BAND_CAND_SQL = """
+    bands AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN h0 ELSE h4 END AS x,
+             CASE b WHEN 0 THEN h1 ELSE h5 END AS y,
+             CASE b WHEN 0 THEN h2 ELSE h6 END AS z,
+             CASE b WHEN 0 THEN h3 ELSE h7 END AS w
+      FROM sig, (SELECT unnest(range(2)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.x = r.x AND l.y = r.y AND l.z = r.z
+           AND l.w = r.w AND l.doc_id < r.doc_id
+    )"""
+
+_N_PROBES = 50
+
+
+@register(
+    "minhash_recall_report",
+    oracle="WITH " + _mh_sig_sql() + "," + _MH_BAND_CAND_SQL + f""",
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN [lower(text)]
+                  ELSE list_distinct([substring(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+             END AS s
+      FROM documents
+    ),
+    truth AS (
+      SELECT DISTINCT least(p.doc_id, o.doc_id)    AS id_a,
+                      greatest(p.doc_id, o.doc_id) AS id_b
+      FROM sets p JOIN sets o
+        ON p.doc_id < {_N_PROBES} AND o.doc_id <> p.doc_id
+      WHERE 10 * length(list_intersect(p.s, o.s))
+            >= 3 * length(list_distinct(list_concat(p.s, o.s)))
+    ),
+    pred AS (
+      SELECT id_a, id_b FROM cand
+      WHERE id_a < {_N_PROBES} OR id_b < {_N_PROBES}
+    ),
+    m AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id < {_N_PROBES})                          AS n_probes,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth)          AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT) FROM pred)           AS n_pred,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM truth t JOIN pred p USING (id_a, id_b))         AS tp
+    )
+    SELECT n_probes, n_truth, n_pred, tp,
+           CAST(n_truth - tp AS BIGINT) AS fn,
+           CAST(n_pred - tp AS BIGINT)  AS fp,
+           round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall,
+           round(CAST(tp AS DOUBLE) / n_pred, 6)  AS precision
+    FROM m
+    """,
+)
+def minhash_recall_report(spark, sf_dir):
+    """Recall/precision audit of the banded MinHash index against exact
+    ground truth on a fixed {probe} probe set: truth = every (probe,
+    corpus) pair with exact 5-gram Jaccard ≥ 0.3 (the integer
+    cross-multiplication 10·|A∩B| ≥ 3·|A∪B|), prediction = the certified
+    md5-band candidate pairs touching a probe. One exact-count row —
+    tp/fn/fp BIGINTs plus recall/precision as deterministic divisions —
+    the go/no-go scoreboard before trusting an LSH config at corpus
+    scale (it catches exactly the failure the 2-band/4-row config shows
+    on borderline 0.3-Jaccard pairs at larger corpora).
+
+    Scale: ground truth is O(K·n) — the K probe shingle sets broadcast
+    onto ONE corpus scan (never all-pairs); candidates come from the
+    shared banded equi-join generator. The probe side is a
+    50-row-bounded relation riding a BroadcastNestedLoopJoin
+    (BNLJ_ALLOWED: bounded by the probe predicate, not a mechanically
+    visible limit)."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(char_ngrams("text", 5)).alias("s")
+    )
+    probes = sh.where(F.col("doc_id") < _N_PROBES).select(
+        F.col("doc_id").alias("p_id"), F.col("s").alias("ps")
+    )
+    truth = (
+        sh.crossJoin(F.broadcast(probes))
+        .where(F.col("doc_id") != F.col("p_id"))
+        .where(
+            10 * F.size(F.array_intersect("s", "ps"))
+            >= 3 * F.size(F.array_union("s", "ps"))
+        )
+        .select(
+            F.least("p_id", "doc_id").alias("id_a"),
+            F.greatest("p_id", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = _md5_band_cand_df(_mh_sig_df(spark, sf_dir))
+    pred = cand.where(
+        (F.col("id_a") < _N_PROBES) | (F.col("id_b") < _N_PROBES)
+    )
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    # probe-touching candidate pairs are a tiny slice of the candidate
+    # relation — broadcast them so the tp intersection never sort-merges
+    tp = (
+        truth.join(F.broadcast(pred), ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    return (
+        n_probes.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_probes",
+            "n_truth",
+            "n_pred",
+            "tp",
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            (F.col("n_pred") - F.col("tp")).alias("fp"),
+            F.round(
+                F.try_divide(F.col("tp").cast("double"), F.col("n_truth")), 6
+            ).alias("recall"),
+            F.round(
+                F.try_divide(F.col("tp").cast("double"), F.col("n_pred")), 6
+            ).alias("precision"),
+        )
     )
