@@ -436,3 +436,64 @@ def with_kalman_level(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_kalman, schema=schema)
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Single CUSUM changepoint per key group over an INTEGER-gridded
+    value column: the split position t* (1-based, t* < n) maximizing the
+    exact BIGINT deviation |n·S_t − t·S| of the running sum against a
+    uniform trend, ties broken toward the earliest t — so the argmax is
+    decided wholly in integer arithmetic, never at a float boundary.
+    Returns (keys..., n, t_star, dev, mean_before, mean_after) with the
+    segment means as deterministic divisions of the exact sums.
+
+    Plan: one ordered window per group (row_number + running sum share
+    the sort), group totals joined back broadcast, one ranking window
+    over the deviation. BIGINT headroom: n·S — promote the sums to
+    DECIMAL(38,0) past ~10⁸ rows·avg per group."""
+    ordw = Window.partitionBy(*keys).orderBy(*order_cols)
+    c = df.select(
+        *keys,
+        *order_cols,
+        F.row_number().over(ordw).cast("bigint").alias("t"),
+        F.sum(value_col)
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("st"),
+    )
+    tot = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s")
+    )
+    dev = (
+        c.join(F.broadcast(tot), list(keys))
+        .where(F.col("t") < F.col("n"))
+        .withColumn(
+            "d", F.abs(F.col("n") * F.col("st") - F.col("t") * F.col("s"))
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("d").desc(), F.col("t").asc())
+    )
+    return (
+        dev.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            *keys,
+            *order_cols,
+            "n",
+            F.col("t").alias("t_star"),
+            F.col("d").alias("dev"),
+            F.round(F.col("st").cast("double") / F.col("t"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("s") - F.col("st")).cast("double")
+                / (F.col("n") - F.col("t")),
+                6,
+            ).alias("mean_after"),
+        )
+    )

@@ -2000,3 +2000,148 @@ def minhash_recall_report(spark, sf_dir):
             ).alias("precision"),
         )
     )
+
+
+# --- hashing-trick feature vectorizer -------------------------------------
+@register(
+    "hashed_token_features_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))
+               AS token
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(token), 1, 2))::BIGINT % 8 AS bucket,
+             CASE WHEN ('0x' || substring(md5(token), 3, 1))::BIGINT % 2 = 1
+                  THEN -1 ELSE 1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, bucket,
+           CAST(sum(sgn) AS BIGINT)  AS feat,
+           CAST(count(*) AS BIGINT)  AS n_tokens
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def hashed_token_features_docs(spark, sf_dir):
+    """Hashing-trick (feature-hashing) vectorizer: every token hashes to
+    one of 8 buckets via md5, with a second md5 digit supplying the ±1
+    sign that makes collisions cancel in expectation (Weinberger et al.'s
+    signed hashing trick) — the fixed-dimension text featurizer that
+    needs NO vocabulary broadcast, the property that matters at 100 TB
+    (vocab-free ⇒ embarrassingly parallel, one explode + one (doc,
+    bucket) map-side-combined aggregate). Emitted sparse as (doc_id,
+    bucket, signed sum, token count) exact BIGINTs; both engines compute
+    the identical md5 mixes."""
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("bigint") % 8
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5("token"), 3, 1), 16, 10).cast("bigint") % 2
+        == 1,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").alias("feat"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+# --- corpus source-similarity matrix --------------------------------------
+@register(
+    "source_token_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+'))
+                 AS token
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT source, CAST(sum(c * c) AS BIGINT) AS nn FROM tf GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM tf a JOIN tf b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT d.src_a, d.src_b, d.dot, na.nn AS norm_a, nb.nn AS norm_b,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE))
+                    * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    """,
+)
+def source_token_cosine_pairs(spark, sf_dir):
+    """Corpus-segment similarity matrix: cosine between every pair of
+    sources' term-frequency vectors, with the dot products and squared
+    norms as exact BIGINT aggregates (cosine is then one deterministic
+    double recipe) — the mixture-design diagnostic that says which
+    sources are near-duplicates of each other BEFORE weighting them as
+    if independent. Plan: one (source, token) hash aggregate, then the
+    pairwise dots via a self-equi-join ON TOKEN (inverted-index shape:
+    fan-out bounded by per-token source lists, never |sources|²·vocab),
+    map-side-combined into the |S|²/2 pair cells; norms are a
+    vocab-sized aggregate broadcast back."""
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(word_tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("nn")
+    )
+    a = tf.select(
+        F.col("source").alias("src_a"), "token", F.col("c").alias("ca")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"), "token", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("nn").alias("norm_a"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("nn").alias("norm_b"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("norm_a").cast("double"))
+                    * F.sqrt(F.col("norm_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -5445,3 +5445,70 @@ def ks_temporal_drift_by_type(spark, sf_dir):
             ).alias("ks"),
         )
     )
+
+
+# --- CUSUM changepoint per symbol -----------------------------------------
+@register(
+    "cusum_changepoint_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, tns, event_id, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY tns, event_id) AS t,
+             sum(v) OVER (PARTITION BY event_type
+                          ORDER BY tns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS st
+      FROM ev
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM ev GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.event_type, c.t, c.tns, c.event_id, c.st, tot.n, tot.s,
+             abs(tot.n * c.st - c.t * tot.s) AS d,
+             row_number() OVER (PARTITION BY c.event_type
+                                ORDER BY abs(tot.n * c.st - c.t * tot.s)
+                                           DESC, c.t) AS rk
+      FROM c JOIN tot USING (event_type)
+      WHERE c.t < tot.n
+    )
+    SELECT event_type, CAST(tns AS BIGINT) AS ts_ns, event_id, n,
+           CAST(t AS BIGINT) AS t_star, CAST(d AS BIGINT) AS dev,
+           round(CAST(st AS DOUBLE) / t, 6) AS mean_before,
+           round(CAST(s - st AS DOUBLE) / (n - t), 6) AS mean_after
+    FROM dev WHERE rk = 1
+    """,
+)
+def cusum_changepoint_by_type(spark, sf_dir):
+    """Single CUSUM changepoint per symbol: the split position t*
+    maximizing the exact integer deviation |n·S_t − t·S| of the
+    cents-grid prefix sum against a uniform trend — the binary-
+    segmentation / changepoint primitive behind regime detection, with
+    the argmax decided entirely in exact BIGINT arithmetic (ties →
+    earliest t, so both engines agree without a float boundary). Values
+    enter on the cents grid via round(value·100) — the same double
+    multiply+round on both engines — and the reported segment means are
+    deterministic divisions of the exact sums (in cents). The split row's
+    (ts_ns, event_id) identify the regime boundary. Plan and scale notes:
+    operators/indicators.py:cusum_changepoint."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return cusum_changepoint(
+        ev, "v", keys=["event_type"], order_cols=["ts_ns", "event_id"]
+    )

