@@ -274,7 +274,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cohens_kappa_doc_raters, spearman_qty_price_by_flag,
 # phrase_search_docs, fairness_gaps_by_segment,
 # minhash_recall_report, cusum_changepoint_by_type,
-# hashed_token_features_docs, source_token_cosine_pairs). Rotate against
+# hashed_token_features_docs, source_token_cosine_pairs,
+# acf_by_type, attribution_touch_points). Rotate against
 # slots whose families hold >=3 recorded green rounds by then.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded

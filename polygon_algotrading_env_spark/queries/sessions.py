@@ -1096,3 +1096,109 @@ def video_frame_features_from_docs(spark, sf_dir):
         F.round(F.element_at("feature", 4), 6).alias("lum_mean"),
         F.round(F.element_at("feature", 5), 6).alias("lum_std"),
     )
+
+
+# --- first/last-touch attribution -----------------------------------------
+@register(
+    "attribution_touch_points",
+    oracle="""
+    WITH ns AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_event_id, tns AS purchase_ts_ns
+      FROM ns WHERE event_type = 'purchase'
+    ),
+    lc AS (
+      SELECT p.purchase_event_id, max(c.tns) AS last_click_ts_ns
+      FROM p JOIN ns c
+        ON c.user_id = p.user_id AND c.tns < p.purchase_ts_ns
+      WHERE c.event_type = 'click'
+      GROUP BY 1
+    ),
+    fv AS (
+      SELECT p.purchase_event_id, min(v.tns) AS first_view_ts_ns
+      FROM p JOIN ns v
+        ON v.user_id = p.user_id AND v.tns < p.purchase_ts_ns
+      WHERE v.event_type = 'view'
+      GROUP BY 1
+    )
+    SELECT p.user_id, p.purchase_event_id, p.purchase_ts_ns,
+           lc.last_click_ts_ns,
+           fv.first_view_ts_ns,
+           CASE WHEN lc.last_click_ts_ns IS NULL THEN NULL
+                ELSE p.purchase_ts_ns - lc.last_click_ts_ns
+           END AS click_to_buy_ns,
+           CASE WHEN fv.first_view_ts_ns IS NULL THEN NULL
+                ELSE p.purchase_ts_ns - fv.first_view_ts_ns
+           END AS view_to_buy_ns
+    FROM p
+    LEFT JOIN lc USING (purchase_event_id)
+    LEFT JOIN fv USING (purchase_event_id)
+    """,
+)
+def attribution_touch_points(spark, sf_dir):
+    """Marketing attribution per conversion: every purchase annotated
+    with its LAST-touch click (the as-of predecessor, strictly before)
+    and FIRST-touch view, plus exact-nanosecond conversion latencies —
+    NULL-preserving for purchases with no prior touch. Last-touch rides
+    the engine's as-of join (union+LOCF, ONE (user, time) shuffle — see
+    operators/asof.py); first-touch is a per-user min-aggregate
+    broadcast back and the strict-before predicate applied at the
+    purchase row. The oracle replays both as per-purchase range
+    aggregates (quadratic per user — oracle-scale only; the Spark plan
+    never pairs rows). All payloads exact BIGINT nanos."""
+    from polygon_algotrading_env_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_ns"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_ns").alias("purchase_ts_ns"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ns").alias("click_ts_ns")
+    )
+    last = asof_join(
+        p,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts_ns",
+        right_ts="click_ts_ns",
+        direction="backward",
+        allow_exact_matches=False,
+    ).select(
+        "user_id",
+        "purchase_event_id",
+        "purchase_ts_ns",
+        F.col("click_ts_ns").alias("last_click_ts_ns"),
+    )
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("fv_ts_ns"))
+    )
+    out = last.join(F.broadcast(first_view), "user_id", "left").select(
+        "user_id",
+        "purchase_event_id",
+        "purchase_ts_ns",
+        "last_click_ts_ns",
+        F.when(
+            F.col("fv_ts_ns") < F.col("purchase_ts_ns"), F.col("fv_ts_ns")
+        ).alias("first_view_ts_ns"),
+    )
+    return out.select(
+        "user_id",
+        "purchase_event_id",
+        "purchase_ts_ns",
+        "last_click_ts_ns",
+        "first_view_ts_ns",
+        (F.col("purchase_ts_ns") - F.col("last_click_ts_ns")).alias(
+            "click_to_buy_ns"
+        ),
+        (F.col("purchase_ts_ns") - F.col("first_view_ts_ns")).alias(
+            "view_to_buy_ns"
+        ),
+    )

@@ -5512,3 +5512,138 @@ def cusum_changepoint_by_type(spark, sf_dir):
     return cusum_changepoint(
         ev, "v", keys=["event_type"], order_cols=["ts_ns", "event_id"]
     )
+
+
+# --- autocorrelation function per symbol ----------------------------------
+_ACF_RHO_SQL = (
+    "(CAST(nk AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(nk AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(nk AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+_ACF_MAX_LAG = 5
+
+
+def _acf_oracle() -> str:
+    lags = ",\n             ".join(
+        f"lag(v, {k}) OVER (PARTITION BY event_type ORDER BY tns, event_id)"
+        f" AS l{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT event_type, {k} AS k, v AS x, l{k} AS y"
+        f" FROM lagged WHERE l{k} IS NOT NULL"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) AS tns, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type, v,
+             {lags}
+      FROM ev
+    ),
+    pairs AS (
+{arms}
+    ),
+    m AS (
+      SELECT event_type, k,
+             CAST(count(*) AS BIGINT)     AS nk,
+             CAST(sum(x) AS BIGINT)       AS sx,
+             CAST(sum(y) AS BIGINT)       AS sy,
+             CAST(sum(x * x) AS BIGINT)   AS sxx,
+             CAST(sum(y * y) AS BIGINT)   AS syy,
+             CAST(sum(x * y) AS BIGINT)   AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(k AS INT) AS k, nk, sx, sy, sxx, syy, sxy,
+           round({_ACF_RHO_SQL}, 6) AS rho
+    FROM m
+    """
+
+
+@register("acf_by_type", oracle=_acf_oracle())
+def acf_by_type(spark, sf_dir):
+    """Autocorrelation function per symbol, lags 1..5: the Pearson
+    correlation of the cents-grid series against its k-step lag, with
+    the five moment sums per (symbol, lag) as exact BIGINTs and rho one
+    fixed scalar double recipe on both engines (the spearman/Gram
+    discipline) — the memory diagnostic behind AR-model order choice and
+    mean-reversion screens, next to the certified Hurst exponent.
+
+    Plan: ONE ordered window per symbol computes all five lag columns on
+    a shared sort; the lag arms stack into (symbol, k) pairs and one
+    hash aggregate finishes — no per-lag re-sort, no self-join on time.
+    BIGINT headroom: nk·sxy in the rho numerator is evaluated in double
+    (deterministically) precisely so the exact sums can stay BIGINT to
+    ~10⁵ cents × 2·10⁴ rows; past that promote the sums to
+    DECIMAL(38,0)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "v",
+        *[
+            F.lag("v", k).over(w).alias(f"l{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col("v").alias("x"),
+                F.col(f"l{k}").alias("y"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    pairs = (
+        lagged.select("event_type", F.explode(arms).alias("p"))
+        .where(F.col("p.y").isNotNull())
+        .select("event_type", "p.k", "p.x", "p.y")
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("nk").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        "nk",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.round(F.try_divide(num, F.sqrt(denx) * F.sqrt(deny)), 6).alias(
+            "rho"
+        ),
+    )

@@ -361,3 +361,32 @@ def test_cusum_changepoint_matches_brute_force(spark):
             devs.append((abs(n * st - t * s), t))
     best = max(devs, key=lambda p: (p[0], -p[1]))
     assert (r["dev"], r["t_star"]) == best
+
+
+def test_acf_query_matches_numpy_reference(spark):
+    """acf_by_type's per-(symbol, lag) moments and rho vs a numpy
+    Pearson-of-lagged-pairs reference on the real sf0.001 fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.queries.timeseries import acf_by_type
+
+    out = acf_by_type(spark, "/root/testdata/sf0.001").toPandas()
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_type", "ts_ns", "event_id", "value")
+        .toPandas()
+        .sort_values(["event_type", "ts_ns", "event_id"])
+    )
+    ev["v"] = np.round(ev["value"] * 100).astype(np.int64)
+    for (etype, k), grp in out.set_index(["event_type", "k"]).groupby(level=[0, 1]):
+        series = ev[ev.event_type == etype]["v"].to_numpy()
+        x, y = series[k:], series[:-k]
+        row = grp.iloc[0]
+        assert row["nk"] == len(x)
+        assert row["sxy"] == int((x.astype(object) * y.astype(object)).sum())
+        ref = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+        # rho is emitted on the 6-decimal grid
+        assert abs(row["rho"] - ref) < 6e-7
+    assert pd.notna(out["rho"]).all()
