@@ -341,6 +341,66 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-Python BMP decode (BITMAPINFOHEADER, uncompressed BI_RGB,
+    24- or 32-bit) → HxWx3 uint8. Handles the format's three classic
+    traps: BGR(A) channel order, rows padded to 4-byte boundaries, and
+    bottom-up storage (positive height) vs top-down (negative height).
+    Raises ValueError on non-BMP magic, compressed streams, palette
+    depths, or truncated rasters."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack("<I", content[10:14])[0]
+    hdr_size = struct.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    compression = struct.unpack("<I", content[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if w <= 0 or h_raw == 0 or w * abs(h_raw) > 1 << 26:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = data_off + stride * h
+    if len(content) < need:
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = raster[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (24-bit BI_RGB, bottom-up,
+    4-byte-padded rows) — round-trips any HxWx3 uint8 array exactly."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    raster = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                      2835, 2835, 0, 0)
+    )
+    return header + raster
+
+
 _QOI_SIG = b"qoif"
 
 
@@ -1294,9 +1354,9 @@ def encode_jpeg(
 def decode_image(content: bytes) -> np.ndarray:
     """``kind=image`` decode dispatch by magic bytes: PNG (compressed,
     stdlib zlib), GIF87a/89a (compressed, pure-Python LZW), baseline
-    JPEG (SOF0, pure numpy), QOI (byte-oriented diff/run/index coding)
-    or binary Netpbm P5/P6 (uncompressed) → HxWx3 uint8. Raises
-    ValueError for anything else."""
+    JPEG (SOF0, pure numpy), QOI (byte-oriented diff/run/index coding),
+    BMP (BI_RGB, padded BGR rows) or binary Netpbm P5/P6 (uncompressed)
+    → HxWx3 uint8. Raises ValueError for anything else."""
     if content.startswith(_PNG_SIG):
         return decode_png(content)
     if content[:6] in _GIF_SIGS:
@@ -1305,6 +1365,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_jpeg(content)
     if content[:4] == _QOI_SIG:
         return decode_qoi(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     return decode_ppm(content)
 
 

@@ -151,8 +151,8 @@ def multimodal_features_from_docs(spark, sf_dir):
     containers (frequency and duration parameterized by doc_id),
     gradient images rotating across P6 PPM, COMPRESSED PNG (stdlib
     zlib), COMPRESSED GIF87a (pure-Python LZW), baseline JPEG
-    (pure-numpy Huffman+IDCT, lossy) and QOI (byte-oriented
-    diff/run/index) containers (dimensions parameterized by doc_id; the
+    (pure-numpy Huffman+IDCT, lossy), QOI (byte-oriented
+    diff/run/index) and BMP (padded BGR rows) containers (dimensions parameterized by doc_id; the
     GIF variant quantizes its gradient to honor the 256-color table),
     and moving-gradient clips rotating between YUV4MPEG2 and
     LZW-compressed animated-GIF containers (frame count and cadence
@@ -172,6 +172,7 @@ def multimodal_features_from_docs(spark, sf_dir):
     from polygon_algotrading_env_spark.operators.multimodal import (
         encode_gif,
         encode_gif_anim,
+        encode_bmp,
         encode_jpeg,
         encode_png,
         encode_ppm,
@@ -205,7 +206,7 @@ def multimodal_features_from_docs(spark, sf_dir):
                 elif i % 3 == 1:
                     w, h = 8 + i % 16, 8 + (i // 3) % 16
                     yy, xx = np.mgrid[0:h, 0:w]
-                    variant = (i // 3) % 5
+                    variant = (i // 3) % 6
                     if variant == 2:
                         # GIF variant: quantize the y-gradient to 8 levels
                         # so unique colors stay under the 256-entry table
@@ -228,8 +229,8 @@ def multimodal_features_from_docs(spark, sf_dir):
                         ).astype(np.uint8)
                     # container rotation: P6 PPM (uncompressed), PNG
                     # (zlib), GIF87a (LZW), baseline JPEG (Huffman+DCT,
-                    # lossy), QOI (diff/run/index) — all via
-                    # decode_image's magic-byte dispatch
+                    # lossy), QOI (diff/run/index), BMP (padded BGR
+                    # rows) — all via decode_image's magic-byte dispatch
                     blobs.append(
                         [
                             encode_ppm,
@@ -237,6 +238,7 @@ def multimodal_features_from_docs(spark, sf_dir):
                             encode_gif,
                             encode_jpeg,
                             encode_qoi,
+                            encode_bmp,
                         ][variant](px)
                     )
                     kinds.append("image")

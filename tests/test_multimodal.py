@@ -1008,3 +1008,81 @@ def test_qoi_through_extract_features_and_resize(spark):
     assert len(feats) == 1
     assert feats[0]["feature"][0] == 9 / 4096.0
     assert feats[0]["feature"][1] == 12 / 4096.0
+
+
+# --- BMP codec -------------------------------------------------------------
+def test_bmp_roundtrip_padding_and_dispatch():
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+        image_features,
+    )
+
+    rng = np.random.RandomState(41)
+    # widths 5 and 13 exercise nonzero 4-byte row padding; 4 exercises none
+    for h, w in [(7, 5), (4, 4), (1, 1), (9, 13)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        assert np.array_equal(decode_bmp(blob), px)
+        assert np.array_equal(decode_image(blob), px)
+    feats = image_features(encode_bmp(px))
+    assert feats[0] == 13 / 4096.0 and feats[1] == 9 / 4096.0
+
+
+def test_bmp_topdown_and_32bit_variants():
+    import struct as _struct
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(43)
+    px = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px))
+    # forge top-down: negative height + un-flipped raster
+    blob[22:26] = _struct.pack("<i", -6)
+    stride = (5 * 3 + 3) & ~3
+    raster = (
+        np.frombuffer(bytes(blob[54:]), dtype=np.uint8)
+        .reshape(6, stride)[::-1]
+        .tobytes()
+    )
+    blob[54:] = raster
+    assert np.array_equal(decode_bmp(bytes(blob)), px)
+
+    # hand-built 32-bit BGRA single pixel (255,0,0) red with alpha junk
+    raster32 = bytes([0, 0, 255, 99])
+    hdr = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+    )
+    out = decode_bmp(hdr + raster32)
+    assert out.shape == (1, 1, 3) and tuple(out[0, 0]) == (255, 0, 0)
+
+
+def test_bmp_malformed_inputs_fail_loudly():
+    import struct as _struct
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.zeros((3, 3, 3), np.uint8)
+    blob = bytearray(encode_bmp(px))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + bytes(blob[2:]))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(blob[:-4]))
+    comp = bytearray(blob)
+    comp[30:34] = _struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(comp))
+    pal = bytearray(blob)
+    pal[28:30] = _struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_bmp(bytes(pal))

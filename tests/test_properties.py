@@ -779,3 +779,24 @@ def test_qoi_roundtrip_law(h, w, levels, seed):
         rng.integers(0, levels, (h, w, 3)) * (255 // max(levels - 1, 1))
     ).astype(np.uint8)
     assert np.array_equal(decode_qoi(encode_qoi(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_law(h, w, seed):
+    """BMP 24-bit BI_RGB is lossless for any uint8 RGB image — width
+    sweeps all four row-padding residues."""
+    import numpy as np
+
+    from polygon_algotrading_env_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
