@@ -5647,3 +5647,157 @@ def acf_by_type(spark, sf_dir):
             "rho"
         ),
     )
+
+
+# --- one-pass parameter-grid crossover backtest ---------------------------
+_GRID_PAIRS = ((5, 20), (5, 50), (10, 20), (10, 50))
+_GRID_LAGS = sorted({1} | {k for f, s in _GRID_PAIRS for k in (f, s, f + 1, s + 1)})
+
+
+def _grid_backtest_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(cum, {k}) OVER o AS l{k}" for k in _GRID_LAGS
+    )
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT event_type, {f} AS fast, {s} AS slow, c, c1,
+             CASE WHEN (cum - l{f}) * {s} > (cum - l{s}) * {f}
+                  THEN 1 ELSE 0 END AS sig,
+             CASE WHEN (l1 - l{f + 1}) * {s} > (l1 - l{s + 1}) * {f}
+                  THEN 1 ELSE 0 END AS sigp
+      FROM lw WHERE l{s + 1} IS NOT NULL"""
+        for f, s in _GRID_PAIRS
+    )
+    return f"""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    g AS (
+      SELECT event_type, bucket_start,
+             CAST(round(close * 100) AS BIGINT) AS c
+      FROM bars
+    ),
+    cw AS (
+      SELECT event_type, bucket_start, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bucket_start
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ),
+    lw AS (
+      SELECT event_type, bucket_start, c, cum,
+             lag(c, 1) OVER o AS c1,
+             {lag_cols}
+      FROM cw
+      WINDOW o AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    arms AS (
+{arms}
+    )
+    SELECT event_type, CAST(fast AS INT) AS fast, CAST(slow AS INT) AS slow,
+           CAST(count(*) AS BIGINT)              AS n_bars,
+           CAST(sum(sigp) AS BIGINT)             AS n_long,
+           CAST(sum(abs(sig - sigp)) AS BIGINT)  AS n_trades,
+           CAST(sum(sigp * (c - c1)) AS BIGINT)  AS pnl_cents,
+           round(CAST(sum(sigp * (c - c1)) AS DOUBLE)
+                 / nullif(sum(abs(sig - sigp)), 0), 6) AS pnl_per_trade
+    FROM arms GROUP BY 1, 2, 3
+    """
+
+
+@register("grid_backtest_sma_pairs_5m", oracle=_grid_backtest_oracle())
+def grid_backtest_sma_pairs_5m(spark, sf_dir):
+    """Hyperparameter-grid crossover backtest in ONE pass: all four
+    SMA(fast)/SMA(slow) pairs evaluated per symbol with EVERY decision
+    made in exact integer arithmetic — the signal is the
+    cross-multiplied comparison (cum−lag_f)·slow > (cum−lag_s)·fast of
+    cents-grid prefix sums (no float SMA anywhere), positions lag one
+    bar (no lookahead), P&L is the exact cents sum Σ position·Δclose,
+    and trade counts are |signal − prev_signal| sums. The scoreboard a
+    strategy-search loop actually wants: n_bars/n_long/n_trades/
+    pnl_cents per (symbol, fast, slow), all BIGINT, pnl-per-trade the
+    one deterministic division.
+
+    Plan: bar aggregate → ONE ordered window per symbol computes the
+    prefix sum and all nine shared lag offsets → the pair grid explodes
+    as a constant struct array (rows × |grid|, no join, no re-sort) →
+    one hash aggregate. Adding a parameter pair costs two lag columns,
+    not a pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select(
+        "event_type",
+        "bucket_start",
+        F.round(F.col("close") * 100).cast("bigint").alias("c"),
+    )
+    o = Window.partitionBy("event_type").orderBy("bucket_start")
+    cw = bars.select(
+        "event_type",
+        "bucket_start",
+        "c",
+        F.sum("c").over(o.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    lw = cw.select(
+        "event_type",
+        "c",
+        "cum",
+        F.lag("c", 1).over(o).alias("c1"),
+        *[F.lag("cum", k).over(o).alias(f"l{k}") for k in _GRID_LAGS],
+    )
+    sig = lambda f, s: (  # noqa: E731
+        (F.col("cum") - F.col(f"l{f}")) * s
+        > (F.col("cum") - F.col(f"l{s}")) * f
+    ).cast("int")
+    sigp = lambda f, s: (  # noqa: E731
+        (F.col("l1") - F.col(f"l{f + 1}")) * s
+        > (F.col("l1") - F.col(f"l{s + 1}")) * f
+    ).cast("int")
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("fast"),
+                F.lit(s).alias("slow"),
+                sig(f, s).alias("sig"),
+                sigp(f, s).alias("sigp"),
+                F.col(f"l{s + 1}").isNotNull().alias("valid"),
+            )
+            for f, s in _GRID_PAIRS
+        ]
+    )
+    rows = (
+        lw.select("event_type", "c", "c1", F.explode(arms).alias("a"))
+        .where(F.col("a.valid"))
+        .select(
+            "event_type",
+            "c",
+            "c1",
+            F.col("a.fast").alias("fast"),
+            F.col("a.slow").alias("slow"),
+            F.col("a.sig").alias("sig"),
+            F.col("a.sigp").alias("sigp"),
+        )
+    )
+    pnl = F.sum(F.col("sigp") * (F.col("c") - F.col("c1")))
+    return rows.groupBy("event_type", "fast", "slow").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum("sigp").alias("n_long"),
+        F.sum(F.abs(F.col("sig") - F.col("sigp"))).alias("n_trades"),
+        pnl.alias("pnl_cents"),
+        F.round(
+            F.try_divide(
+                pnl.cast("double"),
+                F.nullif(
+                    F.sum(F.abs(F.col("sig") - F.col("sigp"))), F.lit(0)
+                ),
+            ),
+            6,
+        ).alias("pnl_per_trade"),
+    )

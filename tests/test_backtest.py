@@ -154,3 +154,58 @@ def test_block_bootstrap_degenerate_resamples_not_overcounted(spark):
     assert out["FLAT"]["ci_lo"] is None and out["FLAT"]["ci_hi"] is None
     assert out["VAR"]["n_resamples"] == 20
     assert out["VAR"]["ci_lo"] <= out["VAR"]["ci_hi"]
+
+
+def test_grid_backtest_exact_integer_reference(spark):
+    """grid_backtest_sma_pairs_5m vs a pure-Python replay of the exact
+    integer semantics (cents prefix sums, cross-multiplied signals,
+    lagged positions) on the real sf0.001 fixture."""
+    from polygon_algotrading_env_spark.queries.timeseries import (
+        _GRID_PAIRS,
+        grid_backtest_sma_pairs_5m,
+    )
+
+    out = {
+        (r["event_type"], r["fast"], r["slow"]): r
+        for r in grid_backtest_sma_pairs_5m(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # rebuild the bar closes exactly as the query does
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.operators.bars import ohlcv_bars
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    bars = (
+        ohlcv_bars(
+            ev, ts_col="ts", price_col="value", duration="5 minutes",
+            keys=("event_type",), volume_col="value", order_col="ts_ns",
+        )
+        .select("event_type", "bucket_start", "close")
+        .toPandas()
+        .sort_values(["event_type", "bucket_start"])
+    )
+    for etype, grp in bars.groupby("event_type"):
+        c = [int(round(v * 100)) for v in grp["close"]]
+        cum = [0]
+        for v in c:
+            cum.append(cum[-1] + v)
+        # cum[r] = sum of first r closes (1-based row r)
+        for f, s in _GRID_PAIRS:
+            n_bars = n_long = n_trades = pnl = 0
+            for r in range(s + 2, len(c) + 1):
+                sig = (cum[r] - cum[r - f]) * s > (cum[r] - cum[r - s]) * f
+                sigp = (cum[r - 1] - cum[r - 1 - f]) * s > (
+                    cum[r - 1] - cum[r - 1 - s]
+                ) * f
+                n_bars += 1
+                n_long += sigp
+                n_trades += abs(int(sig) - int(sigp))
+                pnl += int(sigp) * (c[r - 1] - c[r - 2])
+            row = out[(etype, f, s)]
+            assert row["n_bars"] == n_bars
+            assert row["n_long"] == n_long
+            assert row["n_trades"] == n_trades, (etype, f, s)
+            assert row["pnl_cents"] == pnl
+            if n_trades:
+                assert row["pnl_per_trade"] == round(pnl / n_trades, 6)
