@@ -5659,7 +5659,7 @@ def _grid_backtest_oracle() -> str:
         f"lag(cum, {k}) OVER o AS l{k}" for k in _GRID_LAGS
     )
     arms = "\n      UNION ALL\n".join(
-        f"""      SELECT event_type, {f} AS fast, {s} AS slow, c, c1,
+        f"""      SELECT event_type, bucket_start, {f} AS fast, {s} AS slow, c, c1,
              CASE WHEN (cum - l{f}) * {s} > (cum - l{s}) * {f}
                   THEN 1 ELSE 0 END AS sig,
              CASE WHEN (l1 - l{f + 1}) * {s} > (l1 - l{s + 1}) * {f}
@@ -5695,15 +5695,44 @@ def _grid_backtest_oracle() -> str:
     ),
     arms AS (
 {arms}
+    ),
+    eq0 AS (
+      SELECT *,
+             sum(sigp * (c - c1)) OVER (
+               PARTITION BY event_type, fast, slow
+               ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS equity
+      FROM arms
+    ),
+    eq AS (
+      SELECT *,
+             max(equity) OVER (
+               PARTITION BY event_type, fast, slow
+               ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM eq0
+    ),
+    agg AS (
+      SELECT event_type, fast, slow,
+             CAST(count(*) AS BIGINT)              AS n_bars,
+             CAST(sum(sigp) AS BIGINT)             AS n_long,
+             CAST(sum(abs(sig - sigp)) AS BIGINT)  AS n_trades,
+             CAST(sum(sigp * (c - c1)) AS BIGINT)  AS pnl_cents,
+             CAST(sum(sigp * (c - c1) * (c - c1)) AS BIGINT) AS pnl2_cents,
+             CAST(max(runmax - equity) AS BIGINT)  AS maxdd_cents
+      FROM eq GROUP BY 1, 2, 3
     )
     SELECT event_type, CAST(fast AS INT) AS fast, CAST(slow AS INT) AS slow,
-           CAST(count(*) AS BIGINT)              AS n_bars,
-           CAST(sum(sigp) AS BIGINT)             AS n_long,
-           CAST(sum(abs(sig - sigp)) AS BIGINT)  AS n_trades,
-           CAST(sum(sigp * (c - c1)) AS BIGINT)  AS pnl_cents,
-           round(CAST(sum(sigp * (c - c1)) AS DOUBLE)
-                 / nullif(sum(abs(sig - sigp)), 0), 6) AS pnl_per_trade
-    FROM arms GROUP BY 1, 2, 3
+           n_bars, n_long, n_trades, pnl_cents, pnl2_cents, maxdd_cents,
+           round(CAST(pnl_cents AS DOUBLE) / nullif(n_trades, 0), 6)
+             AS pnl_per_trade,
+           round((CAST(pnl_cents AS DOUBLE) / n_bars)
+                 / nullif(sqrt((CAST(n_bars AS DOUBLE)
+                                  * CAST(pnl2_cents AS DOUBLE)
+                                - CAST(pnl_cents AS DOUBLE)
+                                  * CAST(pnl_cents AS DOUBLE))
+                               / (CAST(n_bars AS DOUBLE)
+                                  * (CAST(n_bars AS DOUBLE) - 1))), 0), 6)
+             AS sharpe_bar
+    FROM agg
     """
 
 
@@ -5747,6 +5776,7 @@ def grid_backtest_sma_pairs_5m(spark, sf_dir):
     )
     lw = cw.select(
         "event_type",
+        "bucket_start",
         "c",
         "cum",
         F.lag("c", 1).over(o).alias("c1"),
@@ -5773,10 +5803,13 @@ def grid_backtest_sma_pairs_5m(spark, sf_dir):
         ]
     )
     rows = (
-        lw.select("event_type", "c", "c1", F.explode(arms).alias("a"))
+        lw.select(
+            "event_type", "bucket_start", "c", "c1", F.explode(arms).alias("a")
+        )
         .where(F.col("a.valid"))
         .select(
             "event_type",
+            "bucket_start",
             "c",
             "c1",
             F.col("a.fast").alias("fast"),
@@ -5785,19 +5818,45 @@ def grid_backtest_sma_pairs_5m(spark, sf_dir):
             F.col("a.sigp").alias("sigp"),
         )
     )
+    e = Window.partitionBy("event_type", "fast", "slow").orderBy(
+        "bucket_start"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    step = F.col("sigp") * (F.col("c") - F.col("c1"))
+    eq = rows.select("*", F.sum(step).over(e).alias("equity")).select(
+        "*", F.max("equity").over(e).alias("runmax")
+    )
     pnl = F.sum(F.col("sigp") * (F.col("c") - F.col("c1")))
-    return rows.groupBy("event_type", "fast", "slow").agg(
+    agg = eq.groupBy("event_type", "fast", "slow").agg(
         F.count(F.lit(1)).alias("n_bars"),
         F.sum("sigp").alias("n_long"),
         F.sum(F.abs(F.col("sig") - F.col("sigp"))).alias("n_trades"),
         pnl.alias("pnl_cents"),
+        F.sum(
+            F.col("sigp")
+            * (F.col("c") - F.col("c1"))
+            * (F.col("c") - F.col("c1"))
+        ).alias("pnl2_cents"),
+        F.max(F.col("runmax") - F.col("equity")).alias("maxdd_cents"),
+    )
+    nd = F.col("n_bars").cast("double")
+    pd_ = F.col("pnl_cents").cast("double")
+    var = (
+        nd * F.col("pnl2_cents").cast("double") - pd_ * pd_
+    ) / (nd * (nd - 1))
+    return agg.select(
+        "event_type",
+        "fast",
+        "slow",
+        "n_bars",
+        "n_long",
+        "n_trades",
+        "pnl_cents",
+        "pnl2_cents",
+        "maxdd_cents",
         F.round(
-            F.try_divide(
-                pnl.cast("double"),
-                F.nullif(
-                    F.sum(F.abs(F.col("sig") - F.col("sigp"))), F.lit(0)
-                ),
-            ),
-            6,
+            F.try_divide(pd_, F.nullif(F.col("n_trades"), F.lit(0))), 6
         ).alias("pnl_per_trade"),
+        F.round(
+            F.try_divide(pd_ / nd, F.nullif(F.sqrt(var), F.lit(0.0))), 6
+        ).alias("sharpe_bar"),
     )

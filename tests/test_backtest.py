@@ -192,7 +192,9 @@ def test_grid_backtest_exact_integer_reference(spark):
             cum.append(cum[-1] + v)
         # cum[r] = sum of first r closes (1-based row r)
         for f, s in _GRID_PAIRS:
-            n_bars = n_long = n_trades = pnl = 0
+            n_bars = n_long = n_trades = pnl = pnl2 = 0
+            # peak is over OBSERVED equity (no pre-series 0 baseline)
+            equity, runmax, maxdd = 0, None, 0
             for r in range(s + 2, len(c) + 1):
                 sig = (cum[r] - cum[r - f]) * s > (cum[r] - cum[r - s]) * f
                 sigp = (cum[r - 1] - cum[r - 1 - f]) * s > (
@@ -201,11 +203,18 @@ def test_grid_backtest_exact_integer_reference(spark):
                 n_bars += 1
                 n_long += sigp
                 n_trades += abs(int(sig) - int(sigp))
-                pnl += int(sigp) * (c[r - 1] - c[r - 2])
+                step = int(sigp) * (c[r - 1] - c[r - 2])
+                pnl += step
+                pnl2 += step * step
+                equity += step
+                runmax = equity if runmax is None else max(runmax, equity)
+                maxdd = max(maxdd, runmax - equity)
             row = out[(etype, f, s)]
             assert row["n_bars"] == n_bars
             assert row["n_long"] == n_long
             assert row["n_trades"] == n_trades, (etype, f, s)
             assert row["pnl_cents"] == pnl
+            assert row["pnl2_cents"] == pnl2
+            assert row["maxdd_cents"] == maxdd
             if n_trades:
                 assert row["pnl_per_trade"] == round(pnl / n_trades, 6)
