@@ -275,8 +275,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # phrase_search_docs, fairness_gaps_by_segment,
 # minhash_recall_report, cusum_changepoint_by_type,
 # hashed_token_features_docs, source_token_cosine_pairs,
-# acf_by_type, attribution_touch_points, grid_backtest_sma_pairs_5m).
-# Rotate against slots whose families hold >=3 recorded green rounds.
+# acf_by_type, attribution_touch_points, grid_backtest_sma_pairs_5m,
+# hits_part_supplier_top10, l_diversity_release_audit). Rotate against
+# slots whose families hold >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated

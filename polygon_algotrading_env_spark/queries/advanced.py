@@ -1668,3 +1668,181 @@ def cheapest_supply_paths(spark, sf_dir):
     seed = bulk.agg(F.min("l_partkey")).collect()[0][0]
     out = bellman_ford(e, seeds=[seed], n_rounds=10)
     return out.orderBy("dist", "id").limit(20)
+
+
+# --- HITS hubs/authorities (exact integer path counts) --------------------
+_HITS_ROUNDS = 2  # h -> a -> h -> a : two full mutual-reinforcement rounds
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    for r in range(1, _HITS_ROUNDS + 1):
+        prev_h = "h0" if r == 1 else f"h{r - 1}"
+        rounds.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT e.supp AS id, sum(h.score) AS score
+      FROM e JOIN {prev_h} h ON h.id = e.part GROUP BY 1
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT e.part AS id, sum(a.score) AS score
+      FROM e JOIN a{r} a ON a.id = e.supp GROUP BY 1
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS part, 10000000 + l_suppkey AS supp
+      FROM lineitem WHERE l_quantity >= 48
+    ),
+    h0 AS MATERIALIZED (
+      SELECT part AS id, CAST(1 AS BIGINT) AS score FROM (
+        SELECT DISTINCT part FROM e
+      )
+    ),{",".join(rounds)},
+    ranked AS (
+      SELECT 'authority' AS side, id, CAST(score AS BIGINT) AS score,
+             row_number() OVER (ORDER BY score DESC, id) AS rk
+      FROM a{_HITS_ROUNDS}
+      UNION ALL
+      SELECT 'hub' AS side, id, CAST(score AS BIGINT) AS score,
+             row_number() OVER (ORDER BY score DESC, id) AS rk
+      FROM h{_HITS_ROUNDS}
+    )
+    SELECT side, CAST(rk AS INT) AS rk, id, score
+    FROM ranked WHERE rk <= 10
+    """
+
+
+@register("hits_part_supplier_top10", oracle=_hits_oracle())
+def hits_part_supplier_top10(spark, sf_dir):
+    """HITS hubs/authorities over the thinned part-supplier bipartite
+    graph, UNNORMALIZED — after k mutual-reinforcement rounds a node's
+    score is its exact alternating-path count (h₀ = 1), so the whole
+    computation stays in BIGINT and the DuckDB chained-CTE replay is
+    exact (the normalization step of textbook HITS only rescales ranks;
+    dropping it trades float drift for integer equality — the BFS /
+    Bellman-Ford recipe applied to eigenvector-style scoring). Emits
+    the top-10 authorities (suppliers many well-connected parts buy
+    from) and top-10 hubs (parts whose suppliers are themselves
+    heavily bought from) with exact scores and ranks.
+
+    Scale: per half-round one equi-join of the edge relation against
+    the score relation + one hash aggregate — the PageRank shuffle
+    shape without the dangling-mass scalar; score magnitude is the path
+    count, bounded by n·d^(2k) — promote to DECIMAL(38,0) past ~6
+    half-rounds on dense graphs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.where(F.col("l_quantity") >= 48)
+        .select(
+            F.col("l_partkey").alias("part"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("part").distinct().select(
+        F.col("part").alias("id"), F.lit(1).cast("bigint").alias("score")
+    )
+    for _ in range(_HITS_ROUNDS):
+        a = (
+            e.join(h.select(F.col("id").alias("part"), "score"), "part")
+            .groupBy("supp")
+            .agg(F.sum("score").alias("score"))
+            .select(F.col("supp").alias("id"), "score")
+        )
+        h = (
+            e.join(a.select(F.col("id").alias("supp"), "score"), "supp")
+            .groupBy("part")
+            .agg(F.sum("score").alias("score"))
+            .select(F.col("part").alias("id"), "score")
+        )
+    from pyspark.sql import Window
+
+    def top10(df, side):
+        # limit FIRST (TakeOrderedAndProject — per-partition heaps, no
+        # global sort); the ranking window then runs on 10 rows.
+        capped = df.orderBy(F.col("score").desc(), F.col("id")).limit(10)
+        rk = F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("id"))
+        )
+        return capped.select(
+            F.lit(side).alias("side"),
+            rk.cast("int").alias("rk"),
+            "id",
+            "score",
+        )
+
+    return top10(a, "authority").unionAll(top10(h, "hub"))
+
+
+# --- l-diversity audit over the k-anonymity release classes ---------------
+_LDIV_BAND = (
+    "CASE WHEN c_acctbal < 0 THEN 'debt' "
+    "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@register(
+    "l_diversity_release_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_mktsegment, c_nationkey, {_LDIV_BAND} AS band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(sum(cnt) AS BIGINT)   AS n,
+             CAST(count(*) AS BIGINT)   AS l_count,
+             round(log2(CAST(sum(cnt) AS DOUBLE))
+                   - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS entropy_bits
+      FROM s GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, n, l_count, entropy_bits,
+           CAST(l_count >= 3 AS BOOLEAN) AS l3_diverse
+    FROM cls WHERE n >= 6
+    """,
+)
+def l_diversity_release_audit(spark, sf_dir):
+    """l-diversity audit of the k-anonymity release classes: within each
+    (mktsegment, nationkey) equivalence class that k-anonymity would
+    publish (n ≥ 6), how many DISTINCT sensitive values (account-balance
+    band: debt / mid / high) does it contain, and with what entropy? —
+    the attack k-anonymity alone misses: a class where every member
+    shares one sensitive value leaks it to anyone who can place a
+    person in the class. Emits per-class exact (n, l_count) BIGINTs, the
+    entropy-l-diversity value in bits (≤3 addends per class — reorder
+    noise ~1e-16 against the 1e-6 grid), and the l≥3 compliance flag.
+    Plan: one (QI, band) hash aggregate, one class rollup — dimension
+    cost regardless of fact scale, the same shape as the release
+    itself."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    s = cust.groupBy(
+        "c_mktsegment", "c_nationkey", band.alias("band")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # entropy as plain aggregates: H = log2(n) − Σ cnt·log2(cnt) / n
+    # (the p·log p form needs the class total inside the sum — a nested
+    # aggregate; this algebraic twin is one formula on both engines)
+    cd = F.col("cnt").cast("double")
+    cls = s.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("l_count"),
+        F.round(
+            F.log2(F.sum("cnt").cast("double"))
+            - F.sum(cd * F.log2(cd)) / F.sum("cnt").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return cls.where(F.col("n") >= 6).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        "l_count",
+        "entropy_bits",
+        (F.col("l_count") >= 3).alias("l3_diverse"),
+    )
