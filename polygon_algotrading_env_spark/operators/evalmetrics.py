@@ -119,15 +119,23 @@ def label_topk_eval(
     """Retrieval evaluation of the exact-cosine ranker against label
     ground truth: for each (qid, qvec, qlabel) in ``query_rows``, rank all
     OTHER rows by (round(cosine,6) DESC, id) and score the top ``k`` —
-    returns (qid, hits, p_at_k, mrr, dcg, ndcg) with ``hits`` an exact
-    BIGINT and the graded metrics rounded at 6dp.
+    returns (qid, hits, total_rel, p_at_k, mrr, dcg, ndcg) with ``hits``
+    and ``total_rel`` exact BIGINTs and the graded metrics rounded at 6dp.
+
+    NDCG uses the STANDARD ideal normalizer: the prefix-sum discount at
+    ``min(total_rel, k)`` where ``total_rel`` counts ALL relevant
+    candidates for the query (not just retrieved ones) — so a query with
+    one hit out of many corpus-relevant docs is penalized, unlike the
+    packing-only ``idcg[hits]`` variant this replaced. ``total_rel`` is a
+    column-pruned re-aggregate of the fanned relation (Catalyst drops the
+    cosine arithmetic since ``score`` is unused on that branch), collapses
+    map-side to |Q| rows and joins back broadcast.
 
     The query set enters as a CONSTANT array of structs exploded onto
     every candidate row — no join node at all, |Q|·n rows out of a single
     scan (the standard eval-harness shape: |Q| is dozens, the corpus is
-    the big side). NDCG's ideal normalizer is looked up from a prefix-sum
-    literal array indexed by the exact integer hit count, so both engines
-    divide identical doubles."""
+    the big side); both normalizer lookups are literal prefix-sum arrays
+    indexed by exact integers, so both engines divide identical doubles."""
     from polygon_algotrading_env_spark.functions.vectors import cosine
 
     qstructs = [
@@ -163,9 +171,15 @@ def label_topk_eval(
     disc = F.element_at(
         F.array(*[F.lit(d) for d in discounts]), F.col("rn").cast("int")
     )
+    # |Q|-row relation: per-query count of ALL relevant candidates —
+    # score is unused here, so Catalyst prunes the cosine arithmetic and
+    # this branch reads only (id, label).
+    totals = fanned.groupBy("qid").agg(F.sum("rel").alias("total_rel"))
     idcg = F.element_at(
         F.array(*[F.lit(v) for v in idcg_prefix(k)]),
-        F.col("hits").cast("int"),
+        F.greatest(
+            F.least(F.col("total_rel"), F.lit(k)), F.lit(1)
+        ).cast("int"),
     )
     agg = top.groupBy("qid").agg(
         F.sum("rel").alias("hits"),
@@ -176,9 +190,10 @@ def label_topk_eval(
         F.round(F.sum(F.col("rel") * disc), 6).alias("dcg"),
         F.sum(F.col("rel") * disc).alias("__dcg_raw"),
     )
-    return agg.select(
+    return agg.join(F.broadcast(totals), "qid").select(
         "qid",
         "hits",
+        "total_rel",
         "p_at_k",
         "mrr",
         "dcg",

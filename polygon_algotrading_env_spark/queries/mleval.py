@@ -82,14 +82,23 @@ _K = 10
 _DISC_SQL = "[" + ", ".join(repr(d) for d in dcg_discounts(_K)) + "]"
 _IDCG_SQL = "[" + ", ".join(repr(v) for v in idcg_prefix(_K)) + "]"
 
-_QUERY_ROWS_CACHE: dict[str, list[tuple[int, list[float], int]]] = {}
+_QUERY_ROWS_CACHE: dict[
+    tuple[str, float], list[tuple[int, list[float], int]]
+] = {}
 
 
 def _eval_query_rows(spark, sf_dir):
     """The 20 evaluation probes (vec_id < 20) with their labels — models
     the eval-harness shape where the query set arrives with the request;
-    cached per fixture dir like the ANN probe vector."""
-    key = os.path.abspath(sf_dir)
+    cached per (fixture dir, embeddings mtime) so a regenerated fixture
+    within the same process never reuses stale probe vectors."""
+    path = os.path.abspath(sf_dir)
+    emb_path = os.path.join(path, "embeddings.parquet")
+    try:
+        mtime = os.path.getmtime(emb_path)
+    except OSError:
+        mtime = 0.0
+    key = (path, mtime)
     if key not in _QUERY_ROWS_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
@@ -137,21 +146,28 @@ def _eval_query_rows(spark, sf_dir):
              round(sum(rel * ({_DISC_SQL})[rn]), 6)         AS dcg,
              sum(rel * ({_DISC_SQL})[rn])                   AS dcg_raw
       FROM r WHERE rn <= {_K} GROUP BY qid
+    ),
+    t AS (
+      SELECT qid, CAST(sum(rel) AS BIGINT) AS total_rel FROM sc GROUP BY qid
     )
-    SELECT qid, hits, p_at_k, mrr, dcg,
-           CASE WHEN hits = 0 THEN 0.0
-                ELSE round(dcg_raw / ({_IDCG_SQL})[hits], 6) END AS ndcg
-    FROM a
+    SELECT a.qid, a.hits, t.total_rel, a.p_at_k, a.mrr, a.dcg,
+           CASE WHEN a.hits = 0 THEN 0.0
+                ELSE round(a.dcg_raw /
+                       ({_IDCG_SQL})[greatest(least(t.total_rel, {_K}), 1)],
+                     6) END AS ndcg
+    FROM a JOIN t USING (qid)
     """,
 )
 def retrieval_label_eval_top10(spark, sf_dir):
     """Scoreboard for the exact-cosine retriever against label ground
-    truth: per evaluation probe, precision@10, MRR, DCG and NDCG with the
-    hit count as an exact BIGINT. The probe set rides as a constant
-    struct array exploded onto the corpus scan (|Q|·n rows, no join
-    node); ranking is per-probe top-k on (rounded score, id); NDCG's
-    ideal normalizer is a literal prefix-sum array indexed by the integer
-    hit count, so both engines divide identical doubles."""
+    truth: per evaluation probe, precision@10, MRR, DCG and standard NDCG
+    (ideal = prefix-sum discount at min(total_rel, 10), where total_rel
+    counts ALL corpus-relevant candidates) with the hit and relevant
+    counts as exact BIGINTs. The probe set rides as a constant struct
+    array exploded onto the corpus scan (|Q|·n rows, no join node);
+    ranking is per-probe top-k on (rounded score, id); both normalizer
+    lookups are literal prefix-sum arrays indexed by exact integers, so
+    both engines divide identical doubles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return label_topk_eval(emb, _eval_query_rows(spark, sf_dir), k=_K)
 

@@ -1931,7 +1931,7 @@ _N_PROBES = 50
 )
 def minhash_recall_report(spark, sf_dir):
     """Recall/precision audit of the banded MinHash index against exact
-    ground truth on a fixed {probe} probe set: truth = every (probe,
+    ground truth on a fixed 50-document probe set: truth = every (probe,
     corpus) pair with exact 5-gram Jaccard ≥ 0.3 (the integer
     cross-multiplication 10·|A∩B| ≥ 3·|A∪B|), prediction = the certified
     md5-band candidate pairs touching a probe. One exact-count row —

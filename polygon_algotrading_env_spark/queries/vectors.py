@@ -69,15 +69,22 @@ def embedding_norms(spark, sf_dir):
     )
 
 
-_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+_QUERY_VEC_CACHE: dict[tuple[str, float], list[float]] = {}
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
     """Deterministic probe vector: embedding of vec_id = 0. Cached per
-    fixture dir — the ANN queries model a query SERVICE, where the probe
-    vector arrives with the request; re-scanning the corpus for it on
-    every query would charge an O(n) cost that isn't part of the probe."""
-    key = os.path.abspath(sf_dir)
+    (fixture dir, embeddings mtime) — the ANN queries model a query
+    SERVICE, where the probe vector arrives with the request;
+    re-scanning the corpus for it on every query would charge an O(n)
+    cost that isn't part of the probe. The mtime key means a regenerated
+    fixture in the same process never reuses a stale probe."""
+    path = os.path.abspath(sf_dir)
+    try:
+        mtime = os.path.getmtime(os.path.join(path, "embeddings.parquet"))
+    except OSError:
+        mtime = 0.0
+    key = (path, mtime)
     if key not in _QUERY_VEC_CACHE:
         row = (
             load_table(spark, sf_dir, "embeddings")

@@ -116,7 +116,14 @@ def test_label_topk_eval_hand_computed(spark):
     assert r["p_at_k"] == round(1 / 3, 6)
     assert r["mrr"] == 1.0
     assert r["dcg"] == 1.0  # rel at rank 1, discount 1/log2(2)=1
-    assert r["ndcg"] == 1.0  # ideal for 1 hit is also rank-1
+    # standard NDCG: 3 corpus-relevant candidates (ids 1, 3, 6), so the
+    # ideal ranking fills all k=3 slots — DCG 1.0 is penalized against
+    # idcg_prefix(3)[min(3,3)-1], not graded 1.0 for packing one hit first
+    assert r["total_rel"] == 3
+    import math
+
+    ideal = 1.0 + 1.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert r["ndcg"] == round(1.0 / ideal, 6)
 
 
 def test_label_topk_eval_zero_hits(spark):
@@ -130,6 +137,7 @@ def test_label_topk_eval_zero_hits(spark):
     )
     r = label_topk_eval(emb, [(0, [1.0, 0.0], 1)], k=2).collect()[0]
     assert r["hits"] == 0 and r["ndcg"] == 0.0 and r["mrr"] == 0.0
+    assert r["total_rel"] == 0  # no corpus candidate shares the label
 
 
 # --- contingency -----------------------------------------------------------
