@@ -278,16 +278,22 @@ def decile_lift(
     Bucket assignment is by comparison against the n_buckets−1 exact
     percentile cutoffs broadcast as one row — a scan-side expression, NOT
     a global ntile() sort (which would be a single-partition window at
-    scale). Ties straddling a cutoff all land in the lower bucket, so
+    scale). The cutoffs come from the distributed grid-quantile operator
+    (operators/rankstats.py) rather than ``F.percentile``, whose exact
+    aggregate merges a distinct-value-sized counts map into ONE final
+    buffer. Ties straddling a cutoff all land in the lower bucket, so
     bucket sizes wobble with ties but assignment is value-deterministic
     on both engines."""
-    cuts = df.agg(
-        *[
-            F.percentile(F.col(score_col), F.lit(i / n_buckets)).alias(
-                f"__c{i}"
-            )
-            for i in range(1, n_buckets)
-        ]
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+
+    cuts = grouped_exact_quantiles(
+        df,
+        score_col,
+        [],
+        [i / n_buckets for i in range(1, n_buckets)],
+        [f"__c{i}" for i in range(1, n_buckets)],
     )
     pos = _flag(positive)
     bucket = F.lit(1)
@@ -335,11 +341,17 @@ def confusion_at_threshold(
     return one row of exact BIGINT tp/fp/fn/tn plus precision / recall /
     f1 / accuracy as deterministic doubles from those integers.
 
-    The threshold is a one-row broadcast aggregate; the counts are a
-    single scan-side conditional aggregate — two jobs, no wide shuffle."""
+    The threshold is a one-row broadcast (computed by the distributed
+    grid-quantile operator, not ``F.percentile``'s single final counts
+    buffer); the counts are a single scan-side conditional aggregate —
+    no wide shuffle."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+
     if threshold is None:
-        thr = df.agg(
-            F.percentile(F.col(score_col), F.lit(quantile)).alias("__thr")
+        thr = grouped_exact_quantiles(
+            df, score_col, [], [quantile], ["__thr"]
         )
         base = df.crossJoin(F.broadcast(thr))
         thr_col = F.col("__thr")
@@ -415,59 +427,84 @@ def spearman_by_group(
 ) -> DataFrame:
     """Tie-corrected Spearman rank correlation of two numeric columns per
     key group: ranks use the average-rank convention encoded EXACTLY as
-    ``2·avgrank = 2·rank() + tie_count − 1`` (an integer), so the five
-    rank moments (sx, sy, sxx, syy, sxy) are exact BIGINT aggregates and
-    ``rho = (n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))`` is a
-    fixed scalar double recipe both engines evaluate identically (the
-    bigint→double casts round-to-nearest the same way).
+    the integer ``2·avgrank = cnt_lt + cnt_le + 1`` (strictly-below count
+    plus at-or-below count plus one), so the five rank moments (sx, sy,
+    sxx, syy, sxy) are exact integer aggregates and ``rho = (n·sxy −
+    sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²))`` is a fixed scalar double
+    recipe both engines evaluate identically (integer→double casts
+    round-to-nearest the same way).
 
-    Plan: every window partitions on the GROUP KEY ALONE — the tie count
-    never forces a (group, value)-keyed exchange because the average rank
-    is rewritten through the identity ``2·avgrank = rank_asc + (n + 1) −
-    rank_desc`` (min rank ascending + max rank ascending, and the max
-    ascending rank of a tie block is n + 1 − its min DESCENDING rank). One
-    hash exchange on the group, four in-partition sorts, one final hash
-    aggregate. BIGINT headroom: sxy ≤ n·(2n)² — exact to n ≈ 1.3e6 rows
-    per group; larger groups should promote the moment sums to
-    DECIMAL(38,0)."""
-    asc = lambda c: Window.partitionBy(*keys).orderBy(F.col(c).asc())  # noqa: E731
-    desc = lambda c: Window.partitionBy(*keys).orderBy(F.col(c).desc())  # noqa: E731
-    n_w = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    rank2 = lambda c: (  # noqa: E731
-        F.rank().over(asc(c)).cast("bigint")
-        + n_w
-        + 1
-        - F.rank().over(desc(c))
+    Plan (scale shape): the fact table is never shuffled at full width
+    and no window ever partitions on the ~4-value group key alone. The
+    x-coordinate's rank map — its ``(keys, x)`` grid with distributed
+    cumulative counts from the zoned prefix-sum machinery in
+    ``operators/rankstats.py`` — is BROADCAST back onto the fact scan
+    (pass the coarser-valued coordinate as ``x``; rho is symmetric, so
+    swap arguments if y is the coarse one). The x-moments (sx, sxx) and
+    group sizes come from the tiny x-grid ALONE; the y-moments (sy, syy)
+    from the y-grid alone; only the cross-moment sxy touches fact rows,
+    and only as ONE decimal sum in the map-side-combined hash aggregate
+    that collapses the fact to its ``(keys, y)`` relation carrying
+    t = Σrx per cell (sxy = Σ ry·t). The y-ranks come from one more
+    zoned prefix-sum over that relation.
+    Moments accumulate as DECIMAL(38,0) — exact to ~1e12 rows/group (the
+    old all-BIGINT pipeline capped at n ≈ 1.3e6 because sxy ≤ n·(2n)²) —
+    and are EXPORTED as BIGINT sufficient statistics via try_cast: past
+    ~1.3e6 rows/group the export columns go NULL (DuckDB's pandas bridge
+    degrades DECIMAL(38,0) to float64, so exporting decimals would break
+    the cross-engine hash) while rho itself stays exact, derived from
+    the decimal accumulators."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        cumulate_grid,
     )
-    ranked = df.select(
-        *keys, rank2(x).alias("rx"), rank2(y).alias("ry")
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xm = df.groupBy(*keys, x).agg(F.count(F.lit(1)).alias("cx"))
+    xs = cumulate_grid(xm, keys, x, "cx").withColumn(
+        "rx", F.col("cum_lt") + F.col("cum_le") + 1
     )
-    agg = ranked.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    rxd, cxd = dec(F.col("rx")), dec(F.col("cx"))
+    xagg = xs.groupBy(*keys).agg(
+        F.sum("cx").alias("n"),
+        F.sum(cxd * rxd).alias("__sx"),
+        F.sum(cxd * rxd * rxd).alias("__sxx"),
     )
+    yrel = (
+        df.select(*keys, x, y)
+        .join(F.broadcast(xs.select(*keys, x, "rx")), [*keys, x])
+        .groupBy(*keys, y)
+        .agg(
+            F.count(F.lit(1)).alias("cy"),
+            F.sum(dec(F.col("rx"))).alias("t"),
+        )
+    )
+    ys = cumulate_grid(yrel, keys, y, "cy")
+    ryd = dec(F.col("cum_lt") + F.col("cum_le") + 1)
+    cyd = dec(F.col("cy"))
+    yagg = ys.groupBy(*keys).agg(
+        F.sum(cyd * ryd).alias("__sy"),
+        F.sum(cyd * ryd * ryd).alias("__syy"),
+        F.sum(ryd * F.col("t")).alias("__sxy"),
+    )
+    agg = xagg.join(yagg, keys)
     nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+    num = nd * F.col("__sxy").cast("double") - F.col("__sx").cast(
         "double"
-    ) * F.col("sy").cast("double")
-    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+    ) * F.col("__sy").cast("double")
+    denx = nd * F.col("__sxx").cast("double") - F.col("__sx").cast(
         "double"
-    ) * F.col("sx").cast("double")
-    deny = nd * F.col("syy").cast("double") - F.col("sy").cast(
+    ) * F.col("__sx").cast("double")
+    deny = nd * F.col("__syy").cast("double") - F.col("__sy").cast(
         "double"
-    ) * F.col("sy").cast("double")
+    ) * F.col("__sy").cast("double")
     return agg.select(
         *keys,
-        "n",
-        "sx",
-        "sy",
-        "sxx",
-        "syy",
-        "sxy",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("try_cast(__sx AS BIGINT)").alias("sx"),
+        F.expr("try_cast(__sy AS BIGINT)").alias("sy"),
+        F.expr("try_cast(__sxx AS BIGINT)").alias("sxx"),
+        F.expr("try_cast(__syy AS BIGINT)").alias("syy"),
+        F.expr("try_cast(__sxy AS BIGINT)").alias("sxy"),
         F.round(
             F.try_divide(num, F.sqrt(denx) * F.sqrt(deny)), 6
         ).alias("rho"),
@@ -492,13 +529,16 @@ def fairness_gaps(
     one language/source segment is a dataset bias about to be trained
     in.
 
-    Plan: threshold broadcast → one conditional (segment) hash aggregate
-    over a single scan → segment-cardinality relation re-aggregated for
-    the overall rates and broadcast back. Nothing wider than the segment
-    domain shuffles."""
-    thr = df.agg(
-        F.percentile(F.col(score_col), F.lit(quantile)).alias("__thr")
+    Plan: threshold broadcast (distributed grid-quantile operator, not
+    ``F.percentile``'s single final counts buffer) → one conditional
+    (segment) hash aggregate over a single scan → segment-cardinality
+    relation re-aggregated for the overall rates and broadcast back.
+    Nothing wider than the segment domain shuffles."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
     )
+
+    thr = grouped_exact_quantiles(df, score_col, [], [quantile], ["__thr"])
     p = positive
     pred = F.col(score_col) > F.col("__thr")
     per = (

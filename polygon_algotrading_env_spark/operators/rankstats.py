@@ -1,0 +1,220 @@
+"""Distributed per-group rank statistics over low-cardinality group keys.
+
+``rank() OVER (PARTITION BY group ORDER BY value)`` funnels each group's
+FULL row set through one task per window pass — fatal when the group key
+has a handful of values (returnflag × linestatus is ~4) and the relation
+is 100 TB. Same story for ``percentile()``: Spark's exact percentile
+aggregate merges a distinct-value-sized counts map into ONE final buffer.
+
+The scalable shape used here is the grid + zoned prefix-sum:
+
+1. **Grid** — collapse rows to the distinct ``(group, value)`` grid with
+   exact BIGINT counts: one hash aggregate with map-side combine, keyed
+   by (group, value), so the shuffle is spread by VALUE, never funneled
+   per group.
+2. **Zones** — range-repartition the grid by ``(group, value)`` (the same
+   sampled-boundary machinery ``orderBy`` uses, so zones are balanced)
+   and aggregate per ``(zone, group)``: a partitions×groups relation,
+   never data-sized. For a fixed group, zone order IS value order by
+   construction of lexicographic range boundaries.
+3. **Prefix-sum** — exclusive running sum of zone subtotals per group
+   over zone order: a window over the tiny zone relation only. Both the
+   zone branch and the grid branch hang off the SAME range exchange
+   (Spark's exchange reuse), so sampled boundaries are computed once and
+   cannot desync the two sides.
+4. **Local cumsum + broadcast join-back** — each grid row's inclusive
+   running count is its zone's base plus an in-zone running sum; the
+   in-zone window partitions by ``(zone, group)``, whose cardinality is
+   partitions×groups — parallel across zones even for ONE group.
+
+From the cumulative counts every classical rank statistic is a scalar
+expression: ``rank_min = cum_lt + 1``, ``rank_max = cum_le``, the exact
+integer 2·avgrank = ``cum_lt + cum_le + 1``, percent_rank, cume_dist, and
+exact interpolated quantiles (``grouped_exact_quantiles``) — all without
+ever sorting one group in one task.
+
+Intended for LOW-cardinality group keys (the failure mode it fixes); with
+high-cardinality keys plain group-partitioned windows already parallelize
+and skip two shuffles, so prefer those there. The zone and group-total
+relations are broadcast back, which assumes partitions×groups stays
+driver-small — true by construction in the low-cardinality regime.
+
+No counterpart in the reference (its pandas frames rank in memory:
+``aggregates_etl.py`` delegates even bar aggregation to the API); at
+100 TB this is how rank-derived statistics stay shuffle-balanced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def cumulate_grid(
+    grid: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    cnt: str,
+    n_col: str = "n_g",
+    lt_col: str = "cum_lt",
+    le_col: str = "cum_le",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append per-group cumulative counts to a ``(keys, value, cnt)`` grid:
+    ``le_col`` = total count of grid cells with value ≤ this row's value
+    (within the group), ``lt_col`` = strictly-less count, ``n_col`` = group
+    total — every stage parallel across range zones even for one group.
+
+    ``grid`` must already be aggregated (one row per (keys, value));
+    ``cnt`` is its exact count column. Output keeps all grid columns.
+    """
+    keys = list(keys)
+    if not keys:
+        grid = grid.withColumn("__g", F.lit(1))
+        out = cumulate_grid(
+            grid, ["__g"], value, cnt, n_col, lt_col, le_col, num_partitions
+        )
+        return out.drop("__g")
+    parted = (
+        grid.repartitionByRange(num_partitions, *keys, value)
+        if num_partitions
+        else grid.repartitionByRange(*keys, value)
+    ).withColumn("__zone", F.spark_partition_id())
+    # partitions×groups rows; shares the range exchange with `parted`
+    # via exchange reuse, so both sides see identical zone boundaries.
+    zones = parted.groupBy("__zone", *keys).agg(F.sum(cnt).alias("__zc"))
+    # one Window node, two frames: exclusive prefix (zone base) and the
+    # full-partition total — sharing partitioning+ordering keeps them in
+    # a single exchange over the tiny zone relation, and folding the
+    # group total into `bases` saves a second broadcast-join barrier.
+    w_zone = Window.partitionBy(*keys).orderBy("__zone")
+    bases = zones.select(
+        "__zone",
+        *keys,
+        F.coalesce(
+            F.sum("__zc").over(
+                w_zone.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__base"),
+        F.sum("__zc")
+        .over(
+            w_zone.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias(n_col),
+    )
+    w_local = (
+        Window.partitionBy("__zone", *keys)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.join(F.broadcast(bases), ["__zone", *keys])
+        .withColumn(
+            le_col,
+            (F.col("__base") + F.sum(cnt).over(w_local)).cast("bigint"),
+        )
+        .withColumn(lt_col, (F.col(le_col) - F.col(cnt)).cast("bigint"))
+        .drop("__zone", "__base")
+    )
+
+
+def grid_rank_stats(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    cnt_col: str = "c",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distinct ``(keys, value)`` grid of ``df`` with exact counts and
+    per-group cumulative counts — the sufficient statistics for every
+    rank flavor. One fact-table scan; everything after is grid-sized."""
+    keys = list(keys)
+    grid = df.groupBy(*keys, value).agg(
+        F.count(F.lit(1)).alias(cnt_col)
+    )
+    return cumulate_grid(
+        grid, keys, value, cnt_col, num_partitions=num_partitions
+    )
+
+
+def _percentile_exprs(
+    probs: Sequence[float], aliases: Sequence[str]
+) -> tuple[list[Column], list[Column], list[Column]]:
+    """(filter-disjuncts, agg-exprs, final-exprs) implementing Spark's
+    exact-percentile interpolation — ``lower·(higher−pos) +
+    higher_val·(pos−lower)`` at 0-indexed pos = (n−1)·p — from cumulative
+    grid columns, so the result is bit-identical to ``F.percentile`` /
+    DuckDB ``quantile_cont`` (certified pairs)."""
+    filters: list[Column] = []
+    aggs: list[Column] = []
+    finals: list[Column] = []
+    n = F.col("n_g").cast("double")
+    for p, name in zip(probs, aliases):
+        pos = (n - F.lit(1.0)) * F.lit(float(p))
+        jlo = F.floor(pos).cast("bigint") + 1  # 1-indexed order stats
+        jhi = F.ceil(pos).cast("bigint") + 1
+        cover_lo = (F.col("cum_lt") < jlo) & (jlo <= F.col("cum_le"))
+        cover_hi = (F.col("cum_lt") < jhi) & (jhi <= F.col("cum_le"))
+        filters.append(cover_lo | cover_hi)
+        aggs.append(
+            F.max(F.when(cover_lo, F.col("__v"))).alias(f"__lo_{name}")
+        )
+        aggs.append(
+            F.max(F.when(cover_hi, F.col("__v"))).alias(f"__hi_{name}")
+        )
+        aggs.append(F.max(F.col("n_g")).alias(f"__n_{name}"))
+        npost = F.col(f"__n_{name}").cast("double")
+        pos_f = (npost - F.lit(1.0)) * F.lit(float(p))
+        lower = F.floor(pos_f)
+        higher = F.ceil(pos_f)
+        finals.append(
+            F.when(lower == higher, F.col(f"__lo_{name}"))
+            .otherwise(
+                F.col(f"__lo_{name}") * (higher - pos_f)
+                + F.col(f"__hi_{name}") * (pos_f - lower)
+            )
+            .alias(name)
+        )
+    return filters, aggs, finals
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    probs: Sequence[float],
+    aliases: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles of ``value`` per ``keys`` group —
+    semantics identical to ``F.percentile(value, p)`` (Hive/DuckDB
+    ``quantile_cont`` interpolation) but computed distributed: grid →
+    zoned prefix sums → a scan-side filter keeping at most 2·|probs| grid
+    rows per group → one tiny aggregate. No distinct-value-sized buffer
+    ever lands on a single reducer. With ``keys=[]`` returns one global
+    row (broadcast-friendly, replacing one-row ``F.percentile``
+    aggregates in threshold/decile recipes)."""
+    keys = list(keys)
+    if aliases is None:
+        aliases = [f"q{i}" for i in range(1, len(probs) + 1)]
+    stats = grid_rank_stats(
+        df.select(*keys, F.col(value).cast("double").alias("__v")).where(
+            F.col("__v").isNotNull()  # F.percentile ignores NULLs; so do we
+        ),
+        "__v",
+        keys,
+    )
+    filters, aggs, finals = _percentile_exprs(probs, aliases)
+    need = filters[0]
+    for f in filters[1:]:
+        need = need | f
+    hits = stats.where(need)
+    agg = hits.groupBy(*keys).agg(*aggs) if keys else hits.agg(*aggs)
+    return agg.select(*keys, *finals)

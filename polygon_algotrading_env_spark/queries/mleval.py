@@ -437,11 +437,14 @@ def spearman_qty_price_by_flag(spark, sf_dir):
     price per (returnflag, linestatus) — the monotone-association
     complement to the certified Pearson pair query (outliers can't drag
     rank correlation). Average ranks are encoded exactly as the integer
-    2·avgrank = 2·rank() + tie_count − 1, so the five rank moments are
-    exact BIGINTs and rho is one fixed scalar double recipe on both
-    engines. Plan: two group-keyed rank windows + one hash aggregate;
-    BIGINT moment headroom to ~1.3e6 rows per group, DECIMAL(38,0)
-    beyond (docstring in operators/evalmetrics.py)."""
+    2·avgrank = cnt_lt + cnt_le + 1, so the five rank moments are exact
+    integers and rho is one fixed scalar double recipe on both engines.
+    Plan: ONE fact scan into the joint (flag, status, qty, price) grid,
+    marginal rank maps from zoned prefix sums (operators/rankstats.py —
+    no window ever partitions on the ~4-value group key alone), moments
+    accumulated as DECIMAL(38,0) — exact to ~1e12 rows/group; the BIGINT
+    sufficient-statistic exports try_cast to NULL past ~1.3e6 rows/group
+    while rho itself stays exact from the decimal accumulators."""
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_by_group(
         li,
