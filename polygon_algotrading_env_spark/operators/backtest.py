@@ -207,40 +207,34 @@ def triple_barrier_labels(
     )
 
 
-def block_bootstrap_stat(
+def _ordinal_series(
     series: DataFrame,
     value_col: str,
     keys: Sequence[str],
     order_col: str,
-    n_resamples: int = 200,
-    block_len: int = 20,
-    seed_tag: str = "bb",
 ) -> DataFrame:
-    """Circular block bootstrap of the per-bar Sharpe — distribution-free
-    confidence intervals for serially-correlated P&L, where iid
-    resampling understates the variance (blocks preserve the local
-    autocorrelation structure).
-
-    Deterministic by construction: block start offsets come from md5
-    uniforms of (key, resample, block) — the repo's reproducible-
-    randomness idiom — so resample MEMBERSHIP is identical on any engine,
-    run, or partitioning (no RNG, no seed plumbing); the CI endpoints are
-    then stable to float-accumulation order (~1e-15 relative), the same
-    reorder noise any parallel aggregate carries. The plan is pure
-    DataFrame algebra: a resample×block spine (tiny — n_resamples ×
-    ceil(n/block_len) rows per key) equi-joins the series on the wrapped
-    ordinal (one shuffle of the series per bootstrap pass, NOT per
-    resample), then two aggregations reduce to per-resample Sharpe and
-    per-key quantiles. Output: point estimate + [2.5%, 97.5%] CI.
-    """
+    """(keys, __v, __i): the series with 0-based per-key ordinals."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(order_col)
-    idx = series.select(
+    return series.select(
         *keys,
         F.col(value_col).alias("__v"),
         (F.row_number().over(w) - 1).alias("__i"),
     )
+
+
+def _bootstrap_positions(
+    idx: DataFrame,
+    keys: Sequence[str],
+    n_resamples: int,
+    block_len: int,
+    seed_tag: str,
+) -> DataFrame:
+    """Circular-block resample membership (keys, __r, __i): block start
+    offsets come from md5 uniforms of (key, resample, block) — the repo's
+    reproducible-randomness idiom — so membership is identical on any
+    engine, run, or partitioning (no RNG, no seed plumbing)."""
     counts = idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     n_blocks = F.ceil(F.col("__n") / block_len).cast("int")
     spine = (
@@ -270,7 +264,7 @@ def block_bootstrap_stat(
         F.floor(u * F.col("__n")).cast("long").alias("__start"),
     )
     # each block contributes block_len wrapped positions
-    positions = starts.select(
+    return starts.select(
         *keys, "__n", "__r",
         F.explode(F.sequence(F.lit(0), F.lit(block_len - 1))).alias("__o"),
         "__start",
@@ -278,7 +272,101 @@ def block_bootstrap_stat(
         *keys, "__r",
         ((F.col("__start") + F.col("__o")) % F.col("__n")).alias("__i"),
     )
-    joined = positions.join(idx, [*keys, "__i"])
+
+
+def block_bootstrap_sharpe_int(
+    series: DataFrame,
+    int_value_col: str,
+    keys: Sequence[str],
+    order_col: str,
+    n_resamples: int = 100,
+    block_len: int = 20,
+    seed_tag: str = "bb",
+) -> DataFrame:
+    """Circular-block-bootstrap Sharpe CI over an EXACT INTEGER series —
+    the cross-engine-certifiable variant of :func:`block_bootstrap_stat`.
+
+    ``int_value_col`` must already be integer-valued (e.g. P&L quantized
+    to a micro-unit grid: ``CAST(round(pnl * 1e6) AS BIGINT)`` — Sharpe
+    is scale-invariant, so the unit cancels). Each resample then reduces
+    to exact DECIMAL(38,0) moments (m, s1 = Σv, s2 = Σv²) and its Sharpe
+    is the fixed scalar double recipe
+
+        sr = (s1/m) / sqrt((m·s2 − s1²) / (m·(m−1)))
+
+    evaluated from identical integers on any engine — no float
+    accumulation order anywhere — so the [2.5%, 97.5%] CI endpoints
+    (exact-percentile interpolation over the ≤ n_resamples doubles) are
+    hash-comparable with a DuckDB oracle replaying the same md5 block
+    membership in SQL. Degenerate resamples (zero variance) yield NULL
+    and are excluded from n_resamples, as in the float variant."""
+    idx = _ordinal_series(series, int_value_col, keys, order_col)
+    joined = _bootstrap_positions(
+        idx, keys, n_resamples, block_len, seed_tag
+    ).join(idx, [*keys, "__i"])
+    vd = F.col("__v").cast("decimal(38,0)")
+
+    def _sharpe(df: DataFrame, group: list) -> DataFrame:
+        agg = df.groupBy(*group).agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum(vd).alias("__s1"),
+            F.sum(vd * vd).alias("__s2"),
+        )
+        d = (
+            F.col("__m").cast("decimal(38,0)") * F.col("__s2")
+            - F.col("__s1") * F.col("__s1")
+        )
+        sr = F.when(d == 0, F.lit(None).cast("double")).otherwise(
+            (F.col("__s1").cast("double") / F.col("__m"))
+            / F.sqrt(
+                d.cast("double")
+                / (F.col("__m").cast("double") * (F.col("__m") - 1))
+            )
+        )
+        return agg.select(*group, sr.alias("__sr"))
+
+    per_resample = _sharpe(joined, [*keys, "__r"])
+    point = _sharpe(idx, list(keys)).withColumnRenamed(
+        "__sr", "sharpe_point"
+    )
+    ci = per_resample.groupBy(*keys).agg(
+        F.expr("percentile(__sr, 0.025)").alias("ci_lo"),
+        F.expr("percentile(__sr, 0.975)").alias("ci_hi"),
+        F.count("__sr").alias("n_resamples"),
+    )
+    return point.join(ci, list(keys))
+
+
+def block_bootstrap_stat(
+    series: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    order_col: str,
+    n_resamples: int = 200,
+    block_len: int = 20,
+    seed_tag: str = "bb",
+) -> DataFrame:
+    """Circular block bootstrap of the per-bar Sharpe — distribution-free
+    confidence intervals for serially-correlated P&L, where iid
+    resampling understates the variance (blocks preserve the local
+    autocorrelation structure).
+
+    Deterministic by construction: block start offsets come from md5
+    uniforms of (key, resample, block) — the repo's reproducible-
+    randomness idiom — so resample MEMBERSHIP is identical on any engine,
+    run, or partitioning (no RNG, no seed plumbing); the CI endpoints are
+    then stable to float-accumulation order (~1e-15 relative), the same
+    reorder noise any parallel aggregate carries. The plan is pure
+    DataFrame algebra: a resample×block spine (tiny — n_resamples ×
+    ceil(n/block_len) rows per key) equi-joins the series on the wrapped
+    ordinal (one shuffle of the series per bootstrap pass, NOT per
+    resample), then two aggregations reduce to per-resample Sharpe and
+    per-key quantiles. Output: point estimate + [2.5%, 97.5%] CI.
+    """
+    idx = _ordinal_series(series, value_col, keys, order_col)
+    joined = _bootstrap_positions(
+        idx, keys, n_resamples, block_len, seed_tag
+    ).join(idx, [*keys, "__i"])
     # nullif-guard the Sharpe denominators: a constant (or single-row)
     # series has exactly-zero sample stddev, which must yield NULL — not
     # an ANSI divide-by-zero error, and not +-inf under non-ANSI.

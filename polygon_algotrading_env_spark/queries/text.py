@@ -151,32 +151,111 @@ def lang_id_docs(spark, sf_dir):
     return scored.select("doc_id", expr.alias("lang_pred"))
 
 
-# --- fingerprint / hash-based ops: rows-only (engine-specific hashes) -----
-@register("doc_fingerprints", oracle=None)
+# --- fingerprint / hash-based ops, md5-certified ---------------------------
+# These three names shipped in round 1 on engine-specific xxhash64 (no
+# cross-engine oracle possible) and were the registry's last never-green
+# driver rows. They now carry the md5 treatment — the same recipe that
+# certified the rest of the dedup tier — while the xxhash64 kernels
+# (functions/text.doc_fingerprint, operators/dedup.simhash64 /
+# minhash_candidate_pairs) remain the throughput path used by the
+# *_verified_near_dups queries and the dedup operators.
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substring(md5(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g')),
+                    1, 15))::BIGINT AS fingerprint
+    FROM documents
+    """,
+)
 def doc_fingerprints(spark, sf_dir):
-    """64-bit normalized-content fingerprints (xxhash64 — no cross-engine
-    oracle; driver records rows-only)."""
+    """60-bit normalized-content fingerprints, hash-certified: lowercase
+    + whitespace-collapse (so trivially reformatted duplicates collide),
+    then the first 15 hex digits of md5 as a positive BIGINT — the md5
+    treatment for the r1 xxhash64 original (the xxhash64 kernel stays
+    the throughput path in functions/text.doc_fingerprint). Pure JVM
+    codegen, one scan, no shuffle."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"\s+", " "
+    )
     return load_table(spark, sf_dir, "documents").select(
-        "doc_id", doc_fingerprint("text").alias("fingerprint")
+        "doc_id",
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fingerprint"),
     )
 
 
-@register("simhash_docs", oracle=None)
+def _simhash60_md5_oracle() -> str:
+    terms = []
+    for b in range(60):
+        src = f"(x >> {b})" if b < 32 else f"(z >> {b - 32})"
+        terms.append(
+            f"CASE WHEN 2 * sum({src} & 1) >= count(*) "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END AS s{b}"
+        )
+    bits = ",\n           ".join(terms)
+    total = " + ".join(f"s{b}" for b in range(60))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(text) < 4 THEN [lower(text)]
+                    ELSE list_distinct([substring(lower(text), i, 4)
+                                        FOR i IN range(1, length(text) - 2)])
+                    END) AS g
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(g), 1, 8))::BIGINT AS x,
+             ('0x' || substring(md5(g), 9, 8))::BIGINT AS z
+      FROM sh
+    ),
+    maj AS (
+      SELECT doc_id,
+           {bits}
+      FROM hx GROUP BY doc_id
+    )
+    SELECT doc_id, {total} AS simhash FROM maj
+    """
+
+
+@register("simhash_docs", oracle=_simhash60_md5_oracle())
 def simhash_docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", simhash64("text", shingle_n=4).alias("simhash")
-    )
+    """Every document's 60-bit SimHash over distinct 4-gram shingles,
+    hash-certified under the md5 treatment: bits 0-31 majority-vote the
+    first md5 word, bits 32-59 the second (60 bits keeps the BIGINT
+    positive on both engines). Complements the 32-bit 5-gram
+    simhash_md5_signatures at a different (n-gram, width) point; the
+    xxhash64 kernel (operators/dedup.simhash64) stays the throughput
+    path behind simhash_verified_near_dups."""
+    from polygon_algotrading_env_spark.functions.text import char_ngrams
 
-
-@register("minhash_near_dup_pairs", headline=True, oracle=None)
-def minhash_near_dup_pairs(spark, sf_dir):
-    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5 — the
-    shuffle-bounded near-dup plan (shingle → minhash → band → bucket join)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(
-        docs, num_hashes=32, bands=8, shingle_n=5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(char_ngrams("text", 4))).alias("g"),
     )
-    return pairs.filter(F.col("est_jaccard") >= 0.5)
+    x = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    z = F.conv(F.substring(F.md5(F.col("g")), 9, 8), 16, 10).cast("long")
+    sh = sh.select("doc_id", x.alias("x"), z.alias("z"))
+    n = F.count(F.lit(1))
+    sig = sum(
+        (
+            F.when(
+                2
+                * F.sum(
+                    F.shiftright(F.col("x" if b < 32 else "z"), b % 32) % 2
+                )
+                >= n,
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(60)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return sh.groupBy("doc_id").agg(sig.alias("simhash"))
 
 
 @register(
@@ -550,6 +629,80 @@ def minhash_md5_band_pairs(spark, sf_dir):
         .select("id_a", "id_b", n_equal.alias("n_equal"))
         .where(F.col("n_equal") >= 6)
     )
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle="WITH " + _mh_sig_sql() + """,
+    bands AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN h0 ELSE h4 END AS x,
+             CASE b WHEN 0 THEN h1 ELSE h5 END AS y,
+             CASE b WHEN 0 THEN h2 ELSE h6 END AS z,
+             CASE b WHEN 0 THEN h3 ELSE h7 END AS w
+      FROM sig, (SELECT unnest(range(2)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.x = r.x AND l.y = r.y AND l.z = r.z
+           AND l.w = r.w AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, n_equal,
+           CAST(n_equal AS DOUBLE) / 8 AS est_jaccard
+    FROM (
+      SELECT c.id_a, c.id_b,
+             CAST((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+                + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS BIGINT)
+               AS n_equal
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+    ) WHERE n_equal >= 4
+    """,
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5 — the
+    r1 shuffle-bounded near-dup plan (shingle → minhash → band → bucket
+    join), now hash-certified under the md5 signature family. Kept at
+    the looser 0.5 threshold (vs minhash_md5_band_pairs' 0.75 ≥6/8 cut,
+    which also carries the headline-bench slot for this plan shape);
+    est_jaccard = n_equal/8 is an exact binary division, so no rounding
+    grid is needed. The xxhash64 generator
+    (operators/dedup.minhash_candidate_pairs) remains the throughput
+    path behind minhash_verified_near_dups."""
+    sig = _mh_sig_df(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _md5_band_cand_df(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_N)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_N)],
+    )
+    n_equal = sum(
+        (
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            for i in range(_MH_N)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_equal.alias("n_equal"))
+        .where(F.col("n_equal") >= 4)
+        .select(
+            "id_a",
+            "id_b",
+            "n_equal",
+            (F.col("n_equal").cast("double") / 8).alias("est_jaccard"),
+        )
+    )
+
 
 
 def _simhash_md5_oracle() -> str:

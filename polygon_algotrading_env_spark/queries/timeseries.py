@@ -3205,16 +3205,101 @@ def deflated_sharpe_zscore(spark, sf_dir):
     )
 
 
-@register("bootstrap_sharpe_ci", oracle=None)
+@register(
+    "bootstrap_sharpe_ci",
+    oracle=_BT_CTE + """
+    , iv AS (
+      SELECT event_type,
+             CAST(round(pnl * 1000000.0) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) - 1 AS i
+      FROM bt
+    ),
+    cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM iv GROUP BY 1
+    ),
+    spine AS (
+      SELECT c.event_type, c.n, r.r, b.b
+      FROM cnt c,
+           UNNEST(range(100)) AS r(r),
+           UNNEST(range(CAST(ceil(c.n / 20.0) AS BIGINT))) AS b(b)
+    ),
+    starts AS (
+      SELECT event_type, n, r,
+             CAST(floor(
+               ((('0x' || substring(md5(concat_ws('|', event_type,
+                     CAST(r AS VARCHAR), CAST(b AS VARCHAR), 'bb')),
+                   1, 12))::BIGINT + 0.5) / 281474976710656.0) * n
+             ) AS BIGINT) AS s
+      FROM spine
+    ),
+    pos AS (
+      SELECT event_type, r, (s + o.o) % n AS i
+      FROM starts, UNNEST(range(20)) AS o(o)
+    ),
+    per AS (
+      SELECT p.event_type, p.r,
+             CAST(count(*) AS BIGINT)            AS m,
+             CAST(sum(iv.v) AS HUGEINT)          AS s1,
+             sum(CAST(iv.v AS HUGEINT) * iv.v)   AS s2
+      FROM pos p JOIN iv ON iv.event_type = p.event_type AND iv.i = p.i
+      GROUP BY 1, 2
+    ),
+    sr AS (
+      SELECT event_type,
+             CASE WHEN CAST(m AS HUGEINT) * s2 - s1 * s1 = 0 THEN NULL
+                  ELSE (CAST(s1 AS DOUBLE) / m)
+                       / sqrt(CAST(CAST(m AS HUGEINT) * s2 - s1 * s1
+                                   AS DOUBLE)
+                              / (CAST(m AS DOUBLE) * (m - 1)))
+             END AS sr
+      FROM per
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)          AS m,
+             CAST(sum(v) AS HUGEINT)           AS s1,
+             sum(CAST(v AS HUGEINT) * v)       AS s2
+      FROM iv GROUP BY 1
+    ),
+    point AS (
+      SELECT event_type,
+             CASE WHEN CAST(m AS HUGEINT) * s2 - s1 * s1 = 0 THEN NULL
+                  ELSE (CAST(s1 AS DOUBLE) / m)
+                       / sqrt(CAST(CAST(m AS HUGEINT) * s2 - s1 * s1
+                                   AS DOUBLE)
+                              / (CAST(m AS DOUBLE) * (m - 1)))
+             END AS sharpe_point
+      FROM pt
+    ),
+    ci AS (
+      SELECT event_type,
+             quantile_cont(sr, 0.025)    AS ci_lo,
+             quantile_cont(sr, 0.975)    AS ci_hi,
+             CAST(count(sr) AS BIGINT)   AS n_resamples
+      FROM sr GROUP BY 1
+    )
+    SELECT p.event_type,
+           round(p.sharpe_point, 6) AS sharpe_point,
+           round(c.ci_lo, 6)        AS ci_lo,
+           round(c.ci_hi, 6)        AS ci_hi,
+           c.n_resamples
+    FROM point p JOIN ci c USING (event_type)
+    """,
+)
 def bootstrap_sharpe_ci(spark, sf_dir):
-    """95% circular-block-bootstrap CI for each symbol's per-bar Sharpe
-    (operators/backtest.py: block_bootstrap_stat — md5-deterministic
-    resample membership, blocks preserve serial correlation). Rows-only:
-    the statistic is certified by the determinism/containment property
-    tests, and per-resample float accumulation has no cross-engine
-    canonical order for a SQL oracle to share."""
+    """95% circular-block-bootstrap CI for each symbol's per-bar Sharpe —
+    hash-certified end to end (the dp_noisy_segment_counts trick applied
+    to resampling): block membership is md5-derandomized, the P&L series
+    is quantized to an exact micro-unit BIGINT grid (Sharpe is
+    scale-invariant, so the unit cancels), every resample reduces to
+    exact integer moments, and each Sharpe is one fixed scalar double
+    recipe — no float accumulation order anywhere, so DuckDB replaying
+    the same membership in SQL lands on identical doubles
+    (operators/backtest.py: block_bootstrap_sharpe_int). Blocks preserve
+    serial correlation; iid resampling would understate the variance."""
     from polygon_algotrading_env_spark.operators.backtest import (
-        block_bootstrap_stat,
+        block_bootstrap_sharpe_int,
         sma_crossover_backtest,
     )
 
@@ -3224,10 +3309,12 @@ def bootstrap_sharpe_ci(spark, sf_dir):
         keys=("event_type",), volume_col="value", order_col="ts_ns",
     ).select("event_type", "bucket_start", "close")
     bt = sma_crossover_backtest(bars).select(
-        "event_type", "bucket_start", "pnl"
+        "event_type",
+        "bucket_start",
+        F.round(F.col("pnl") * 1e6).cast("bigint").alias("pnl_micro"),
     )
-    out = block_bootstrap_stat(
-        bt, "pnl", keys=("event_type",), order_col="bucket_start",
+    out = block_bootstrap_sharpe_int(
+        bt, "pnl_micro", keys=("event_type",), order_col="bucket_start",
         n_resamples=100, block_len=20,
     )
     return out.select(

@@ -9,6 +9,7 @@ order fold, DuckDB list functions), so rounded values match.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 
@@ -487,34 +488,174 @@ def srp_topk_reranked(spark, sf_dir):
     )
 
 
-@register("pq_ann_topk", oracle=None)
-def pq_ann_topk(spark, sf_dir):
-    """Product-quantization ANN, the memory-bound tier: codebooks trained
-    once on a seeded sample and cached beside the codes table (codes are
-    m=8 small ints per vector — the ~100x memory win over raw floats);
-    the query is ADC over the CODES relation (per-query lookup table,
-    raw vectors never scanned) with the standard exact re-rank of the
-    candidate set (operators/similarity.py: pq_topk_reranked).
-    Approximate ⇒ rows-only; recall and encode determinism asserted in
-    tests/test_similarity.py."""
-    from polygon_algotrading_env_spark.operators.similarity import (
-        pq_encode,
-        pq_topk_reranked,
-        pq_train,
-    )
+# --- certified product quantization (md5 codebook, integer ADC grid) ------
+# Like the SRP tier above, the PQ recipe becomes cross-engine certifiable
+# by deriving the codebook from md5 instead of a numpy-trained sample:
+# codeword component c(j,k,d) = md5("pq|j|k|d")'s first 8 hex digits
+# mapped to [-1, 1]. Every distance lands on an EXACT integer grid —
+# d2i = round((sv·sv − 2·sv·c + c·c)·1e6) as BIGINT — so codeword argmin
+# (ties → smallest k), the query's ADC lookup table (the probe is vec 0,
+# so its own (j,k) distance rows ARE the table), the BIGINT ADC sums, and
+# the top-100 candidate cut (adc, vec_id) are all integer-deterministic
+# on both engines; only the final exact-cosine re-rank reuses the proven
+# rounded-score grid.
+_PQ_M, _PQ_K = 8, 16
 
-    idx = _ann_index_dir(sf_dir, "pq8")
-    books_file = idx + "_codebooks.npy"
+
+def _pq_books(dim: int) -> list[list[list[float]]]:
+    """md5-derived codebooks shared with the DuckDB oracle (injected there
+    as literal VALUES via repr — exact double round-trip)."""
+    sub = dim // _PQ_M
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq|{j}|{k}|{d}".encode()).hexdigest()[:8],
+                    16,
+                )
+                / 4294967295.0
+                * 2
+                - 1
+                for d in range(sub)
+            ]
+            for k in range(_PQ_K)
+        ]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_oracle(dim: int = 64) -> str:
+    sub = dim // _PQ_M
+    books = _pq_books(dim)
+    rows = []
+    for j, book in enumerate(books):
+        for k, cv in enumerate(book):
+            cc = 0.0
+            for xx in cv:
+                cc += xx * xx
+            lst = "[" + ", ".join(repr(x) for x in cv) + "]"
+            rows.append(f"({j}, {k}, {repr(cc)}, {lst})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH cb(j, k, cc, cv) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    sub AS (
+      SELECT vec_id, j.j AS j,
+             list_slice(v, j.j * {sub} + 1, j.j * {sub} + {sub}) AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS j) j
+    ),
+    d AS (
+      SELECT vec_id, s.j, cb.k,
+             CAST(round((list_dot_product(sv, sv)
+                         - 2 * list_dot_product(sv, cv) + cc)
+                        * 1000000.0) AS BIGINT) AS d2i
+      FROM sub s JOIN cb ON cb.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, j, k FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2i, k) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lutq AS (SELECT j, k, d2i AS l FROM d WHERE vec_id = 0),
+    adc AS (
+      SELECT c.vec_id, CAST(sum(l.l) AS BIGINT) AS adc
+      FROM codes c JOIN lutq l ON l.j = c.j AND l.k = c.k
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e JOIN adc USING (vec_id)
+      ORDER BY adc.adc ASC, e.vec_id ASC LIMIT 100
+    ),
+    q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(score, 6) AS score FROM (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * q.qn) AS score
+      FROM cand c, q
+    )
+    ORDER BY round(score, 6) DESC, vec_id ASC LIMIT 20
+    """
+
+
+@register("pq_ann_topk", oracle=_pq_oracle())
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN, hash-certified end to end: md5-derived
+    codebooks (the SRP/IVF certification recipe), scan-side encode as an
+    integer-grid argmin per subspace (ties → smallest codeword id), ADC
+    candidate generation as exact BIGINT sums of the probe's own
+    distance table, top-100 cut on (adc, vec_id), exact cosine re-rank
+    to top-20 on the rounded-score grid. Everything is JVM codegen —
+    constant-array folds, a 16-way struct `least` per subspace, one
+    TakeOrderedAndProject — no UDF, no index cache. At 100 TB the encode
+    pass would be materialized once as a codes silver table (that
+    build-once path, with numpy-trained codebooks, is
+    operators/similarity.py pq_train/pq_encode/pq_topk_reranked, kept
+    recall-tested in tests/test_similarity.py); this certified plan keeps
+    encode scan-side so the whole recipe is one deterministic query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        books = pq_train(emb, m=8, codebook_size=64)
-        os.makedirs(os.path.dirname(books_file), exist_ok=True)
-        np.save(books_file, books)
-        pq_encode(emb, books).write.mode("overwrite").parquet(idx)
-    books = np.load(books_file)
-    codes = spark.read.parquet(idx)
-    return pq_topk_reranked(
-        codes, emb, books, _query_vec(spark, sf_dir), k=20, n_candidates=100
+    qv = _query_vec(spark, sf_dir)
+    dim = len(qv)
+    sub_d = dim // _PQ_M
+    books = _pq_books(dim)
+
+    # probe-side ADC lookup table, computed once in Python with the same
+    # double sequence the oracle's SQL evaluates for vec 0
+    lut: list[list[int]] = []
+    for j in range(_PQ_M):
+        qs = qv[j * sub_d : (j + 1) * sub_d]
+        qvv = 0.0
+        for xx in qs:
+            qvv += xx * xx
+        row = []
+        for k in range(_PQ_K):
+            cv = books[j][k]
+            qc = 0.0
+            cc = 0.0
+            for a, b in zip(qs, cv):
+                qc += a * b
+            for xx in cv:
+                cc += xx * xx
+            row.append(int(math.floor((qvv - 2 * qc + cc) * 1e6 + 0.5)))
+        lut.append(row)
+
+    adc = F.lit(0).cast("bigint")
+    for j in range(_PQ_M):
+        sv = F.slice("embedding", j * sub_d + 1, sub_d)
+        svv = dot(sv, sv)
+        cands = []
+        for k in range(_PQ_K):
+            cv = books[j][k]
+            cc = 0.0
+            for xx in cv:
+                cc += xx * xx
+            d2i = F.round(
+                (svv - 2 * dot(sv, F.array(*[F.lit(x) for x in cv])) + F.lit(cc))
+                * 1e6
+            ).cast("bigint")
+            cands.append(F.struct(d2i.alias("d"), F.lit(k).alias("k")))
+        code = F.least(*cands).getField("k")
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v).cast("bigint") for v in lut[j]]), code + 1
+        )
+    cand = (
+        emb.select("vec_id", "embedding", adc.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+        .limit(100)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine("embedding", _query_lit(qv)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
     )
 
 
