@@ -130,95 +130,68 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # filters / projection / dedup / distinct (P1-P5, D1-D2)
-    # filter_mktsegment rotated out r6 (green r1-r5); equality-filter
-    # family anchored by those five recorded rounds
-    # project_customer rotated out r5 (green r1-r4); projection is also
-    # exercised by every suite query
-    "dedup_overlapping_batches",
-    # ordering / top-k rotated out r5 (green r1-r4); family anchored by
-    # prior certification. Q3 keeps an in-window top-k shape anyway.
-    # set ops: union_order_slices rotated out mid-r4 (green r1+r2+r3);
-    # family anchored by that prior certification
-    # scalar-function suites (F1-F12 + null handling + map/timezone)
-    "orders_scalar_suite",
-    "string_funcs_suite",
-    "lineitem_scalar_suite",
+    # Round-9 rotation (per r8 VERDICT item 1 — "rotate the driver window
+    # hard"): EIGHTEEN slots whose names held 6-8 recorded green rounds
+    # each retire to PRIOR_DRIVER_CERTIFIED (dedup_overlapping_batches,
+    # orders/string/lineitem scalar suites, sql_api_in_exists_having,
+    # exact_percentiles_per_flag, rsi_14_per_event_type, ohlcv_bars_5m,
+    # minhash/simhash_verified_near_dups, cosine_topk_bruteforce,
+    # text_analysis_suite, train_val_test_split, context_window_packing,
+    # profile_orders_columns, embedding_neighbors_blocked,
+    # dedup_survivors, doc_rarity_scores). In exchange, eighteen
+    # never-driver-certified oracle-bearing queries enter:
+    #
+    # (a) the three r1 ghost rows, md5-certified this round so every name
+    #     ever driver-checked can finally hold a green row
+    "doc_fingerprints",
+    "simhash_docs",
+    "minhash_near_dup_pairs",
+    # (b) the EMA/Kalman indicator family (closed-form prefix-sum
+    #     oracles, converted r8)
+    "ema_20_per_event_type",
+    "macd_12_26_9_5m",
+    "kalman_level_5m",
+    # (c) the md5 dedup tier (banded LSH pairs, winnowing fingerprint
+    #     overlap, SimHash bit-majorities)
+    "minhash_md5_band_pairs",
+    "winnow_md5_overlap_pairs",
+    "simhash_md5_signatures",
+    # (d) the ML-evaluation tier (exact sufficient-statistic recipes)
+    "auc_urgent_price_by_status",
+    "spearman_qty_price_by_flag",
+    "confusion_f1_price_median",
+    # (d') the privacy-release tier's first slot (anchors that family in
+    #      the mechanical census of queries/families.py)
+    "k_anonymous_customer_release",
+    # (e) the round-8 iterative-graph additions (chained-CTE replays)
+    "kcore80_copurchase_parts",
+    "bfs_hops_part_supplier",
+    "hits_part_supplier_top10",
+    # (f) newly certified this round: md5-codebook PQ ANN and the
+    #     derandomized integer-moment bootstrap Sharpe CI
+    "pq_ann_topk",
+    "bootstrap_sharpe_ci",
+    # --- holdovers (below): every name still accruing its record -------
+    # scalar/map/timezone suite keeps one scalar-surface anchor in-window
     "map_and_timezone_suite",
-    # JSON / SQL-text (F-ext; pivot/unpivot/array reps rotated out r4 —
-    # certified r2+r3; json_extract_props rotated out mid-r4, green r1-r3)
-    "sql_api_in_exists_having",
-    # aggregates (A1-A8 + extensions; exact_percentiles subsumes median=p50,
-    # pricing_summary subsumes count/min/multi-max — r2 VERDICT rotation;
-    # max_shipdate_watermark rotated out r4, argmax keeps A1-A3 anchored;
-    # rollup rotated out mid-r4 after three green rounds — grouping-set
-    # semantics stay anchored by that certification)
-    # argmax rotated out r5 (green r1-r4; A1-A3 anchored by prior certs)
-    # pricing_summary + count_distinct_parts_per_flag rotated out r6
-    # (green r1-r5); grouped-agg / distinct-agg families anchored
-    "exact_percentiles_per_flag",
-    # mid-r4 flagships rotated out r7 (green r4-r6): sole_blame_suppliers,
-    # heavy_hitter_parts, mixture_resample_by_lang -> PRIOR_DRIVER_CERTIFIED
-    # joins (J1-J3 + range join)
-    # (anti_join_customers_without_orders certifies 0 rows at driver SF — a
-    # wasted slot; the Q13 histogram's c_count=0 bucket covers the same
-    # no-match semantics AND the previously-uncovered outer-join family. The
-    # anti join stays oracle-verified in the post-window tail; semi join
-    # rotated out r4 after three green rounds.)
-    # join_lineitem_part_broadcast + star_join_revenue_by_region rotated
-    # out r6 (green r1-r5); broadcast/star join families anchored
+    # joins (J1-J3): outer-join histogram + as-of gold path
     "left_outer_order_count_histogram",
     "asof_latest_order_before_event",
-    # band_join_events_60s rotated out r5 (green r1-r4); interval-join
-    # family anchored by prior certification
-    # windows / indicators (W1-W4; lag rotated out r4, range_frame keeps
-    # ordered-window semantics anchored; pairwise correlation new r4)
-    # rownum_recent_orders_per_customer + moving_avg_price_per_supplier
-    # rotated out r6 (green r1-r5); ranking / moving-window families anchored
-    # range_frame_30d_qty rotated out r5 (green r1-r4)
-    # return_correlation_pairs rotated out r8 (green r4-r7); pairwise
-    # correlation family anchored by four recorded rounds
-    "rsi_14_per_event_type",
     # time-series bars / backtest / adjusted gold / sessions (A7, W3, J3)
-    "ohlcv_bars_5m",
     "ohlcv_bars_1h_resampled",
     "sma_crossover_backtest_5m",
     "adjusted_candles_5m",
     "session_windows_per_user",
-    # LLM-pipeline: corpus rarity / dedup / near-dup / clustering / spans
-    # dedup_docs_by_text + near_dup_clusters rotated out r6 (green r1-r5);
-    # exact-dedup / connected-components families anchored
-    "doc_rarity_scores",
-    "minhash_verified_near_dups",
-    "simhash_verified_near_dups",
-    "dedup_survivors",
+    # LLM-pipeline: exact substring-span dedup (Lee et al.)
     "substring_span_dedup",
-    # LLM-pipeline: similarity search / retrieval
-    "cosine_topk_bruteforce",
-    "embedding_neighbors_blocked",
+    # LLM-pipeline: retrieval
     "bm25_topk_docs",
-    # LLM-pipeline: text analysis / sampling / profiling
-    "text_analysis_suite",
-    "train_val_test_split",
-    "context_window_packing",
-    "profile_orders_columns",
-    # round-3 flagships rotated out r5 after r04 certification
-    # (global_ordinals_orders, scd2_customer_refresh, fingerprint_orders,
-    # copurchase_triangles -> PRIOR_DRIVER_CERTIFIED).
-    # round-4 flagships, driver-certified for the first time this round:
-    # microstructure / labeling / LM-scoring / leakage-free-split packs
-    # pairs_spread_zscore + vpin_volume_buckets rotated out r8 (green
-    # r5-r7); triple_barrier_labels_5m + bigram_logprob_docs rotated out
-    # late r8 (green r4-r7, four recorded rounds each) in favor of the
-    # two late-round-8 flagship families below
+    # round-4 flagships: leakage-free split + GROUPING SETS ladder
     "cluster_aware_split",
     "multigrain_bars_rollup",
-    # TPC-H decision shapes all rotated out by r8 (Q3+Q6 r7 after two
-    # green rounds; Q8+Q20 r8 after three, green r5-r7) — the complex
-    # join/subquery families are anchored by those recorded rounds
-    # round-5 flagships, entering the window for round 6: importance
-    # weighting, LM scoring, fractal/microstructure stats, sketches,
-    # drift, skew profiling, declarative DQ, and calendar-session bars
+    # round-5 flagships: importance weighting, LM scoring, fractal
+    # stats, sketches, drift, skew profiling, declarative DQ, calendar
+    # bars
     "dsir_weights_for_target",
     "kneser_ney_logprob_docs",
     "hurst_exponent_by_type",
@@ -228,55 +201,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmv_audience_overlap",
     "regular_hours_bars",
     "psi_price_drift",
-    # round-7 entries: the oracle-certified SRP ANN tier (md5-derived
-    # hyperplanes reproduced bit-identically in DuckDB SQL — the ANN
-    # family's first hash-matched driver rows) and three headline queries
-    # that were oracle-bearing from day one but never held a window slot
+    # round-7 entries: the certified SRP ANN tier + three headliners
     "srp_bucket_assignments",
     "srp_topk_reranked",
     "vwap_5m",
     "doc_quality_features",
     "view_click_purchase_funnel",
-    # round-8 entries: the PageRank family's first driver slots (both
-    # hash-match six-round recursive-CTE DuckDB oracles locally) plus
-    # three never-certified oracle-bearing queries from families without
-    # any recorded driver row: FULL OUTER join, Theil–Sen robust trend,
-    # weekly cohort retention
+    # round-8 entries: PageRank family, FULL OUTER, Theil-Sen, cohorts,
+    # quantized k-means, record linkage
     "pagerank_copurchase_top20",
     "ppr_related_parts",
     "full_outer_daily_activity",
     "theil_sen_trend_daily",
     "weekly_cohort_retention",
-    # late-round-8 entrants: the two new flagship families built this
-    # round — quantized k-means semantic clustering and blocked record
-    # linkage — both exact-integer/string oracles hash-matched locally
-    # at three SFs and partition-order-stable under tools/flake_probe.py
     "kmeans_clusters_embeddings",
     "entity_resolution_parts",
 )
 
-# Round-9 rotation candidates (never driver-certified, oracle-bearing,
-# hash-matched locally at three SFs during round 8): the newly-converted
-# EMA family (ema_20_per_event_type, macd_12_26_9_5m), kalman_level_5m,
-# lpa_communities_copurchase, embedding_near_dup_srp,
-# ngram_jaccard_near_dup, and the round-8 additions
-# (minhash_md5_signatures, minhash_md5_band_pairs,
-# winnow_md5_overlap_pairs, simhash_md5_signatures,
-# kcore80_copurchase_parts, k_anonymous_customer_release,
-# dp_noisy_segment_counts), plus the six new late-round-8 families
-# (kmeans_clusters_embeddings, entity_resolution_parts,
-# bfs_hops_part_supplier, adamic_adar_part_links, rrf_hybrid_retrieval,
-# chunk_docs_overlap), the end-of-round-8 graph/drift pair
-# (cheapest_supply_paths, ks_temporal_drift_by_type), and the ML-eval
-# tier (auc_urgent_price_by_status, retrieval_label_eval_top10,
-# chi_square_brand_type, mutual_info_lang_source,
-# decile_lift_urgent_orders, confusion_f1_price_median,
-# cohens_kappa_doc_raters, spearman_qty_price_by_flag,
-# phrase_search_docs, fairness_gaps_by_segment,
-# minhash_recall_report, cusum_changepoint_by_type,
-# hashed_token_features_docs, source_token_cosine_pairs,
-# acf_by_type, attribution_touch_points, grid_backtest_sma_pairs_5m,
-# hits_part_supplier_top10, l_diversity_release_audit). Rotate against
+# Round-10 rotation candidates (never driver-certified, oracle-bearing,
+# hash-matched locally at three SFs): the remaining ML-eval tier
+# (retrieval_label_eval_top10, chi_square_brand_type,
+# mutual_info_lang_source, cohens_kappa_doc_raters,
+# fairness_gaps_by_segment), the remaining dedup/near-dup additions
+# (minhash_md5_signatures, minhash_recall_report, ngram_jaccard_near_dup,
+# embedding_near_dup_srp), the graph/drift additions
+# (lpa_communities_copurchase, adamic_adar_part_links,
+# cheapest_supply_paths, ks_temporal_drift_by_type), retrieval extras
+# (rrf_hybrid_retrieval, phrase_search_docs, chunk_docs_overlap), the
+# privacy tier (k_anonymous_customer_release, dp_noisy_segment_counts,
+# l_diversity_release_audit), the backtest grid
+# (grid_backtest_sma_pairs_5m), and the time-series extras
+# (cusum_changepoint_by_type, acf_by_type, attribution_touch_points,
+# hashed_token_features_docs, source_token_cosine_pairs). Rotate against
 # slots whose families hold >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
@@ -286,6 +242,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 9 (each green 5-8 recorded rounds; the
+        # eighteen-slot rotation that closed the certified-union gap)
+        "dedup_overlapping_batches",
+        "orders_scalar_suite",
+        "string_funcs_suite",
+        "lineitem_scalar_suite",
+        "sql_api_in_exists_having",
+        "exact_percentiles_per_flag",
+        "rsi_14_per_event_type",
+        "ohlcv_bars_5m",
+        "minhash_verified_near_dups",
+        "simhash_verified_near_dups",
+        "cosine_topk_bruteforce",
+        "text_analysis_suite",
+        "train_val_test_split",
+        "context_window_packing",
+        "profile_orders_columns",
+        "embedding_neighbors_blocked",
+        "dedup_survivors",
+        "doc_rarity_scores",
         # rotated out late round 8 (green r4-r7, four recorded rounds)
         "triple_barrier_labels_5m",
         "bigram_logprob_docs",
