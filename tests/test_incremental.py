@@ -122,3 +122,124 @@ def test_engine_facade_refresh_and_read(spark, dirs):
         keys=("ticker",), volume_col="size",
     )
     assert n == 1 and eng.read_view(vroot).count() == 1
+
+
+def test_refresh_kill_between_delta_write_and_stamp_no_double_merge(
+    spark, dirs, monkeypatch
+):
+    """K8 soak (r8 VERDICT item 8): kill the refresh AFTER the merged
+    delta is written to the tmp dir but BEFORE the version stamp lands,
+    then restart. The stamp lives inside tmp and the tmp->data rename is
+    the commit point, so the interrupted attempt must be invisible: the
+    restarted refresh re-merges the SAME delta exactly once and equals a
+    full rebuild (a double-merge would double volume/n_trades)."""
+    import polygon_algotrading_env_spark.operators.incremental as incr
+
+    troot, vroot = dirs
+    table = VersionedTable(spark, troot)
+    table.write(_ticks(spark, [
+        ("SPY", _t(0), 100.0, 1.0),
+        ("SPY", _t(1), 105.0, 2.0),
+        ("TLT", _t(0), 50.0, 1.0),
+    ]))
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is not None
+    v1 = view_last_version(vroot)
+    # delta touches an existing bucket (same 5-min window) AND a new one
+    table.write(_ticks(spark, [
+        ("SPY", _t(2), 110.0, 4.0),
+        ("SPY", _t(7), 120.0, 8.0),
+    ]), mode="append")
+
+    real_dump = incr.json.dump
+    calls = {"n": 0}
+
+    def poisoned_dump(obj, fh, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected kill before version stamp")
+
+    monkeypatch.setattr(incr.json, "dump", poisoned_dump)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        refresh_bar_view(
+            spark, table, vroot, "ts", "price", "5 minutes",
+            keys=("ticker",), volume_col="size",
+        )
+    assert calls["n"] == 1
+    monkeypatch.setattr(incr.json, "dump", real_dump)
+
+    # the kill left the orphan tmp dir and an UNMOVED view: the stamp
+    # still says v1, so the delta is not yet applied anywhere visible
+    assert view_last_version(vroot) == v1
+    import os
+    assert os.path.exists(os.path.join(vroot, "data.__tmp"))
+
+    # restart: the same delta merges exactly once
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is not None
+    assert view_last_version(vroot) == table.latest_version()
+    assert _canon(read_bar_view(spark, vroot)) == _canon(_full(spark, table))
+    # idempotent when current
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is None
+
+
+def test_refresh_kill_between_swap_renames_recovers_by_rebuild(
+    spark, dirs, monkeypatch
+):
+    """Kill in the narrowest window — after data/ moved aside, before
+    tmp/ moved in — leaves NO live view directory. The restarted refresh
+    must take the full-build branch (stamp unreadable -> last=None) and
+    converge to the same bars as a full rebuild, never resurrect the
+    half-swapped state."""
+    import os
+
+    import polygon_algotrading_env_spark.operators.incremental as incr
+
+    troot, vroot = dirs
+    table = VersionedTable(spark, troot)
+    table.write(_ticks(spark, [
+        ("SPY", _t(0), 100.0, 1.0),
+        ("TLT", _t(0), 50.0, 1.0),
+    ]))
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is not None
+    table.write(_ticks(spark, [("SPY", _t(6), 111.0, 3.0)]), mode="append")
+
+    real_rename = os.rename
+    state = {"armed": False}
+
+    def poisoned_rename(src, dst):
+        # first rename of the swap (data -> data.__old) succeeds, the
+        # second (tmp -> data) is the kill point
+        if src.endswith("data") and dst.endswith("data.__old"):
+            real_rename(src, dst)
+            state["armed"] = True
+            return
+        if state["armed"] and dst.endswith("data"):
+            raise RuntimeError("injected kill between swap renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(incr.os, "rename", poisoned_rename)
+    with pytest.raises(RuntimeError, match="between swap renames"):
+        refresh_bar_view(
+            spark, table, vroot, "ts", "price", "5 minutes",
+            keys=("ticker",), volume_col="size",
+        )
+    monkeypatch.setattr(incr.os, "rename", real_rename)
+
+    # no live view dir -> stamp unreadable -> restart takes full build
+    assert view_last_version(vroot) is None
+    assert refresh_bar_view(
+        spark, table, vroot, "ts", "price", "5 minutes",
+        keys=("ticker",), volume_col="size",
+    ) is not None
+    assert view_last_version(vroot) == table.latest_version()
+    assert _canon(read_bar_view(spark, vroot)) == _canon(_full(spark, table))
