@@ -177,12 +177,64 @@ def main() -> None:
             if timings.get(n)
         }
         worst = max(ratios, key=ratios.get) if ratios else None
+        # Spot block (r8 VERDICT item 7): the most expensive NON-headline
+        # plans re-timed at 1x and 100x so no certified query ships
+        # without a measured scale ratio. List = the measured top-10 by
+        # sf0.01 cost plus the four named in the r8 verdict.
+        SPOT = [
+            "pq_ann_topk", "kcore80_copurchase_parts",
+            "pagerank_copurchase_top20", "bfs_hops_part_supplier",
+            "minhash_recall_report", "bpe_token_stats_docs",
+            "doc_fingerprints", "ppr_related_parts", "bpe_merge_table",
+            "lpa_communities_copurchase", "substring_span_dedup",
+            "train_test_contamination", "boilerplate_ngrams",
+            "source_token_cosine_pairs",
+        ]
+        from polygon_algotrading_env_spark.queries import REGISTRY
+
+        spot_base: dict[str, float] = {}
+        spot_100: dict[str, float] = {}
+        for pass_no in range(2):
+            for name in SPOT:
+                fn = REGISTRY[name].fn
+                for tag, d, acc in (
+                    ("1x", sf_dir, spot_base),
+                    ("100x", scaled100, spot_100),
+                ):
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    t = round(time.time() - t0, 3)
+                    acc[name] = min(acc.get(name, t), t)
+                    print(
+                        f"# spot{pass_no} {tag} {name}: {t}s",
+                        file=sys.stderr,
+                    )
+        spot_ratios = {
+            n: round(spot_100[n] / spot_base[n], 2)
+            for n in SPOT
+            if spot_base.get(n)
+        }
+        spot_worst = (
+            max(spot_ratios, key=spot_ratios.get) if spot_ratios else None
+        )
         sf100 = {
             "factor": 100,
             "total": round(sum(sf100_q.values()), 3),
             "queries": sf100_q,
             "ratio_vs_base": ratios,
             **({"worst": {worst: ratios[worst]}} if worst else {}),
+            "spot": {
+                "base": spot_base,
+                "x100": spot_100,
+                "ratio_vs_base": spot_ratios,
+                **(
+                    {"worst": {spot_worst: spot_ratios[spot_worst]}}
+                    if spot_worst
+                    else {}
+                ),
+            },
         }
         try:
             with open(

@@ -375,17 +375,35 @@ def profile_orders_columns(spark, sf_dir):
     """,
 )
 def exact_percentiles_per_flag(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
-    DuckDB ``quantile_cont``, both the linear-interpolation definition).
-    Exact quantiles fully sort each group — the correctness anchor for the
-    approx_percentile/median sketch queries; at 100 TB prefer
-    ``approx_distinct_parts``-style sketches and keep this for audits."""
+    """Exact interpolated percentiles per group, computed DISTRIBUTED by
+    the grid-quantile operator (operators/rankstats.py): grid → zoned
+    prefix sums → a scan-side filter keeping ≤2 grid rows per requested
+    percentile → one tiny aggregate. Bit-identical to Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (the same linear
+    interpolation recipe, certified by tests/test_rankstats.py), but no
+    distinct-value-sized counts buffer ever lands on a single reducer —
+    the weakness ``F.percentile`` shares with group-keyed rank windows
+    on a ~3-value key like returnflag. The correctness anchor for the
+    approx_percentile/median sketch queries."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    probs = (0.25, 0.50, 0.75, 0.99)
+    out = grouped_exact_quantiles(
+        li,
+        "l_quantity",
+        ["l_returnflag"],
+        probs,
+        [f"p{int(q * 100)}" for q in probs],
+    )
+    return out.select(
+        "l_returnflag",
         *[
-            F.round(F.percentile("l_quantity", F.lit(q)), 6).alias(f"p{int(q*100)}")
-            for q in (0.25, 0.50, 0.75, 0.99)
-        ]
+            F.round(F.col(f"p{int(q * 100)}"), 6).alias(f"p{int(q * 100)}")
+            for q in probs
+        ],
     )
 
 

@@ -2298,3 +2298,46 @@ def source_token_cosine_pairs(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+# --- weighted reservoir sampling (Efraimidis–Spirakis), md5-derandomized ---
+@register(
+    "reservoir_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars, key FROM (
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substring(md5('res|' || doc_id), 1, 12))
+                       ::BIGINT + 0.5) / 281474976710656.0)
+                   / n_chars, 12) AS key
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY key DESC, doc_id ASC LIMIT 25
+    """,
+)
+def reservoir_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each document draws the md5 uniform u = md5('res|doc_id') and ranks
+    by ln(u)/weight with weight = n_chars — the top-k under that key IS
+    an exact weighted sample without replacement, and the md5
+    derandomization makes membership identical on any engine, run, or
+    partitioning (the repo's reproducible-randomness idiom). ln(u)/w is
+    rounded to a 12dp grid (cross-engine libm noise is ~1e-16 relative,
+    four orders below the grid) with doc_id tiebreak. Plan: one scan +
+    TakeOrderedAndProject — per-partition heaps, no global sort; at
+    100 TB this is how you draw quality-weighted pretraining mixtures
+    deterministically."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("res|"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )

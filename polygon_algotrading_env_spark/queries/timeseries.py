@@ -5947,3 +5947,193 @@ def grid_backtest_sma_pairs_5m(spark, sf_dir):
             F.try_divide(pd_ / nd, F.nullif(F.sqrt(var), F.lit(0.0))), 6
         ).alias("sharpe_bar"),
     )
+
+
+# --- EWMA volatility (RiskMetrics) via the closed-form EMA recipe ----------
+def _ewma_vol_oracle() -> str:
+    from polygon_algotrading_env_spark.queries._ema_sql import ema_pass_ctes
+
+    ctes, final = ema_pass_ctes(
+        "ewvol",
+        "rr",
+        keys=["event_type"],
+        ord_col="bucket_start",
+        val="__r2",
+        span=39,
+        out="__var",
+    )
+    return f"""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    r AS (
+      SELECT event_type, bucket_start, close,
+             lag(close) OVER (PARTITION BY event_type
+                              ORDER BY bucket_start) AS prev_close
+      FROM bars
+    ),
+    rr AS (
+      SELECT event_type, bucket_start, close,
+             (CASE WHEN prev_close IS NULL OR prev_close = 0 THEN 0.0
+                   ELSE close / prev_close - 1 END)
+             * (CASE WHEN prev_close IS NULL OR prev_close = 0 THEN 0.0
+                     ELSE close / prev_close - 1 END) AS __r2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) - 1 AS __t
+      FROM r
+    ),{ctes}
+    SELECT event_type, bucket_start, round(sqrt(__var), 6) AS ewma_vol
+    FROM {final}
+    """
+
+
+@register("ewma_vol_5m", oracle=_ewma_vol_oracle())
+def ewma_vol_5m(spark, sf_dir):
+    """RiskMetrics-style EWMA volatility per symbol: sigma²_t =
+    lambda·sigma²_{t-1} + (1−lambda)·r²_t with lambda = 0.95 (EMA span 39,
+    adjust=False, seeded at the first squared return) over 5-minute bar
+    returns, emitted as sigma (the vol forecast every risk engine keeps
+    hot). The recursion is evaluated WITHOUT Python by the same
+    closed-form two-level prefix-sum machinery that certified the EMA
+    family (operators/indicators.with_ema_closed_form); the DuckDB
+    oracle replays the identical formula via queries/_ema_sql.py, so the
+    hash compare certifies the whole chain bars → returns → EWMA
+    variance → vol cross-engine. Round-6: values carry ~1e-13 relative
+    float noise, far inside the grid."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_ema_closed_form,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    prev = F.lag("close").over(w)
+    ret = F.when(
+        prev.isNull() | (prev == 0), F.lit(0.0)
+    ).otherwise(F.col("close") / prev - 1)
+    rr = bars.select(
+        "event_type", "bucket_start", (ret * ret).alias("__r2")
+    )
+    out = with_ema_closed_form(
+        rr, "__r2", span=39, keys=["event_type"],
+        order_cols=["bucket_start"], out="__var",
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round(F.sqrt("__var"), 6).alias("ewma_vol"),
+    )
+
+
+# --- split-conformal intervals for the naive per-bar forecast --------------
+@register(
+    "conformal_naive_intervals",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    r AS (
+      SELECT event_type, bucket_start, close,
+             abs(close - lag(close) OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start))
+               AS abs_resid,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) - 1 AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM bars
+    ),
+    s AS (SELECT * FROM r WHERE abs_resid IS NOT NULL),
+    cal AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_cal,
+             quantile_cont(abs_resid, 0.9) AS q90
+      FROM s WHERE t < CAST(floor(0.8 * n) AS BIGINT) GROUP BY 1
+    ),
+    tst AS (
+      SELECT s.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN s.abs_resid <= c.q90 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM s JOIN cal c USING (event_type)
+      WHERE s.t >= CAST(floor(0.8 * s.n) AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT c.event_type, c.n_cal, round(c.q90, 6) AS q90_abs_resid,
+           t.n_test, t.n_covered,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
+    FROM cal c JOIN tst t USING (event_type)
+    """,
+)
+def conformal_naive_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals for the naive (persistence)
+    per-bar forecast: the first 80% of each symbol's bars calibrate the
+    90th-percentile absolute residual q, the held-out 20% measure
+    empirical coverage of close_prev ± q — the distribution-free interval
+    recipe every forecast serving layer should ship with its point
+    forecasts. The calibration quantile is the DISTRIBUTED grid-quantile
+    operator (operators/rankstats.py — no distinct-value buffer on one
+    reducer); coverage is exact BIGINT counts over the test split, so the
+    only doubles in the payload are the certified quantile and one exact
+    integer division."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.select(
+        "event_type",
+        F.abs(F.col("close") - F.lag("close").over(w)).alias("abs_resid"),
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    ).where(F.col("abs_resid").isNotNull())
+    split = F.floor(0.8 * F.col("n")).cast("bigint")
+    cal_rows = r.where(F.col("t") < split)
+    cal_q = grouped_exact_quantiles(
+        cal_rows, "abs_resid", ["event_type"], [0.9], ["q90"]
+    )
+    n_cal = cal_rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal")
+    )
+    test = (
+        r.where(F.col("t") >= split)
+        .join(F.broadcast(cal_q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("abs_resid") <= F.col("q90")).cast("bigint")
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        n_cal.join(cal_q, "event_type")
+        .join(test, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            F.round("q90", 6).alias("q90_abs_resid"),
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
