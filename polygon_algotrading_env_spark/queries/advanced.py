@@ -1846,3 +1846,256 @@ def l_diversity_release_audit(spark, sf_dir):
         "entropy_bits",
         (F.col("l_count") >= 3).alias("l3_diverse"),
     )
+
+
+# --- Gini / Lorenz concentration on exact integer cents --------------------
+@register(
+    "gini_order_value_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT pri, cents, c,
+             sum(c) OVER (PARTITION BY pri ORDER BY cents) AS cum_le,
+             sum(c) OVER (PARTITION BY pri)                AS n
+      FROM g
+    ),
+    a AS (
+      SELECT pri,
+             CAST(max(n) AS BIGINT)                               AS n,
+             sum(CAST(c AS HUGEINT) * cents)                      AS sum_h,
+             sum(CAST(c AS HUGEINT)
+                 * (2 * cum_le - c - n) * cents)                  AS num_h
+      FROM cum GROUP BY 1
+    )
+    SELECT pri AS o_orderpriority, n,
+           CAST(sum_h AS BIGINT) AS sum_cents,
+           CAST(num_h AS BIGINT) AS gini_num,
+           round(CAST(num_h AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sum_h AS DOUBLE)), 6) AS gini
+    FROM a
+    """,
+)
+def gini_order_value_by_priority(spark, sf_dir):
+    """Gini coefficient of order value per priority class — revenue
+    concentration as EXACT integer arithmetic end to end: prices land on
+    the cents grid (2-decimal, exact), ranks come from the distributed
+    grid machinery (operators/rankstats.py — no per-group single-task
+    sort), and the tied-data Gini numerator Σ c·(cum_lt + cum_le − n)·v
+    is a DECIMAL(38,0) sum of BIGINT products (the avg-rank tie
+    convention, 2·avgrank = cum_lt + cum_le + 1, makes ties exact).
+    gini = num / (n·Σv) is the only double — one division of exact
+    integers, identical on both engines. The curation use: a mixture
+    whose per-source token-count Gini drifts up is concentrating on few
+    documents."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grid_rank_stats,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    stats = grid_rank_stats(v, "cents", ["pri"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num_term = (
+        dec(F.col("c"))
+        * dec(F.col("cum_lt") + F.col("cum_le") - F.col("n_g"))
+        * dec(F.col("cents"))
+    )
+    agg = stats.groupBy("pri").agg(
+        F.max("n_g").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("cents"))).alias("__sum"),
+        F.sum(num_term).alias("__num"),
+    )
+    return agg.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        F.expr("try_cast(__sum AS BIGINT)").alias("sum_cents"),
+        F.expr("try_cast(__num AS BIGINT)").alias("gini_num"),
+        F.round(
+            F.col("__num").cast("double")
+            / (F.col("n").cast("double") * F.col("__sum").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- Bloom-filter join pre-filter audit (md5 bit positions) ----------------
+_BLOOM_BITS = 65536  # 2^16 bits = 2048 x 32-bit words
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_oracle() -> str:
+    pos = (
+        "(('0x' || substring(md5('{tag}|' || c_custkey), 1, 12))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+    ppos = (
+        "(('0x' || substring(md5('{tag}|' || o_custkey), 1, 12))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+    p1, p2 = pos.format(tag="b1"), pos.format(tag="b2")
+    q1, q2 = ppos.format(tag="b1"), ppos.format(tag="b2")
+    return f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    bits AS (
+      SELECT {p1} AS p FROM keys UNION ALL SELECT {p2} AS p FROM keys
+    ),
+    bloom AS (
+      SELECT p // 32 AS word, bit_or(1 << (p % 32)) AS bits
+      FROM bits GROUP BY 1
+    ),
+    probe AS (
+      SELECT o.o_custkey,
+             {q1} AS p1, {q2} AS p2,
+             CASE WHEN k.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM orders o LEFT JOIN keys k ON k.c_custkey = o.o_custkey
+    ),
+    checked AS (
+      SELECT is_member,
+             CASE WHEN coalesce((b1.bits >> (p1 % 32)) & 1, 0) = 1
+                   AND coalesce((b2.bits >> (p2 % 32)) & 1, 0) = 1
+                  THEN 1 ELSE 0 END AS claimed
+      FROM probe
+      LEFT JOIN bloom b1 ON b1.word = p1 // 32
+      LEFT JOIN bloom b2 ON b2.word = p2 // 32
+    )
+    SELECT CAST(count(*) AS BIGINT)                            AS n_probe,
+           CAST(sum(is_member) AS BIGINT)                      AS n_true,
+           CAST(sum(claimed) AS BIGINT)                        AS n_claimed,
+           CAST(sum(CASE WHEN claimed = 1 AND is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)              AS n_false_pos,
+           CAST(sum(CASE WHEN claimed = 0 AND is_member = 1
+                    THEN 1 ELSE 0 END) AS BIGINT)              AS n_false_neg,
+           round(CAST(sum(CASE WHEN claimed = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(count(*) - sum(is_member), 0), 6)    AS fp_rate
+    FROM checked
+    """
+
+
+@register("bloom_join_prefilter_audit", oracle=_bloom_oracle())
+def bloom_join_prefilter_audit(spark, sf_dir):
+    """Bloom-filter join pre-filtering, audited end to end with exact
+    integers: build a 2^16-bit / k=2 Bloom filter over one join side's
+    keys (BUILDING-segment customers) as 32-bit words combined with
+    bit_or, probe every orders row through two md5-derived bit
+    positions, and score the filter against ground truth — n_false_neg
+    MUST be exactly 0 (the Bloom guarantee, certified cross-engine) and
+    fp_rate is the measured cost of the shuffle you saved. This is the
+    100 TB join-planning primitive: a broadcastable word table
+    pre-filters the big side scan-side before the real join pays its
+    shuffle. All positions are md5 integer arithmetic; the word table is
+    a 2048-row broadcast; zero floats anywhere but the final exact-count
+    division."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.where(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
+        "c_custkey"
+    )
+
+    def pos(tag: str, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag + "|"), col.cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_BITS
+        )
+
+    bits = keys.select(pos("b1", F.col("c_custkey")).alias("p")).unionAll(
+        keys.select(pos("b2", F.col("c_custkey")).alias("p"))
+    )
+    bloom = bits.groupBy(
+        (F.col("p") / 32).cast("bigint").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))")
+        .alias("bits")
+    )
+    probe = (
+        orders.select(
+            "o_custkey",
+            pos("b1", F.col("o_custkey")).alias("p1"),
+            pos("b2", F.col("o_custkey")).alias("p2"),
+        )
+        .join(
+            F.broadcast(keys.withColumnRenamed("c_custkey", "__k")),
+            F.col("__k") == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "p1",
+            "p2",
+            F.when(F.col("__k").isNull(), 0).otherwise(1).alias("is_member"),
+        )
+    )
+    b1 = bloom.select(
+        F.col("word").alias("w1"), F.col("bits").alias("bits1")
+    )
+    b2 = bloom.select(
+        F.col("word").alias("w2"), F.col("bits").alias("bits2")
+    )
+    set1 = F.expr(
+        "coalesce(shiftright(bits1, CAST(p1 % 32 AS INT)) & 1, 0)"
+    )
+    set2 = F.expr(
+        "coalesce(shiftright(bits2, CAST(p2 % 32 AS INT)) & 1, 0)"
+    )
+    checked = (
+        probe.join(
+            F.broadcast(b1),
+            F.col("w1") == (F.col("p1") / 32).cast("bigint"),
+            "left",
+        )
+        .join(
+            F.broadcast(b2),
+            F.col("w2") == (F.col("p2") / 32).cast("bigint"),
+            "left",
+        )
+        .select(
+            "is_member",
+            F.when((set1 == 1) & (set2 == 1), 1)
+            .otherwise(0)
+            .alias("claimed"),
+        )
+    )
+    fp = F.sum(
+        ((F.col("claimed") == 1) & (F.col("is_member") == 0)).cast("bigint")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("is_member").cast("bigint").alias("n_true"),
+        F.sum("claimed").cast("bigint").alias("n_claimed"),
+        fp.alias("n_false_pos"),
+        F.sum(
+            ((F.col("claimed") == 0) & (F.col("is_member") == 1)).cast(
+                "bigint"
+            )
+        ).alias("n_false_neg"),
+        F.round(
+            F.try_divide(
+                fp.cast("double"),
+                F.nullif(
+                    (F.count(F.lit(1)) - F.sum("is_member")).cast("double"),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
