@@ -521,3 +521,101 @@ def fairness_gaps_by_segment(spark, sf_dir):
         F.col("o_orderpriority") == "1-URGENT",
         "segment",
     )
+
+
+# --- weight-of-evidence / information-value binning -------------------------
+def _woe_cuts_sql() -> str:
+    cols = ", ".join(
+        f"quantile_cont(o_totalprice, {i / 10}) AS c{i}" for i in range(1, 10)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""
+    WITH cuts AS (SELECT {cols} FROM orders),
+    b AS (
+      SELECT 1 + {bucket} AS bucket,
+             CASE WHEN {_URGENT} THEN 1 ELSE 0 END AS p
+      FROM orders, cuts
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS BIGINT)   AS n_pos,
+             CAST(count(*) - sum(p) AS BIGINT) AS n_neg
+      FROM b GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+             CAST(sum(n_neg) AS BIGINT) AS tn
+      FROM per
+    )
+    SELECT bucket, n, n_pos, n_neg,
+           round(ln(CAST(n_pos * tn AS DOUBLE)
+                    / CAST(n_neg * tp AS DOUBLE)), 6) AS woe,
+           round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+                 * ln(CAST(n_pos * tn AS DOUBLE)
+                      / CAST(n_neg * tp AS DOUBLE)), 6) AS iv_term
+    FROM per CROSS JOIN tot
+    """
+
+
+@register("woe_iv_price_urgency", oracle=_woe_cuts_sql())
+def woe_iv_price_urgency(spark, sf_dir):
+    """Weight-of-evidence / information-value binning of order value as
+    an urgency signal — the credit-scoring feature-screening staple:
+    exact decile buckets (the distributed grid-quantile cutoffs, one
+    broadcast row), per-bucket exact BIGINT (n, pos, neg), and
+    woe = ln(pos·tot_neg / (neg·tot_pos)) — the log of a ratio of exact
+    integer products, so both engines take ln of the identical double —
+    with iv_term the bucket's contribution to total IV. Buckets with a
+    zero class emit NULL woe (ln of 0/undefined) rather than an ANSI
+    error. One scan for cutoffs, one conditional aggregate, one tiny
+    re-aggregate broadcast back."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cuts = grouped_exact_quantiles(
+        o, "o_totalprice", [], [i / 10 for i in range(1, 10)],
+        [f"c{i}" for i in range(1, 10)],
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("o_totalprice") > F.col(f"c{i}")).cast(
+            "int"
+        )
+    pos = (F.col("o_orderpriority") == "1-URGENT").cast("bigint")
+    per = (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), pos.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("p")).alias("n_neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    woe = F.log(
+        (F.col("n_pos") * F.col("tn")).cast("double")
+        / (F.col("n_neg") * F.col("tp")).cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round(
+            (
+                F.col("n_pos").cast("double") / F.col("tp")
+                - F.col("n_neg").cast("double") / F.col("tn")
+            )
+            * woe,
+            6,
+        ).alias("iv_term"),
+    )

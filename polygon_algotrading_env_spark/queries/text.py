@@ -2341,3 +2341,47 @@ def reservoir_sample_docs(spark, sf_dir):
         .orderBy(F.col("key").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+# --- stratified k-fold assignment (md5-derandomized) ------------------------
+@register(
+    "stratified_kfold_assignments",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5('kf|' || doc_id), doc_id)
+                 - 1) % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def stratified_kfold_assignments(spark, sf_dir):
+    """Stratified 5-fold cross-validation assignment, md5-derandomized:
+    within each language stratum, documents are ranked by the md5 key
+    md5('kf|doc_id') (collision-free shuffle order, identical on any
+    engine/run/partitioning) and dealt round-robin into folds — so per
+    stratum the fold sizes differ by at most one, the balance guarantee
+    naive ``rand() % k`` loses. The per-stratum ranks come from the
+    distributed grid machinery (operators/rankstats.py) rather than a
+    stratum-keyed window, so a skewed stratum never funnels one task.
+    Evaluation-pipeline primitive: leakage-free folds whose membership
+    is reproducible forever from doc_id alone."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grid_rank_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat(F.lit("kf|"), F.col("doc_id").cast("string"))
+        ).alias("__k"),
+    )
+    # md5 keys are collision-free, so every (lang, __k) grid cell holds
+    # exactly one document and cum_le IS the document's 1-based rank in
+    # its stratum; doc_id comes back via the 1:1 join on (lang, __k).
+    stats = grid_rank_stats(docs.select("lang", "__k"), "__k", ["lang"])
+    return stats.join(docs, ["lang", "__k"]).select(
+        "doc_id",
+        "lang",
+        ((F.col("cum_le") - 1) % 5).cast("int").alias("fold"),
+    )
