@@ -2385,3 +2385,178 @@ def stratified_kfold_assignments(spark, sf_dir):
         "lang",
         ((F.col("cum_le") - 1) % 5).cast("int").alias("fold"),
     )
+
+
+# --- corpus diversity: self-BLEU over a deterministic pair set --------------
+@register(
+    "self_bleu_adjacent_docs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    cu AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    tl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    big AS (
+      SELECT a.doc_id, a.token AS t1, b.token AS t2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cb AS (
+      SELECT doc_id, t1, t2, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2, 3
+    ),
+    bl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ),
+    u AS (
+      SELECT p.id_a, p.id_b,
+             CAST(coalesce(sum(least(ca.c, cbn.c)), 0) AS BIGINT) AS m1
+      FROM pairs p
+      LEFT JOIN cu ca ON ca.doc_id = p.id_a
+      LEFT JOIN cu cbn ON cbn.doc_id = p.id_b AND cbn.token = ca.token
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT p.id_a, p.id_b,
+             CAST(coalesce(sum(least(ga.c, gb.c)), 0) AS BIGINT) AS m2
+      FROM pairs p
+      LEFT JOIN cb ga ON ga.doc_id = p.id_a
+      LEFT JOIN cb gb ON gb.doc_id = p.id_b AND gb.t1 = ga.t1
+                     AND gb.t2 = ga.t2
+      GROUP BY 1, 2
+    )
+    SELECT u.id_a, u.id_b, u.m1,
+           coalesce(tb.n, 0)  AS t1,
+           g.m2,
+           coalesce(blb.n, 0) AS t2,
+           round(CASE WHEN u.m1 = 0 OR g.m2 = 0 THEN 0.0
+                ELSE (CASE WHEN tb.n >= ta.n THEN 1.0
+                           ELSE exp(1.0 - CAST(ta.n AS DOUBLE) / tb.n) END)
+                     * sqrt((CAST(u.m1 AS DOUBLE) / tb.n)
+                            * (CAST(g.m2 AS DOUBLE) / blb.n))
+           END, 6) AS bleu2
+    FROM u
+    JOIN g USING (id_a, id_b)
+    LEFT JOIN tl ta ON ta.doc_id = u.id_a
+    LEFT JOIN tl tb ON tb.doc_id = u.id_b
+    LEFT JOIN bl blb ON blb.doc_id = u.id_b
+    """,
+)
+def self_bleu_adjacent_docs(spark, sf_dir):
+    """Corpus diversity via self-BLEU on a deterministic pair set: for
+    each adjacent (doc, doc+1) pair within a language, BLEU-2 of the
+    second document against the first — high self-BLEU flags a corpus
+    collapsing into template/near-duplicate text, the diversity
+    complement of the dedup tier. Clipped n-gram matches (m1, m2) and
+    totals are EXACT BIGINTs (min of per-doc counts summed over the
+    joint vocabulary); bleu2 = BP·sqrt(p1·p2) is one fixed double recipe
+    from those integers — the geometric mean avoids exp/ln entirely and
+    the brevity penalty's exp takes an identical ratio on both engines.
+    Plan: one tokenize pass feeds unigram/bigram count relations keyed
+    (doc, gram) — pair matching shuffles on those high-cardinality keys,
+    never funneling a language; zero-overlap and sub-2-token documents
+    fall out as m=0 → bleu 0, not NULL/divide errors."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    cu = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.col("token").alias("t1"), "t2")
+    )
+    cb = big.groupBy("doc_id", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bl = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"), "lang")
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"), "lang"),
+            "lang",
+        )
+        .where(F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b")
+    )
+    ca = cu.select(
+        F.col("doc_id").alias("id_a"), "token", F.col("c").alias("ca")
+    )
+    cbn = cu.select(
+        F.col("doc_id").alias("id_b"), "token", F.col("c").alias("cb")
+    )
+    m1 = (
+        pairs.join(ca, "id_a", "left")
+        .join(cbn, ["id_b", "token"], "left")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.coalesce(F.sum(F.least("ca", "cb")), F.lit(0))
+            .cast("bigint")
+            .alias("m1")
+        )
+    )
+    ga = cb.select(
+        F.col("doc_id").alias("id_a"), "t1", "t2", F.col("c").alias("ca")
+    )
+    gb = cb.select(
+        F.col("doc_id").alias("id_b"), "t1", "t2", F.col("c").alias("cb")
+    )
+    m2 = (
+        pairs.join(ga, "id_a", "left")
+        .join(gb, ["id_b", "t1", "t2"], "left")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.coalesce(F.sum(F.least("ca", "cb")), F.lit(0))
+            .cast("bigint")
+            .alias("m2")
+        )
+    )
+    ta = tl.select(F.col("doc_id").alias("id_a"), F.col("n").alias("ra"))
+    tb = tl.select(F.col("doc_id").alias("id_b"), F.col("n").alias("cb_len"))
+    blb = bl.select(F.col("doc_id").alias("id_b"), F.col("n").alias("b_len"))
+    joined = (
+        m1.join(m2, ["id_a", "id_b"])
+        .join(ta, "id_a", "left")
+        .join(tb, "id_b", "left")
+        .join(blb, "id_b", "left")
+    )
+    bp = F.when(
+        F.col("cb_len") >= F.col("ra"), F.lit(1.0)
+    ).otherwise(
+        F.exp(
+            F.lit(1.0) - F.col("ra").cast("double") / F.col("cb_len")
+        )
+    )
+    bleu = F.when(
+        (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)
+    ).otherwise(
+        bp
+        * F.sqrt(
+            (F.col("m1").cast("double") / F.col("cb_len"))
+            * (F.col("m2").cast("double") / F.col("b_len"))
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "m1",
+        F.coalesce("cb_len", F.lit(0)).cast("bigint").alias("t1"),
+        "m2",
+        F.coalesce("b_len", F.lit(0)).cast("bigint").alias("t2"),
+        F.round(bleu, 6).alias("bleu2"),
+    )
