@@ -15,18 +15,16 @@ The scalable plan is the classic two-phase zipWithIndex, DataFrame-native:
 3. broadcast the (pid → base, min-id) map back and emit
    ``ordinal = base + (id - min_id)``.
 
-The stamped relation is PINNED once (eager ``localCheckpoint``) and both
-branches read the materialized blocks. An earlier revision leaned on
-Spark's exchange reuse instead — "the stats branch and the numbering
-branch share the range exchange" — but measurement shows that reuse does
-NOT fire here: column pruning gives the two branches different
-ReadSchemas under the broadcast-subquery boundary, their subtrees never
-canonicalize equal, and the full upstream (scan + range shuffle + sort)
-ran once per branch (6.3 s → 2.2 s cold on the 100× fixture after
-pinning). The pin also freezes the sampled range boundaries and the
-``monotonically_increasing_id`` values, so shuffle retries cannot desync
-the branches. The driver still never collects counts — the pid→base map
-stays a broadcast of a partitions-sized relation.
+Everything happens in ONE query execution: the stats branch and the
+numbering branch share the range exchange (Spark's exchange reuse — the
+shuffle is written once and both sides read it), so the range-sampled
+partition boundaries are computed exactly once and no checkpoint /
+driver-side count collect is needed. Within a single execution the
+partitioner instance is fixed, so even shuffle-retry recomputation reuses
+the same boundaries. (The previous revision pinned the relation with an
+eager ``localCheckpoint`` and collected per-partition counts to the
+driver — three jobs plus a full executor-storage write; this shape is the
+same answer at a fraction of the constant cost.)
 
 Deterministic whenever the ordering key is unique (append a tiebreak
 column if it isn't; with ties the assignment among tied rows is
@@ -74,17 +72,6 @@ def with_global_ordinals(
         parted.sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
-        # PIN the stamped relation: the stats branch (under a broadcast)
-        # and the numbering branch do NOT share the range exchange in
-        # practice — column pruning gives them different ReadSchemas, so
-        # the subtrees never canonicalize equal and Spark recomputes the
-        # whole upstream (scan + range shuffle + sort) once per branch.
-        # Measured on the 100× fixture: 6.3 s → 2.2 s cold, 1.5 → 1.2 s
-        # warm. Pinning also freezes the sampled range boundaries AND the
-        # monotonically_increasing_id values, so retries cannot desync
-        # the branches; at cluster scale this is the ordinal silver
-        # table write.
-        .localCheckpoint(eager=True)
     )
     # Partitions-sized, never data-sized: one row per (non-empty) range
     # partition. count is order-independent and min(__mid) is the
