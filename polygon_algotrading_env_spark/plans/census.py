@@ -56,6 +56,11 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "bm25_topk_docs",
         "bigram_logprob_docs",
         "kneser_ney_logprob_docs",  # same big-join-c12 family as bigram LM
+        "self_bleu_adjacent_docs",  # (doc, gram)-keyed per-pair clipped-match
+                                    # joins — both sides corpus-gram-sized by
+                                    # design (same family as the LM joins);
+                                    # AQE broadcasts them at fixture scale,
+                                    # SMJ is the correct 100 TB plan
         "kl_divergence_by_source",
         "top_terms_per_doc",
         "boilerplate_ngrams",
