@@ -6137,3 +6137,116 @@ def conformal_naive_intervals(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# --- pinball (quantile) loss of the naive residual-quantile forecast -------
+@register(
+    "pinball_loss_q90_naive",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    r AS (
+      SELECT event_type, bucket_start,
+             CAST(round((close - lag(close) OVER (PARTITION BY event_type
+                                                  ORDER BY bucket_start))
+                        * 100) AS BIGINT) AS rc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY bucket_start) - 1 AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM bars
+    ),
+    s AS (SELECT * FROM r WHERE rc IS NOT NULL),
+    cal AS (
+      SELECT event_type, quantile_cont(rc, 0.9) AS q90
+      FROM s WHERE t < CAST(floor(0.8 * n) AS BIGINT) GROUP BY 1
+    ),
+    tst AS (
+      SELECT s.event_type, c.q90,
+             CAST(count(*) AS BIGINT)                             AS n_test,
+             CAST(sum(CASE WHEN s.rc >= c.q90 THEN 1 ELSE 0 END)
+                  AS BIGINT)                                      AS n_above,
+             CAST(sum(CASE WHEN s.rc >= c.q90 THEN s.rc ELSE 0 END)
+                  AS BIGINT)                                      AS s_above,
+             CAST(sum(CASE WHEN s.rc < c.q90 THEN s.rc ELSE 0 END)
+                  AS BIGINT)                                      AS s_below
+      FROM s JOIN cal c USING (event_type)
+      WHERE s.t >= CAST(floor(0.8 * s.n) AS BIGINT)
+      GROUP BY 1, 2
+    )
+    SELECT event_type, n_test, n_above,
+           round(q90, 6) AS q90_cents,
+           round((0.9 * (s_above - n_above * q90)
+                  + 0.1 * ((n_test - n_above) * q90 - s_below))
+                 / n_test, 6) AS mean_pinball
+    FROM tst
+    """,
+)
+def pinball_loss_q90_naive(spark, sf_dir):
+    """Pinball (quantile) loss of the naive q90 residual forecast —
+    completes the forecast-evaluation triangle (point metrics:
+    naive_forecast_eval; intervals: conformal_naive_intervals; quantiles:
+    this). The calibration 90th percentile of SIGNED per-bar price moves
+    (exact integer cents) comes from the distributed grid-quantile
+    operator; the held-out mean pinball loss decomposes into exact BIGINT
+    sufficient statistics — Σloss = 0.9·(S_above − n_above·t) +
+    0.1·(n_below·t − S_below), with S/n exact integer sums and t the one
+    certified double — so both engines evaluate one identical scalar
+    recipe. No float accumulates over data anywhere."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "close")
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.select(
+        "event_type",
+        F.round((F.col("close") - F.lag("close").over(w)) * 100)
+        .cast("bigint")
+        .alias("rc"),
+        (F.row_number().over(w) - 1).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    ).where(F.col("rc").isNotNull())
+    split = F.floor(0.8 * F.col("n")).cast("bigint")
+    cal = grouped_exact_quantiles(
+        r.where(F.col("t") < split), "rc", ["event_type"], [0.9], ["q90"]
+    )
+    above = F.col("rc") >= F.col("q90")
+    tst = (
+        r.where(F.col("t") >= split)
+        .join(F.broadcast(cal), "event_type")
+        .groupBy("event_type", "q90")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(above.cast("bigint")).alias("n_above"),
+            F.sum(F.when(above, F.col("rc")).otherwise(0)).alias("s_above"),
+            F.sum(F.when(~above, F.col("rc")).otherwise(0)).alias("s_below"),
+        )
+    )
+    return tst.select(
+        "event_type",
+        "n_test",
+        "n_above",
+        F.round("q90", 6).alias("q90_cents"),
+        F.round(
+            (
+                0.9 * (F.col("s_above") - F.col("n_above") * F.col("q90"))
+                + 0.1
+                * (
+                    (F.col("n_test") - F.col("n_above")) * F.col("q90")
+                    - F.col("s_below")
+                )
+            )
+            / F.col("n_test"),
+            6,
+        ).alias("mean_pinball"),
+    )
