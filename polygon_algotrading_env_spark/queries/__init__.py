@@ -130,85 +130,90 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-9 rotation (per r8 VERDICT item 1 — "rotate the driver window
-    # hard"): EIGHTEEN slots whose names held 6-8 recorded green rounds
-    # each retire to PRIOR_DRIVER_CERTIFIED (dedup_overlapping_batches,
-    # orders/string/lineitem scalar suites, sql_api_in_exists_having,
-    # exact_percentiles_per_flag, rsi_14_per_event_type, ohlcv_bars_5m,
-    # minhash/simhash_verified_near_dups, cosine_topk_bruteforce,
-    # text_analysis_suite, train_val_test_split, context_window_packing,
-    # profile_orders_columns, embedding_neighbors_blocked,
-    # dedup_survivors, doc_rarity_scores). In exchange, eighteen
-    # never-driver-certified oracle-bearing queries enter:
+    # Round-10 rotation (per r9 VERDICT item 2): TWENTY-FOUR slots whose
+    # names hold 3-9 recorded green rounds each retire to
+    # PRIOR_DRIVER_CERTIFIED (map_and_timezone_suite,
+    # left_outer_order_count_histogram, asof_latest_order_before_event,
+    # ohlcv_bars_1h_resampled, sma_crossover_backtest_5m,
+    # adjusted_candles_5m, session_windows_per_user, substring_span_dedup,
+    # bm25_topk_docs, cluster_aware_split, multigrain_bars_rollup,
+    # dsir_weights_for_target, kneser_ney_logprob_docs, key_skew_profile,
+    # bottomk_sketch_quantiles, dq_constraint_audit, kmv_audience_overlap,
+    # regular_hours_bars, psi_price_drift, srp_bucket_assignments,
+    # srp_topk_reranked, vwap_5m, doc_quality_features,
+    # view_click_purchase_funnel). In exchange, twenty-two
+    # never-driver-certified oracle-bearing queries enter plus two
+    # deliberate re-entries whose physical plans changed since their last
+    # recorded row:
     #
-    # (a) the three r1 ghost rows, md5-certified this round so every name
-    #     ever driver-checked can finally hold a green row
+    # (a) the round-9 analytics additions (hash-matched locally at three
+    #     SFs, never held a slot)
+    "gini_order_value_by_priority",
+    "woe_iv_price_urgency",
+    "stratified_kfold_assignments",
+    "bloom_join_prefilter_audit",
+    "self_bleu_adjacent_docs",
+    "ewma_vol_5m",
+    "conformal_naive_intervals",
+    "reservoir_sample_docs",
+    "pinball_loss_q90_naive",
+    # (b) the remaining never-certified ML-eval tier (incl. the NDCG
+    #     query whose normalization changed in 0fb252b — it needs a
+    #     recorded row under the standard min(total_rel,k) definition)
+    "retrieval_label_eval_top10",
+    "fairness_gaps_by_segment",
+    "chi_square_brand_type",
+    "mutual_info_lang_source",
+    "cohens_kappa_doc_raters",
+    # (c) never-certified dedup/ANN additions
+    "minhash_recall_report",
+    "ngram_jaccard_near_dup",
+    "embedding_near_dup_srp",
+    # (d) never-certified graph / drift / retrieval / privacy additions
+    "lpa_communities_copurchase",
+    "adamic_adar_part_links",
+    "ks_temporal_drift_by_type",
+    "rrf_hybrid_retrieval",
+    "dp_noisy_segment_counts",
+    # (e) re-entries: both were driver-green r2-r8 under their OLD plans;
+    #     this round rsi_14 moves to the zone-decomposed rolling engine
+    #     and exact_percentiles runs on operators/rankstats.py — a fresh
+    #     recorded row certifies the new physical plans
+    "rsi_14_per_event_type",
+    "exact_percentiles_per_flag",
+    # --- holdovers (below): every name still accruing its record -------
+    # round-9 entries, one recorded green each:
+    # the three retired r1 ghost rows
     "doc_fingerprints",
     "simhash_docs",
     "minhash_near_dup_pairs",
-    # (b) the EMA/Kalman indicator family (closed-form prefix-sum
-    #     oracles, converted r8)
+    # the EMA/Kalman indicator family (rsi/ema recurrences move to the
+    # zoned rolling engine this round — the slot certifies the new plan)
     "ema_20_per_event_type",
     "macd_12_26_9_5m",
     "kalman_level_5m",
-    # (c) the md5 dedup tier (banded LSH pairs, winnowing fingerprint
-    #     overlap, SimHash bit-majorities)
+    # the md5 dedup tier
     "minhash_md5_band_pairs",
     "winnow_md5_overlap_pairs",
     "simhash_md5_signatures",
-    # (d) the ML-evaluation tier (exact sufficient-statistic recipes)
+    # the ML-evaluation tier (spearman's rankstats plan shaves an
+    # exchange this round — the slot certifies the revised plan)
     "auc_urgent_price_by_status",
     "spearman_qty_price_by_flag",
     "confusion_f1_price_median",
-    # (d') the privacy-release tier's first slot (anchors that family in
-    #      the mechanical census of queries/families.py)
+    # privacy-release anchor
     "k_anonymous_customer_release",
-    # (e) the round-8 iterative-graph additions (chained-CTE replays)
+    # the round-8 iterative-graph additions
     "kcore80_copurchase_parts",
     "bfs_hops_part_supplier",
     "hits_part_supplier_top10",
-    # (f) newly certified this round: md5-codebook PQ ANN and the
-    #     derandomized integer-moment bootstrap Sharpe CI
+    # md5-codebook PQ ANN + derandomized bootstrap Sharpe CI
     "pq_ann_topk",
     "bootstrap_sharpe_ci",
-    # --- holdovers (below): every name still accruing its record -------
-    # scalar/map/timezone suite keeps one scalar-surface anchor in-window
-    "map_and_timezone_suite",
-    # joins (J1-J3): outer-join histogram + as-of gold path
-    "left_outer_order_count_histogram",
-    "asof_latest_order_before_event",
-    # time-series bars / backtest / adjusted gold / sessions (A7, W3, J3)
-    "ohlcv_bars_1h_resampled",
-    "sma_crossover_backtest_5m",
-    "adjusted_candles_5m",
-    "session_windows_per_user",
-    # LLM-pipeline: exact substring-span dedup (Lee et al.)
-    "substring_span_dedup",
-    # LLM-pipeline: retrieval
-    "bm25_topk_docs",
-    # round-4 flagships: leakage-free split + GROUPING SETS ladder
-    "cluster_aware_split",
-    "multigrain_bars_rollup",
-    # round-5 flagships: importance weighting, LM scoring, fractal
-    # stats, sketches, drift, skew profiling, declarative DQ, calendar
-    # bars
-    "dsir_weights_for_target",
-    "kneser_ney_logprob_docs",
+    # round-6 entry still in-window: fractal stats (hurst moves to the
+    # zoned rolling engine this round — the slot certifies the new plan)
     "hurst_exponent_by_type",
-    "key_skew_profile",
-    "bottomk_sketch_quantiles",
-    "dq_constraint_audit",
-    "kmv_audience_overlap",
-    "regular_hours_bars",
-    "psi_price_drift",
-    # round-7 entries: the certified SRP ANN tier + three headliners
-    "srp_bucket_assignments",
-    "srp_topk_reranked",
-    "vwap_5m",
-    "doc_quality_features",
-    "view_click_purchase_funnel",
-    # round-8 entries: PageRank family, FULL OUTER, Theil-Sen, cohorts,
-    # quantized k-means, record linkage
+    # round-8 entries, two recorded greens each
     "pagerank_copurchase_top20",
     "ppr_related_parts",
     "full_outer_daily_activity",
@@ -218,22 +223,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "entity_resolution_parts",
 )
 
-# Round-10 rotation candidates (never driver-certified, oracle-bearing,
-# hash-matched locally at three SFs): the remaining ML-eval tier
-# (retrieval_label_eval_top10, chi_square_brand_type,
-# mutual_info_lang_source, cohens_kappa_doc_raters,
-# fairness_gaps_by_segment), the remaining dedup/near-dup additions
-# (minhash_md5_signatures, minhash_recall_report, ngram_jaccard_near_dup,
-# embedding_near_dup_srp), the graph/drift additions
-# (lpa_communities_copurchase, adamic_adar_part_links,
-# cheapest_supply_paths, ks_temporal_drift_by_type), retrieval extras
-# (rrf_hybrid_retrieval, phrase_search_docs, chunk_docs_overlap), the
-# privacy tier (k_anonymous_customer_release, dp_noisy_segment_counts,
-# l_diversity_release_audit), the backtest grid
+# Round-11 rotation candidates (never driver-certified, oracle-bearing,
+# hash-matched locally): retrieval extras (phrase_search_docs,
+# chunk_docs_overlap), graph extras (cheapest_supply_paths), the privacy
+# tier's remaining slot (l_diversity_release_audit), the backtest grid
 # (grid_backtest_sma_pairs_5m), and the time-series extras
 # (cusum_changepoint_by_type, acf_by_type, attribution_touch_points,
-# hashed_token_features_docs, source_token_cosine_pairs). Rotate against
-# slots whose families hold >=3 recorded green rounds.
+# hashed_token_features_docs, source_token_cosine_pairs,
+# quality_percentile_by_lang, ngram_jaccard_adjacent,
+# asof_chunked_order_before_event, cusum_alarms_5m, acf_returns_lags),
+# plus any round-10 additions. Rotate against slots whose families hold
+# >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -242,6 +242,33 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 10 (each green 3-9 recorded rounds; the
+        # twenty-four-slot rotation entering the round-9 additions and
+        # the remaining never-certified ML-eval/graph/privacy tiers)
+        "map_and_timezone_suite",
+        "left_outer_order_count_histogram",
+        "asof_latest_order_before_event",
+        "ohlcv_bars_1h_resampled",
+        "sma_crossover_backtest_5m",
+        "adjusted_candles_5m",
+        "session_windows_per_user",
+        "substring_span_dedup",
+        "bm25_topk_docs",
+        "cluster_aware_split",
+        "multigrain_bars_rollup",
+        "dsir_weights_for_target",
+        "kneser_ney_logprob_docs",
+        "key_skew_profile",
+        "bottomk_sketch_quantiles",
+        "dq_constraint_audit",
+        "kmv_audience_overlap",
+        "regular_hours_bars",
+        "psi_price_drift",
+        "srp_bucket_assignments",
+        "srp_topk_reranked",
+        "vwap_5m",
+        "doc_quality_features",
+        "view_click_purchase_funnel",
         # rotated out in round 9 (each green 5-8 recorded rounds; the
         # eighteen-slot rotation that closed the certified-union gap)
         "dedup_overlapping_batches",
