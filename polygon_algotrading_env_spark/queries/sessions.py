@@ -329,28 +329,56 @@ def rsi_14_per_event_type(spark, sf_dir):
     stabilize-then-exact-ops pattern: gains/losses are exact 2-decimal
     differences, their windowed sums stabilized by round(·,6), and every
     subsequent op (divide, 100−100/(1+x)) is identical IEEE arithmetic on
-    identical doubles in both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
-    d = F.col("value") - F.lag("value").over(w)
-    gl = ev.select(
+    identical doubles in both engines.
+
+    Scale shape: ``event_type`` is ~4-valued, so the textbook
+    ``Window.partitionBy("event_type")`` plan funnels the whole stream
+    through ≤4 tasks TWICE (lag pass + rolling pass) — the suite's worst
+    measured 100× scaler before this rewrite. The stream is instead
+    zone-decomposed (operators/zonedroll.py): range zones over
+    (event_type, ts_ns, event_id), the last 14 rows carried across each
+    boundary (13-row frame + 1 for the lag), every window partitioned by
+    (event_type, zone) — parallel across zones for one symbol, results
+    bit-identical to the global window by the carry-replication law."""
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts_ns", "value"
+    )
+    z = zoned_stream(
+        ev, keys=["event_type"], order=["ts_ns", "event_id"], carry=14
+    )
+    d = F.col("value") - F.lag("value").over(z.w)
+    gl = z.frame.select(
         "event_type",
         "event_id",
-        F.row_number().over(w).alias("rn"),
+        "ts_ns",
+        "__tzone",
+        "__carry",
+        "__rnbase",
+        z.row_number().alias("rn"),
         F.when(d > 0, d).otherwise(F.lit(0.0)).alias("gain"),
         F.when(d < 0, -d).otherwise(F.lit(0.0)).alias("loss"),
     )
-    f = (
-        Window.partitionBy("event_type")
-        .orderBy("rn")
-        .rowsBetween(-13, 0)
-    )
-    avgs = gl.select(
-        "event_type",
-        "event_id",
-        "rn",
-        (F.round(F.sum("gain").over(f), 6) / F.count(F.lit(1)).over(f)).alias("ag"),
-        (F.round(F.sum("loss").over(f), 6) / F.count(F.lit(1)).over(f)).alias("al"),
+    f = z.rows(-13, 0)
+    avgs = z.finish(
+        gl.select(
+            "event_type",
+            "event_id",
+            "ts_ns",
+            "rn",
+            "__tzone",
+            "__carry",
+            "__rnbase",
+            (
+                F.round(F.sum("gain").over(f), 6) / F.count(F.lit(1)).over(f)
+            ).alias("ag"),
+            (
+                F.round(F.sum("loss").over(f), 6) / F.count(F.lit(1)).over(f)
+            ).alias("al"),
+        )
     )
     return avgs.filter(F.col("rn") > 14).select(
         "event_type",

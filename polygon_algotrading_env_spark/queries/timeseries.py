@@ -4430,26 +4430,39 @@ def hurst_exponent_by_type(spark, sf_dir):
     complete blocks only) → variance per (key, scale) → regr_slope over
     ≤5 points per key. Every relation after the bar aggregate is
     key×scale-bounded; the return stream shuffles once. Round-6 on a
-    slope of logs — never on the rounding grid."""
-    from pyspark.sql import Window
+    slope of logs — never on the rounding grid.
+
+    Scale shape: the lag/row_number pass over the bar stream used to
+    partition on ``event_type`` alone (~4 values → ≤4 tasks own every
+    bar); it now runs zone-decomposed (operators/zonedroll.py, carry=1
+    for the lag) so one symbol's bar history parallelizes across range
+    zones — bit-identical by the carry-replication law."""
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_stream,
+    )
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
-    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    z = zoned_stream(
+        bars, keys=["event_type"], order=["bucket_start"], carry=1
+    )
     # zero prices exist in the fixture at larger SFs: returns are defined
     # only for positive consecutive closes (NULL otherwise, dropped) —
     # explicit on BOTH engines, since ANSI Spark errors on x/0 and DuckDB
     # errors on ln(0).
-    prev = F.lag("close").over(w)
+    prev = F.lag("close").over(z.w)
     rets = (
-        bars.select(
-            "event_type",
-            F.when(
-                (F.col("close") > 0) & (prev > 0),
-                F.log(F.col("close") / prev),
-            ).alias("r"),
-            (F.row_number().over(w) - 2).alias("i"),
+        z.finish(
+            z.frame.select(
+                "event_type",
+                "__carry",
+                F.when(
+                    (F.col("close") > 0) & (prev > 0),
+                    F.log(F.col("close") / prev),
+                ).alias("r"),
+                (z.row_number() - 2).alias("i"),
+            )
         )
         .where(F.col("r").isNotNull())
     )

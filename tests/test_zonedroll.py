@@ -1,0 +1,135 @@
+"""Zone-decomposed rolling windows (operators/zonedroll.py).
+
+Correctness law: for any rolling-frame / lag / row_number expression with
+lookback ≤ carry, the zoned evaluation must be BIT-IDENTICAL to the
+single-partition ``Window.partitionBy(keys).orderBy(order)`` reference —
+including groups shorter than ``carry`` (carries span multiple zones
+back) and order-gaps inside a group. Plan law (the reason the operator
+exists): every Window node in a consumer's optimized plan must mention
+the zone id — no window may sort a whole group in one task.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from polygon_algotrading_env_spark.operators.zonedroll import zoned_stream
+
+
+def _fixture(spark):
+    rnd = random.Random(42)
+    rows = []
+    for g, n in (("a", 500), ("b", 7), ("c", 60)):  # b is shorter than carry
+        for i in range(n):
+            rows.append(
+                (g, i * 10 + rnd.randint(0, 5), float(rnd.randint(-50, 50)))
+            )
+    return spark.createDataFrame(rows, "g string, t bigint, v double").where(
+        # an order-gap inside group a: carries must hop it intact
+        "NOT (g = 'a' AND t BETWEEN 1000 AND 1500)"
+    )
+
+
+@pytest.mark.parametrize("carry,nparts", [(14, 16), (3, 40), (1, 16)])
+def test_zoned_rolling_matches_global_window(spark, carry, nparts):
+    df = _fixture(spark)
+    z = zoned_stream(df, ["g"], ["t"], carry=carry, num_partitions=nparts)
+    lb = carry - 1
+    out = z.finish(
+        z.frame.select(
+            "g",
+            "t",
+            F.sum("v").over(z.rows(-lb, 0)).alias("rsum"),
+            F.count(F.lit(1)).over(z.rows(-lb, 0)).alias("rcnt"),
+            (F.col("v") - F.lag("v").over(z.w)).alias("d"),
+            z.row_number().alias("rn"),
+            "__carry",
+            "__tzone",
+        )
+    )
+    got = {
+        (r["g"], r["t"]): (r["rsum"], r["rcnt"], r["d"], r["rn"])
+        for r in out.collect()
+    }
+    w = Window.partitionBy("g").orderBy("t")
+    ref = df.select(
+        "g",
+        "t",
+        F.sum("v").over(w.rowsBetween(-lb, 0)).alias("rsum"),
+        F.count(F.lit(1)).over(w.rowsBetween(-lb, 0)).alias("rcnt"),
+        (F.col("v") - F.lag("v").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    want = {
+        (r["g"], r["t"]): (r["rsum"], r["rcnt"], r["d"], r["rn"])
+        for r in ref.collect()
+    }
+    assert got == want  # bit-identical, short groups and gaps included
+
+
+def test_single_group_spans_many_zones(spark):
+    # one group forced across many zones — the funnel the operator removes
+    df = spark.createDataFrame(
+        [("g", i, float(i % 17)) for i in range(2000)],
+        "g string, t bigint, v double",
+    )
+    z = zoned_stream(df, ["g"], ["t"], carry=5, num_partitions=16)
+    zones = (
+        z.frame.where("__carry = 0").select("__tzone").distinct().count()
+    )
+    assert zones > 1, "expected the single group to span multiple zones"
+    out = z.finish(
+        z.frame.select(
+            "t", F.sum("v").over(z.rows(-4, 0)).alias("s"),
+            z.row_number().alias("rn"), "__carry", "__tzone",
+        )
+    ).collect()
+    w = Window.partitionBy(F.lit(1)).orderBy("t")
+    want = {
+        r["t"]: (r["s"], r["rn"])
+        for r in df.select(
+            "t",
+            F.sum("v").over(w.rowsBetween(-4, 0)).alias("s"),
+            F.row_number().over(w).alias("rn"),
+        ).collect()
+    }
+    assert {r["t"]: (r["s"], r["rn"]) for r in out} == want
+
+
+def test_rows_guard_rejects_uncovered_lookback(spark):
+    df = _fixture(spark)
+    z = zoned_stream(df, ["g"], ["t"], carry=3)
+    with pytest.raises(ValueError):
+        z.rows(-4, 0)
+    with pytest.raises(ValueError):
+        z.rows(Window.unboundedPreceding, 0)
+    with pytest.raises(ValueError):
+        zoned_stream(df, ["g"], ["t"], carry=0)
+
+
+def _window_partition_specs(df):
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [
+        line.strip().lstrip("+-: ")
+        for line in plan.splitlines()
+        if line.strip().lstrip("+-: ").startswith("Window ")
+    ]
+
+
+def test_no_window_partitions_on_group_keys_alone(spark):
+    """The scale law, asserted on the real consumers: every Window in the
+    rsi_14 / hurst optimized plans must mention the zone id — a Window
+    whose spec lacks it would be a per-group single-task sort (the shape
+    that made rsi_14 the suite's worst 100x scaler before the rewrite)."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    for name in ("rsi_14_per_event_type", "hurst_exponent_by_type"):
+        out = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        specs = _window_partition_specs(out)
+        assert specs, f"expected Window nodes in {name}'s plan"
+        for s in specs:
+            assert "__zone" in s or "__tzone" in s, (name, s)
