@@ -469,16 +469,25 @@ def spearman_by_group(
         F.sum(cxd * rxd).alias("__sx"),
         F.sum(cxd * rxd * rxd).alias("__sxx"),
     )
+    # One exchange for the whole y side: range-partition the rank-mapped
+    # fact by (keys, y) ONCE — the (keys, y) aggregate runs unshuffled on
+    # it (range partitioning satisfies its clustering) and the zoned
+    # cumulation reuses the same layout via pre_partitioned. y is the
+    # fine coordinate (grid ≈ fact size), so the hash-collapse exchange
+    # this replaces moved as many rows as the range exchange itself —
+    # the shave that returns the small-SF constant the r9 rewrite paid.
     yrel = (
         df.select(*keys, x, y)
         .join(F.broadcast(xs.select(*keys, x, "rx")), [*keys, x])
+        .select(*keys, y, "rx")  # x served the rank lookup; never shuffle it
+        .repartitionByRange(*keys, y)
         .groupBy(*keys, y)
         .agg(
             F.count(F.lit(1)).alias("cy"),
             F.sum(dec(F.col("rx"))).alias("t"),
         )
     )
-    ys = cumulate_grid(yrel, keys, y, "cy")
+    ys = cumulate_grid(yrel, keys, y, "cy", pre_partitioned=True)
     ryd = dec(F.col("cum_lt") + F.col("cum_le") + 1)
     cyd = dec(F.col("cy"))
     yagg = ys.groupBy(*keys).agg(

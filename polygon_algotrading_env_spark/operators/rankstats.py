@@ -61,6 +61,7 @@ def cumulate_grid(
     lt_col: str = "cum_lt",
     le_col: str = "cum_le",
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Append per-group cumulative counts to a ``(keys, value, cnt)`` grid:
     ``le_col`` = total count of grid cells with value ≤ this row's value
@@ -69,19 +70,34 @@ def cumulate_grid(
 
     ``grid`` must already be aggregated (one row per (keys, value));
     ``cnt`` is its exact count column. Output keeps all grid columns.
+
+    ``pre_partitioned=True`` declares that ``grid`` is ALREADY range-
+    partitioned by (keys, value) — e.g. an aggregate evaluated directly
+    on a ``repartitionByRange(*keys, value)`` of the fact relation, which
+    Catalyst leaves unshuffled because range partitioning satisfies the
+    aggregate's clustering — and skips the operator's own range exchange.
+    For a fine-grained value (grid ≈ fact size) that removes one
+    full-width shuffle: the aggregation, the zoning, and the prefix sums
+    all hang off the single fact-collapse exchange. The caller owns the
+    precondition; a hash-partitioned input here would scatter each
+    group's value order across zones and corrupt every cumulative count.
     """
     keys = list(keys)
     if not keys:
         grid = grid.withColumn("__g", F.lit(1))
         out = cumulate_grid(
-            grid, ["__g"], value, cnt, n_col, lt_col, le_col, num_partitions
+            grid, ["__g"], value, cnt, n_col, lt_col, le_col, num_partitions,
+            pre_partitioned=pre_partitioned,
         )
         return out.drop("__g")
-    parted = (
-        grid.repartitionByRange(num_partitions, *keys, value)
-        if num_partitions
-        else grid.repartitionByRange(*keys, value)
-    ).withColumn("__zone", F.spark_partition_id())
+    if pre_partitioned:
+        parted = grid.withColumn("__zone", F.spark_partition_id())
+    else:
+        parted = (
+            grid.repartitionByRange(num_partitions, *keys, value)
+            if num_partitions
+            else grid.repartitionByRange(*keys, value)
+        ).withColumn("__zone", F.spark_partition_id())
     # PIN the zoned grid: the zone-stats branch (under a broadcast) and
     # the main branch would otherwise each recompute the full upstream
     # (fact scan + grid aggregate + range shuffle) — Spark does NOT
@@ -89,10 +105,15 @@ def cumulate_grid(
     # (column pruning gives the two branches different ReadSchemas, so
     # the subtrees never canonicalize equal). Measured on the 100×
     # fixture: 14.3 s → 4.1 s cold, 4.9 s → 3.5 s warm for the Spearman
-    # consumer. Pinning also freezes the sampled zone boundaries, so a
-    # shuffle-retry can never desync the two sides. At cluster scale
-    # this materialization is the grid silver table.
-    parted = parted.localCheckpoint(eager=True)
+    # consumer. Pinning also freezes the sampled zone boundaries against
+    # shuffle retries: lazy (eager=False) still pins — whichever job
+    # materializes first persists the blocks, and the zone assignment is
+    # consistent even under concurrent jobs because the range shuffle's
+    # sampled boundaries are fixed once per shuffle id — while skipping
+    # the eager variant's separate blocking job (~0.4 s per cumulate at
+    # sf0.1). At cluster scale this materialization is the grid silver
+    # table.
+    parted = parted.localCheckpoint(eager=False)
     zones = parted.groupBy("__zone", *keys).agg(F.sum(cnt).alias("__zc"))
     # one Window node, two frames: exclusive prefix (zone base) and the
     # full-partition total — sharing partitioning+ordering keeps them in

@@ -141,9 +141,11 @@ def zoned_stream(
     # union branch must see ONE set of sampled range boundaries, and
     # without the pin each branch re-runs the upstream scan + range
     # exchange (pruned ReadSchemas stop exchange reuse, as measured for
-    # rankstats). At cluster scale this materialization is the ordered
-    # silver table.
-    parted = parted.localCheckpoint(eager=True)
+    # rankstats). Lazy (eager=False) still pins — blocks persist at first
+    # materialization and the range shuffle's boundaries are fixed once
+    # per shuffle id — without the eager variant's separate blocking job.
+    # At cluster scale this materialization is the ordered silver table.
+    parted = parted.localCheckpoint(eager=False)
 
     # (2) zone relation → exclusive row-count prefix per key = rn bases.
     w_zone = Window.partitionBy(*keys).orderBy("__zone")
