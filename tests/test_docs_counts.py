@@ -54,3 +54,42 @@ def test_readme_test_count_matches_collection():
     assert claimed == collected, (
         f"README says {claimed} tests; pytest collects {collected}"
     )
+
+
+def test_quoted_scale_metrics_match_scale_detail():
+    """Every 100x ratio quoted in COVERAGE.md / ARCHITECTURE.md must match
+    the committed SCALE_DETAIL.json (round-9 VERDICT item 4 — the quoted
+    spearman/worst-spot numbers went a round stale before this). The pins
+    anchor on stable phrases; rewording a claim must reword its pin."""
+    import json
+
+    base = README.parent
+    detail = json.loads((base / "SCALE_DETAIL.json").read_text())["sf100"]
+    spear = detail["ratio_vs_base"]["spearman_qty_price_by_flag"]
+    (worst_head, worst_head_r), = detail["worst"].items()
+    (worst_spot, worst_spot_r), = detail["spot"]["worst"].items()
+
+    cov = (base / "COVERAGE.md").read_text()
+    m = re.search(r"100× ratio [\d.]+× → ([\d.]+)× in SCALE_DETAIL", cov)
+    assert m, "COVERAGE.md spearman-ratio claim missing or reworded"
+    assert float(m.group(1)) == spear, (
+        f"COVERAGE.md quotes spearman 100x ratio {m.group(1)}; "
+        f"SCALE_DETAIL.json records {spear}"
+    )
+    m = re.search(r"worst `(\w+)` ([\d.]+)× wall for 100× rows", cov)
+    assert m, "COVERAGE.md spot-worst claim missing or reworded"
+    assert (m.group(1), float(m.group(2))) == (worst_spot, worst_spot_r), (
+        f"COVERAGE.md quotes spot worst {m.groups()}; "
+        f"SCALE_DETAIL.json records {worst_spot} {worst_spot_r}"
+    )
+
+    arch = (base / "ARCHITECTURE.md").read_text()
+    m = re.search(r"recorded 100× ratio fell [\d.]+× → ([\d.]+)×", arch)
+    assert m, "ARCHITECTURE.md spearman-ratio claim missing or reworded"
+    assert float(m.group(1)) == spear
+    m = re.search(r"\((\w+) worst at ([\d.]+)×\)", arch)
+    assert m, "ARCHITECTURE.md spot-worst claim missing or reworded"
+    assert (m.group(1), float(m.group(2))) == (worst_spot, worst_spot_r)
+    m = re.search(r"worst headliner (\w+) at ([\d.]+)×", arch)
+    assert m, "ARCHITECTURE.md worst-headliner claim missing or reworded"
+    assert (m.group(1), float(m.group(2))) == (worst_head, worst_head_r)
