@@ -851,16 +851,12 @@ def winnow_md5_overlap_pairs(spark, sf_dir):
     )
 
 
-@register("winnow_overlap_pairs", oracle=None)
-def winnow_overlap_pairs(spark, sf_dir):
-    """Winnowing-fingerprint partial-overlap pairs (MOSS scheme): detects
-    shared REGIONS (≥ window+k-1 chars), which whole-document MinHash
-    similarity misses. Hash-based ⇒ rows-only."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The fixture corpus is word-salad over a tiny vocabulary, so short
-    # shared regions are ubiquitous — demand long k-grams and many shared
-    # fingerprints to keep the pair set meaningfully selective.
-    return winnow_candidate_pairs(docs, k=16, window=16, min_shared=8)
+# The rows-only winnow_overlap_pairs entry (polynomial-rolling-hash
+# kernel) retired in round 10: winnow_md5_overlap_pairs above certifies
+# the identical plan shape value-for-value, and the throughput kernel
+# (operators/dedup.py winnow_candidate_pairs) keeps its named tests
+# (tests/test_dedup.py::test_winnowing_detects_partial_overlap,
+# tests/test_properties.py hypothesis law).
 
 
 # Exact whole-corpus near-dup truth (jaccard >= 1/2 on distinct 5-gram

@@ -13,19 +13,13 @@ import math
 import os
 import tempfile
 
-import numpy as np
 import pyspark.sql.functions as F
 
 from polygon_algotrading_env_spark.catalog import load_table
 from polygon_algotrading_env_spark.functions.vectors import cosine, dot, norm
 from polygon_algotrading_env_spark.operators.similarity import (
     _query_lit,
-    add_srp_buckets,
-    build_ivf_index,
-    build_srp_index,
     cosine_topk,
-    ivf_topk_indexed,
-    lsh_ann_topk_indexed,
     pairwise_cosine_topk,
 )
 from polygon_algotrading_env_spark.queries import register
@@ -137,52 +131,268 @@ def _ann_index_dir(sf_dir: str, kind: str) -> str:
     )
 
 
-@register("lsh_ann_topk", headline=True, oracle=None)
+# SRP hyperplanes shared with the DuckDB oracles (used by the indexed
+# lsh_ann_topk probe below AND the scan-side srp_* pair further down):
+# component h(p,d) derives from md5("srp|p|d") — computable
+# bit-identically in Python (driver-side constants for the Spark plan)
+# and in DuckDB SQL — and both engines take sequential left-to-right
+# dot products, so every vector's bucket, the probe's candidate set,
+# and the exact re-rank all hash-match.
+_SRP_PLANES = 6
+
+_SRP_BUCKET_CTE = """
+    comp AS (
+      SELECT p.p AS p, d.d AS pos,
+             (('0x' || substring(md5('srp|' || p.p || '|' || d.d), 1, 8))::BIGINT
+              / 4294967295.0) * 2 - 1 AS h
+      FROM (SELECT unnest(range(6)) AS p) p,
+           (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                                 WHERE vec_id = 0))) AS d) d
+    ),
+    pl AS (SELECT p, list(h ORDER BY pos) AS hv FROM comp GROUP BY p),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.hv) AS dp
+             FROM e, pl),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    )
+"""
+
+
+def _md5_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Hyperplane constants shared with the DuckDB oracle: component (p,d)
+    = md5("srp|p|d")'s first 8 hex digits mapped to [-1, 1]."""
+    return [
+        [
+            int(hashlib.md5(f"srp|{p}|{d}".encode()).hexdigest()[:8], 16)
+            / 4294967295.0
+            * 2
+            - 1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket_expr(planes: list[list[float]]):
+    bucket = F.lit(0).cast("bigint")
+    for p, hv in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in hv])
+        bucket = bucket + (dot("embedding", plane_lit) >= 0).cast("bigint") * (
+            1 << p
+        )
+    return bucket
+
+
+@register(
+    "lsh_ann_topk",
+    headline=True,
+    oracle="WITH " + _SRP_BUCKET_CTE + """,
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN buckets b ON e.vec_id = b.vec_id, qb
+      WHERE b.bucket = qb.bucket
+         OR xor(b.bucket, qb.bucket) IN (1, 2, 4, 8, 16, 32)
+    )
+    SELECT vec_id, round(score, 6) AS score FROM (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * q.qn) AS score
+      FROM cand c, q
+    )
+    ORDER BY round(score, 6) DESC, vec_id ASC LIMIT 20
+    """,
+)
 def lsh_ann_topk_q(spark, sf_dir):
     """SRP-LSH approximate top-k, the build-once / probe-many shape: the
     bucketed index is materialized ``partitionBy(bucket)`` on first use
     (the O(n·d) assignment pass, paid at ingest time at scale), and the
     query itself is a partition-pruned read of the probe bucket's Hamming-1
-    neighborhood — never a full-relation recompute. Approximate ⇒ rows-only
-    check; recall and scan≡indexed equivalence asserted in tests.
+    neighborhood — never a full-relation recompute. Hash-certified since
+    round 10: buckets come from the md5-derived hyperplanes the scan-side
+    SRP tier already certifies, the Hamming-1 neighborhood is the XOR-in-
+    power-of-two predicate DuckDB replays bit-exactly, and the re-rank is
+    the proven rounded-score grid — the numpy-seeded kernel
+    (operators/similarity.py build_srp_index / lsh_ann_topk_indexed)
+    stays as the throughput path with its own recall + scan≡indexed
+    equivalence tests.
 
     ``n_planes=6`` (64 buckets) sizes the index to the fixture corpus
     (~30 rows/bucket): bucket count is a layout parameter that must track
     corpus size — 2^planes ≫ n leaves near-empty partition dirs whose
     write-commit and listing costs dwarf the data, and a Hamming-1 probe
     that sees too few candidates for top-k recall."""
-    idx = _ann_index_dir(sf_dir, "srp6")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    planes = _md5_planes(_SRP_PLANES, len(qv))
+    idx = _ann_index_dir(sf_dir, "srp6md5")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        build_srp_index(
-            load_table(spark, sf_dir, "embeddings"), idx, n_planes=6
+        emb.select(
+            "vec_id", "embedding", _srp_bucket_expr(planes).alias("bucket")
+        ).repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(idx)
+    qbucket = 0
+    for p, hv in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(qv, hv):
+            acc += x * y
+        if acc >= 0:
+            qbucket |= 1 << p
+    probe = [qbucket] + [qbucket ^ (1 << p) for p in range(_SRP_PLANES)]
+    cand = spark.read.parquet(idx).filter(F.col("bucket").isin(probe))
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine("embedding", _query_lit(qv)), 6).alias("score"),
         )
-    return lsh_ann_topk_indexed(
-        spark, idx, _query_vec(spark, sf_dir), k=20, n_planes=6,
-        multiprobe_hamming=1,
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
     )
 
 
-@register("ivf_ann_topk", headline=True, oracle=None)
-def ivf_ann_topk(spark, sf_dir):
-    """IVF-bucketed ANN, build-once / probe-many: spherical-k-means coarse
-    quantizer (trained on a seeded driver sample, persisted beside the
-    index), distributed cell assignment written ``partitionBy(cell)`` on
-    first use; the query is a partition-pruned read of the n_probe nearest
-    cells with no assignment UDF in the probe plan. Approximate ⇒
-    rows-only; recall asserted vs brute force in tests."""
-    from polygon_algotrading_env_spark.operators.similarity import ivf_centroids
+# md5-derived IVF coarse quantizer shared with the DuckDB oracle: centroid
+# component c(j,d) = md5("ivf|j|d")'s first 8 hex digits mapped to [-1, 1];
+# assignment is the integer-grid argmin d2i = round((v·v − 2·v·c + c·c)·1e6)
+# AS BIGINT with ties → smallest cell id (the PQ certification recipe), so
+# both the cell of every vector and the probe's n_probe nearest cells are
+# integer-deterministic on both engines.
+_IVF_CELLS = 16
 
-    idx = _ann_index_dir(sf_dir, "ivf16")
-    cents_file = idx + "_centroids.npy"
+
+def _ivf_md5_centroids(dim: int) -> list[list[float]]:
+    return [
+        [
+            int(hashlib.md5(f"ivf|{j}|{d}".encode()).hexdigest()[:8], 16)
+            / 4294967295.0
+            * 2
+            - 1
+            for d in range(dim)
+        ]
+        for j in range(_IVF_CELLS)
+    ]
+
+
+def _ivf_oracle(dim: int = 64) -> str:
+    cents = _ivf_md5_centroids(dim)
+    rows = []
+    for j, cv in enumerate(cents):
+        cc = 0.0
+        for xx in cv:
+            cc += xx * xx
+        lst = "[" + ", ".join(repr(x) for x in cv) + "]"
+        rows.append(f"({j}, {repr(cc)}, {lst})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH cb(j, cc, cv) AS (VALUES
+      {values}
+    ),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    d AS (
+      SELECT vec_id, cb.j,
+             CAST(round((list_dot_product(v, v)
+                         - 2 * list_dot_product(v, cv) + cc)
+                        * 1000000.0) AS BIGINT) AS d2i
+      FROM e, cb
+    ),
+    cells AS (
+      SELECT vec_id, j AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2i, j) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qcells AS (SELECT j AS cell FROM d WHERE vec_id = 0
+               ORDER BY d2i, j LIMIT 4),
+    q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v FROM e
+      JOIN cells c ON e.vec_id = c.vec_id
+      JOIN qcells ON c.cell = qcells.cell
+    )
+    SELECT vec_id, round(score, 6) AS score FROM (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * q.qn) AS score
+      FROM cand c, q
+    )
+    ORDER BY round(score, 6) DESC, vec_id ASC LIMIT 20
+    """
+
+
+def _ivf_cell_expr(cents: list[list[float]]):
+    cands = []
+    for j, cv in enumerate(cents):
+        cc = 0.0
+        for xx in cv:
+            cc += xx * xx
+        d2i = F.round(
+            (
+                dot("embedding", "embedding")
+                - 2 * dot("embedding", F.array(*[F.lit(x) for x in cv]))
+                + F.lit(cc)
+            )
+            * 1e6
+        ).cast("bigint")
+        cands.append(F.struct(d2i.alias("d"), F.lit(j).alias("j")))
+    return F.least(*cands).getField("j")
+
+
+@register("ivf_ann_topk", headline=True, oracle=_ivf_oracle())
+def ivf_ann_topk(spark, sf_dir):
+    """IVF-bucketed ANN, build-once / probe-many: distributed cell
+    assignment written ``partitionBy(cell)`` on first use; the query is a
+    partition-pruned read of the n_probe=4 nearest cells with no
+    assignment expression in the probe plan. Hash-certified since round
+    10 via md5-derived centroids on the PQ integer-distance grid (both
+    every vector's argmin cell and the probe's 4 nearest cells are exact
+    BIGINT comparisons in both engines); the k-means-trained quantizer
+    (operators/similarity.py ivf_centroids / build_ivf_index /
+    ivf_topk_indexed) stays as the throughput path with its own recall
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = _ivf_md5_centroids(len(qv))
+    idx = _ann_index_dir(sf_dir, "ivf16md5")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = ivf_centroids(emb, n_centroids=16)
-        os.makedirs(os.path.dirname(cents_file), exist_ok=True)
-        np.save(cents_file, cents)
-        build_ivf_index(emb, idx, cents)
-    cents = np.load(cents_file)
-    return ivf_topk_indexed(
-        spark, idx, _query_vec(spark, sf_dir), cents, k=20, n_probe=4
+        emb.select(
+            "vec_id", "embedding", _ivf_cell_expr(cents).alias("cell")
+        ).repartition(F.col("cell")).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(idx)
+    # probe cells: the same integer grid the oracle's qcells CTE evaluates
+    qvv = 0.0
+    for xx in qv:
+        qvv += xx * xx
+    grid = []
+    for j, cv in enumerate(cents):
+        qc = 0.0
+        cc = 0.0
+        for a, b in zip(qv, cv):
+            qc += a * b
+        for xx in cv:
+            cc += xx * xx
+        grid.append((int(math.floor((qvv - 2 * qc + cc) * 1e6 + 0.5)), j))
+    probe = [j for _, j in sorted(grid)[:4]]
+    cand = spark.read.parquet(idx).filter(F.col("cell").isin(probe))
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine("embedding", _query_lit(qv)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
     )
 
 
@@ -366,57 +576,6 @@ def embedding_outliers_per_label(spark, sf_dir):
 # certifies BOTH halves of the LSH design: candidate generation
 # (srp_bucket_assignments) and the exact re-rank over the probe bucket
 # (srp_topk_reranked).
-
-_SRP_PLANES = 6
-
-_SRP_BUCKET_CTE = """
-    comp AS (
-      SELECT p.p AS p, d.d AS pos,
-             (('0x' || substring(md5('srp|' || p.p || '|' || d.d), 1, 8))::BIGINT
-              / 4294967295.0) * 2 - 1 AS h
-      FROM (SELECT unnest(range(6)) AS p) p,
-           (SELECT unnest(range((SELECT len(embedding) FROM embeddings
-                                 WHERE vec_id = 0))) AS d) d
-    ),
-    pl AS (SELECT p, list(h ORDER BY pos) AS hv FROM comp GROUP BY p),
-    e AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-    dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.hv) AS dp
-             FROM e, pl),
-    buckets AS (
-      SELECT vec_id,
-             CAST(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
-               AS bucket
-      FROM dots GROUP BY vec_id
-    )
-"""
-
-
-def _md5_planes(n_planes: int, dim: int) -> list[list[float]]:
-    """Hyperplane constants shared with the DuckDB oracle: component (p,d)
-    = md5("srp|p|d")'s first 8 hex digits mapped to [-1, 1]."""
-    return [
-        [
-            int(hashlib.md5(f"srp|{p}|{d}".encode()).hexdigest()[:8], 16)
-            / 4294967295.0
-            * 2
-            - 1
-            for d in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
-
-
-def _srp_bucket_expr(planes: list[list[float]]):
-    bucket = F.lit(0).cast("bigint")
-    for p, hv in enumerate(planes):
-        plane_lit = F.array(*[F.lit(x) for x in hv])
-        bucket = bucket + (dot("embedding", plane_lit) >= 0).cast("bigint") * (
-            1 << p
-        )
-    return bucket
-
 
 @register(
     "srp_bucket_assignments",
