@@ -566,7 +566,14 @@ def k_core(
     edge set to surviving endpoints + one degree aggregate — two narrow
     shuffles, lineage truncated every ``checkpoint_every`` rounds like
     the other iterative graph loops. Cascades shrink the vertex set
-    monotonically, so round cost only decreases."""
+    monotonically, so round cost only decreases — and that monotonicity
+    buys a FREE convergence check at every checkpoint: equal survivor
+    counts across a checkpoint interval mean no peel removed anything,
+    i.e. a fixpoint, and every remaining round is an exact no-op — so
+    breaking out early returns bit-identical results to the fixed cap
+    (the DuckDB oracle keeps replaying all rounds; its post-fixpoint
+    rounds are the same no-ops). The count runs on the already-
+    materialized checkpoint, so the check costs one metadata-cheap job."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
@@ -585,6 +592,10 @@ def k_core(
         alive = deg.where(F.col("deg") >= k).select(F.col("u").alias("id"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
             alive = alive.localCheckpoint(eager=True)
+            n_now = alive.count()
+            if prev_n is not None and n_now == prev_n:
+                break  # fixpoint: remaining rounds are exact no-ops
+            prev_n = n_now
     last = alive.localCheckpoint(eager=True)
     final_deg = (
         sym.join(last.withColumnRenamed("id", "u"), "u")
@@ -632,7 +643,16 @@ def bfs_hops(
     lineage is truncated every ``checkpoint_every`` rounds like the
     other iterative graph loops. At 100 TB the reached relation is
     (id, hops) — two bigints per vertex — and each round's join is
-    frontier-bounded work under AQE."""
+    frontier-bounded work under AQE.
+
+    The reached set grows monotonically and a vertex's hop label is its
+    exact BFS distance from the round it first appears (never revised),
+    so equal reached counts across a checkpoint interval prove the
+    frontier emptied — a fixpoint — and every remaining round is an
+    exact no-op. The loop breaks there (converged is True by
+    definition at a fixpoint), returning bit-identical results to the
+    fixed cap the DuckDB oracle replays; the count runs on the already-
+    materialized checkpoint."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
@@ -644,6 +664,7 @@ def bfs_hops(
         [(int(s), 0) for s in seeds], "id BIGINT, hops INT"
     )
     penult = reached
+    prev_n: int | None = len(set(int(s) for s in seeds))
     for i in range(n_rounds):
         offers = (
             sym.join(
@@ -664,6 +685,13 @@ def bfs_hops(
         if i + 1 == n_rounds:
             penult = reached.localCheckpoint(eager=True)
         reached = nxt
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
+            n_now = reached.count()
+            if n_now == prev_n:
+                return reached.select(
+                    "id", "hops", F.lit(True).alias("converged")
+                )
+            prev_n = n_now
     n_last = reached.agg(F.count(F.lit(1)).alias("__n_last"))
     n_prev = penult.agg(F.count(F.lit(1)).alias("__n_prev"))
     return (
