@@ -269,3 +269,84 @@ def stream_sma_signal(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (RiskMetrics) volatility: O(1) state per key
+# ---------------------------------------------------------------------------
+
+_EWMA_STATE_SCHEMA = (
+    "var double, last_ts long, last_close double, seeded boolean"
+)
+_EWMA_OUTPUT_SCHEMA = (
+    "symbol string, ts timestamp, close double, ewma_vol double"
+)
+
+
+def stream_ewma_vol(
+    stream: DataFrame,
+    span: int = 39,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """Live RiskMetrics EWMA volatility per key — the streaming twin of
+    the batch ``ewma_vol_5m`` closed-form plan: sigma²_t = λ·sigma²_{t-1}
+    + (1−λ)·r²_t with λ = 1 − 2/(span+1) (span 39 ⇒ λ = 0.95), returns
+    r = close/prev − 1 (0 when prev is missing or 0), seeded at the first
+    squared return — the recursion a risk engine serves hot, carried as
+    ONE double of state per key (equivalence with the batch closed form
+    and with a sequential Python reference is pinned in tests, as is
+    checkpointed state across a kill/restart).
+
+    Same cross-batch monotonicity guard as :func:`stream_cusum`: rows at
+    or behind the last applied event time are dropped, not retro-applied
+    — a recursion cannot absorb late data; route late rows to the batch
+    path. Emits every row with its post-update vol (append semantics).
+    """
+    lam = 1.0 - 2.0 / (span + 1)
+    alpha = 2.0 / (span + 1)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        var, last_ts, last_close, seeded = 0.0, -(1 << 62), float("nan"), False
+        if state.exists:
+            var, last_ts, last_close, seeded = state.get
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
+                if t <= last_ts:
+                    continue
+                px = float(px)
+                r = (
+                    0.0
+                    if (last_close != last_close or last_close == 0.0)
+                    else px / last_close - 1.0
+                )
+                r2 = r * r
+                if not seeded:
+                    var, seeded = r2, True
+                else:
+                    var = lam * var + alpha * r2
+                out.append((key[0], t, px, var**0.5))
+                last_ts, last_close = t, px
+        state.update((var, last_ts, last_close, seeded))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "close": [r[2] for r in out],
+                    "ewma_vol": [r[3] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -243,3 +243,129 @@ def test_stream_sma_signal_equals_batch_backtest(spark, tmpdir):
         assert abs(s["sma_fast"] - r["sma_fast"]) < 1e-9
         assert abs(s["sma_slow"] - r["sma_slow"]) < 1e-9
         assert abs(s["pnl"] - r["pnl"]) < 1e-12
+
+
+# --- streaming EWMA vol ≡ batch closed form + restart soak -----------------
+
+
+def _py_ewma_vol(rows, span=39):
+    """Sequential Python reference of the RiskMetrics recursion."""
+    lam, alpha = 1.0 - 2.0 / (span + 1), 2.0 / (span + 1)
+    state: dict = {}
+    ref = {}
+    for sym, ts, px in sorted(rows, key=lambda r: (r[0], r[1])):
+        var, last, seeded = state.get(sym, (0.0, None, False))
+        r = 0.0 if (last is None or last == 0.0) else px / last - 1.0
+        var = r * r if not seeded else lam * var + alpha * r * r
+        state[sym] = (var, px, True)
+        ref[(sym, ts)] = var**0.5
+    return ref
+
+
+def test_stream_ewma_vol_equals_batch_closed_form(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_ema_closed_form,
+    )
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ewma_vol,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    px = [100.0, 101.5, 99.0, 0.0, 103.0, 103.0, 97.5, 104.2, 100.1, 102.3]
+    rows = []
+    for i, p in enumerate(px):
+        rows.append(("X", t0 + timedelta(minutes=5 * i), p))
+        rows.append(("Y", t0 + timedelta(minutes=5 * i), 2 * p + 1))
+    src = f"{tmpdir}/src"
+    # two files → two micro-batches → the recursion must carry across
+    spark.createDataFrame(rows[:12], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[12:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(BAR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_ewma_vol(stream, span=39)
+        .writeStream.format("memory")
+        .queryName("ewma_s")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): r["ewma_vol"]
+        for r in spark.sql("SELECT * FROM ewma_s").collect()
+    }
+    assert len(got) == len(rows)
+    # law 1: sequential Python reference, tight tolerance
+    ref = _py_ewma_vol(rows)
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+    # law 2: the batch closed-form plan (ewma_vol_5m's engine), float-noise
+    # tolerance — the two-level prefix-sum evaluation reorders the product
+    w = Window.partitionBy("symbol").orderBy("ts")
+    bars = spark.createDataFrame(rows, BAR_SCHEMA)
+    prev = F.lag("close").over(w)
+    ret = F.when(prev.isNull() | (prev == 0), F.lit(0.0)).otherwise(
+        F.col("close") / prev - 1
+    )
+    rr = bars.select("symbol", "ts", (ret * ret).alias("__r2"))
+    batch = with_ema_closed_form(
+        rr, "__r2", span=39, keys=["symbol"], order_cols=["ts"], out="__var"
+    )
+    for r in batch.collect():
+        assert abs(got[(r["symbol"], r["ts"])] - r["__var"] ** 0.5) < 1e-9
+
+
+def test_stream_ewma_vol_state_survives_restart(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ewma_vol,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    px = [100.0, 102.0, 99.5, 101.0, 98.0, 103.5]
+    rows = [("X", t0 + timedelta(minutes=5 * i), p) for i, p in enumerate(px)]
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run_fb():
+        stream = spark.readStream.schema(BAR_SCHEMA).parquet(src)
+        q = (
+            stream_ewma_vol(stream, span=39)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:3], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # first run, then the query is gone (kill)
+    spark.createDataFrame(rows[3:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # restart from the checkpoint: recursion must continue
+    got = {(r["symbol"], r["ts"]): r["ewma_vol"] for r in collected}
+    ref = _py_ewma_vol(rows)
+    assert len(got) == len(rows)
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
