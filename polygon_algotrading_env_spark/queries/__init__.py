@@ -232,8 +232,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # hashed_token_features_docs, source_token_cosine_pairs,
 # quality_percentile_by_lang, ngram_jaccard_adjacent,
 # asof_chunked_order_before_event, cusum_alarms_5m, acf_returns_lags),
-# plus any round-10 additions. Rotate against slots whose families hold
-# >=3 recorded green rounds.
+# plus the round-10 additions (mann_whitney_u_price_urgency,
+# kruskal_wallis_price_by_priority, theil_index_by_priority,
+# herfindahl_brand_suppliers — all hash-matched locally at three SFs).
+# Rotate against slots whose families hold >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated

@@ -2099,3 +2099,159 @@ def bloom_join_prefilter_audit(spark, sf_dir):
             6,
         ).alias("fp_rate"),
     )
+
+
+# --- Theil T / mean-log-deviation inequality (gini's entropy sibling) ------
+@register(
+    "theil_index_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT pri, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * cents) AS BIGINT) AS sum_cents
+      FROM g GROUP BY 1
+    ),
+    terms AS (
+      SELECT g.pri, tot.n, tot.sum_cents,
+             CAST(g.c AS DOUBLE)
+               * (CAST(g.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  / CAST(tot.sum_cents AS DOUBLE))
+               * ln(CAST(g.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                    / CAST(tot.sum_cents AS DOUBLE))      AS t_term,
+             CAST(g.c AS DOUBLE)
+               * ln(CAST(tot.sum_cents AS DOUBLE)
+                    / (CAST(g.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)))
+                                                          AS l_term
+      FROM g JOIN tot ON g.pri = tot.pri
+    )
+    SELECT pri AS o_orderpriority, n, sum_cents,
+           round(sum(t_term) / CAST(n AS DOUBLE), 6) AS theil_t,
+           round(sum(l_term) / CAST(n AS DOUBLE), 6) AS mld
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def theil_index_by_priority(spark, sf_dir):
+    """Theil T and mean-log-deviation (GE(1)/GE(0) entropy inequality)
+    of order value per priority — Gini's decomposable sibling: unlike
+    Gini, Theil splits exactly into within-group + between-group terms,
+    which is how a curation pipeline attributes token-count concentration
+    to sources. Grid-collapsed like the Gini plan (one hash aggregate on
+    the cents grid, float work proportional to DISTINCT values), exact
+    BIGINT (n, Σcents) exported, and each term is the identical scalar
+    recipe r = cents·n/Σ, r·ln r (Theil) / −ln r (MLD) on both engines;
+    the only reorder-sensitive float sum carries ~1e-8 noise against the
+    round-6 grid."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = v.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = g.groupBy("pri").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("cents")))
+        .cast("decimal(38,0)")
+        .try_cast("bigint")
+        .alias("sum_cents"),
+    )
+    r = (
+        F.col("cents").cast("double")
+        * F.col("n").cast("double")
+        / F.col("sum_cents").cast("double")
+    )
+    cd = F.col("c").cast("double")
+    terms = g.join(F.broadcast(tot), "pri").select(
+        "pri",
+        "n",
+        "sum_cents",
+        (cd * r * F.log(r)).alias("t_term"),
+        (cd * F.log(1.0 / r)).alias("l_term"),
+    )
+    return terms.groupBy("pri", "n", "sum_cents").agg(
+        F.round(F.sum("t_term") / F.col("n").cast("double"), 6).alias(
+            "theil_t"
+        ),
+        F.round(F.sum("l_term") / F.col("n").cast("double"), 6).alias("mld"),
+    ).select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        "sum_cents",
+        "theil_t",
+        "mld",
+    )
+
+
+# --- Herfindahl-Hirschman supplier concentration per brand ------------------
+@register(
+    "herfindahl_brand_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT)          AS n_suppliers,
+             sum(r)                            AS total,
+             sum(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)) AS ss,
+             max(CAST(r AS DOUBLE))            AS top_r
+      FROM rev GROUP BY 1
+    )
+    SELECT p_brand, n_suppliers,
+           round(ss / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             AS hhi,
+           round(top_r / CAST(total AS DOUBLE), 6) AS top_share
+    FROM b ORDER BY p_brand
+    """,
+)
+def herfindahl_brand_suppliers(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    part brand — the market-structure audit (HHI = Σ share², top-1
+    share) a sourcing or data-mixture dashboard runs to spot single-
+    supplier dependence. Revenue is the exact DECIMAL sum of
+    extendedprice·(1−discount) per (brand, supplier) — one broadcast of
+    the part dim onto the lineitem scan, one map-side-combined hash
+    aggregate spread by supplier — and HHI/top-share are fixed scalar
+    double recipes over those exact per-supplier revenues (the share
+    squares sum carries ~1e-13 relative float noise, far inside
+    round-6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("__r").alias("r"))
+    )
+    rd = F.col("r").cast("double")
+    b = rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total"),
+        F.sum(rd * rd).alias("ss"),
+        F.max(rd).alias("top_r"),
+    )
+    td = F.col("total").cast("double")
+    return b.select(
+        "p_brand",
+        "n_suppliers",
+        F.round(F.col("ss") / (td * td), 6).alias("hhi"),
+        F.round(F.col("top_r") / td, 6).alias("top_share"),
+    ).orderBy("p_brand")

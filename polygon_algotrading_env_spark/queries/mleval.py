@@ -619,3 +619,240 @@ def woe_iv_price_urgency(spark, sf_dir):
             6,
         ).alias("iv_term"),
     )
+
+
+# --- rank-sum tests on the distributed grid (operators/rankstats.py) -------
+@register(
+    "mann_whitney_u_price_urgency",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders
+    ),
+    g AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(g1) AS BIGINT) AS t1
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT cents, t, t1,
+             sum(t) OVER (ORDER BY cents) AS le
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(t1 * (2 * le - t + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(t1) AS BIGINT)                    AS n1,
+             CAST(sum(t) AS BIGINT)                     AS n,
+             CAST(sum(t * t * t - t) AS BIGINT)         AS tie_term
+      FROM c
+    )
+    SELECT n1, n - n1 AS n2, two_r1,
+           two_r1 - n1 * (n1 + 1) AS u1_x2, tie_term,
+           round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)),
+                 6) AS auc_equiv,
+           round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+                        * (CAST(n AS DOUBLE) + 1.0
+                           - CAST(tie_term AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0)))),
+                 6) AS z
+    FROM s
+    """,
+)
+def mann_whitney_u_price_urgency(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing URGENT vs non-URGENT
+    order values — "is the urgent price distribution stochastically
+    larger?", the nonparametric two-sample test a signal scoreboard runs
+    before trusting a mean gap. Exact-integer discipline end to end:
+    prices land on the cents grid, pooled average ranks come from the
+    distributed grid cumulation (operators/rankstats.py — no single-task
+    sort; the tie convention 2·avgrank = cum_lt + cum_le + 1 keeps
+    everything BIGINT), and the payload is (n1, n2, 2·R1, 2·U1, Σt³−t)
+    plus the tie-corrected normal z and the AUC-equivalent U/(n1·n2) by
+    one fixed scalar double recipe per engine. No continuity correction
+    (both engines would apply it identically anyway; documented here so
+    the z is interpretable)."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        cumulate_grid,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    grid = v.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("g1").cast("bigint").alias("t1")
+    )
+    stats = cumulate_grid(grid, [], "cents", "t")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two_avgrank = F.col("cum_lt") + F.col("cum_le") + 1
+    agg = stats.agg(
+        F.sum(dec(F.col("t1")) * dec(two_avgrank)).alias("__two_r1"),
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.max("n_g").alias("n"),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t"))
+            - dec(F.col("t"))
+        ).alias("__tie"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    nd = F.col("n").cast("double")
+    u1x2 = F.col("__two_r1") - dec(F.col("n1") * (F.col("n1") + 1))
+    u1x2d = u1x2.cast("double")
+    tied = F.col("__tie").cast("double")
+    return agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.expr("try_cast(__two_r1 AS BIGINT)").alias("two_r1"),
+        u1x2.try_cast("bigint").alias("u1_x2"),
+        F.expr("try_cast(__tie AS BIGINT)").alias("tie_term"),
+        F.round(u1x2d / (2.0 * n1d * n2d), 6).alias("auc_equiv"),
+        F.round(
+            (u1x2d / 2.0 - n1d * n2d / 2.0)
+            / F.sqrt(
+                n1d * n2d / 12.0 * (nd + 1.0 - tied / (nd * (nd - 1.0)))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "kruskal_wallis_price_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g2 AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ),
+    pooled AS (
+      SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM g2 GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents, t, sum(t) OVER (ORDER BY cents) AS le FROM pooled
+    ),
+    perg AS (
+      SELECT g2.pri,
+             CAST(sum(g2.c) AS BIGINT)                        AS n_g,
+             CAST(sum(g2.c * (2 * cum.le - cum.t + 1)) AS BIGINT) AS two_r_g
+      FROM g2 JOIN cum ON g2.cents = cum.cents
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT)             AS n,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_term,
+             CAST(count(*) AS BIGINT)           AS n_values
+      FROM pooled
+    ),
+    h AS (
+      SELECT round(
+               (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                * (SELECT sum(
+                     CAST(n_g AS DOUBLE)
+                     * (CAST(two_r_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+                        - (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                     * (CAST(two_r_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+                        - (CAST(n AS DOUBLE) + 1.0) / 2.0))
+                   FROM perg))
+               / (1.0 - CAST(tie_term AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+               6) AS h_corr,
+             n
+      FROM tot
+    )
+    SELECT p.pri AS o_orderpriority, p.n_g, p.two_r_g,
+           round(CAST(p.two_r_g AS DOUBLE) / (2.0 * CAST(p.n_g AS DOUBLE)),
+                 6) AS rbar,
+           h.h_corr,
+           (SELECT count(*) - 1 FROM perg) AS df
+    FROM perg p, h
+    """,
+)
+def kruskal_wallis_price_by_priority(spark, sf_dir):
+    """Kruskal-Wallis H across the five order priorities — the k-group
+    rank ANOVA ("does ANY priority class price differently?") that
+    gates pairwise rank tests. Pooled average ranks come from ONE
+    distributed grid cumulation over all groups (operators/rankstats.py);
+    per-group rank sums are an equi-join of the (pri, cents) grid against
+    the pooled grid on the fine-grained value key — never a per-group
+    sort, never a broadcast of the fact. Payload: per-group BIGINT
+    (n_g, 2·R_g) rows plus mean rank, the tie-corrected H (identical
+    scalar recipe both engines), and the k−1 degrees of freedom."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        cumulate_grid,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g2 = v.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("c"))
+    pooled = g2.groupBy("cents").agg(F.sum("c").alias("t"))
+    cum = cumulate_grid(pooled, [], "cents", "t")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two_avgrank = F.col("cum_lt") + F.col("cum_le") + 1
+    perg = (
+        g2.join(cum.select("cents", two_avgrank.alias("__tar")), "cents")
+        .groupBy("pri")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(dec(F.col("c")) * dec(F.col("__tar"))).alias("__two_r_g"),
+        )
+        .select(
+            "pri",
+            "n_g",
+            F.expr("try_cast(__two_r_g AS BIGINT)").alias("two_r_g"),
+        )
+    )
+    tot = cum.agg(
+        F.max("n_g").alias("n"),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t"))
+            - dec(F.col("t"))
+        )
+        .cast("double")
+        .alias("__tie"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = F.col("two_r_g").cast("double") / (2.0 * F.col("n_g").cast("double"))
+    dev = rbar - (nd + 1.0) / 2.0
+    joined = perg.crossJoin(F.broadcast(tot))
+    hnum = joined.groupBy().agg(
+        F.sum(F.col("n_g").cast("double") * dev * dev).alias("__ss"),
+        F.max("n").alias("n"),
+        F.max("__tie").alias("__tie"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    nd2 = F.col("n").cast("double")
+    h_corr = F.round(
+        (12.0 / (nd2 * (nd2 + 1.0)) * F.col("__ss"))
+        / (1.0 - F.col("__tie") / (nd2 * nd2 * nd2 - nd2)),
+        6,
+    )
+    hrow = hnum.select(h_corr.alias("h_corr"), (F.col("__k") - 1).alias("df"))
+    return (
+        perg.crossJoin(F.broadcast(tot.select("n")))
+        .crossJoin(F.broadcast(hrow))
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_g",
+            "two_r_g",
+            F.round(
+                F.col("two_r_g").cast("double")
+                / (2.0 * F.col("n_g").cast("double")),
+                6,
+            ).alias("rbar"),
+            "h_corr",
+            F.col("df").cast("bigint").alias("df"),
+        )
+    )

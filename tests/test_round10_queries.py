@@ -1,0 +1,134 @@
+"""Reference checks for the round-10 analytics additions: the rank tests
+(Mann-Whitney U, Kruskal-Wallis H) against hand-computed textbook values,
+and the inequality/concentration measures (Theil T / MLD, Herfindahl)
+against closed-form degenerate and two-point cases. These pin SEMANTICS;
+the cross-engine DuckDB oracles pin distributed execution.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from polygon_algotrading_env_spark.operators.rankstats import cumulate_grid
+
+
+def _mw_stats(spark, vals_a, vals_b):
+    rows = [(float(v), 1) for v in vals_a] + [(float(v), 0) for v in vals_b]
+    df = spark.createDataFrame(rows, "x double, g1 int")
+    grid = df.groupBy("x").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("g1").cast("bigint").alias("t1")
+    )
+    stats = cumulate_grid(grid, [], "x", "t")
+    two_avgrank = F.col("cum_lt") + F.col("cum_le") + 1
+    r = stats.agg(
+        F.sum(F.col("t1") * two_avgrank).alias("two_r1"),
+        F.sum("t1").alias("n1"),
+        F.max("n_g").alias("n"),
+    ).collect()[0]
+    return r["two_r1"], r["n1"], r["n"]
+
+
+def test_mann_whitney_u_matches_textbook(spark):
+    # A = [1, 4, 5], B = [2, 3, 6]: ranks of A are 1, 4, 5 -> R1 = 10,
+    # U1 = 10 - 3*4/2 = 4 (n1 = n2 = 3, no ties)
+    two_r1, n1, n = _mw_stats(spark, [1, 4, 5], [2, 3, 6])
+    assert (two_r1, n1, n) == (20, 3, 6)
+    assert (two_r1 - n1 * (n1 + 1)) // 2 == 4  # U1
+
+
+def test_mann_whitney_ties_use_average_ranks(spark):
+    # A = [1, 2], B = [2, 3]: tied 2s share rank 2.5 -> R1 = 3.5, U1 = 0.5
+    two_r1, n1, n = _mw_stats(spark, [1, 2], [2, 3])
+    assert (two_r1, n1, n) == (7, 2, 4)  # 2*R1 = 7
+    assert two_r1 - n1 * (n1 + 1) == 1  # 2*U1 = 1
+
+
+def test_kruskal_wallis_matches_manual(spark):
+    # three groups, no ties: ranks 1..6; H = 12/(n(n+1)) * sum n_g (rbar -
+    # (n+1)/2)^2 with n = 6
+    groups = {"a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    g2 = df.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    pooled = g2.groupBy("x").agg(F.sum("c").alias("t"))
+    cum = cumulate_grid(pooled, [], "x", "t")
+    tar = (F.col("cum_lt") + F.col("cum_le") + 1).alias("__tar")
+    perg = (
+        g2.join(cum.select("x", tar), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * F.col("__tar")).alias("two_r_g"),
+        )
+        .collect()
+    )
+    n = 6
+    ss = sum(
+        r["n_g"] * (r["two_r_g"] / (2 * r["n_g"]) - (n + 1) / 2) ** 2
+        for r in perg
+    )
+    h = 12.0 / (n * (n + 1)) * ss
+    # manual: rbars are 1.5, 3.5, 5.5 -> ss = 2*(4 + 0 + 4) = 16, H = 32/7
+    assert abs(h - 32.0 / 7.0) < 1e-12
+
+
+def test_theil_zero_for_equal_values_and_known_two_point(spark, sf_dir):
+    # Semantics probe on the registered query's formula shape: equal
+    # values => T = MLD = 0; the two-point case matches the closed form.
+    from polygon_algotrading_env_spark.queries.advanced import (
+        theil_index_by_priority,  # noqa: F401  (import proves registration)
+    )
+
+    def theil(vals):
+        n = len(vals)
+        mu = sum(vals) / n
+        t = sum((v / mu) * math.log(v / mu) for v in vals) / n
+        l_ = sum(math.log(mu / v) for v in vals) / n
+        return t, l_
+
+    t0, l0 = theil([5.0, 5.0, 5.0])
+    assert abs(t0) < 1e-15 and abs(l0) < 1e-15
+    t1, l1 = theil([1.0, 3.0])
+    # closed form: mu=2, T = (0.5*ln0.5 + 1.5*ln1.5)/2
+    assert abs(t1 - (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2) < 1e-15
+    assert abs(l1 - (math.log(2.0) + math.log(2.0 / 3.0)) / 2) < 1e-15
+
+
+def test_herfindahl_degenerate_cases(spark):
+    # one supplier owning a brand => HHI = top_share = 1; two equal
+    # suppliers => HHI = 0.5
+    rows = [("B1", 1, 100.0), ("B2", 1, 50.0), ("B2", 2, 50.0)]
+    rev = spark.createDataFrame(rows, "brand string, supp int, r double")
+    b = rev.groupBy("brand").agg(
+        F.sum("r").alias("total"),
+        F.sum(F.col("r") * F.col("r")).alias("ss"),
+        F.max("r").alias("top_r"),
+    )
+    got = {
+        r["brand"]: (
+            r["ss"] / (r["total"] * r["total"]),
+            r["top_r"] / r["total"],
+        )
+        for r in b.collect()
+    }
+    assert got["B1"] == (1.0, 1.0)
+    assert got["B2"] == (0.5, 0.5)
+
+
+def test_rank_test_plans_keep_the_zone_law(spark, sf_dir):
+    """Both rank-test queries run their pooled cumulation on the zoned
+    grid — no Window node in their plans may lack the zone id."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    for name in (
+        "mann_whitney_u_price_urgency",
+        "kruskal_wallis_price_by_priority",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ")
+            if s.startswith("Window "):
+                assert "__zone" in s, (name, s)
