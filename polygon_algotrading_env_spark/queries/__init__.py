@@ -234,7 +234,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # asof_chunked_order_before_event, cusum_alarms_5m, acf_returns_lags),
 # plus the round-10 additions (mann_whitney_u_price_urgency,
 # kruskal_wallis_price_by_priority, theil_index_by_priority,
-# herfindahl_brand_suppliers — all hash-matched locally at three SFs).
+# herfindahl_brand_suppliers, kendall_tau_qty_discount — all
+# hash-matched locally at three SFs).
 # Rotate against slots whose families hold >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded

@@ -856,3 +856,173 @@ def kruskal_wallis_price_by_priority(spark, sf_dir):
             F.col("df").cast("bigint").alias("df"),
         )
     )
+
+
+@register(
+    "kendall_tau_qty_discount",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(l_quantity AS INT)                    AS x,
+             CAST(round(l_discount * 100) AS INT)       AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT g, x, y, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT xs.g, xs.x, ys.y, coalesce(cells.c, 0) AS c
+      FROM (SELECT DISTINCT g, x FROM v) xs
+      JOIN (SELECT DISTINCT g, y FROM v) ys USING (g)
+      LEFT JOIN cells ON cells.g = xs.g AND cells.x = xs.x
+                     AND cells.y = ys.y
+    ),
+    sweep AS (
+      SELECT g, x, y, c,
+             coalesce(sum(c) OVER (PARTITION BY g, y ORDER BY x
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS h,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS a
+      FROM dense
+    ),
+    dom AS (
+      SELECT g, x, y, c, h, a,
+             coalesce(sum(h) OVER (PARTITION BY g, x ORDER BY y
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS dlt
+      FROM sweep
+    ),
+    xm AS (
+      SELECT g, CAST(sum(tx * (tx - 1) / 2) AS HUGEINT) AS tie_x
+      FROM (SELECT g, x, sum(c) AS tx FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    ym AS (
+      SELECT g, CAST(sum(ty * (ty - 1) / 2) AS HUGEINT) AS tie_y
+      FROM (SELECT g, y, sum(c) AS ty FROM cells GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT g,
+             CAST(sum(c) AS HUGEINT)                     AS n,
+             CAST(sum(CAST(c AS HUGEINT) * dlt) AS HUGEINT) AS c_pairs,
+             CAST(sum(CAST(c AS HUGEINT) * (a - dlt - h)) AS HUGEINT)
+               AS d_pairs
+      FROM dom GROUP BY 1
+    )
+    SELECT agg.g AS l_returnflag,
+           CAST(agg.n AS BIGINT)       AS n,
+           CAST(agg.c_pairs AS BIGINT) AS c_pairs,
+           CAST(agg.d_pairs AS BIGINT) AS d_pairs,
+           CAST(xm.tie_x AS BIGINT)    AS tie_x,
+           CAST(ym.tie_y AS BIGINT)    AS tie_y,
+           round((CAST(agg.c_pairs AS DOUBLE) - CAST(agg.d_pairs AS DOUBLE))
+                 / sqrt((CAST(agg.n AS DOUBLE) * (CAST(agg.n AS DOUBLE) - 1.0)
+                         / 2.0 - CAST(xm.tie_x AS DOUBLE))
+                        * (CAST(agg.n AS DOUBLE)
+                           * (CAST(agg.n AS DOUBLE) - 1.0) / 2.0
+                           - CAST(ym.tie_y AS DOUBLE))),
+                 6) AS tau_b
+    FROM agg JOIN xm ON agg.g = xm.g JOIN ym ON agg.g = ym.g
+    """,
+)
+def kendall_tau_qty_discount(spark, sf_dir):
+    """Tie-corrected Kendall tau-b between quantity and discount per
+    returnflag — the concordance rank correlation whose pair counts are
+    usually quoted as O(n log n)-per-group sequential work. Here the fact
+    collapses to the (flag, qty, discount) grid (both domains are small
+    and discrete — 50 x 11; Kendall on continuous columns belongs to
+    Spearman), the grid densifies via a per-group key join (never a
+    cartesian node), and the 2D dominance count D(x,y) = #{x'<x, y'<y}
+    falls out of TWO window prefix sweeps over the dense grid: h =
+    within-row-y exclusive x-cumsum, then dlt = exclusive y-cumsum of h;
+    discordant pairs are a(x) - dlt - h by inclusion-exclusion. Every
+    pair count is an exact DECIMAL(38,0) integer (n0 = n(n-1)/2 overflows
+    BIGINT beyond ~4e9 rows/group; exports try_cast like the Spearman
+    payload) and tau-b is one fixed scalar double recipe per engine."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("int").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("y"),
+    )
+    cells = v.groupBy("g", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    xs = v.select("g", "x").distinct()
+    ys = v.select("g", "y").distinct()
+    dense = (
+        xs.join(ys, "g")
+        .join(cells, ["g", "x", "y"], "left")
+        .select("g", "x", "y", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_h = (
+        Window.partitionBy("g", "y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_a = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = dense.select(
+        "g",
+        "x",
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(w_h), F.lit(0)).alias("h"),
+        F.coalesce(F.sum("c").over(w_a), F.lit(0)).alias("a"),
+    )
+    w_d = (
+        Window.partitionBy("g", "x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = sweep.withColumn(
+        "dlt", F.coalesce(F.sum("h").over(w_d), F.lit(0))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = dom.groupBy("g").agg(
+        F.sum("c").cast("decimal(38,0)").alias("__n"),
+        F.sum(dec(F.col("c")) * dec(F.col("dlt"))).alias("__c"),
+        F.sum(
+            dec(F.col("c")) * dec(F.col("a") - F.col("dlt") - F.col("h"))
+        ).alias("__d"),
+    )
+    xm = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("c").alias("tx"))
+        .groupBy("g")
+        .agg(
+            F.sum(dec(F.col("tx")) * dec(F.col("tx") - 1) / 2).alias("__tx")
+        )
+    )
+    ym = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("c").alias("ty"))
+        .groupBy("g")
+        .agg(
+            F.sum(dec(F.col("ty")) * dec(F.col("ty") - 1) / 2).alias("__ty")
+        )
+    )
+    j = agg.join(xm, "g").join(ym, "g")
+    nd = F.col("__n").cast("double")
+    n0 = nd * (nd - 1.0) / 2.0
+    return j.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("__n").try_cast("bigint").alias("n"),
+        F.col("__c").try_cast("bigint").alias("c_pairs"),
+        F.col("__d").try_cast("bigint").alias("d_pairs"),
+        F.col("__tx").cast("decimal(38,0)").try_cast("bigint").alias("tie_x"),
+        F.col("__ty").cast("decimal(38,0)").try_cast("bigint").alias("tie_y"),
+        F.round(
+            (F.col("__c").cast("double") - F.col("__d").cast("double"))
+            / F.sqrt(
+                (n0 - F.col("__tx").cast("double"))
+                * (n0 - F.col("__ty").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

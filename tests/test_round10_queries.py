@@ -132,3 +132,76 @@ def test_rank_test_plans_keep_the_zone_law(spark, sf_dir):
             s = line.strip().lstrip("+-: ")
             if s.startswith("Window "):
                 assert "__zone" in s, (name, s)
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """The grid-sweep tau-b (two window prefix sweeps over the dense
+    grid) must equal the O(n^2) brute-force pair count, ties included."""
+    import itertools
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(11)
+    xs = [rnd.randint(1, 6) for _ in range(80)]
+    ys = [rnd.randint(1, 4) for _ in range(80)]
+    # brute force
+    c_bf = d_bf = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(zip(xs, ys), 2):
+        s = (x1 - x2) * (y1 - y2)
+        c_bf += s > 0
+        d_bf += s < 0
+    n = len(xs)
+    tx = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(xs).values()
+    )
+    ty = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(ys).values()
+    )
+    n0 = n * (n - 1) / 2
+    tau_bf = (c_bf - d_bf) / math.sqrt((n0 - tx) * (n0 - ty))
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x int, y int"
+    )
+    cells = df.groupBy("g", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        df.select("g", "x").distinct()
+        .join(df.select("g", "y").distinct(), "g")
+        .join(cells, ["g", "x", "y"], "left")
+        .select("g", "x", "y", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_h = (
+        Window.partitionBy("g", "y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_a = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = dense.select(
+        "g", "x", "y", "c",
+        F.coalesce(F.sum("c").over(w_h), F.lit(0)).alias("h"),
+        F.coalesce(F.sum("c").over(w_a), F.lit(0)).alias("a"),
+    )
+    w_d = (
+        Window.partitionBy("g", "x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = sweep.withColumn(
+        "dlt", F.coalesce(F.sum("h").over(w_d), F.lit(0))
+    )
+    r = dom.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("dlt")).alias("cp"),
+        F.sum(
+            F.col("c") * (F.col("a") - F.col("dlt") - F.col("h"))
+        ).alias("dp"),
+    ).collect()[0]
+    assert (r["cp"], r["dp"]) == (c_bf, d_bf)
+    tau = (r["cp"] - r["dp"]) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(tau - tau_bf) < 1e-15
