@@ -1026,3 +1026,122 @@ def kendall_tau_qty_discount(spark, sf_dir):
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "brown_forsythe_price_by_status",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT g, quantile_cont(cents, 0.5) AS m FROM v GROUP BY 1
+    ),
+    z AS (
+      SELECT v.g,
+             CAST(abs(2 * v.cents - CAST(2 * med.m AS BIGINT)) AS BIGINT)
+               AS z2
+      FROM v JOIN med ON v.g = med.g
+    ),
+    perg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z2) AS HUGEINT) AS s1,
+             CAST(sum(CAST(z2 AS HUGEINT) * z2) AS HUGEINT) AS s2
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+             CAST(sum(s1) AS HUGEINT)  AS s1t,
+             CAST(count(*) AS BIGINT)  AS k
+      FROM perg
+    )
+    SELECT p.g AS o_orderstatus,
+           p.n_g,
+           TRY_CAST(p.s1 AS BIGINT) AS s1,
+           TRY_CAST(p.s2 AS BIGINT) AS s2,
+           round((
+             (SELECT sum(CAST(p2.n_g AS DOUBLE)
+                 * (CAST(p2.s1 AS DOUBLE) / CAST(p2.n_g AS DOUBLE)
+                    - CAST(t.s1t AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * (CAST(p2.s1 AS DOUBLE) / CAST(p2.n_g AS DOUBLE)
+                    - CAST(t.s1t AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                FROM perg p2) / (CAST(t.k AS DOUBLE) - 1.0))
+             / ((SELECT sum(CAST(p3.s2 AS DOUBLE)
+                   - CAST(p3.s1 AS DOUBLE) * CAST(p3.s1 AS DOUBLE)
+                     / CAST(p3.n_g AS DOUBLE))
+                  FROM perg p3)
+                / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE))),
+             6) AS f_stat
+    FROM perg p, tot t
+    """,
+)
+def brown_forsythe_price_by_status(spark, sf_dir):
+    """Brown-Forsythe test for equal order-value spread across order
+    statuses — the robust (median-centered) Levene variant that gates
+    "did volatility regimes differ?" questions without normality
+    assumptions. Group medians come from the distributed grid-quantile
+    operator (operators/rankstats.py — no single-reducer percentile
+    buffer); because cents are integers, the median lies on the half-cent
+    grid and z2 = |2·x − 2·med| is an EXACT BIGINT per row, so the
+    one-way-ANOVA-on-deviations sufficient statistics (n_g, Σz2, Σz2²)
+    are exact integers and the F statistic is one fixed scalar double
+    recipe on both engines."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grouped_exact_quantiles,
+    )
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = grouped_exact_quantiles(v, "cents", ["g"], [0.5], ["m"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z2 = F.abs(
+        2 * F.col("cents") - F.round(2 * F.col("m")).cast("bigint")
+    )
+    perg = (
+        v.join(F.broadcast(med), "g")
+        .select("g", z2.alias("z2"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(dec(F.col("z2"))).alias("__s1"),
+            F.sum(dec(F.col("z2")) * dec(F.col("z2"))).alias("__s2"),
+        )
+    )
+    tot = perg.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("__s1").cast("decimal(38,0)").alias("s1t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = perg.crossJoin(F.broadcast(tot))
+    zbar_g = F.col("__s1").cast("double") / F.col("n_g").cast("double")
+    zbar = F.col("s1t").cast("double") / F.col("n").cast("double")
+    between = j.agg(
+        F.sum(F.col("n_g").cast("double") * (zbar_g - zbar) * (zbar_g - zbar))
+        .alias("__bss"),
+        F.sum(
+            F.col("__s2").cast("double")
+            - F.col("__s1").cast("double")
+            * F.col("__s1").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("__wss"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    f_row = between.select(
+        F.round(
+            (F.col("__bss") / (kd - 1.0)) / (F.col("__wss") / (nd - kd)), 6
+        ).alias("f_stat")
+    )
+    return perg.crossJoin(F.broadcast(f_row)).select(
+        F.col("g").alias("o_orderstatus"),
+        "n_g",
+        F.expr("try_cast(__s1 AS BIGINT)").alias("s1"),
+        F.expr("try_cast(__s2 AS BIGINT)").alias("s2"),
+        "f_stat",
+    )

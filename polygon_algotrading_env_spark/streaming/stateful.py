@@ -350,3 +350,82 @@ def stream_ewma_vol(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming RSI-14: O(period) state per key
+# ---------------------------------------------------------------------------
+
+_RSI_STATE_SCHEMA = (
+    "gains array<double>, losses array<double>, rn long, last_ts long, "
+    "last_val double"
+)
+_RSI_OUTPUT_SCHEMA = "symbol string, ts timestamp, rsi double"
+
+
+def stream_rsi(
+    stream: DataFrame,
+    period: int = 14,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "value",
+) -> DataFrame:
+    """Live RSI (Cutler's simple-average form) per key — the streaming
+    twin of the batch ``rsi_14_per_event_type`` zoned plan, with O(period)
+    state per key (the last ``period`` gains/losses plus a row counter).
+    Mirrors the batch recipe exactly: the first row's delta counts as
+    zero gain/loss, the rolling frame is the last ``period`` rows
+    including the current one, window sums are stabilized by round(·, 6)
+    before the division, and rows are emitted only once the counter
+    passes ``period`` (the batch's ``rn > 14`` warm-up filter).
+    Equivalence with the batch window formula is pinned in tests, as is
+    checkpointed state across a kill/restart. Same cross-batch
+    monotonicity guard as :func:`stream_cusum`."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        gains: list[float] = []
+        losses: list[float] = []
+        rn, last_ts, last_val = 0, -(1 << 62), float("nan")
+        if state.exists:
+            g, l_, rn, last_ts, last_val = state.get
+            gains, losses = list(g), list(l_)
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
+                if t <= last_ts:
+                    continue
+                px = float(px)
+                rn += 1
+                d = 0.0 if last_val != last_val else px - last_val
+                gains.append(d if d > 0 else 0.0)
+                losses.append(-d if d < 0 else 0.0)
+                if len(gains) > period:
+                    gains.pop(0)
+                    losses.pop(0)
+                if rn > period:
+                    ag = round(sum(gains), 6) / len(gains)
+                    al = round(sum(losses), 6) / len(losses)
+                    rsi = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+                    out.append((key[0], t, rsi))
+                last_ts, last_val = t, px
+        state.update((gains, losses, rn, last_ts, last_val))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "rsi": [r[2] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_RSI_OUTPUT_SCHEMA,
+        stateStructType=_RSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -369,3 +369,85 @@ def test_stream_ewma_vol_state_survives_restart(spark, tmpdir):
     assert len(got) == len(rows)
     for k, v in ref.items():
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+# --- streaming RSI ≡ batch window formula -----------------------------------
+
+
+def test_stream_rsi_equals_batch_window(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.streaming.stateful import stream_rsi
+
+    import random
+
+    rnd = random.Random(7)
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    for sym, base in (("X", 100.0), ("Y", 50.0)):
+        px = base
+        for i in range(40):
+            px = round(px + rnd.uniform(-2, 2), 2)
+            rows.append((sym, t0 + timedelta(minutes=i), px))
+    schema = "symbol string, ts timestamp, value double"
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(rows[:30], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[30:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_rsi(stream, period=14)
+        .writeStream.format("memory")
+        .queryName("rsi_s")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): r["rsi"]
+        for r in spark.sql("SELECT * FROM rsi_s").collect()
+    }
+    # batch reference: the exact recipe of rsi_14_per_event_type
+    w = Window.partitionBy("symbol").orderBy("ts")
+    d = F.col("value") - F.lag("value").over(w)
+    gl = spark.createDataFrame(rows, schema).select(
+        "symbol",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.when(d > 0, d).otherwise(F.lit(0.0)).alias("gain"),
+        F.when(d < 0, -d).otherwise(F.lit(0.0)).alias("loss"),
+    )
+    f = Window.partitionBy("symbol").orderBy("rn").rowsBetween(-13, 0)
+    ref_rows = (
+        gl.select(
+            "symbol",
+            "ts",
+            "rn",
+            (F.round(F.sum("gain").over(f), 6) / F.count(F.lit(1)).over(f)).alias("ag"),
+            (F.round(F.sum("loss").over(f), 6) / F.count(F.lit(1)).over(f)).alias("al"),
+        )
+        .filter(F.col("rn") > 14)
+        .collect()
+    )
+    assert len(got) == len(ref_rows) > 0
+    for r in ref_rows:
+        ref = (
+            100.0
+            if r["al"] == 0
+            else 100.0 - 100.0 / (1.0 + r["ag"] / r["al"])
+        )
+        assert abs(got[(r["symbol"], r["ts"])] - ref) < 1e-9, (
+            r["symbol"], r["ts"],
+        )
