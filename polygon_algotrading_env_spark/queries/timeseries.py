@@ -6263,3 +6263,96 @@ def pinball_loss_q90_naive(spark, sf_dir):
             6,
         ).alias("mean_pinball"),
     )
+
+
+# --- Jarque-Bera normality diagnostic on 5m log returns ---------------------
+@register(
+    "jarque_bera_returns_5m",
+    oracle=_HLC_BARS_CTE + """
+    , lr AS (
+      SELECT event_type,
+             ln(nullif(close, 0)
+                / nullif(lag(close) OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start), 0)) AS r
+      FROM bars
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(r)             AS s1,
+             sum(r * r)         AS s2,
+             sum(r * r * r)     AS s3,
+             sum(r * r * r * r) AS s4
+      FROM lr WHERE r IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m
+    )
+    SELECT event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 6)            AS skewness,
+           round(m4 / (m2 * m2), 6)                  AS kurtosis,
+           round(CAST(n AS DOUBLE) / 6.0
+                 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                      / 4.0),
+                 4)                                  AS jb_stat
+    FROM c
+    """,
+)
+def jarque_bera_returns_5m(spark, sf_dir):
+    """Jarque-Bera normality diagnostic of 5-minute log returns per
+    symbol — skewness, kurtosis, and JB = n/6·(S² + (K−3)²/4), the test
+    every returns-are-Gaussian assumption (VaR scaling, Sharpe
+    inference) is checked against before use. One pass of raw moments
+    (Σr..Σr⁴, map-side combined) and central moments by the identical
+    raw→central algebraic recipe on both engines; S and K divide by the
+    same m2·√m2 / m2² expressions, so both engines evaluate the same
+    IEEE sequence on reorder-noise-bounded sums (relative ~1e-12 —
+    round-6 on S/K, round-4 on the n-scaled JB)."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = F.log(
+        F.nullif(F.col("close"), F.lit(0))
+        / F.nullif(F.lag("close").over(w), F.lit(0))
+    )
+    lr = bars.select("event_type", r.alias("r")).where(F.col("r").isNotNull())
+    m = lr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
+        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1") / nd
+    m2 = F.col("s2") / nd - mu * mu
+    m3 = F.col("s3") / nd - 3.0 * mu * (F.col("s2") / nd) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / nd
+        - 4.0 * mu * (F.col("s3") / nd)
+        + 6.0 * mu * mu * (F.col("s2") / nd)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(
+            nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4
+        ).alias("jb_stat"),
+    )

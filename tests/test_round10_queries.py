@@ -205,3 +205,51 @@ def test_kendall_tau_matches_bruteforce(spark):
     assert (r["cp"], r["dp"]) == (c_bf, d_bf)
     tau = (r["cp"] - r["dp"]) / math.sqrt((n0 - tx) * (n0 - ty))
     assert abs(tau - tau_bf) < 1e-15
+
+
+def test_jarque_bera_moment_recipe_matches_python(spark):
+    """The raw→central moment recipe (the exact expression both engines
+    evaluate) must match a plain Python reference on a fixed sample."""
+    import random
+
+    rnd = random.Random(3)
+    vals = [rnd.gauss(0.0, 1.0) for _ in range(500)]
+    n = len(vals)
+    s1 = sum(vals)
+    s2 = sum(v * v for v in vals)
+    s3 = sum(v**3 for v in vals)
+    s4 = sum(v**4 for v in vals)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu**3
+    m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) - 3.0 * mu**4
+    skew_ref = m3 / (m2 * math.sqrt(m2))
+    kurt_ref = m4 / (m2 * m2)
+    jb_ref = n / 6.0 * (skew_ref**2 + (kurt_ref - 3.0) ** 2 / 4.0)
+
+    df = spark.createDataFrame([(v,) for v in vals], "r double")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
+        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r")).alias("s4"),
+    ).collect()[0]
+    nd = float(m["n"])
+    mu_s = m["s1"] / nd
+    m2_s = m["s2"] / nd - mu_s * mu_s
+    m3_s = m["s3"] / nd - 3.0 * mu_s * (m["s2"] / nd) + 2.0 * mu_s**3
+    m4_s = (
+        m["s4"] / nd
+        - 4.0 * mu_s * (m["s3"] / nd)
+        + 6.0 * mu_s * mu_s * (m["s2"] / nd)
+        - 3.0 * mu_s**4
+    )
+    skew = m3_s / (m2_s * math.sqrt(m2_s))
+    kurt = m4_s / (m2_s * m2_s)
+    jb = nd / 6.0 * (skew**2 + (kurt - 3.0) ** 2 / 4.0)
+    assert abs(skew - skew_ref) < 1e-9
+    assert abs(kurt - kurt_ref) < 1e-9
+    assert abs(jb - jb_ref) < 1e-7
+    # a Gaussian-ish sample should not be wildly non-normal
+    assert abs(skew) < 0.5 and 2.0 < kurt < 4.0
