@@ -1145,3 +1145,97 @@ def brown_forsythe_price_by_status(spark, sf_dir):
         F.expr("try_cast(__s2 AS BIGINT)").alias("s2"),
         "f_stat",
     )
+
+
+@register(
+    "hill_tail_index_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT pri, cents, c,
+             sum(c) OVER (PARTITION BY pri ORDER BY cents) AS le,
+             sum(c) OVER (PARTITION BY pri)                AS n
+      FROM g
+    ),
+    t AS (SELECT pri, cents, c, n, n - le AS above FROM cum),
+    a AS (
+      SELECT pri,
+             CAST(max(n) AS BIGINT) AS n,
+             sum(CASE WHEN above < 100
+                      THEN least(c, 100 - above) * ln(CAST(cents AS DOUBLE))
+                      ELSE 0.0 END) / 100.0 AS top_mean_ln,
+             CAST(max(CASE WHEN above < 101 AND above + c >= 101
+                           THEN cents END) AS BIGINT) AS thr_cents
+      FROM t GROUP BY 1 HAVING max(n) > 101
+    )
+    SELECT pri AS o_orderpriority, n, thr_cents,
+           round(top_mean_ln - ln(CAST(thr_cents AS DOUBLE)), 6)
+             AS hill_inv_alpha,
+           round(1.0 / (top_mean_ln - ln(CAST(thr_cents AS DOUBLE))), 6)
+             AS alpha
+    FROM a
+    """,
+)
+def hill_tail_index_by_priority(spark, sf_dir):
+    """Hill estimator of the right-tail index of order value per priority
+    (k = 100 top order statistics against the 101st as threshold) — the
+    heavy-tail diagnostic behind "can I trust a mean here at all?" and
+    the standard first look at fat-tailed notional distributions. The
+    top-k ORDER STATISTICS come straight from the distributed rank grid
+    (operators/rankstats.py): a cell contributes min(c, k − #strictly
+    greater) copies, and the threshold is the single cell straddling
+    rank k+1 from the top — exact tie handling, no per-group sort, no
+    TakeOrdered funnel. The only floats are ≤100 ln terms per group,
+    summed identically on both engines; groups smaller than k+1 rows are
+    excluded on both sides."""
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grid_rank_stats,
+    )
+
+    k = 100
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    stats = grid_rank_stats(v, "cents", ["pri"])
+    above = F.col("n_g") - F.col("cum_le")
+    contrib = F.when(
+        above < k,
+        F.least(F.col("c"), k - above).cast("double")
+        * F.log(F.col("cents").cast("double")),
+    ).otherwise(F.lit(0.0))
+    thr = F.max(
+        F.when(
+            (above < k + 1) & (above + F.col("c") >= k + 1), F.col("cents")
+        )
+    )
+    a = (
+        stats.groupBy("pri")
+        .agg(
+            F.max("n_g").alias("n"),
+            (F.sum(contrib) / float(k)).alias("top_mean_ln"),
+            thr.alias("thr_cents"),
+        )
+        .where(F.col("n") > k + 1)
+    )
+    hinv = F.col("top_mean_ln") - F.log(F.col("thr_cents").cast("double"))
+    return a.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        "thr_cents",
+        F.round(hinv, 6).alias("hill_inv_alpha"),
+        F.round(1.0 / hinv, 6).alias("alpha"),
+    )

@@ -253,3 +253,38 @@ def test_jarque_bera_moment_recipe_matches_python(spark):
     assert abs(jb - jb_ref) < 1e-7
     # a Gaussian-ish sample should not be wildly non-normal
     assert abs(skew) < 0.5 and 2.0 < kurt < 4.0
+
+
+def test_hill_topk_from_grid_matches_sorted_reference(spark):
+    """Top-k multiset selection from the rank grid (contribution =
+    min(c, k - #strictly-greater)) must equal a plain sorted top-k,
+    ties included, and the threshold cell must be the (k+1)-th largest."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.rankstats import (
+        grid_rank_stats,
+    )
+
+    rnd = random.Random(5)
+    vals = [rnd.randint(1, 40) for _ in range(300)]  # heavy ties
+    k = 20
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x int")
+    stats = grid_rank_stats(df, "x", ["g"])
+    above = F.col("n_g") - F.col("cum_le")
+    contrib = F.when(above < k, F.least(F.col("c"), k - above)).otherwise(0)
+    thr = F.max(
+        F.when((above < k + 1) & (above + F.col("c") >= k + 1), F.col("x"))
+    )
+    row = (
+        stats.groupBy("g")
+        .agg(
+            F.sum(contrib * F.col("x")).alias("top_sum"),
+            F.sum(contrib).alias("top_n"),
+            thr.alias("thr"),
+        )
+        .collect()[0]
+    )
+    s = sorted(vals, reverse=True)
+    assert row["top_n"] == k
+    assert row["top_sum"] == sum(s[:k])
+    assert row["thr"] == s[k]  # (k+1)-th largest
