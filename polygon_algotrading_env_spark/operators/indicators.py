@@ -320,16 +320,22 @@ def with_ema_closed_form(
       EMA to the same ~n·ulp tolerance as the sequential recursion;
     - ema_t = partial_t + carry_b · r^{p+1}.
 
-    Scale shape: one exchange on ``keys`` (row numbering), one on
-    ``(keys, block)`` (in-block running sum — same data, narrower keys),
-    then a groupBy on the ALREADY-partitioned (keys, block) and a
-    broadcast join of the K×-smaller block relation back onto the rows.
-    At cluster scale the block relation is data/K rows; if it outgrows
-    broadcast, the join key (keys, b) still co-partitions with the
-    second exchange. Equivalence to pandas ``ewm(span, adjust=False)``
-    is pinned in tests/test_indicators.py.
+    Scale shape: row numbering is ZONE-DECOMPOSED (zonedroll.
+    zoned_row_number — a bare ``row_number() OVER (PARTITION BY keys)``
+    would funnel the whole stream through one task per low-cardinality
+    key), then one exchange on ``(keys, block)`` (in-block running sum),
+    a groupBy on the ALREADY-partitioned (keys, block), and a broadcast
+    join of the K×-smaller block relation back onto the rows. At cluster
+    scale the block relation is data/K rows; if it outgrows broadcast,
+    the join key (keys, b) still co-partitions with the second exchange.
+    Equivalence to pandas ``ewm(span, adjust=False)`` is pinned in
+    tests/test_indicators.py.
     """
     import math
+
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_row_number,
+    )
 
     out = out or f"ema_{span}"
     a = 2.0 / (span + 1.0)
@@ -340,10 +346,10 @@ def with_ema_closed_form(
     # matters only when a caller forces a small block (tests).
     carry_terms = max(carry_terms, math.ceil(70.0 / (K * math.log(1.0 / r))))
 
-    w = _w(keys, order_cols)
-    t = F.row_number().over(w) - F.lit(1)
     dfp = (
-        df.withColumn("__t", t)
+        zoned_row_number(df, keys, order_cols, rn_col="__rn1")
+        .withColumn("__t", F.col("__rn1") - F.lit(1))
+        .drop("__rn1")
         .withColumn("__p", F.col("__t") % K)
         .withColumn("__b", F.floor(F.col("__t") / K))
         .withColumn(

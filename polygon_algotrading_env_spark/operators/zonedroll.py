@@ -238,3 +238,55 @@ def zoned_stream(
     return ZonedStream(
         frame=frame, keys=tuple(keys), order=tuple(order), carry=carry
     )
+
+
+def zoned_row_number(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    rn_col: str = "__rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global per-key 1-based row number over ``order`` without a
+    per-group single-task window — the lightweight sibling of
+    :func:`zoned_stream` for consumers that need ONLY the numbering (no
+    rolling frames, so no carry replication): range zones, per-(zone, key)
+    row counts prefix-summed over the tiny zone relation, then zone base +
+    in-zone ``row_number``. Every window partitions on (zone, keys) or
+    runs over the zones×keys relation — parallel across zones even for a
+    single group. Requires (keys, order) to be a total order within each
+    group, like the global window it replaces."""
+    keys = list(keys)
+    order = list(order)
+    parted = (
+        df.repartitionByRange(num_partitions, *keys, *order)
+        if num_partitions
+        else df.repartitionByRange(*keys, *order)
+    ).withColumn("__zone", F.spark_partition_id())
+    parted = parted.localCheckpoint(eager=False)
+    w_zone = Window.partitionBy(*keys).orderBy("__zone")
+    bases = (
+        parted.groupBy("__zone", *keys)
+        .agg(F.count(F.lit(1)).alias("__zn"))
+        .select(
+            "__zone",
+            *keys,
+            F.coalesce(
+                F.sum("__zn").over(
+                    w_zone.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__rnbase"),
+        )
+    )
+    w_in = Window.partitionBy("__zone", *keys).orderBy(*order)
+    return (
+        parted.join(F.broadcast(bases), ["__zone", *keys])
+        .withColumn(
+            rn_col,
+            (F.col("__rnbase") + F.row_number().over(w_in)).cast("bigint"),
+        )
+        .drop("__zone", "__rnbase")
+    )

@@ -133,3 +133,35 @@ def test_no_window_partitions_on_group_keys_alone(spark):
         assert specs, f"expected Window nodes in {name}'s plan"
         for s in specs:
             assert "__zone" in s or "__tzone" in s, (name, s)
+
+
+def test_zoned_row_number_matches_global(spark):
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_row_number,
+    )
+
+    df = _fixture(spark)
+    got = {
+        (r["g"], r["t"]): r["__rn"]
+        for r in zoned_row_number(df, ["g"], ["t"], num_partitions=16).collect()
+    }
+    w = Window.partitionBy("g").orderBy("t")
+    want = {
+        (r["g"], r["t"]): r["rn"]
+        for r in df.select("g", "t", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_ema_closed_form_has_no_bare_key_window(spark):
+    """with_ema_closed_form's row numbering is zone-decomposed: no Window
+    node in any EMA-family consumer plan may partition on the group keys
+    alone (every spec must carry a scaffolding column — zone or block)."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    for name in ("ema_20_per_event_type", "ewma_vol_5m"):
+        out = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        specs = _window_partition_specs(out)
+        assert specs, f"expected Window nodes in {name}'s plan"
+        for s in specs:
+            assert "__" in s, (name, s)
