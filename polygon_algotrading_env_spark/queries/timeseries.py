@@ -6356,3 +6356,222 @@ def jarque_bera_returns_5m(spark, sf_dir):
             nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4
         ).alias("jb_stat"),
     )
+
+
+
+# --- Wald-Wolfowitz runs test on bar return signs ---------------------------
+@register(
+    "runs_test_returns_5m",
+    oracle=_HLC_BARS_CTE + """
+    , d AS (
+      SELECT event_type, bucket_start,
+             close - lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) AS dp
+      FROM bars
+    ),
+    s AS (
+      SELECT event_type, bucket_start,
+             CASE WHEN dp > 0 THEN 1 ELSE -1 END AS sgn
+      FROM d WHERE dp IS NOT NULL AND dp <> 0
+    ),
+    runs AS (
+      SELECT event_type, sgn,
+             CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_start) IS DISTINCT
+                       FROM sgn THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(new_run) AS BIGINT) AS r_runs
+      FROM runs GROUP BY 1
+    )
+    SELECT event_type, n1, n2, r_runs,
+           round((CAST(r_runs AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                 / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                              - 1.0))),
+                 6) AS z
+    FROM a
+    """,
+)
+def runs_test_returns_5m(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the SIGNS of 5-minute bar price
+    changes per symbol — "are up/down moves serially random?", the
+    nonparametric momentum/mean-reversion screen that needs no moment
+    assumptions. Zero changes are dropped (standard two-category form);
+    the payload is EXACT integers (n1 ups, n2 downs, R runs counted as
+    sign-change boundaries + 1 via the first row's IS DISTINCT FROM
+    NULL) and the normal z = (R − μ)/σ with μ = 1 + 2n1n2/n,
+    σ² = 2n1n2(2n1n2 − n)/(n²(n−1)) as one fixed scalar recipe per
+    engine. Two bar-level window passes (lag for the delta, lag for the
+    sign change) — bar relations are calendar-bounded, the documented
+    post-aggregation regime."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    dp = F.col("close") - F.lag("close").over(w)
+    s = (
+        bars.select("event_type", "bucket_start", dp.alias("dp"))
+        .where(F.col("dp").isNotNull() & (F.col("dp") != 0))
+        .select(
+            "event_type",
+            "bucket_start",
+            F.when(F.col("dp") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+        )
+    )
+    prev = F.lag("sgn").over(w)
+    runs = s.select(
+        "event_type",
+        "sgn",
+        F.when(prev.isNull() | (prev != F.col("sgn")), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    a = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum("new_run").cast("bigint").alias("r_runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = 1.0 + 2.0 * n1d * n2d / nd
+    sig2 = (
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    return a.select(
+        "event_type",
+        "n1",
+        "n2",
+        "r_runs",
+        F.round((F.col("r_runs").cast("double") - mu) / F.sqrt(sig2), 6)
+        .alias("z"),
+    )
+
+
+# --- Ljung-Box portmanteau test on 5m log returns ---------------------------
+@register(
+    "ljung_box_returns_5m",
+    oracle=_HLC_BARS_CTE + """
+    , lr AS (
+      SELECT event_type, bucket_start,
+             ln(nullif(close, 0)
+                / nullif(lag(close) OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start), 0)) AS r
+      FROM bars
+    ),
+    v AS (SELECT event_type, bucket_start, r FROM lr WHERE r IS NOT NULL),
+    mu AS (SELECT event_type, sum(r) / count(*) AS m FROM v GROUP BY 1),
+    x AS (
+      SELECT v.event_type, v.bucket_start, v.r - mu.m AS x
+      FROM v JOIN mu ON v.event_type = mu.event_type
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+             lag(x, 5) OVER w AS x5
+      FROM x
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x * x)                AS s0,
+             sum(x * coalesce(x1, 0))  AS s1,
+             sum(x * coalesce(x2, 0))  AS s2,
+             sum(x * coalesce(x3, 0))  AS s3,
+             sum(x * coalesce(x4, 0))  AS s4,
+             sum(x * coalesce(x5, 0))  AS s5
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / s0, 6) AS rho1,
+           round(s2 / s0, 6) AS rho2,
+           round(s3 / s0, 6) AS rho3,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * ((s1 / s0) * (s1 / s0) / (CAST(n AS DOUBLE) - 1.0)
+                    + (s2 / s0) * (s2 / s0) / (CAST(n AS DOUBLE) - 2.0)
+                    + (s3 / s0) * (s3 / s0) / (CAST(n AS DOUBLE) - 3.0)
+                    + (s4 / s0) * (s4 / s0) / (CAST(n AS DOUBLE) - 4.0)
+                    + (s5 / s0) * (s5 / s0) / (CAST(n AS DOUBLE) - 5.0)),
+                 4) AS lb_q5
+    FROM s
+    """,
+)
+def ljung_box_returns_5m(spark, sf_dir):
+    """Ljung-Box portmanteau test (h = 5 lags) on 5-minute log returns
+    per symbol — Q = n(n+2)·Σ ρ̂_k²/(n−k), the standard "is anything
+    left in the autocorrelations?" diagnostic run before trusting an
+    i.i.d. assumption or after fitting a filter. Mean-adjusted
+    autocovariances come from ONE window pass carrying five lag columns
+    (missing heads coalesce to 0, i.e. the textbook Σ_{t>k} x_t·x_{t−k});
+    ρ̂_k = S_k/S_0 and Q use the identical scalar recipe on both engines
+    over reorder-noise-bounded float sums (round-6 on ρ, round-4 on the
+    n-scaled Q). Bar-level windows — the calendar-bounded regime."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = F.log(
+        F.nullif(F.col("close"), F.lit(0))
+        / F.nullif(F.lag("close").over(w), F.lit(0))
+    )
+    v = bars.select("event_type", "bucket_start", r.alias("r")).where(
+        F.col("r").isNotNull()
+    )
+    mu = v.groupBy("event_type").agg(
+        (F.sum("r") / F.count(F.lit(1))).alias("m")
+    )
+    x = v.join(F.broadcast(mu), "event_type").select(
+        "event_type", "bucket_start", (F.col("r") - F.col("m")).alias("x")
+    )
+    lag_cols = [
+        F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 6)
+    ]
+    lagged = x.select("event_type", "x", *lag_cols)
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(F.col("x") * F.col("x")).alias("s0")]
+    for k in range(1, 6):
+        aggs.append(
+            F.sum(F.col("x") * F.coalesce(F.col(f"x{k}"), F.lit(0.0))).alias(
+                f"s{k}"
+            )
+        )
+    s = lagged.groupBy("event_type").agg(*aggs)
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2.0) * sum(
+        (
+            (F.col(f"s{k}") / F.col("s0"))
+            * (F.col(f"s{k}") / F.col("s0"))
+            / (nd - float(k))
+            for k in range(1, 6)
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("s1") / F.col("s0"), 6).alias("rho1"),
+        F.round(F.col("s2") / F.col("s0"), 6).alias("rho2"),
+        F.round(F.col("s3") / F.col("s0"), 6).alias("rho3"),
+        F.round(q, 4).alias("lb_q5"),
+    )

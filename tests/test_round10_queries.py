@@ -288,3 +288,67 @@ def test_hill_topk_from_grid_matches_sorted_reference(spark):
     assert row["top_n"] == k
     assert row["top_sum"] == sum(s[:k])
     assert row["thr"] == s[k]  # (k+1)-th largest
+
+
+def test_runs_count_matches_python(spark):
+    """R (number of runs) computed by the sign-change window must match a
+    direct Python scan, with zeros dropped first."""
+    from pyspark.sql import Window
+
+    seq = [1, 1, -1, 1, 0, -1, -1, 1, 0, 0, -1, 1, 1, 1, -1]
+    signs = [s for s in seq if s != 0]
+    r_ref = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    n1_ref = sum(s == 1 for s in signs)
+    n2_ref = len(signs) - n1_ref
+
+    df = spark.createDataFrame(
+        [("g", i, s) for i, s in enumerate(seq)], "g string, t int, s int"
+    ).where("s != 0")
+    w = Window.partitionBy("g").orderBy("t")
+    prev = F.lag("s").over(w)
+    runs = df.select(
+        "g", "s",
+        F.when(prev.isNull() | (prev != F.col("s")), 1).otherwise(0).alias("nr"),
+    )
+    row = runs.groupBy("g").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("nr").alias("r"),
+    ).collect()[0]
+    assert (row["n1"], row["n2"], row["r"]) == (n1_ref, n2_ref, r_ref)
+
+
+def test_ljung_box_recipe_matches_python(spark):
+    """The one-pass lagged autocovariance recipe must equal the textbook
+    Q = n(n+2) sum rho_k^2/(n-k) computed sequentially in Python."""
+    import random
+
+    rnd = random.Random(9)
+    xs = [rnd.gauss(0, 1) for _ in range(200)]
+    m = sum(xs) / len(xs)
+    x = [v - m for v in xs]
+    n = len(x)
+    s0 = sum(v * v for v in x)
+    q_ref = 0.0
+    for k in range(1, 6):
+        sk = sum(x[t] * x[t - k] for t in range(k, n))
+        q_ref += (sk / s0) ** 2 / (n - k)
+    q_ref *= n * (n + 2)
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(x)], "g string, t int, x double"
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    lagged = df.select(
+        "g", "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 6)]
+    )
+    aggs = [F.sum(F.col("x") * F.col("x")).alias("s0")]
+    for k in range(1, 6):
+        aggs.append(
+            F.sum(F.col("x") * F.coalesce(F.col(f"x{k}"), F.lit(0.0))).alias(f"s{k}")
+        )
+    row = lagged.groupBy("g").agg(*aggs).collect()[0]
+    q = n * (n + 2) * sum((row[f"s{k}"] / row["s0"]) ** 2 / (n - k) for k in range(1, 6))
+    assert abs(q - q_ref) < 1e-8
