@@ -254,12 +254,23 @@ def test_vpin_no_joins(spark, sf_dir, q):
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
 
 
-def test_ema_closed_form_two_exchanges_broadcast_carry(spark, sf_dir, q):
+def test_ema_closed_form_zoned_plan_shape(spark, sf_dir, q):
     """The closed-form EMA is pure window algebra with a bounded block
-    relation: exactly the two documented shuffles (keys for row
-    numbering, (keys, block) for the in-block running sum), the carry
-    join BROADCAST (never SMJ), and no cartesian/BNLJ anywhere."""
-    st = plan_stats(q["ema_20_per_event_type"](spark, sf_dir))
-    assert st.shuffle_exchanges == 2, st
-    assert st.broadcast_joins == 1 and st.sort_merge_joins == 0
+    relation; since round 10 its row numbering is ZONE-decomposed
+    (zonedroll.zoned_row_number), trading the old single bare-key
+    exchange for the range-zoning stages. Invariants: the bases and
+    carry joins are BROADCAST (never SMJ), no cartesian/BNLJ, the
+    exchange count stays bounded (range + zone-relation + in-zone
+    clustering + block stages), and — the law the zoning buys — no
+    Window node partitions on the group keys alone."""
+    df = q["ema_20_per_event_type"](spark, sf_dir)
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0
     assert st.cartesian_products == 0 and st.bnl_joins == 0
+    assert st.broadcast_joins >= 2, st  # zone bases + block carry
+    assert st.shuffle_exchanges <= 9, st
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ")
+        if s.startswith("Window "):
+            assert "__" in s, s  # zone/block scaffolding, never bare keys
