@@ -237,7 +237,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # herfindahl_brand_suppliers, kendall_tau_qty_discount,
 # brown_forsythe_price_by_status, jarque_bera_returns_5m,
 # hill_tail_index_by_priority, runs_test_returns_5m,
-# ljung_box_returns_5m — all hash-matched locally at three SFs).
+# ljung_box_returns_5m, atkinson_index_by_priority — all hash-matched
+# locally at three SFs).
 # Rotate against slots whose families hold >=3 recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded

@@ -2255,3 +2255,75 @@ def herfindahl_brand_suppliers(spark, sf_dir):
         F.round(F.col("ss") / (td * td), 6).alias("hhi"),
         F.round(F.col("top_r") / td, 6).alias("top_share"),
     ).orderBy("p_brand")
+
+
+@register(
+    "atkinson_index_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT pri, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT pri,
+             CAST(sum(c) AS BIGINT)           AS n,
+             CAST(sum(c * cents) AS BIGINT)   AS sum_cents,
+             sum(CAST(c AS DOUBLE) * ln(CAST(cents AS DOUBLE))) AS sum_ln
+      FROM g GROUP BY 1
+    )
+    SELECT pri AS o_orderpriority, n, sum_cents,
+           round(1.0 - exp(sum_ln / CAST(n AS DOUBLE))
+                       * CAST(n AS DOUBLE) / CAST(sum_cents AS DOUBLE),
+                 6) AS atkinson_1
+    FROM a
+    """,
+)
+def atkinson_index_by_priority(spark, sf_dir):
+    """Atkinson inequality index at inequality-aversion ε = 1 — one minus
+    the ratio of the geometric to the arithmetic mean of order value per
+    priority, the welfare-weighted companion to the exact-cents Gini and
+    the Theil pair (A(1) = 1 − e^{−MLD}, giving the census a closed
+    cross-check). Grid-collapsed like its siblings: one hash aggregate on
+    the cents grid, exact BIGINT (n, Σcents), a single reorder-bounded
+    float sum of c·ln(cents), and the identical exp/ratio recipe on both
+    engines under round-6."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = v.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = g.groupBy("pri").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("cents")))
+        .cast("decimal(38,0)")
+        .try_cast("bigint")
+        .alias("sum_cents"),
+        F.sum(
+            F.col("c").cast("double")
+            * F.log(F.col("cents").cast("double"))
+        ).alias("sum_ln"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        "sum_cents",
+        F.round(
+            1.0
+            - F.exp(F.col("sum_ln") / nd)
+            * nd
+            / F.col("sum_cents").cast("double"),
+            6,
+        ).alias("atkinson_1"),
+    )

@@ -352,3 +352,15 @@ def test_ljung_box_recipe_matches_python(spark):
     row = lagged.groupBy("g").agg(*aggs).collect()[0]
     q = n * (n + 2) * sum((row[f"s{k}"] / row["s0"]) ** 2 / (n - k) for k in range(1, 6))
     assert abs(q - q_ref) < 1e-8
+
+
+def test_atkinson_closed_form_vs_mld(spark):
+    """A(1) = 1 - exp(-MLD): the Atkinson index at epsilon 1 must equal
+    the closed-form transform of the mean-log-deviation on any sample."""
+    vals = [1.0, 3.0, 7.0, 7.0, 2.0]
+    n = len(vals)
+    mu = sum(vals) / n
+    mld = sum(math.log(mu / v) for v in vals) / n
+    gm = math.exp(sum(math.log(v) for v in vals) / n)
+    atkinson = 1.0 - gm / mu
+    assert abs(atkinson - (1.0 - math.exp(-mld))) < 1e-15
