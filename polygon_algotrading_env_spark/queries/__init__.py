@@ -130,24 +130,60 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-10 rotation (per r9 VERDICT item 2): TWENTY-FOUR slots whose
-    # names hold 3-9 recorded green rounds each retire to
-    # PRIOR_DRIVER_CERTIFIED (map_and_timezone_suite,
-    # left_outer_order_count_histogram, asof_latest_order_before_event,
-    # ohlcv_bars_1h_resampled, sma_crossover_backtest_5m,
-    # adjusted_candles_5m, session_windows_per_user, substring_span_dedup,
-    # bm25_topk_docs, cluster_aware_split, multigrain_bars_rollup,
-    # dsir_weights_for_target, kneser_ney_logprob_docs, key_skew_profile,
-    # bottomk_sketch_quantiles, dq_constraint_audit, kmv_audience_overlap,
-    # regular_hours_bars, psi_price_drift, srp_bucket_assignments,
-    # srp_topk_reranked, vwap_5m, doc_quality_features,
-    # view_click_purchase_funnel). In exchange, twenty-two
-    # never-driver-certified oracle-bearing queries enter plus two
-    # deliberate re-entries whose physical plans changed since their last
-    # recorded row:
+    # Round-11 rotation (per r10 VERDICT item 1): TWENTY-SIX slots whose
+    # names hold 2-8 recorded green rounds each retire to
+    # PRIOR_DRIVER_CERTIFIED (rsi_14_per_event_type,
+    # exact_percentiles_per_flag, doc_fingerprints, simhash_docs,
+    # minhash_near_dup_pairs, ema_20_per_event_type,
+    # minhash_md5_band_pairs, winnow_md5_overlap_pairs,
+    # simhash_md5_signatures, auc_urgent_price_by_status,
+    # spearman_qty_price_by_flag, confusion_f1_price_median,
+    # k_anonymous_customer_release, kcore80_copurchase_parts,
+    # bfs_hops_part_supplier, hits_part_supplier_top10, pq_ann_topk,
+    # bootstrap_sharpe_ci, hurst_exponent_by_type,
+    # pagerank_copurchase_top20, ppr_related_parts,
+    # full_outer_daily_activity, theil_sen_trend_daily,
+    # weekly_cohort_retention, kmeans_clusters_embeddings,
+    # entity_resolution_parts). In exchange, the twenty-six
+    # never-driver-certified oracle-bearing round-11 candidates enter —
+    # all pre-verified by tools/oracle_check.py at sf0.01 this round
+    # (0 failures):
     #
-    # (a) the round-9 analytics additions (hash-matched locally at three
-    #     SFs, never held a slot)
+    # (a) the round-10 analytics additions (rank/dispersion/diagnostic
+    #     statistics, hash-matched locally at three SFs, never held a
+    #     slot)
+    "mann_whitney_u_price_urgency",
+    "kruskal_wallis_price_by_priority",
+    "kendall_tau_qty_discount",
+    "theil_index_by_priority",
+    "atkinson_index_by_priority",
+    "herfindahl_brand_suppliers",
+    "hill_tail_index_by_priority",
+    "jarque_bera_returns_5m",
+    "brown_forsythe_price_by_status",
+    "runs_test_returns_5m",
+    "ljung_box_returns_5m",
+    # (b) never-certified time-series / changepoint tier
+    "cusum_changepoint_by_type",
+    "cusum_alarms_5m",
+    "acf_by_type",
+    "acf_returns_lags",
+    "asof_chunked_order_before_event",
+    # (c) never-certified retrieval / text tier
+    "phrase_search_docs",
+    "chunk_docs_overlap",
+    "hashed_token_features_docs",
+    "source_token_cosine_pairs",
+    "quality_percentile_by_lang",
+    "ngram_jaccard_adjacent",
+    "attribution_touch_points",
+    # (d) never-certified graph / privacy / backtest tier
+    "cheapest_supply_paths",
+    "l_diversity_release_audit",
+    "grid_backtest_sma_pairs_5m",
+    # --- holdovers (below): every name still accruing its record -------
+    # round-10 entries, one recorded green each:
+    # the round-9 analytics additions
     "gini_order_value_by_priority",
     "woe_iv_price_urgency",
     "stratified_kfold_assignments",
@@ -157,89 +193,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "conformal_naive_intervals",
     "reservoir_sample_docs",
     "pinball_loss_q90_naive",
-    # (b) the remaining never-certified ML-eval tier (incl. the NDCG
-    #     query whose normalization changed in 0fb252b — it needs a
-    #     recorded row under the standard min(total_rel,k) definition)
+    # the ML-eval tier
     "retrieval_label_eval_top10",
     "fairness_gaps_by_segment",
     "chi_square_brand_type",
     "mutual_info_lang_source",
     "cohens_kappa_doc_raters",
-    # (c) never-certified dedup/ANN additions
+    # dedup/ANN additions
     "minhash_recall_report",
     "ngram_jaccard_near_dup",
     "embedding_near_dup_srp",
-    # (d) never-certified graph / drift / retrieval / privacy additions
+    # graph / drift / retrieval / privacy additions
     "lpa_communities_copurchase",
     "adamic_adar_part_links",
     "ks_temporal_drift_by_type",
     "rrf_hybrid_retrieval",
     "dp_noisy_segment_counts",
-    # (e) re-entries: both were driver-green r2-r8 under their OLD plans;
-    #     this round rsi_14 moves to the zone-decomposed rolling engine
-    #     and exact_percentiles runs on operators/rankstats.py — a fresh
-    #     recorded row certifies the new physical plans
-    "rsi_14_per_event_type",
-    "exact_percentiles_per_flag",
-    # --- holdovers (below): every name still accruing its record -------
-    # round-9 entries, one recorded green each:
-    # the three retired r1 ghost rows
-    "doc_fingerprints",
-    "simhash_docs",
-    "minhash_near_dup_pairs",
-    # the EMA/Kalman indicator family (rsi/ema recurrences move to the
-    # zoned rolling engine this round — the slot certifies the new plan)
-    "ema_20_per_event_type",
+    # deliberate holds past 2 greens: both indicator plans change AGAIN
+    # this round (MACD routes through the closed-form EMA + zoned
+    # machinery per r10 VERDICT item 2; Kalman's plan is evaluated for
+    # the same treatment) — the slots certify the new physical plans,
+    # exactly the r10 precedent for rsi/ema/hurst
     "macd_12_26_9_5m",
     "kalman_level_5m",
-    # the md5 dedup tier
-    "minhash_md5_band_pairs",
-    "winnow_md5_overlap_pairs",
-    "simhash_md5_signatures",
-    # the ML-evaluation tier (spearman's rankstats plan shaves an
-    # exchange this round — the slot certifies the revised plan)
-    "auc_urgent_price_by_status",
-    "spearman_qty_price_by_flag",
-    "confusion_f1_price_median",
-    # privacy-release anchor
-    "k_anonymous_customer_release",
-    # the round-8 iterative-graph additions
-    "kcore80_copurchase_parts",
-    "bfs_hops_part_supplier",
-    "hits_part_supplier_top10",
-    # md5-codebook PQ ANN + derandomized bootstrap Sharpe CI
-    "pq_ann_topk",
-    "bootstrap_sharpe_ci",
-    # round-6 entry still in-window: fractal stats (hurst moves to the
-    # zoned rolling engine this round — the slot certifies the new plan)
-    "hurst_exponent_by_type",
-    # round-8 entries, two recorded greens each
-    "pagerank_copurchase_top20",
-    "ppr_related_parts",
-    "full_outer_daily_activity",
-    "theil_sen_trend_daily",
-    "weekly_cohort_retention",
-    "kmeans_clusters_embeddings",
-    "entity_resolution_parts",
 )
 
-# Round-11 rotation candidates (never driver-certified, oracle-bearing,
-# hash-matched locally): retrieval extras (phrase_search_docs,
-# chunk_docs_overlap), graph extras (cheapest_supply_paths), the privacy
-# tier's remaining slot (l_diversity_release_audit), the backtest grid
-# (grid_backtest_sma_pairs_5m), and the time-series extras
-# (cusum_changepoint_by_type, acf_by_type, attribution_touch_points,
-# hashed_token_features_docs, source_token_cosine_pairs,
-# quality_percentile_by_lang, ngram_jaccard_adjacent,
-# asof_chunked_order_before_event, cusum_alarms_5m, acf_returns_lags),
-# plus the round-10 additions (mann_whitney_u_price_urgency,
-# kruskal_wallis_price_by_priority, theil_index_by_priority,
-# herfindahl_brand_suppliers, kendall_tau_qty_discount,
-# brown_forsythe_price_by_status, jarque_bera_returns_5m,
-# hill_tail_index_by_priority, runs_test_returns_5m,
-# ljung_box_returns_5m, atkinson_index_by_priority — all hash-matched
-# locally at three SFs).
-# Rotate against slots whose families hold >=3 recorded green rounds.
+# Round-12 rotation candidates (never driver-certified, oracle-bearing,
+# hash-matched locally): consult `python -c "from
+# polygon_algotrading_env_spark.queries import certified_union_report"`
+# style tooling or COVERAGE.md's census; prefer families with zero
+# recorded driver rows. Rotate against slots whose names hold >=2
+# recorded green rounds.
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -248,6 +232,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 11 (each green 2-8 recorded rounds; the
+        # twenty-six-slot rotation entering the round-10 analytics tier
+        # plus the remaining never-certified retrieval/time-series/graph/
+        # privacy/backtest candidates)
+        "doc_fingerprints",
+        "simhash_docs",
+        "minhash_near_dup_pairs",
+        "ema_20_per_event_type",
+        "minhash_md5_band_pairs",
+        "winnow_md5_overlap_pairs",
+        "simhash_md5_signatures",
+        "auc_urgent_price_by_status",
+        "spearman_qty_price_by_flag",
+        "confusion_f1_price_median",
+        "k_anonymous_customer_release",
+        "kcore80_copurchase_parts",
+        "bfs_hops_part_supplier",
+        "hits_part_supplier_top10",
+        "pq_ann_topk",
+        "bootstrap_sharpe_ci",
+        "hurst_exponent_by_type",
+        "pagerank_copurchase_top20",
+        "ppr_related_parts",
+        "full_outer_daily_activity",
+        "theil_sen_trend_daily",
+        "weekly_cohort_retention",
+        "kmeans_clusters_embeddings",
+        "entity_resolution_parts",
         # rotated out in round 10 (each green 3-9 recorded rounds; the
         # twenty-four-slot rotation entering the round-9 additions and
         # the remaining never-certified ML-eval/graph/privacy tiers)
