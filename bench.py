@@ -267,16 +267,25 @@ def main() -> None:
         spot_worst = (
             max(spot_ratios, key=spot_ratios.get) if spot_ratios else None
         )
+        # Names whose every attempt failed must be VISIBLE in the
+        # committed evidence (an empty list certifies full coverage);
+        # a silent absence from queries/ratios reads as "covered".
+        sf100_failed = sorted(set(headline_queries()) - set(sf100_q))
+        spot_failed = sorted(
+            n for n in SPOT if n not in spot_base or n not in spot_100
+        )
         sf100 = {
             "factor": 100,
             "total": round(sum(sf100_q.values()), 3),
             "queries": sf100_q,
             "ratio_vs_base": ratios,
+            "failed": sf100_failed,
             **({"worst": {worst: ratios[worst]}} if worst else {}),
             "spot": {
                 "base": spot_base,
                 "x100": spot_100,
                 "ratio_vs_base": spot_ratios,
+                "failed": spot_failed,
                 **(
                     {"worst": {spot_worst: spot_ratios[spot_worst]}}
                     if spot_worst

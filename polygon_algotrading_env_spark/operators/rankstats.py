@@ -52,6 +52,29 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _assert_range_partitioned(grid: DataFrame) -> None:
+    """Cheap plan guard for ``pre_partitioned=True``: the contract relies
+    on Catalyst leaving the caller's range-partitioned aggregate
+    UNSHUFFLED (range partitioning on exactly the grouping keys satisfies
+    ClusteredDistribution). If a Spark-version change ever inserts a hash
+    exchange above the range exchange, every cumulative count downstream
+    would be silently corrupted — fail loudly here instead. The plan
+    string is top-down, so the FIRST shuffle exchange seen must be the
+    range one (BroadcastExchange nodes don't reassign partition ids and
+    are ignored)."""
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    first_range = plan.find("Exchange rangepartitioning")
+    for pat in ("Exchange hashpartitioning", "Exchange SinglePartition"):
+        i = plan.find(pat)
+        if i != -1 and (first_range == -1 or i < first_range):
+            raise AssertionError(
+                "cumulate_grid(pre_partitioned=True): input's topmost "
+                f"shuffle is '{pat}', not the caller's range exchange — "
+                "zone ids would not follow value order; drop "
+                "pre_partitioned or fix the caller's layout"
+            )
+
+
 def cumulate_grid(
     grid: DataFrame,
     keys: Sequence[str],
@@ -91,6 +114,7 @@ def cumulate_grid(
         )
         return out.drop("__g")
     if pre_partitioned:
+        _assert_range_partitioned(grid)
         parted = grid.withColumn("__zone", F.spark_partition_id())
     else:
         parted = (

@@ -97,6 +97,15 @@ class ZonedStream:
             raise ValueError(
                 f"frame lookback {lo} not covered by carry={self.carry}"
             )
+        if lo > 0 or hi > 0:
+            # Carry rows replicate BACKWARD context only; a forward-looking
+            # frame would silently truncate at zone boundaries instead of
+            # seeing the next zone's rows. Fail loudly like an uncovered
+            # lookback does.
+            raise ValueError(
+                f"forward-looking frame ({lo}, {hi}) is not zone-"
+                "decomposable: carry replication covers lookback only"
+            )
         return self.w.rowsBetween(lo, hi)
 
     def row_number(self) -> Column:

@@ -641,14 +641,18 @@ def woe_iv_price_urgency(spark, sf_dir):
       FROM g
     ),
     s AS (
-      SELECT CAST(sum(t1 * (2 * le - t + 1)) AS BIGINT) AS two_r1,
-             CAST(sum(t1) AS BIGINT)                    AS n1,
-             CAST(sum(t) AS BIGINT)                     AS n,
-             CAST(sum(t * t * t - t) AS BIGINT)         AS tie_term
+      -- TRY_CAST on the sufficient-statistic exports mirrors the Spark
+      -- side's try_cast: overflow must yield NULL cross-engine, not a
+      -- DuckDB cast error (n1/n are plain row counts and cannot overflow
+      -- before the sums do)
+      SELECT TRY_CAST(sum(t1 * (2 * le - t + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(t1) AS BIGINT)                        AS n1,
+             CAST(sum(t) AS BIGINT)                         AS n,
+             TRY_CAST(sum(t * t * t - t) AS BIGINT)         AS tie_term
       FROM c
     )
     SELECT n1, n - n1 AS n2, two_r1,
-           two_r1 - n1 * (n1 + 1) AS u1_x2, tie_term,
+           TRY_CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, tie_term,
            round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
                  / (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)),
                  6) AS auc_equiv,
@@ -912,12 +916,15 @@ def kruskal_wallis_price_by_priority(spark, sf_dir):
                AS d_pairs
       FROM dom GROUP BY 1
     )
+    -- TRY_CAST mirrors the Spark side's try_cast exports (mleval.py
+    -- Spark projection): HUGEINT overflow past BIGINT must yield NULL
+    -- cross-engine, not a DuckDB cast error
     SELECT agg.g AS l_returnflag,
-           CAST(agg.n AS BIGINT)       AS n,
-           CAST(agg.c_pairs AS BIGINT) AS c_pairs,
-           CAST(agg.d_pairs AS BIGINT) AS d_pairs,
-           CAST(xm.tie_x AS BIGINT)    AS tie_x,
-           CAST(ym.tie_y AS BIGINT)    AS tie_y,
+           TRY_CAST(agg.n AS BIGINT)       AS n,
+           TRY_CAST(agg.c_pairs AS BIGINT) AS c_pairs,
+           TRY_CAST(agg.d_pairs AS BIGINT) AS d_pairs,
+           TRY_CAST(xm.tie_x AS BIGINT)    AS tie_x,
+           TRY_CAST(ym.tie_y AS BIGINT)    AS tie_y,
            round((CAST(agg.c_pairs AS DOUBLE) - CAST(agg.d_pairs AS DOUBLE))
                  / sqrt((CAST(agg.n AS DOUBLE) * (CAST(agg.n AS DOUBLE) - 1.0)
                          / 2.0 - CAST(xm.tie_x AS DOUBLE))

@@ -18,6 +18,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _merged_sorted(
+    pdfs: Iterator[pd.DataFrame], ts_col: str
+) -> pd.DataFrame | None:
+    """Concatenate a group's Arrow chunk iterator and sort ONCE.
+
+    One micro-batch may deliver a group across several Arrow chunks, and
+    a later chunk carrying earlier timestamps is in-batch data, not late
+    data — sorting each chunk independently would wrongly drop those rows
+    at the cross-batch ``t <= last_ts`` monotonicity guard. Returns None
+    when the batch holds no rows for the group."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    merged = (
+        chunks[0]
+        if len(chunks) == 1
+        else pd.concat(chunks, ignore_index=True)
+    )
+    return merged.sort_values(ts_col, kind="stable")
+
+
 # (count, sum_p, sum_pv, sum_v, last_ts_epoch_us, last_price, high, low)
 _STATE_SCHEMA = (
     "n bigint, sum_p double, sum_pv double, sum_v double, "
@@ -146,10 +167,8 @@ def stream_cusum(
         if state.exists:
             s, last_ts = state.get
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(ts_col)
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, a in zip(ts_us.tolist(), pdf[dev_col].tolist()):
                 if t <= last_ts:
@@ -217,10 +236,8 @@ def stream_sma_signal(
             p, last_signal, last_ts, last_price = state.get
             prices = list(p)
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(ts_col)
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
                 if t <= last_ts:
@@ -311,10 +328,8 @@ def stream_ewma_vol(
         if state.exists:
             var, last_ts, last_close, seeded = state.get
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(ts_col)
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
                 if t <= last_ts:
@@ -390,10 +405,8 @@ def stream_rsi(
             g, l_, rn, last_ts, last_val = state.get
             gains, losses = list(g), list(l_)
         out = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(ts_col)
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
                 if t <= last_ts:

@@ -180,3 +180,32 @@ def test_spearman_grid_plan_matches_legacy_window_formula(spark):
     for g in ("a", "b"):
         for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
             assert got[g][c] == want[g][c], (g, c)
+
+
+def test_pre_partitioned_guard_rejects_hash_layout(spark):
+    # pre_partitioned=True relies on the caller's range exchange being
+    # the input's topmost shuffle; a hash-partitioned aggregate scatters
+    # each group's value order across zones, so the guard must refuse it
+    rows = _rand_rows(200, ["a", "b"], 10, seed=3)
+    df = spark.createDataFrame(rows, "g string, v double")
+    hash_grid = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    with pytest.raises(AssertionError, match="pre_partitioned"):
+        cumulate_grid(hash_grid, ["g"], "v", "c", pre_partitioned=True)
+    # ...while the documented shape (aggregate over a range repartition)
+    # passes the guard and matches the unpinned path
+    range_grid = (
+        df.repartitionByRange(8, "g", "v")
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {
+        (r["g"], r["v"]): (r["cum_lt"], r["cum_le"], r["n_g"])
+        for r in cumulate_grid(
+            range_grid, ["g"], "v", "c", pre_partitioned=True
+        ).collect()
+    }
+    want = {
+        (r["g"], r["v"]): (r["cum_lt"], r["cum_le"], r["n_g"])
+        for r in cumulate_grid(range_grid, ["g"], "v", "c").collect()
+    }
+    assert got == want

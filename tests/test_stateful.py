@@ -451,3 +451,23 @@ def test_stream_rsi_equals_batch_window(spark, tmpdir):
         assert abs(got[(r["symbol"], r["ts"])] - ref) < 1e-9, (
             r["symbol"], r["ts"],
         )
+
+
+def test_merged_sorted_restores_cross_chunk_order():
+    # One micro-batch can deliver a group across several Arrow chunks; a
+    # later chunk carrying EARLIER timestamps is in-batch data and must
+    # survive the monotonicity guard — so the merge sorts once across
+    # chunks, not per chunk.
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        _merged_sorted,
+    )
+
+    c1 = pd.DataFrame({"ts": [30, 40], "v": ["c", "d"]})
+    c2 = pd.DataFrame({"ts": [10, 20], "v": ["a", "b"]})
+    merged = _merged_sorted(iter([c1, pd.DataFrame({"ts": [], "v": []}), c2]), "ts")
+    assert merged["ts"].tolist() == [10, 20, 30, 40]
+    assert merged["v"].tolist() == ["a", "b", "c", "d"]
+    assert _merged_sorted(iter([]), "ts") is None
+    assert _merged_sorted(iter([pd.DataFrame({"ts": []})]), "ts") is None

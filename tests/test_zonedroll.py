@@ -111,6 +111,17 @@ def test_rows_guard_rejects_uncovered_lookback(spark):
         zoned_stream(df, ["g"], ["t"], carry=0)
 
 
+def test_rows_guard_rejects_forward_frames(spark):
+    # carry replication covers lookback only; a forward frame would
+    # silently truncate at zone boundaries, so it must fail loudly
+    df = _fixture(spark)
+    z = zoned_stream(df, ["g"], ["t"], carry=3)
+    with pytest.raises(ValueError, match="forward"):
+        z.rows(-2, 1)
+    with pytest.raises(ValueError, match="forward"):
+        z.rows(1, 2)
+
+
 def _window_partition_specs(df):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     return [
