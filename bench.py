@@ -237,7 +237,8 @@ def main() -> None:
             "doc_fingerprints", "ppr_related_parts", "bpe_merge_table",
             "lpa_communities_copurchase", "substring_span_dedup",
             "train_test_contamination", "boilerplate_ngrams",
-            "source_token_cosine_pairs",
+            "source_token_cosine_pairs", "macd_12_26_9_5m",
+            "ewma_vol_5m",
         ]
         from polygon_algotrading_env_spark.queries import REGISTRY
 
@@ -267,6 +268,39 @@ def main() -> None:
         spot_worst = (
             max(spot_ratios, key=spot_ratios.get) if spot_ratios else None
         )
+        # Like-plan base for the adaptively-gated consumers (round-11):
+        # below the zoning row threshold these queries run the GLOBAL
+        # shape, so their plain 100x/1x ratio measures gate-crossing
+        # (small plan at 1x, zoned plan at 100x), not plan scaling. A
+        # forced-zoned 1x base is recorded alongside so the committed
+        # evidence carries BOTH: the user-experienced wall ratio and the
+        # like-plan scaling of the zoned shape.
+        GATED = [
+            "rsi_14_per_event_type", "hurst_exponent_by_type",
+            "ema_20_per_event_type", "ewma_vol_5m", "macd_12_26_9_5m",
+            "spearman_qty_price_by_flag",
+        ]
+        zoned_base: dict[str, float] = {}
+        os.environ["SPARK_GRAFT_ZONING"] = "zoned"
+        try:
+            for pass_no in range(2):
+                for name in GATED:
+                    t = _timed(
+                        REGISTRY[name].fn, sf_dir,
+                        f"zoned-base pass{pass_no} {name}",
+                    )
+                    if t is None:
+                        continue
+                    zoned_base[name] = min(zoned_base.get(name, t), t)
+                    _unpersist_all(spark, gc=True)
+        finally:
+            del os.environ["SPARK_GRAFT_ZONING"]
+        _x100 = {**spot_100, **sf100_q}
+        zoned_ratios = {
+            n: round(_x100[n] / zoned_base[n], 2)
+            for n in GATED
+            if zoned_base.get(n) and _x100.get(n)
+        }
         # Names whose every attempt failed must be VISIBLE in the
         # committed evidence (an empty list certifies full coverage);
         # a silent absence from queries/ratios reads as "covered".
@@ -280,6 +314,8 @@ def main() -> None:
             "queries": sf100_q,
             "ratio_vs_base": ratios,
             "failed": sf100_failed,
+            "gated_zoned_base": zoned_base,
+            "gated_ratio_vs_zoned_base": zoned_ratios,
             **({"worst": {worst: ratios[worst]}} if worst else {}),
             "spot": {
                 "base": spot_base,

@@ -51,6 +51,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTERS — a
+    driver-side metadata read (no Spark job, no data scan), cached per
+    (dir, table). This is the size signal the adaptive zoning gate
+    (operators/zonedroll.zoning_mode) reads: on a real lake the same
+    number comes from table statistics / manifest metadata."""
+    key = (os.path.abspath(sf_dir), name)
+    cached = _TABLE_ROWS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        total = pq.ParquetFile(path).metadata.num_rows
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+    _TABLE_ROWS_CACHE[key] = total
+    return total
+
+
+_TABLE_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical types."""
     ensure_runtime_confs(spark)

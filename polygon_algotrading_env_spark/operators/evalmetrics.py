@@ -423,7 +423,7 @@ def cohens_kappa(
 
 
 def spearman_by_group(
-    df: DataFrame, x: str, y: str, keys: list[str]
+    df: DataFrame, x: str, y: str, keys: list[str], mode: str = "zoned"
 ) -> DataFrame:
     """Tie-corrected Spearman rank correlation of two numeric columns per
     key group: ranks use the average-rank convention encoded EXACTLY as
@@ -459,6 +459,36 @@ def spearman_by_group(
     )
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    if mode == "global":
+        # Adaptive small-input shape (zonedroll.zoning_mode): below the
+        # row threshold the textbook per-group rank windows beat the
+        # grid's fixed costs (range exchanges + checkpoint pins). The
+        # rank encoding is the IDENTICAL exact integer
+        # 2*avgrank = 2*rank + count(same value) - 1 = cnt_lt+cnt_le+1,
+        # so moments and rho match the grid path bit-for-bit.
+        wx = Window.partitionBy(*keys).orderBy(x)
+        wy = Window.partitionBy(*keys).orderBy(y)
+        cx = Window.partitionBy(*keys, x)
+        cy = Window.partitionBy(*keys, y)
+        r = df.select(
+            *keys,
+            (
+                2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1
+            ).alias("rx"),
+            (
+                2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1
+            ).alias("ry"),
+        )
+        rxd, ryd = dec(F.col("rx")), dec(F.col("ry"))
+        agg = r.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rxd).alias("__sx"),
+            F.sum(ryd).alias("__sy"),
+            F.sum(rxd * rxd).alias("__sxx"),
+            F.sum(ryd * ryd).alias("__syy"),
+            F.sum(rxd * ryd).alias("__sxy"),
+        )
+        return _spearman_export(agg, keys)
     xm = df.groupBy(*keys, x).agg(F.count(F.lit(1)).alias("cx"))
     xs = cumulate_grid(xm, keys, x, "cx").withColumn(
         "rx", F.col("cum_lt") + F.col("cum_le") + 1
@@ -496,6 +526,13 @@ def spearman_by_group(
         F.sum(ryd * F.col("t")).alias("__sxy"),
     )
     agg = xagg.join(yagg, keys)
+    return _spearman_export(agg, keys)
+
+
+def _spearman_export(agg: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared moment->rho export: one fixed scalar double recipe over the
+    exact DECIMAL(38,0) accumulators, BIGINT sufficient statistics via
+    try_cast (NULL past ~1.3e6 rows/group; rho stays exact)."""
     nd = F.col("n").cast("double")
     num = nd * F.col("__sxy").cast("double") - F.col("__sx").cast(
         "double"

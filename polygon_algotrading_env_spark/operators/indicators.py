@@ -299,6 +299,7 @@ def with_ema_closed_form(
     out: str | None = None,
     block: int = 512,
     carry_terms: int = 14,
+    mode: str = "zoned",
 ) -> DataFrame:
     """EMA(span, adjust=False) as PURE JVM window algebra — no Python.
 
@@ -331,55 +332,163 @@ def with_ema_closed_form(
     Equivalence to pandas ``ewm(span, adjust=False)`` is pinned in
     tests/test_indicators.py.
     """
-    import math
+    out = out or f"ema_{span}"
+    K = ema_block_size(span, block)
+    dfp = _ema_scaffold(df, keys, order_cols, K, mode=mode)
+    res = _ema_closed_form_pass(
+        dfp, keys, order_cols, K, [(price, span, out)], carry_terms
+    )
+    return res.drop("__t", "__p", "__b")
 
+
+def _ema_scaffold(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    K: int,
+    mode: str = "zoned",
+) -> DataFrame:
+    """Zoned row numbering + block decomposition shared by every
+    closed-form EMA pass over the same ordering: __t (0-based position),
+    __p (offset in block), __b (block id). Building this ONCE and running
+    several recursions over it is what makes the fused MACD plan cheap —
+    chaining full passes re-pays the numbering and its exchange three
+    times (measured ~6× at sf0.1)."""
     from polygon_algotrading_env_spark.operators.zonedroll import (
         zoned_row_number,
     )
 
-    out = out or f"ema_{span}"
-    a = 2.0 / (span + 1.0)
-    r = 1.0 - a
-    K = ema_block_size(span, block)
-    c = r**K
-    # Enough carry lags that the dropped tail c^carry_terms < 1e-30 —
-    # matters only when a caller forces a small block (tests).
-    carry_terms = max(carry_terms, math.ceil(70.0 / (K * math.log(1.0 / r))))
-
-    dfp = (
-        zoned_row_number(df, keys, order_cols, rn_col="__rn1")
+    return (
+        zoned_row_number(df, keys, order_cols, rn_col="__rn1", mode=mode)
         .withColumn("__t", F.col("__rn1") - F.lit(1))
         .drop("__rn1")
         .withColumn("__p", F.col("__t") % K)
         .withColumn("__b", F.floor(F.col("__t") / K))
-        .withColumn(
-            "__u",
-            F.when(F.col("__t") == 0, F.col(price)).otherwise(a * F.col(price))
-            * F.pow(F.lit(r), -F.col("__p")),
-        )
     )
+
+
+def _ema_closed_form_pass(
+    dfp: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    K: int,
+    specs: Sequence[tuple[str, int, str]],
+    carry_terms: int,
+) -> DataFrame:
+    """Evaluate one or more EMA recursions over a :func:`_ema_scaffold`
+    frame in a single (window, block-agg, broadcast-join) round.
+    ``specs`` = (input column, span, output column) per recursion; all
+    recursions share the one in-block window node and the one tiny block
+    relation, so N EMAs over the same series cost one exchange total.
+    Keeps the scaffold columns so callers can chain further passes (the
+    follow-up window and block aggregate reuse the (keys, __b) hash
+    layout — no additional shuffle)."""
+    import math
+
     wb = (
         Window.partitionBy(*keys, "__b")
         .orderBy(*[F.col(x).asc() for x in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dfp = dfp.withColumn("__partial", F.pow(F.lit(r), F.col("__p")) * F.sum("__u").over(wb))
+    meta = []
+    for val, span, out in specs:
+        a = 2.0 / (span + 1.0)
+        r = 1.0 - a
+        c = r**K
+        # Enough carry lags that the dropped tail c^carry_terms < 1e-30 —
+        # matters only when a caller forces a small block (tests).
+        ct = max(carry_terms, math.ceil(70.0 / (K * math.log(1.0 / r))))
+        dfp = dfp.withColumn(
+            f"__u_{out}",
+            F.when(F.col("__t") == 0, F.col(val)).otherwise(a * F.col(val))
+            * F.pow(F.lit(r), -F.col("__p")),
+        ).withColumn(
+            f"__partial_{out}",
+            F.pow(F.lit(r), F.col("__p")) * F.sum(f"__u_{out}").over(wb),
+        )
+        meta.append((out, r, c, ct))
 
-    blk = dfp.groupBy(*keys, "__b").agg(F.max_by("__partial", "__p").alias("__P"))
-    wl = Window.partitionBy(*keys).orderBy("__b")
-    carry = sum(
-        (
-            F.lit(c**(j - 1)) * F.coalesce(F.lag("__P", j).over(wl), F.lit(0.0))
-            for j in range(1, carry_terms + 1)
-        ),
-        F.lit(0.0),
+    blk = dfp.groupBy(*keys, "__b").agg(
+        *[
+            F.max_by(f"__partial_{out}", "__p").alias(f"__P_{out}")
+            for out, _r, _c, _ct in meta
+        ]
     )
-    blk = blk.select(*keys, "__b", carry.alias("__carry"))
+    wl = Window.partitionBy(*keys).orderBy("__b")
+    sel: list = [*keys, "__b"]
+    for out, _r, c, ct in meta:
+        carry = sum(
+            (
+                F.lit(c ** (j - 1))
+                * F.coalesce(F.lag(f"__P_{out}", j).over(wl), F.lit(0.0))
+                for j in range(1, ct + 1)
+            ),
+            F.lit(0.0),
+        )
+        sel.append(carry.alias(f"__carry_{out}"))
+    blk = blk.select(*sel)
 
     joined = dfp.join(F.broadcast(blk), [*keys, "__b"])
-    return joined.withColumn(
-        out, F.col("__partial") + F.col("__carry") * F.pow(F.lit(r), F.col("__p") + 1)
-    ).drop("__t", "__p", "__b", "__u", "__partial", "__carry")
+    for out, r, _c, _ct in meta:
+        joined = joined.withColumn(
+            out,
+            F.col(f"__partial_{out}")
+            + F.col(f"__carry_{out}") * F.pow(F.lit(r), F.col("__p") + 1),
+        ).drop(f"__u_{out}", f"__partial_{out}", f"__carry_{out}")
+    return joined
+
+
+def with_macd_closed_form(
+    df: DataFrame,
+    price: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    block: int = 512,
+    carry_terms: int = 14,
+    mode: str = "zoned",
+) -> DataFrame:
+    """MACD(fast, slow, signal) as PURE JVM window algebra — the fused
+    closed-form plan that removes the last ``applyInPandas`` recursion
+    from the certified indicator headliners (round-10 verdict item 2).
+
+    All three EMA recursions ride ONE :func:`_ema_scaffold` (zoned row
+    numbering + one block size valid for every span): the fast and slow
+    EMAs evaluate together in a single window/block-agg/broadcast-join
+    round over the price column, then the signal EMA chains a second
+    round over the derived ``macd`` column — which reuses the existing
+    (keys, block) hash layout, so the WHOLE indicator costs one zoned
+    numbering plus one data-sized exchange, versus three of each when
+    chaining :func:`with_ema_closed_form` (the measured ~6× regression
+    that kept the Arrow grouped map alive through round 10).
+    Equivalence to the pandas recursion (:func:`with_macd`) is pinned in
+    tests/test_indicators.py; the ``macd_12_26_9_5m`` oracle certifies it
+    cross-engine against DuckDB's three-pass closed form."""
+    K = min(
+        ema_block_size(fast, block),
+        ema_block_size(slow, block),
+        ema_block_size(signal, block),
+    )
+    dfp = _ema_scaffold(df, keys, order_cols, K, mode=mode)
+    dfp = _ema_closed_form_pass(
+        dfp,
+        keys,
+        order_cols,
+        K,
+        [(price, fast, "__ema_f"), (price, slow, "__ema_s")],
+        carry_terms,
+    )
+    dfp = dfp.withColumn("macd", F.col("__ema_f") - F.col("__ema_s"))
+    dfp = _ema_closed_form_pass(
+        dfp, keys, order_cols, K, [("macd", signal, "macd_signal")],
+        carry_terms,
+    )
+    return (
+        dfp.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+        .drop("__ema_f", "__ema_s", "__t", "__p", "__b")
+    )
 
 
 def with_kalman_level(

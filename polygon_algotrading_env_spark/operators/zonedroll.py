@@ -60,11 +60,40 @@ at 100 TB this is how rolling indicators stay shuffle-balanced.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
+
+# Adaptive small-scale gate (round-10 verdict item 4). Zoning exists to
+# spread a low-cardinality key's ordered stream across tasks; its fixed
+# costs (range exchange, checkpoint pin, side relations — ~1-2 s of
+# stage latency per consumer) only pay off once a single-task window
+# would own multi-second work. Below this per-source row count the
+# global window IS the right plan: at ~10-100 ns/row of window work,
+# 2M rows ≈ the point where one task's pass overtakes zoning's fixed
+# cost, and the stream still fits a handful of scan partitions.
+# Correctness is zoning-independent (carry-replication law), so the
+# gate can never change results — only the physical shape. Both shapes
+# stay plan-law-tested via the SPARK_GRAFT_ZONING override.
+ZONING_ROW_THRESHOLD = 2_000_000
+
+
+def zoning_mode(sf_dir: str, table: str = "events") -> str:
+    """Pick ``"zoned"`` or ``"global"`` for consumers deriving from
+    ``table`` under ``sf_dir`` — parquet-footer row count vs
+    :data:`ZONING_ROW_THRESHOLD` (driver-side metadata read, no job).
+    ``SPARK_GRAFT_ZONING=zoned|global`` forces either shape (tests and
+    scale probes pin both)."""
+    forced = os.environ.get("SPARK_GRAFT_ZONING")
+    if forced in ("zoned", "global"):
+        return forced
+    from polygon_algotrading_env_spark.catalog import table_rows
+
+    n = table_rows(sf_dir, table)
+    return "zoned" if n >= ZONING_ROW_THRESHOLD else "global"
 
 
 @dataclass(frozen=True)
@@ -131,15 +160,34 @@ def zoned_stream(
     order: Sequence[str],
     carry: int,
     num_partitions: int | None = None,
+    mode: str = "zoned",
 ) -> ZonedStream:
     """Zone-decompose ``df`` for rolling windows of lookback ≤ ``carry``
     (rows) per ``keys`` group ordered by ``order`` (a total order within
     each group). Every downstream window partitions on (keys, zone) —
-    parallel across zones even for a single group."""
+    parallel across zones even for a single group.
+
+    ``mode="global"`` (the adaptive small-scale shape picked by
+    :func:`zoning_mode`) skips zoning entirely: one constant pseudo-zone,
+    no carry replication, no range exchange or pin — the returned stream
+    evaluates over the plain per-key window, bit-identical by the
+    carry-replication law, and every consumer expression works
+    unchanged."""
     keys = list(keys)
     order = list(order)
     if carry < 1:
         raise ValueError("carry must be >= 1")
+    if mode not in ("zoned", "global"):
+        raise ValueError(f"unknown zoning mode {mode!r}")
+    if mode == "global":
+        frame = (
+            df.withColumn("__tzone", F.lit(0))
+            .withColumn("__carry", F.lit(0))
+            .withColumn("__rnbase", F.lit(0).cast("bigint"))
+        )
+        return ZonedStream(
+            frame=frame, keys=tuple(keys), order=tuple(order), carry=carry
+        )
     cols = df.columns
     parted = (
         df.repartitionByRange(num_partitions, *keys, *order)
@@ -255,6 +303,7 @@ def zoned_row_number(
     order: Sequence[str],
     rn_col: str = "__rn",
     num_partitions: int | None = None,
+    mode: str = "zoned",
 ) -> DataFrame:
     """Append a global per-key 1-based row number over ``order`` without a
     per-group single-task window — the lightweight sibling of
@@ -264,9 +313,18 @@ def zoned_row_number(
     in-zone ``row_number``. Every window partitions on (zone, keys) or
     runs over the zones×keys relation — parallel across zones even for a
     single group. Requires (keys, order) to be a total order within each
-    group, like the global window it replaces."""
+    group, like the global window it replaces. ``mode="global"`` (the
+    adaptive small-scale shape, :func:`zoning_mode`) emits the plain
+    per-key ``row_number`` window instead — identical values."""
     keys = list(keys)
     order = list(order)
+    if mode not in ("zoned", "global"):
+        raise ValueError(f"unknown zoning mode {mode!r}")
+    if mode == "global":
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).asc() for c in order]
+        )
+        return df.withColumn(rn_col, F.row_number().over(w).cast("bigint"))
     parted = (
         df.repartitionByRange(num_partitions, *keys, *order)
         if num_partitions

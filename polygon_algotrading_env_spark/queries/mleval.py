@@ -445,12 +445,15 @@ def spearman_qty_price_by_flag(spark, sf_dir):
     accumulated as DECIMAL(38,0) — exact to ~1e12 rows/group; the BIGINT
     sufficient-statistic exports try_cast to NULL past ~1.3e6 rows/group
     while rho itself stays exact from the decimal accumulators."""
+    from polygon_algotrading_env_spark.operators.zonedroll import zoning_mode
+
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_by_group(
         li,
         "l_quantity",
         "l_extendedprice",
         keys=["l_returnflag", "l_linestatus"],
+        mode=zoning_mode(sf_dir, "lineitem"),
     )
 
 

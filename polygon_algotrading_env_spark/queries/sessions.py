@@ -130,12 +130,14 @@ def ema_20_per_event_type(spark, sf_dir):
     from polygon_algotrading_env_spark.operators.indicators import (
         with_ema_closed_form,
     )
+    from polygon_algotrading_env_spark.operators.zonedroll import zoning_mode
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "ts_ns", "value"
     )
     out = with_ema_closed_form(
-        ev, "value", span=20, keys=["event_type"], order_cols=["ts_ns", "event_id"]
+        ev, "value", span=20, keys=["event_type"],
+        order_cols=["ts_ns", "event_id"], mode=zoning_mode(sf_dir),
     )
     return out.select(
         "event_type", "event_id", F.round("ema_20", 6).alias("ema_20")
@@ -342,13 +344,15 @@ def rsi_14_per_event_type(spark, sf_dir):
     bit-identical to the global window by the carry-replication law."""
     from polygon_algotrading_env_spark.operators.zonedroll import (
         zoned_stream,
+        zoning_mode,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "ts_ns", "value"
     )
     z = zoned_stream(
-        ev, keys=["event_type"], order=["ts_ns", "event_id"], carry=14
+        ev, keys=["event_type"], order=["ts_ns", "event_id"], carry=14,
+        mode=zoning_mode(sf_dir),
     )
     d = F.col("value") - F.lag("value").over(z.w)
     gl = z.frame.select(

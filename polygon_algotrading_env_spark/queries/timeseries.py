@@ -876,23 +876,30 @@ def _macd_oracle() -> str:
 @register("macd_12_26_9_5m", oracle=_macd_oracle())
 def macd_12_26_9_5m(spark, sf_dir):
     """MACD(12,26,9) over 5-minute bar closes — the EMA-family trend
-    indicator, oracle-bearing since round 8. The engine runs all three
-    recursions in ONE Arrow grouped map per symbol (with_macd — measured
-    ~6× faster at sf0.1 than chaining three closed-form passes, whose
-    carry joins duplicate plan subtrees); the DuckDB oracle chains three
-    passes of the CLOSED FORM (``queries/_ema_sql.py`` — pow-normalized
-    block prefix sums, signal = pass over pass1−pass2). The hash match
-    therefore certifies sequential-recursion ≡ closed-form across
-    engines (~1e-13 apart, five orders under the round-6 grid); the same
-    equivalence is pinned deterministically in tests/test_indicators.py
-    via with_ema_closed_form."""
-    from polygon_algotrading_env_spark.operators.indicators import with_macd
+    indicator, oracle-bearing since round 8 and, since round 11, PURE
+    JVM window algebra: with_macd_closed_form fuses all three EMA
+    recursions onto one zoned scaffold (one numbering + one data-sized
+    exchange — NOT the three-pass chaining whose measured ~6× regression
+    kept the Arrow grouped map alive through round 10), removing the
+    last applyInPandas recursion from the certified indicator
+    headliners. The DuckDB oracle chains three passes of the same
+    closed form (``queries/_ema_sql.py`` — pow-normalized block prefix
+    sums, signal = pass over pass1−pass2), so the hash match certifies
+    the blocked closed form cross-engine; equivalence to the pandas
+    sequential recursion (with_macd) is pinned deterministically in
+    tests/test_indicators.py across spans and forced-small blocks."""
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_macd_closed_form,
+    )
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
-    out = with_macd(
-        bars, "close", keys=["event_type"], order_cols=["bucket_start"]
+    from polygon_algotrading_env_spark.operators.zonedroll import zoning_mode
+
+    out = with_macd_closed_form(
+        bars, "close", keys=["event_type"], order_cols=["bucket_start"],
+        mode=zoning_mode(sf_dir),
     )
     return out.select(
         "event_type",
@@ -4439,13 +4446,15 @@ def hurst_exponent_by_type(spark, sf_dir):
     zones — bit-identical by the carry-replication law."""
     from polygon_algotrading_env_spark.operators.zonedroll import (
         zoned_stream,
+        zoning_mode,
     )
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
     z = zoned_stream(
-        bars, keys=["event_type"], order=["bucket_start"], carry=1
+        bars, keys=["event_type"], order=["bucket_start"], carry=1,
+        mode=zoning_mode(sf_dir),
     )
     # zero prices exist in the fixture at larger SFs: returns are defined
     # only for positive consecutive closes (NULL otherwise, dropped) —
@@ -6035,9 +6044,11 @@ def ewma_vol_5m(spark, sf_dir):
     rr = bars.select(
         "event_type", "bucket_start", (ret * ret).alias("__r2")
     )
+    from polygon_algotrading_env_spark.operators.zonedroll import zoning_mode
+
     out = with_ema_closed_form(
         rr, "__r2", span=39, keys=["event_type"],
-        order_cols=["bucket_start"], out="__var",
+        order_cols=["bucket_start"], out="__var", mode=zoning_mode(sf_dir),
     )
     return out.select(
         "event_type",

@@ -230,6 +230,64 @@ def test_ema_closed_form_matches_pandas_across_blocks(spark):
         )
 
 
+def test_macd_closed_form_matches_pandas_across_blocks(spark):
+    """The fused closed-form MACD (one zoned scaffold, fast/slow in one
+    window round, signal chained over the derived macd column) must equal
+    the sequential pandas recursion — including forced-small blocks where
+    every row crosses multiple carry terms and the signal pass consumes a
+    block-reconstructed macd, and group lengths straddling blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_macd_closed_form,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 700
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], n),
+            "seq": np.tile(np.arange(n), 2),
+            "x": np.round(rng.uniform(10, 500, 2 * n), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for fast, slow, signal, block in [
+        (12, 26, 9, 512),
+        (12, 26, 9, 16),
+        (3, 5, 2, 32),
+    ]:
+        out = (
+            with_macd_closed_form(
+                df, "x", ["k"], ["seq"],
+                fast=fast, slow=slow, signal=signal, block=block,
+            )
+            .orderBy("k", "seq")
+            .toPandas()
+        )
+        srt = pdf.sort_values(["k", "seq"])
+        macd = srt.groupby("k")["x"].transform(
+            lambda s, f=fast, sl=slow: s.ewm(span=f, adjust=False).mean()
+            - s.ewm(span=sl, adjust=False).mean()
+        )
+        srt = srt.assign(__m=macd)
+        sig = srt.groupby("k")["__m"].transform(
+            lambda s, sg=signal: s.ewm(span=sg, adjust=False).mean()
+        )
+        assert np.max(np.abs(out["macd"].to_numpy() - macd.to_numpy())) < 1e-9
+        assert np.max(np.abs(out["macd_signal"].to_numpy() - sig.to_numpy())) < 1e-9
+        assert (
+            np.max(
+                np.abs(
+                    out["macd_hist"].to_numpy()
+                    - (macd.to_numpy() - sig.to_numpy())
+                )
+            )
+            < 1e-9
+        ), (fast, slow, signal, block)
+
+
 # --- Kalman local-level filter --------------------------------------------
 
 def _kalman_ref(y, q, r):

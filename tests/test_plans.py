@@ -254,23 +254,32 @@ def test_vpin_no_joins(spark, sf_dir, q):
     assert st.sort_merge_joins == 0 and st.broadcast_joins == 0
 
 
-def test_ema_closed_form_zoned_plan_shape(spark, sf_dir, q):
+@pytest.mark.parametrize("mode", ["zoned", "global"])
+def test_ema_closed_form_zoned_plan_shape(spark, sf_dir, q, mode, monkeypatch):
     """The closed-form EMA is pure window algebra with a bounded block
-    relation; since round 10 its row numbering is ZONE-decomposed
-    (zonedroll.zoned_row_number), trading the old single bare-key
-    exchange for the range-zoning stages. Invariants: the bases and
-    carry joins are BROADCAST (never SMJ), no cartesian/BNLJ, the
-    exchange count stays bounded (range + zone-relation + in-zone
-    clustering + block stages), and — the law the zoning buys — no
-    Window node partitions on the group keys alone."""
+    relation; since round 11 the row-numbering shape is ADAPTIVE
+    (zonedroll.zoning_mode): zone-decomposed above the row threshold,
+    the plain per-key window below it — both pinned here via the
+    SPARK_GRAFT_ZONING override. Shared invariants: the carry join is
+    BROADCAST (never SMJ), no cartesian/BNLJ, exchange count bounded.
+    In zoned mode, the law the zoning buys: no Window node partitions on
+    the group keys alone. In global mode the bare-key numbering window
+    IS the intended small-input plan, and the zoning scaffolding
+    (range exchange, zone relation) must be absent."""
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", mode)
     df = q["ema_20_per_event_type"](spark, sf_dir)
     st = plan_stats(df)
     assert st.sort_merge_joins == 0
     assert st.cartesian_products == 0 and st.bnl_joins == 0
-    assert st.broadcast_joins >= 2, st  # zone bases + block carry
-    assert st.shuffle_exchanges <= 9, st
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    for line in plan.splitlines():
-        s = line.strip().lstrip("+-: ")
-        if s.startswith("Window "):
-            assert "__" in s, s  # zone/block scaffolding, never bare keys
+    if mode == "zoned":
+        assert st.broadcast_joins >= 2, st  # zone bases + block carry
+        assert st.shuffle_exchanges <= 9, st
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ")
+            if s.startswith("Window "):
+                assert "__" in s, s  # zone/block scaffold, never bare keys
+    else:
+        assert st.broadcast_joins >= 1, st  # block carry
+        assert st.shuffle_exchanges <= 3, st
+        assert "__zone" not in plan and "__tzone" not in plan, plan[:500]

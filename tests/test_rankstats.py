@@ -180,6 +180,15 @@ def test_spearman_grid_plan_matches_legacy_window_formula(spark):
     for g in ("a", "b"):
         for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
             assert got[g][c] == want[g][c], (g, c)
+    # the adaptive small-input shape must carry the identical exact
+    # integers (and therefore the identical rho) as the grid plan
+    glob = {
+        r["g"]: r
+        for r in spearman_by_group(df, "x", "y", ["g"], mode="global").collect()
+    }
+    for g in ("a", "b"):
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy", "rho"):
+            assert glob[g][c] == got[g][c], (g, c)
 
 
 def test_pre_partitioned_guard_rejects_hash_layout(spark):

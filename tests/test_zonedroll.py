@@ -131,13 +131,16 @@ def _window_partition_specs(df):
     ]
 
 
-def test_no_window_partitions_on_group_keys_alone(spark):
+def test_no_window_partitions_on_group_keys_alone(spark, monkeypatch):
     """The scale law, asserted on the real consumers: every Window in the
     rsi_14 / hurst optimized plans must mention the zone id — a Window
     whose spec lacks it would be a per-group single-task sort (the shape
-    that made rsi_14 the suite's worst 100x scaler before the rewrite)."""
+    that made rsi_14 the suite's worst 100x scaler before the rewrite).
+    Forced zoned: the adaptive gate (zoning_mode) picks the global shape
+    at fixture scale, pinned separately below."""
     from polygon_algotrading_env_spark.queries import REGISTRY
 
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
     for name in ("rsi_14_per_event_type", "hurst_exponent_by_type"):
         out = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         specs = _window_partition_specs(out)
@@ -164,15 +167,76 @@ def test_zoned_row_number_matches_global(spark):
     assert got == want
 
 
-def test_ema_closed_form_has_no_bare_key_window(spark):
-    """with_ema_closed_form's row numbering is zone-decomposed: no Window
-    node in any EMA-family consumer plan may partition on the group keys
-    alone (every spec must carry a scaffolding column — zone or block)."""
+def test_ema_closed_form_has_no_bare_key_window(spark, monkeypatch):
+    """with_ema_closed_form's row numbering is zone-decomposed (forced:
+    the adaptive gate picks global at fixture scale): no Window node in
+    any EMA-family consumer plan may partition on the group keys alone
+    (every spec must carry a scaffolding column — zone or block)."""
     from polygon_algotrading_env_spark.queries import REGISTRY
 
-    for name in ("ema_20_per_event_type", "ewma_vol_5m"):
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
+    for name in ("ema_20_per_event_type", "ewma_vol_5m", "macd_12_26_9_5m"):
         out = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         specs = _window_partition_specs(out)
         assert specs, f"expected Window nodes in {name}'s plan"
         for s in specs:
             assert "__" in s, (name, s)
+        # the fused MACD must stay pure JVM algebra — no Python recursion
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_global_mode_matches_zoned(spark):
+    """mode="global" (the adaptive small-input shape) must produce
+    bit-identical results through the SAME consumer expressions."""
+    df = _fixture(spark)
+    zg = zoned_stream(df, ["g"], ["t"], carry=3, mode="global")
+    zz = zoned_stream(df, ["g"], ["t"], carry=3, num_partitions=16)
+    def run(z):
+        return {
+            (r["g"], r["t"]): (r["s"], r["d"], r["rn"])
+            for r in z.finish(
+                z.frame.select(
+                    "g", "t",
+                    F.sum("v").over(z.rows(-2, 0)).alias("s"),
+                    (F.col("v") - F.lag("v").over(z.w)).alias("d"),
+                    z.row_number().alias("rn"),
+                    "__carry", "__tzone",
+                )
+            ).collect()
+        }
+    assert run(zg) == run(zz)
+
+
+def test_zoning_mode_gate_and_override(monkeypatch):
+    """The adaptive gate: parquet-footer row count vs the threshold, with
+    SPARK_GRAFT_ZONING forcing either shape."""
+    from polygon_algotrading_env_spark.catalog import table_rows
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        ZONING_ROW_THRESHOLD,
+        zoning_mode,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ZONING", raising=False)
+    # every committed fixture is below the 2M-row threshold -> global
+    n = table_rows("/root/testdata/sf0.001", "events")
+    assert 0 < n < ZONING_ROW_THRESHOLD
+    assert zoning_mode("/root/testdata/sf0.001") == "global"
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
+    assert zoning_mode("/root/testdata/sf0.001") == "zoned"
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", "global")
+    assert zoning_mode("/root/testdata/sf0.001") == "global"
+
+
+def test_gated_queries_use_global_shape_at_fixture_scale(spark, monkeypatch):
+    """Below the row threshold the consumers must carry NO zoning
+    scaffolding — the fixed range-exchange/pin cost is exactly what the
+    gate removes at small inputs."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    monkeypatch.delenv("SPARK_GRAFT_ZONING", raising=False)
+    for name in ("rsi_14_per_event_type", "ema_20_per_event_type"):
+        out = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "__zone" not in plan, name
+        assert "spark_partition_id" not in plan, name
