@@ -69,40 +69,56 @@ def hll_union_estimate(
 # ---------------------------------------------------------------------------
 
 def mg_partition_candidates(
-    df: DataFrame, key_col: str, capacity: int
+    df: DataFrame, key_col: str, capacity: int, with_totals: bool = False
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``key_col`` — the candidate-
     generation half of the certified heavy-hitter pattern.
 
     Each partition keeps at most ``capacity`` keys; per Arrow batch the
-    batch's value counts fold into the summary, then the summary is trimmed
-    back to capacity by subtracting the minimum surviving weight (the
-    mergeable-summaries formulation of MG's decrement step, which preserves
-    the bound: a key whose true count within the partition exceeds
-    n_partition/(capacity+1) is guaranteed to survive). Summing across
-    partitions, every key with GLOBAL count > N/(capacity+1) appears in at
-    least one partition's output — the completeness fact the exact recount
-    relies on. Output is (key, mg_count) with mg_count an undercount;
-    consumers use only the key set.
+    batch's value counts fold into the summary (a vectorized pandas
+    index-aligned add, not a per-key Python loop), then the summary is
+    trimmed back to capacity by subtracting the minimum surviving weight
+    (the mergeable-summaries formulation of MG's decrement step, which
+    preserves the bound: a key whose true count within the partition
+    exceeds n_partition/(capacity+1) is guaranteed to survive). Summing
+    across partitions, every key with GLOBAL count > N/(capacity+1)
+    appears in at least one partition's output — the completeness fact
+    the exact recount relies on. Output is (key, mg_count) with mg_count
+    an undercount; consumers use only the key set.
+
+    ``with_totals=True`` additionally emits ONE NULL-key marker row per
+    partition carrying the partition's exact row count, so a consumer
+    that also needs N (the certificate denominator) reads it off the
+    summary relation instead of paying a second full scan of the fact.
     """
+    import numpy as np
     import pandas as pd
 
     field = df.schema[key_col]
 
     def _mg(batches):
-        counts: dict = {}
+        acc = None
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf[key_col].value_counts(dropna=True)
-            for key, c in vc.items():
-                counts[key] = counts.get(key, 0) + int(c)
-            if len(counts) > capacity:
+            acc = (
+                vc.astype("int64")
+                if acc is None
+                else acc.add(vc, fill_value=0).astype("int64")
+            )
+            if len(acc) > capacity:
                 # Trim: subtract the weight that empties the overflow —
                 # the (cap+1)-th largest value — in one pass.
-                cut = sorted(counts.values(), reverse=True)[capacity]
-                counts = {k: v - cut for k, v in counts.items() if v > cut}
-        yield pd.DataFrame(
-            {key_col: list(counts.keys()), "mg_count": list(counts.values())}
-        )
+                vals = acc.to_numpy()
+                cut = int(np.partition(vals, -capacity - 1)[-capacity - 1])
+                acc = acc[acc > cut] - cut
+        keys_out = [] if acc is None else acc.index.tolist()
+        cnts_out = [] if acc is None else acc.to_numpy().tolist()
+        if with_totals:
+            keys_out = keys_out + [None]
+            cnts_out = cnts_out + [n_part]
+        yield pd.DataFrame({key_col: keys_out, "mg_count": cnts_out})
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -144,14 +160,29 @@ def mg_heavy_hitters(
     """
     from pyspark.sql import Window
 
-    cands = mg_partition_candidates(df, key_col, capacity).select(key_col).distinct()
+    # One Python pass produces BOTH the candidate set and the certificate
+    # denominator N (NULL-key marker rows carry per-partition row counts)
+    # — folding away what used to be a third full scan of the fact. The
+    # summary relation is ≤ (capacity+1)·partitions rows; pin it so the
+    # candidate branch and the N branch hang off ONE materialization
+    # instead of each re-running the full MG pass.
+    summaries = mg_partition_candidates(
+        df, key_col, capacity, with_totals=True
+    ).localCheckpoint(eager=False)
+    cands = (
+        summaries.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+    )
     exact = (
         df.join(F.broadcast(cands), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     topk = exact.orderBy(F.desc("cnt"), key_col).limit(k)
-    n_total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    n_total = summaries.where(F.col(key_col).isNull()).agg(
+        F.coalesce(F.sum("mg_count"), F.lit(0)).alias("n_total")
+    )
     # kth count via a window over the k-row top-k result (k rows — the
     # single partition is trivial), NOT a second aggregate of the top-k
     # subtree: a crossJoin(agg(topk)) would re-execute the candidate
