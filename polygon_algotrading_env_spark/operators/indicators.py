@@ -336,7 +336,8 @@ def with_ema_closed_form(
     K = ema_block_size(span, block)
     dfp = _ema_scaffold(df, keys, order_cols, K, mode=mode)
     res = _ema_closed_form_pass(
-        dfp, keys, order_cols, K, [(price, span, out)], carry_terms
+        dfp, keys, order_cols, K,
+        [(price, 2.0 / (span + 1.0), out)], carry_terms,
     )
     return res.drop("__t", "__p", "__b")
 
@@ -372,17 +373,25 @@ def _ema_closed_form_pass(
     keys: Sequence[str],
     order_cols: Sequence[str],
     K: int,
-    specs: Sequence[tuple[str, int, str]],
+    specs: Sequence[tuple[str, float, str]],
     carry_terms: int,
+    seeded: bool = False,
 ) -> DataFrame:
-    """Evaluate one or more EMA recursions over a :func:`_ema_scaffold`
+    """Evaluate one or more exponential-smoothing recursions
+    x_t = (1−alpha)·x_{t-1} + alpha·y_t over a :func:`_ema_scaffold`
     frame in a single (window, block-agg, broadcast-join) round.
-    ``specs`` = (input column, span, output column) per recursion; all
+    ``specs`` = (input column, alpha, output column) per recursion; all
     recursions share the one in-block window node and the one tiny block
-    relation, so N EMAs over the same series cost one exchange total.
-    Keeps the scaffold columns so callers can chain further passes (the
-    follow-up window and block aggregate reuse the (keys, __b) hash
-    layout — no additional shuffle)."""
+    relation, so N smoothings over the same series cost one exchange
+    total. Keeps the scaffold columns so callers can chain further
+    passes (the follow-up window and block aggregate reuse the
+    (keys, __b) hash layout — no additional shuffle).
+
+    ``seeded=False`` (EMA convention): the first row seeds the recursion,
+    x_1 = y_1 (coefficient 1 at __t == 0). ``seeded=True``: every row
+    contributes with coefficient alpha and the caller injects an external
+    seed term (e.g. Kalman's warm-up terminal) as
+    ``out + (1−alpha)^(__t+1) · seed`` afterwards."""
     import math
 
     wb = (
@@ -391,17 +400,22 @@ def _ema_closed_form_pass(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     meta = []
-    for val, span, out in specs:
-        a = 2.0 / (span + 1.0)
+    for val, a, out in specs:
         r = 1.0 - a
         c = r**K
         # Enough carry lags that the dropped tail c^carry_terms < 1e-30 —
         # matters only when a caller forces a small block (tests).
         ct = max(carry_terms, math.ceil(70.0 / (K * math.log(1.0 / r))))
+        u = (
+            a * F.col(val)
+            if seeded
+            else F.when(F.col("__t") == 0, F.col(val)).otherwise(
+                a * F.col(val)
+            )
+        )
         dfp = dfp.withColumn(
             f"__u_{out}",
-            F.when(F.col("__t") == 0, F.col(val)).otherwise(a * F.col(val))
-            * F.pow(F.lit(r), -F.col("__p")),
+            u * F.pow(F.lit(r), -F.col("__p")),
         ).withColumn(
             f"__partial_{out}",
             F.pow(F.lit(r), F.col("__p")) * F.sum(f"__u_{out}").over(wb),
@@ -477,12 +491,16 @@ def with_macd_closed_form(
         keys,
         order_cols,
         K,
-        [(price, fast, "__ema_f"), (price, slow, "__ema_s")],
+        [
+            (price, 2.0 / (fast + 1.0), "__ema_f"),
+            (price, 2.0 / (slow + 1.0), "__ema_s"),
+        ],
         carry_terms,
     )
     dfp = dfp.withColumn("macd", F.col("__ema_f") - F.col("__ema_s"))
     dfp = _ema_closed_form_pass(
-        dfp, keys, order_cols, K, [("macd", signal, "macd_signal")],
+        dfp, keys, order_cols, K,
+        [("macd", 2.0 / (signal + 1.0), "macd_signal")],
         carry_terms,
     )
     return (
@@ -551,6 +569,140 @@ def with_kalman_level(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(_kalman, schema=schema)
+
+
+def kalman_gain_schedule(
+    q_var: float, r_var: float, n: int
+) -> list[float]:
+    """First ``n`` gains of the local-level Kalman filter — the
+    DATA-INDEPENDENT Riccati recursion (depends only on q/r and t),
+    evaluated once driver-side with the identical IEEE updates the
+    executor loop in :func:`with_kalman_level` performs: gains[0] = 0,
+    then pp = p + q; k = pp/(pp+r); p' = (1−k)·pp. The sequence
+    contracts geometrically (factor ≈ (1−K*)² per step), so for the
+    default q=1e-4, r=1e-2 it is CONVERGED TO THE DOUBLE (consecutive
+    gains bit-equal) long before t = 256."""
+    gains = [0.0]
+    p = r_var
+    for _ in range(1, n):
+        pp = p + q_var
+        k = pp / (pp + r_var)
+        gains.append(k)
+        p = (1.0 - k) * pp
+    return gains
+
+
+def with_kalman_level_closed_form(
+    df: DataFrame,
+    price: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    q_var: float = 1e-4,
+    r_var: float = 1e-2,
+    out: str = "kalman_level",
+    gain_col: str = "kalman_gain",
+    warmup: int = 256,
+    block: int = 512,
+    mode: str = "zoned",
+) -> DataFrame:
+    """Kalman local-level filter whose Python recursion is BOUNDED, not
+    data-sized — the scale rewrite of :func:`with_kalman_level` (round-10
+    verdict item 2's follow-up).
+
+    The gain schedule is data-independent and numerically converged
+    (consecutive gains bit-equal as doubles) by ``warmup`` steps, so the
+    level recursion splits exactly:
+
+    - **warm rows** (per-key positions < warmup): the time-varying-gain
+      recursion over at most keys×warmup rows — an Arrow grouped map over
+      a BOUNDED relation (256 rows per key regardless of data size),
+      with the gain schedule shipped as a closure constant;
+    - **steady rows**: gain is the converged constant K*, so
+      x_t = (1−K*)·x_{t-1} + K*·y_t — evaluated by the seeded
+      closed-form machinery (:func:`_ema_closed_form_pass`,
+      ``seeded=True``) plus the warm-up terminal injected as
+      ``(1−K*)^(t−warmup)·x_warm`` through a broadcast of the per-key
+      seed relation. The steady tail — the data-sized part — is pure JVM
+      window algebra sharing one zoned numbering.
+
+    Substituting K* for the exact K_t past ``warmup`` changes nothing
+    representable: |K_t − K*| contracts by ≈(1−K*)² per step (≈1e-26 of
+    the initial gap by t=256 for the default q/r — below one ulp of K),
+    and the induced level error is bounded by Σ|ΔK|·|y−x| ≪ 1e-12.
+    Equivalence to :func:`with_kalman_level` is pinned in tests across
+    block sizes and warm/steady straddles; the ``kalman_level_5m``
+    oracle certifies the whole chain cross-engine against the exact
+    recursive-CTE replay."""
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_row_number,
+    )
+
+    if warmup < 2:
+        raise ValueError("warmup must be >= 2")
+    gains = kalman_gain_schedule(q_var, r_var, warmup + 1)
+    kstar = gains[warmup]
+    r = 1.0 - kstar
+    import math
+
+    K = max(1, min(block, int(600.0 / math.log(1.0 / r))))
+
+    dfr = zoned_row_number(df, keys, order_cols, rn_col="__rn1", mode=mode)
+    warm = dfr.where(F.col("__rn1") <= warmup)
+    steady = dfr.where(F.col("__rn1") > warmup)
+
+    # Warm rows: bounded grouped map (≤ warmup rows per key).
+    warm_schema = StructType(
+        warm.schema.fields
+        + [StructField(out, DoubleType()), StructField(gain_col, DoubleType())]
+    )
+    order_list = list(order_cols)
+    import numpy as np
+
+    def _warm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list)
+        y = pdf[price].to_numpy(dtype=np.float64)
+        n = len(y)
+        levels = np.empty(n)
+        gs = np.empty(n)
+        if n:
+            x = y[0]
+            levels[0] = x
+            gs[0] = 0.0
+            for i in range(1, n):
+                k = gains[i]
+                x = x + k * (y[i] - x)
+                levels[i] = x
+                gs[i] = k
+        pdf[out] = levels
+        pdf[gain_col] = gs
+        return pdf
+
+    warm_out = warm.groupBy(*keys).applyInPandas(_warm, schema=warm_schema)
+    # Pin: the seed branch and the warm output branch must share one
+    # execution of the bounded grouped map.
+    warm_out = warm_out.localCheckpoint(eager=False)
+    seeds = warm_out.where(F.col("__rn1") == warmup).select(
+        *keys, F.col(out).alias("__seed")
+    )
+
+    steady = (
+        steady.withColumn("__t", F.col("__rn1") - F.lit(warmup + 1))
+        .withColumn("__p", F.col("__t") % K)
+        .withColumn("__b", F.floor(F.col("__t") / K))
+    )
+    steady = _ema_closed_form_pass(
+        steady, keys, order_cols, K, [(price, kstar, out)], 14, seeded=True
+    )
+    steady_out = (
+        steady.join(F.broadcast(seeds), list(keys))
+        .withColumn(
+            out,
+            F.col(out) + F.col("__seed") * F.pow(F.lit(r), F.col("__t") + 1),
+        )
+        .withColumn(gain_col, F.lit(kstar))
+        .drop("__t", "__p", "__b", "__seed")
+    )
+    return warm_out.unionByName(steady_out).drop("__rn1")
 
 
 def cusum_changepoint(

@@ -1590,29 +1590,36 @@ def kyle_lambda_5m(spark, sf_dir):
 )
 def kalman_level_5m(spark, sf_dir):
     """Kalman local-level denoised close per symbol — oracle-bearing since
-    round 8: the closed-form scalar recursion replays in a DuckDB
-    recursive CTE (the PageRank-oracle recipe applied to a per-row
-    recursion). The gain chain is data-independent so it recurses on ONE
-    row per step; the level chain advances every symbol in lockstep, and
-    both engines evaluate the identical update expression x + k*(y − x)
-    on identical 2-decimal closes, so the replay is bit-exact and the
-    round-6 grid is untouched by float noise. Steady-state/limit property
-    tests remain in tests/test_indicators.py. Output exposes the filtered
-    level and the gain so downstream signals can threshold on both."""
+    round 8, and since round 11 BOUNDED in its Python: the data-
+    independent gain schedule converges to the double by t=256, so
+    with_kalman_level_closed_form runs the time-varying warm-up as an
+    Arrow grouped map over at most keys×256 rows and the data-sized
+    steady tail as the seeded constant-coefficient closed form (pure JVM
+    window algebra on the shared zoned scaffold) — no applyInPandas ever
+    touches more than 256 rows per key. The DuckDB oracle still replays
+    the EXACT recursion in a recursive CTE (gain chain on one row per
+    step, level chain in lockstep across symbols), so the hash match
+    certifies warm-recursion + steady closed form ≡ exact recursion
+    cross-engine (differences ≤ ~1e-13, five orders under the round-6
+    grid). Steady-state/limit property tests remain in
+    tests/test_indicators.py. Output exposes the filtered level and the
+    gain so downstream signals can threshold on both."""
     from polygon_algotrading_env_spark.operators.indicators import (
-        with_kalman_level,
+        with_kalman_level_closed_form,
     )
+    from polygon_algotrading_env_spark.operators.zonedroll import zoning_mode
 
     bars = _bars(spark, sf_dir, "5 minutes").select(
         "event_type", "bucket_start", "close"
     )
-    out = with_kalman_level(
+    out = with_kalman_level_closed_form(
         bars,
         "close",
         keys=("event_type",),
         order_cols=("bucket_start",),
         q_var=1e-4,
         r_var=1e-2,
+        mode=zoning_mode(sf_dir),
     )
     return out.select(
         "event_type",

@@ -448,3 +448,64 @@ def test_acf_query_matches_numpy_reference(spark):
         # rho is emitted on the 6-decimal grid
         assert abs(row["rho"] - ref) < 6e-7
     assert pd.notna(out["rho"]).all()
+
+
+def test_kalman_closed_form_matches_recursion(spark):
+    """Warm-up grouped map (bounded keys×warmup rows) + seeded constant-
+    gain closed form must equal the full sequential recursion — gains
+    bit-exact, levels within float reassociation noise — across forced
+    block sizes, warmups, and a group shorter than the warmup."""
+    import numpy as np
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        kalman_gain_schedule,
+        with_kalman_level,
+        with_kalman_level_closed_form,
+    )
+
+    # the schedule converges to the DOUBLE well inside the default warmup
+    g = kalman_gain_schedule(1e-4, 1e-2, 300)
+    assert any(g[i] == g[i + 1] for i in range(1, 257)), "not converged"
+
+    rng = np.random.default_rng(7)
+    n = 700
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], n)[: 2 * n + 100],
+            "seq": np.concatenate(
+                [np.arange(n), np.arange(n), np.arange(100)]
+            ),
+            "x": np.round(rng.uniform(50, 200, 2 * n + 100), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ref = {
+        (r["k"], r["seq"]): (r["kalman_level"], r["kalman_gain"])
+        for r in with_kalman_level(df, "x", ["k"], ["seq"]).collect()
+    }
+    for warmup, block in [(256, 512), (256, 16), (300, 32)]:
+        got = {
+            (r["k"], r["seq"]): (r["kalman_level"], r["kalman_gain"])
+            for r in with_kalman_level_closed_form(
+                df, "x", ["k"], ["seq"], warmup=warmup, block=block
+            ).collect()
+        }
+        assert set(got) == set(ref)
+        assert max(abs(got[k][0] - ref[k][0]) for k in ref) < 1e-9
+        assert all(got[k][1] == ref[k][1] for k in ref)  # gains bit-exact
+
+
+def test_kalman_closed_form_python_is_bounded(spark):
+    """Python must never see the data-sized steady tail: the warm-up
+    grouped map lives behind the bounded localCheckpoint pin (surfacing
+    as a LogicalRDD, keys×warmup rows), so the final plan carries NO
+    FlatMapGroupsInPandas at all, and the steady branch is filtered to
+    positions past the warm-up bound."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    out = REGISTRY["kalman_level_5m"].fn(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 0, plan[:400]
+    assert "> 256" in plan, "steady-tail warm-up bound missing"
+    assert "LogicalRDD" in plan, "pinned warm-up relation missing"
