@@ -442,3 +442,159 @@ def stream_rsi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MACD: O(1) state per key (three EMA recursions)
+# ---------------------------------------------------------------------------
+
+_MACD_STATE_SCHEMA = (
+    "ema_f double, ema_s double, sig double, started boolean, last_ts long"
+)
+_MACD_OUTPUT_SCHEMA = (
+    "symbol string, ts timestamp, close double, macd double, "
+    "macd_signal double, macd_hist double"
+)
+
+
+def stream_macd(
+    stream: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """Live MACD(fast, slow, signal) per key — the streaming twin of the
+    batch ``with_macd_closed_form`` plan, carried as THREE doubles of
+    state per key (the fast/slow price EMAs and the signal EMA of their
+    difference, each seeded at the first observation exactly like
+    pandas ``ewm(adjust=False)``). Equivalence with both the pandas
+    recursion and the fused closed-form batch plan is pinned in tests,
+    as is checkpointed state across a kill/restart. Same cross-batch
+    monotonicity guard as :func:`stream_cusum`: rows at or behind the
+    last applied event time are dropped, not retro-applied."""
+    af = 2.0 / (fast + 1)
+    as_ = 2.0 / (slow + 1)
+    ag = 2.0 / (signal + 1)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ema_f, ema_s, sig = 0.0, 0.0, 0.0
+        started, last_ts = False, -(1 << 62)
+        if state.exists:
+            ema_f, ema_s, sig, started, last_ts = state.get
+        out = []
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
+                if t <= last_ts:
+                    continue
+                px = float(px)
+                if not started:
+                    ema_f, ema_s, started = px, px, True
+                    macd = 0.0
+                    sig = macd
+                else:
+                    ema_f = ema_f + af * (px - ema_f)
+                    ema_s = ema_s + as_ * (px - ema_s)
+                    macd = ema_f - ema_s
+                    sig = sig + ag * (macd - sig)
+                out.append((key[0], t, px, ema_f - ema_s, sig))
+                last_ts = t
+        state.update((ema_f, ema_s, sig, started, last_ts))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "close": [r[2] for r in out],
+                    "macd": [r[3] for r in out],
+                    "macd_signal": [r[4] for r in out],
+                    "macd_hist": [r[3] - r[4] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_MACD_OUTPUT_SCHEMA,
+        stateStructType=_MACD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Kalman local-level filter: O(1) state per key
+# ---------------------------------------------------------------------------
+
+_KALMAN_STATE_SCHEMA = (
+    "x double, p double, started boolean, last_ts long"
+)
+_KALMAN_OUTPUT_SCHEMA = (
+    "symbol string, ts timestamp, close double, kalman_level double, "
+    "kalman_gain double"
+)
+
+
+def stream_kalman_level(
+    stream: DataFrame,
+    q_var: float = 1e-4,
+    r_var: float = 1e-2,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "close",
+) -> DataFrame:
+    """Live Kalman local-level filter per key — the streaming twin of the
+    batch ``with_kalman_level_closed_form`` plan, carried as TWO doubles
+    of state per key (the level estimate and the error variance; the
+    gain recursion pp = p + q, k = pp/(pp+r), p' = (1−k)·pp continues
+    exactly from the checkpointed p, so a restart resumes the SAME gain
+    schedule the batch warm-up evaluates). First observation seeds
+    x = y with prior variance r_var and gain 0, matching the batch
+    operator. Equivalence with the sequential recursion is pinned in
+    tests, as is checkpointed state across a kill/restart. Same
+    cross-batch monotonicity guard as :func:`stream_cusum`."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        x, p, started, last_ts = 0.0, r_var, False, -(1 << 62)
+        if state.exists:
+            x, p, started, last_ts = state.get
+        out = []
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, px in zip(ts_us.tolist(), pdf[price_col].tolist()):
+                if t <= last_ts:
+                    continue
+                px = float(px)
+                if not started:
+                    x, p, started = px, r_var, True
+                    k = 0.0
+                else:
+                    pp = p + q_var
+                    k = pp / (pp + r_var)
+                    x = x + k * (px - x)
+                    p = (1.0 - k) * pp
+                out.append((key[0], t, px, x, k))
+                last_ts = t
+        state.update((x, p, started, last_ts))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "symbol": [r[0] for r in out],
+                    "ts": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "close": [r[2] for r in out],
+                    "kalman_level": [r[3] for r in out],
+                    "kalman_gain": [r[4] for r in out],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_KALMAN_OUTPUT_SCHEMA,
+        stateStructType=_KALMAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

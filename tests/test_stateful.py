@@ -471,3 +471,178 @@ def test_merged_sorted_restores_cross_chunk_order():
     assert merged["v"].tolist() == ["a", "b", "c", "d"]
     assert _merged_sorted(iter([]), "ts") is None
     assert _merged_sorted(iter([pd.DataFrame({"ts": []})]), "ts") is None
+
+
+# --- streaming MACD ≡ batch (pandas recursion AND fused closed form) --------
+
+
+def test_stream_macd_equals_batch(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_macd,
+        with_macd_closed_form,
+    )
+    from polygon_algotrading_env_spark.streaming.stateful import stream_macd
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    px = [100.0, 101.5, 99.0, 103.0, 97.5, 104.2, 100.1, 102.3, 98.8, 101.0]
+    rows = []
+    for i, p in enumerate(px):
+        rows.append(("X", t0 + timedelta(minutes=5 * i), p))
+        rows.append(("Y", t0 + timedelta(minutes=5 * i), 2 * p + 1))
+    src = f"{tmpdir}/src"
+    # two files → two micro-batches → the recursions must carry across
+    spark.createDataFrame(rows[:12], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows[12:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(BAR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_macd(stream, fast=3, slow=5, signal=2)
+        .writeStream.format("memory")
+        .queryName("macd_s")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): (r["macd"], r["macd_signal"], r["macd_hist"])
+        for r in spark.sql("SELECT * FROM macd_s").collect()
+    }
+    assert len(got) == len(rows)
+    bars = spark.createDataFrame(rows, BAR_SCHEMA)
+    # law 1: the pandas sequential recursion, tight tolerance
+    ref = {
+        (r["symbol"], r["ts"]): (r["macd"], r["macd_signal"], r["macd_hist"])
+        for r in with_macd(
+            bars, "close", ["symbol"], ["ts"], fast=3, slow=5, signal=2
+        ).collect()
+    }
+    for k, v in ref.items():
+        for i in range(3):
+            assert abs(got[k][i] - v[i]) < 1e-12, (k, i)
+    # law 2: the fused closed-form batch plan, float-noise tolerance
+    cf = {
+        (r["symbol"], r["ts"]): (r["macd"], r["macd_signal"], r["macd_hist"])
+        for r in with_macd_closed_form(
+            bars, "close", ["symbol"], ["ts"], fast=3, slow=5, signal=2
+        ).collect()
+    }
+    for k, v in cf.items():
+        for i in range(3):
+            assert abs(got[k][i] - v[i]) < 1e-9, (k, i)
+
+
+def test_stream_macd_state_survives_restart(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.indicators import with_macd
+    from polygon_algotrading_env_spark.streaming.stateful import stream_macd
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    px = [100.0, 102.0, 99.5, 101.0, 98.0, 103.5]
+    rows = [("X", t0 + timedelta(minutes=5 * i), p) for i, p in enumerate(px)]
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run_fb():
+        stream = spark.readStream.schema(BAR_SCHEMA).parquet(src)
+        q = (
+            stream_macd(stream, fast=3, slow=5, signal=2)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:3], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # first run, then the query is gone (kill)
+    spark.createDataFrame(rows[3:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # restart from the checkpoint: recursions must continue
+    got = {(r["symbol"], r["ts"]): r["macd_signal"] for r in collected}
+    bars = spark.createDataFrame(rows, BAR_SCHEMA)
+    ref = {
+        (r["symbol"], r["ts"]): r["macd_signal"]
+        for r in with_macd(
+            bars, "close", ["symbol"], ["ts"], fast=3, slow=5, signal=2
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+# --- streaming Kalman ≡ batch recursion --------------------------------------
+
+
+def test_stream_kalman_equals_batch_and_survives_restart(spark, tmpdir):
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level,
+    )
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_kalman_level,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    px = [100.0, 101.5, 99.0, 103.0, 97.5, 104.2, 100.1, 102.3]
+    rows = []
+    for i, p in enumerate(px):
+        rows.append(("X", t0 + timedelta(minutes=5 * i), p))
+        rows.append(("Y", t0 + timedelta(minutes=5 * i), 2 * p + 1))
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run_fb():
+        stream = spark.readStream.schema(BAR_SCHEMA).parquet(src)
+        q = (
+            stream_kalman_level(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:6], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # first run (kill after)
+    spark.createDataFrame(rows[6:], BAR_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # restart: gain AND level recursions continue from state
+    got = {
+        (r["symbol"], r["ts"]): (r["kalman_level"], r["kalman_gain"])
+        for r in collected
+    }
+    bars = spark.createDataFrame(rows, BAR_SCHEMA)
+    ref = {
+        (r["symbol"], r["ts"]): (r["kalman_level"], r["kalman_gain"])
+        for r in with_kalman_level(bars, "close", ["symbol"], ["ts"]).collect()
+    }
+    assert len(got) == len(rows)
+    for k, v in ref.items():
+        assert abs(got[k][0] - v[0]) < 1e-12, k
+        assert got[k][1] == v[1], k  # gains bit-exact
