@@ -6557,6 +6557,18 @@ def ljung_box_returns_5m(spark, sf_dir):
     v = bars.select("event_type", "bucket_start", r.alias("r")).where(
         F.col("r").isNotNull()
     )
+    return _ljung_box_q5(v, "lb_q5")
+
+
+def _ljung_box_q5(v, q_name):
+    """Shared Ljung-Box Q(5) machinery over a (event_type, bucket_start,
+    r) relation: mean-adjust per key, one window pass carrying five lag
+    columns, S_k sums, ρ̂_k = S_k/S_0, Q = n(n+2)·Σ ρ̂_k²/(n−k).
+    ``ljung_box_returns_5m`` feeds log returns; the McLeod-Li variant
+    feeds SQUARED returns through the identical expressions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
     mu = v.groupBy("event_type").agg(
         (F.sum("r") / F.count(F.lit(1))).alias("m")
     )
@@ -6591,5 +6603,85 @@ def ljung_box_returns_5m(spark, sf_dir):
         F.round(F.col("s1") / F.col("s0"), 6).alias("rho1"),
         F.round(F.col("s2") / F.col("s0"), 6).alias("rho2"),
         F.round(F.col("s3") / F.col("s0"), 6).alias("rho3"),
-        F.round(q, 4).alias("lb_q5"),
+        F.round(q, 4).alias(q_name),
     )
+
+
+# --- McLeod-Li test: ARCH effects via Ljung-Box on squared returns ----------
+@register(
+    "mcleod_li_squared_returns_5m",
+    oracle=_HLC_BARS_CTE + """
+    , lr AS (
+      SELECT event_type, bucket_start,
+             ln(nullif(close, 0)
+                / nullif(lag(close) OVER (PARTITION BY event_type
+                                          ORDER BY bucket_start), 0)) AS r0
+      FROM bars
+    ),
+    v AS (
+      SELECT event_type, bucket_start, r0 * r0 AS r
+      FROM lr WHERE r0 IS NOT NULL
+    ),
+    mu AS (SELECT event_type, sum(r) / count(*) AS m FROM v GROUP BY 1),
+    x AS (
+      SELECT v.event_type, v.bucket_start, v.r - mu.m AS x
+      FROM v JOIN mu ON v.event_type = mu.event_type
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+             lag(x, 5) OVER w AS x5
+      FROM x
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x * x)                AS s0,
+             sum(x * coalesce(x1, 0))  AS s1,
+             sum(x * coalesce(x2, 0))  AS s2,
+             sum(x * coalesce(x3, 0))  AS s3,
+             sum(x * coalesce(x4, 0))  AS s4,
+             sum(x * coalesce(x5, 0))  AS s5
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / s0, 6) AS rho1,
+           round(s2 / s0, 6) AS rho2,
+           round(s3 / s0, 6) AS rho3,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * ((s1 / s0) * (s1 / s0) / (CAST(n AS DOUBLE) - 1.0)
+                    + (s2 / s0) * (s2 / s0) / (CAST(n AS DOUBLE) - 2.0)
+                    + (s3 / s0) * (s3 / s0) / (CAST(n AS DOUBLE) - 3.0)
+                    + (s4 / s0) * (s4 / s0) / (CAST(n AS DOUBLE) - 4.0)
+                    + (s5 / s0) * (s5 / s0) / (CAST(n AS DOUBLE) - 5.0)),
+                 4) AS ml_q5
+    FROM s
+    """,
+)
+def mcleod_li_squared_returns_5m(spark, sf_dir):
+    """McLeod-Li test (h = 5 lags) on SQUARED 5-minute log returns per
+    symbol — the standard ARCH-effect diagnostic: returns can pass
+    Ljung-Box (no linear autocorrelation) while their squares don't
+    (volatility clusters), which is the evidence a risk pipeline needs
+    before trusting the EWMA/GARCH family it fits next (complements the
+    certified ``ewma_vol_5m``). Same certified portmanteau machinery as
+    ``ljung_box_returns_5m`` (one window pass with five lag columns,
+    ρ̂_k = S_k/S_0, Q = n(n+2)·Σ ρ̂_k²/(n−k)) fed x = r² − mean(r²);
+    round-6 on ρ, round-4 on the n-scaled Q. Bar-level windows — the
+    calendar-bounded regime."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = F.log(
+        F.nullif(F.col("close"), F.lit(0))
+        / F.nullif(F.lag("close").over(w), F.lit(0))
+    )
+    v = bars.select(
+        "event_type", "bucket_start", (r * r).alias("r")
+    ).where(F.col("r").isNotNull())
+    return _ljung_box_q5(v, "ml_q5")

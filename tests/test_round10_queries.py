@@ -364,3 +364,36 @@ def test_atkinson_closed_form_vs_mld(spark):
     gm = math.exp(sum(math.log(v) for v in vals) / n)
     atkinson = 1.0 - gm / mu
     assert abs(atkinson - (1.0 - math.exp(-mld))) < 1e-15
+
+
+def test_mcleod_li_detects_planted_arch_effects(spark):
+    """Semantics of the McLeod-Li variant: a series with volatility
+    clustering but no linear autocorrelation must light up Q(r^2) while
+    Q(r) stays small — the exact separation the ARCH diagnostic exists
+    for. Built on the shared _ljung_box_q5 helper the certified queries
+    use."""
+    import random
+
+    from polygon_algotrading_env_spark.queries.timeseries import (
+        _ljung_box_q5,
+    )
+
+    rnd = random.Random(17)
+    rs = []
+    for block in range(40):               # 40 blocks of 25 bars
+        sigma = 0.02 if block % 2 == 0 else 0.35   # clustered volatility
+        for _ in range(25):
+            rs.append(rnd.gauss(0, sigma))  # signs i.i.d. -> no linear AC
+    rows = [("g", i, v) for i, v in enumerate(rs)]
+    plain = spark.createDataFrame(
+        rows, "event_type string, bucket_start int, r double"
+    )
+    squared = plain.select(
+        "event_type", "bucket_start", (F.col("r") * F.col("r")).alias("r")
+    )
+    q_plain = _ljung_box_q5(plain, "q").collect()[0]["q"]
+    q_sq = _ljung_box_q5(squared, "q").collect()[0]["q"]
+    # chi2(5) critical value at 1% is 15.09: squares reject hard,
+    # plain returns don't come near
+    assert q_sq > 100.0, q_sq
+    assert q_plain < 15.0, q_plain
