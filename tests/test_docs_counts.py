@@ -93,3 +93,27 @@ def test_quoted_scale_metrics_match_scale_detail():
     m = re.search(r"worst headliner (\w+) at ([\d.]+)×", arch)
     assert m, "ARCHITECTURE.md worst-headliner claim missing or reworded"
     assert (m.group(1), float(m.group(2))) == (worst_head, worst_head_r)
+
+    # round-11 like-plan claims: the adaptively-gated consumers' zoned
+    # scaling quoted in both docs must match gated_ratio_vs_zoned_base
+    gated = detail["gated_ratio_vs_zoned_base"]
+    for text, src in ((cov, "COVERAGE.md"), (arch, "ARCHITECTURE.md")):
+        m = re.search(r"like-plan zoned (?:ratio|scaling) is ([\d.]+)×", text)
+        m = m or re.search(r"like-plan zoned ratio .*? is ([\d.]+)×", text)
+        assert m, f"{src} like-plan spearman claim missing or reworded"
+        assert float(m.group(1)) == gated["spearman_qty_price_by_flag"], src
+    m = re.search(
+        r"rsi ([\d.]+)×, hurst ([\d.]+)×, ema ([\d.]+)×, ewma-vol ([\d.]+)×,"
+        r" macd ([\d.]+)×, spearman ([\d.]+)× like-plan",
+        arch,
+    )
+    assert m, "ARCHITECTURE.md gated like-plan table missing or reworded"
+    quoted = [float(g) for g in m.groups()]
+    assert quoted == [
+        gated["rsi_14_per_event_type"],
+        gated["hurst_exponent_by_type"],
+        gated["ema_20_per_event_type"],
+        gated["ewma_vol_5m"],
+        gated["macd_12_26_9_5m"],
+        gated["spearman_qty_price_by_flag"],
+    ], quoted
