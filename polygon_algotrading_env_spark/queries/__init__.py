@@ -218,12 +218,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kalman_level_5m",
 )
 
-# Round-12 rotation candidates (never driver-certified, oracle-bearing,
-# hash-matched locally): consult `python -c "from
-# polygon_algotrading_env_spark.queries import certified_union_report"`
-# style tooling or COVERAGE.md's census; prefer families with zero
-# recorded driver rows. Rotate against slots whose names hold >=2
-# recorded green rounds.
+# Round-12 rotation candidates — 145 never-driver-certified
+# oracle-bearing names remain (all hash-matched by tools/oracle_check.py
+# locally). Natural next cohorts, tier by tier:
+# (a) the indicator tier: bollinger_20_5m, atr_14_5m, donchian_20_5m,
+#     stochastic_14_3_5m, obv_5m, variance_ratio_4x_5m,
+#     realized_vol_12bar_5m, rolling_zscore_anomalies_5m,
+#     mcleod_li_squared_returns_5m (r11 addition);
+# (b) the microstructure tier: roll_spread_estimator,
+#     amihud_illiquidity_daily, kyle_lambda_5m, corwin_schultz_spread,
+#     tick_rule_ofi, vwap_slippage_by_symbol;
+# (c) the portfolio/risk tier: var_es_daily, deflated_sharpe_zscore,
+#     risk_adjusted_metrics_5m, inverse_vol_portfolio, ulcer_index_5m,
+#     max_drawdown_duration_5m;
+# (d) the curation tier: quality_filter_docs, redact_pii_docs,
+#     train_test_contamination, balanced_downsample_per_lang,
+#     gopher_repetition_filters, boilerplate_ngrams;
+# (e) SQL-surface: cube_flag_status, grouping_sets_flag_status,
+#     pipe_syntax_priority_revenue, sql_udf_discounted_pricing.
+# Rotate against slots whose names hold >=2 recorded green rounds
+# (after the r11 driver run: the 22 round-10 entrants each hold 2).
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
