@@ -240,3 +240,28 @@ def test_gated_queries_use_global_shape_at_fixture_scale(spark, monkeypatch):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "__zone" not in plan, name
         assert "spark_partition_id" not in plan, name
+
+
+def test_gated_queries_identical_across_shapes(spark, monkeypatch):
+    """End-to-end equivalence law for every adaptively-gated query: the
+    forced-global and forced-zoned plans must produce the SAME rows
+    through the registry functions (the law each mode's oracle hash
+    certifies separately, asserted here directly in one run)."""
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    gated = (
+        "rsi_14_per_event_type",
+        "hurst_exponent_by_type",
+        "ema_20_per_event_type",
+        "ewma_vol_5m",
+        "macd_12_26_9_5m",
+        "kalman_level_5m",
+        "spearman_qty_price_by_flag",
+    )
+    sf = "/root/testdata/sf0.001"
+    for name in gated:
+        monkeypatch.setenv("SPARK_GRAFT_ZONING", "global")
+        a = {tuple(r) for r in REGISTRY[name].fn(spark, sf).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
+        b = {tuple(r) for r in REGISTRY[name].fn(spark, sf).collect()}
+        assert a == b, name
