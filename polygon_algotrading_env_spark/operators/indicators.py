@@ -640,6 +640,17 @@ def with_kalman_level_closed_form(
     if warmup < 2:
         raise ValueError("warmup must be >= 2")
     gains = kalman_gain_schedule(q_var, r_var, warmup + 1)
+    if gains[warmup] != gains[warmup - 1]:
+        # The split is only exact once the schedule has converged to the
+        # DOUBLE inside the warm-up (contraction ≈ (1−K*)² per step; for
+        # q ≪ r, K* ≈ √(q/r) and convergence slows like 1−2√(q/r)).
+        # A silently-unconverged tail would drift from the true filter —
+        # fail loudly and tell the caller the fix.
+        raise ValueError(
+            f"gain schedule not converged within warmup={warmup} for "
+            f"q_var={q_var}, r_var={r_var}; raise warmup (needs roughly "
+            "70/ln(1/(1-K*)^2) steps) or use with_kalman_level"
+        )
     kstar = gains[warmup]
     r = 1.0 - kstar
     import math

@@ -509,3 +509,22 @@ def test_kalman_closed_form_python_is_bounded(spark):
     assert plan.count("FlatMapGroupsInPandas") == 0, plan[:400]
     assert "> 256" in plan, "steady-tail warm-up bound missing"
     assert "LogicalRDD" in plan, "pinned warm-up relation missing"
+
+
+def test_kalman_closed_form_rejects_unconverged_schedule(spark):
+    """q << r slows the Riccati contraction to ~1-2*sqrt(q/r) per step;
+    a constant-K* tail before double-convergence would silently drift
+    from the true filter, so the operator must refuse it loudly."""
+    import pandas as pd
+
+    from polygon_algotrading_env_spark.operators.indicators import (
+        with_kalman_level_closed_form,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 10, "seq": range(10), "x": [1.0] * 10})
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        with_kalman_level_closed_form(
+            df, "x", ["k"], ["seq"], q_var=1e-9, r_var=1e-2, warmup=64
+        )
