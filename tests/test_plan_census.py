@@ -25,6 +25,22 @@ def test_registry_plan_census_clean(spark, sf_dir):
     )
 
 
+def test_gated_queries_census_clean_in_zoned_shape(spark, sf_dir, monkeypatch):
+    """The full-registry census above sees the GLOBAL shape at fixture
+    scale (the adaptive gate); the zoned shape the 100 TB path takes must
+    pass the same scale-killer rules. (A one-off full-registry census
+    under SPARK_GRAFT_ZONING=zoned also ran clean in round 11 — only
+    these seven queries change shape with the gate.)"""
+    monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
+    gated = [
+        "rsi_14_per_event_type", "hurst_exponent_by_type",
+        "ema_20_per_event_type", "ewma_vol_5m", "macd_12_26_9_5m",
+        "kalman_level_5m", "spearman_qty_price_by_flag",
+    ]
+    violations = census_violations(spark, sf_dir, names=gated)
+    assert not violations, violations
+
+
 def test_smj_allowlist_entries_still_exist():
     """A stale allowlist entry means a query was renamed/removed without
     updating the census — tighten rather than accumulate."""
