@@ -263,43 +263,53 @@ def main() -> None:
         spot_ratios = {
             n: round(spot_100[n] / spot_base[n], 2)
             for n in SPOT
-            if spot_base.get(n)
+            if spot_base.get(n) and spot_100.get(n)
         }
         spot_worst = (
             max(spot_ratios, key=spot_ratios.get) if spot_ratios else None
         )
-        # Like-plan base for the adaptively-gated consumers (round-11):
-        # below the zoning row threshold these queries run the GLOBAL
-        # shape, so their plain 100x/1x ratio measures gate-crossing
-        # (small plan at 1x, zoned plan at 100x), not plan scaling. A
-        # forced-zoned 1x base is recorded alongside so the committed
-        # evidence carries BOTH: the user-experienced wall ratio and the
-        # like-plan scaling of the zoned shape.
-        GATED = [
-            "rsi_14_per_event_type", "hurst_exponent_by_type",
-            "ema_20_per_event_type", "ewma_vol_5m", "macd_12_26_9_5m",
-            "spearman_qty_price_by_flag",
-        ]
+        # Like-plan evidence for the adaptively-gated consumers (r11/r12):
+        # the gate picks zoned/global by the input table's row count, so
+        # the plain 100x/1x ratio above measures gate-crossing whenever
+        # one side falls below the threshold — and at 100x of sf0.01 the
+        # events table is only 1M rows (< 2M threshold), so even the 100x
+        # side of the unforced run is the GLOBAL shape for the five
+        # events-derived queries. Both sides of the like-plan measurement
+        # are therefore FORCED zoned here: zoned@100x / zoned@1x is the
+        # scaling of the one shape that runs at cluster scale.
+        from polygon_algotrading_env_spark.operators.zonedroll import (
+            GATED_QUERIES as GATED,
+        )
         zoned_base: dict[str, float] = {}
+        zoned_100: dict[str, float] = {}
+        _prior_zoning = os.environ.get("SPARK_GRAFT_ZONING")
         os.environ["SPARK_GRAFT_ZONING"] = "zoned"
         try:
             for pass_no in range(2):
                 for name in GATED:
-                    t = _timed(
-                        REGISTRY[name].fn, sf_dir,
-                        f"zoned-base pass{pass_no} {name}",
-                    )
-                    if t is None:
-                        continue
-                    zoned_base[name] = min(zoned_base.get(name, t), t)
-                    _unpersist_all(spark, gc=True)
+                    for tag, d, acc in (
+                        ("1x", sf_dir, zoned_base),
+                        ("100x", scaled100, zoned_100),
+                    ):
+                        t = _timed(
+                            REGISTRY[name].fn, d,
+                            f"zoned pass{pass_no} {tag} {name}",
+                        )
+                        if t is None:
+                            continue
+                        acc[name] = min(acc.get(name, t), t)
+                        _unpersist_all(spark, gc=True)
         finally:
-            del os.environ["SPARK_GRAFT_ZONING"]
-        _x100 = {**spot_100, **sf100_q}
+            # Restore, never destroy, a user-preset override (a run
+            # forced to one shape for the whole bench must stay forced).
+            if _prior_zoning is None:
+                os.environ.pop("SPARK_GRAFT_ZONING", None)
+            else:
+                os.environ["SPARK_GRAFT_ZONING"] = _prior_zoning
         zoned_ratios = {
-            n: round(_x100[n] / zoned_base[n], 2)
+            n: round(zoned_100[n] / zoned_base[n], 2)
             for n in GATED
-            if zoned_base.get(n) and _x100.get(n)
+            if zoned_base.get(n) and zoned_100.get(n)
         }
         # Names whose every attempt failed must be VISIBLE in the
         # committed evidence (an empty list certifies full coverage);
@@ -315,6 +325,7 @@ def main() -> None:
             "ratio_vs_base": ratios,
             "failed": sf100_failed,
             "gated_zoned_base": zoned_base,
+            "gated_zoned_x100": zoned_100,
             "gated_ratio_vs_zoned_base": zoned_ratios,
             **({"worst": {worst: ratios[worst]}} if worst else {}),
             "spot": {

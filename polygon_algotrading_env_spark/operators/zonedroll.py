@@ -80,6 +80,22 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 # stay plan-law-tested via the SPARK_GRAFT_ZONING override.
 ZONING_ROW_THRESHOLD = 2_000_000
 
+# The registered queries whose PHYSICAL SHAPE changes with the gate —
+# the canonical list consumed by the zoned plan census
+# (tests/test_plan_census.py), the like-plan scale probes (bench.py),
+# and the per-round dual-shape oracle evidence (tools/zoned_oracle.py /
+# ZONED_ORACLE.json). A new zoning_mode() consumer must be added here
+# in the same commit so every surface certifies both its shapes.
+GATED_QUERIES: tuple[str, ...] = (
+    "rsi_14_per_event_type",
+    "hurst_exponent_by_type",
+    "ema_20_per_event_type",
+    "ewma_vol_5m",
+    "macd_12_26_9_5m",
+    "kalman_level_5m",
+    "spearman_qty_price_by_flag",
+)
+
 
 def zoning_mode(sf_dir: str, table: str = "events") -> str:
     """Pick ``"zoned"`` or ``"global"`` for consumers deriving from

@@ -130,28 +130,51 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-11 rotation (per r10 VERDICT item 1): TWENTY-SIX slots whose
-    # names hold 2-8 recorded green rounds each retire to
-    # PRIOR_DRIVER_CERTIFIED (rsi_14_per_event_type,
-    # exact_percentiles_per_flag, doc_fingerprints, simhash_docs,
-    # minhash_near_dup_pairs, ema_20_per_event_type,
-    # minhash_md5_band_pairs, winnow_md5_overlap_pairs,
-    # simhash_md5_signatures, auc_urgent_price_by_status,
-    # spearman_qty_price_by_flag, confusion_f1_price_median,
-    # k_anonymous_customer_release, kcore80_copurchase_parts,
-    # bfs_hops_part_supplier, hits_part_supplier_top10, pq_ann_topk,
-    # bootstrap_sharpe_ci, hurst_exponent_by_type,
-    # pagerank_copurchase_top20, ppr_related_parts,
-    # full_outer_daily_activity, theil_sen_trend_daily,
-    # weekly_cohort_retention, kmeans_clusters_embeddings,
-    # entity_resolution_parts). In exchange, the twenty-six
-    # never-driver-certified oracle-bearing round-11 candidates enter —
-    # all pre-verified by tools/oracle_check.py at sf0.01 this round
-    # (0 failures):
+    # Round-12 rotation (per r11 VERDICT item 1): TWENTY-FOUR slots
+    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-two round-10
+    # entrants that now hold 2 recorded green rounds each
+    # (gini_order_value_by_priority ... dp_noisy_segment_counts) plus
+    # macd_12_26_9_5m and kalman_level_5m, whose deliberate holds
+    # certified their rewritten closed-form physical plans in r11. In
+    # exchange, twenty-four never-driver-certified oracle-bearing names
+    # enter — the indicator, microstructure, portfolio/risk, and
+    # curation tiers — all pre-verified by tools/oracle_check.py at
+    # sf0.001/sf0.01/sf0.1 this round (0 failures).
     #
+    # --- round-12 entrants -------------------------------------------
+    # (a) the technical-indicator tier
+    "bollinger_20_5m",
+    "atr_14_5m",
+    "donchian_20_5m",
+    "stochastic_14_3_5m",
+    "obv_5m",
+    "variance_ratio_4x_5m",
+    "realized_vol_12bar_5m",
+    "rolling_zscore_anomalies_5m",
+    "mcleod_li_squared_returns_5m",
+    # (b) the microstructure tier
+    "roll_spread_estimator",
+    "amihud_illiquidity_daily",
+    "kyle_lambda_5m",
+    "corwin_schultz_spread",
+    "tick_rule_ofi",
+    "vwap_slippage_by_symbol",
+    # (c) the portfolio/risk tier
+    "var_es_daily",
+    "deflated_sharpe_zscore",
+    "risk_adjusted_metrics_5m",
+    # (d) the corpus-curation tier
+    "quality_filter_docs",
+    "redact_pii_docs",
+    "train_test_contamination",
+    "balanced_downsample_per_lang",
+    "gopher_repetition_filters",
+    "boilerplate_ngrams",
+    # --- holdovers (below): the 26 round-11 entrants, one recorded
+    # green each (CORRECTNESS_r11.json) — they accrue their second
+    # round before retiring.
     # (a) the round-10 analytics additions (rank/dispersion/diagnostic
-    #     statistics, hash-matched locally at three SFs, never held a
-    #     slot)
+    #     statistics)
     "mann_whitney_u_price_urgency",
     "kruskal_wallis_price_by_priority",
     "kendall_tau_qty_discount",
@@ -181,63 +204,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cheapest_supply_paths",
     "l_diversity_release_audit",
     "grid_backtest_sma_pairs_5m",
-    # --- holdovers (below): every name still accruing its record -------
-    # round-10 entries, one recorded green each:
-    # the round-9 analytics additions
-    "gini_order_value_by_priority",
-    "woe_iv_price_urgency",
-    "stratified_kfold_assignments",
-    "bloom_join_prefilter_audit",
-    "self_bleu_adjacent_docs",
-    "ewma_vol_5m",
-    "conformal_naive_intervals",
-    "reservoir_sample_docs",
-    "pinball_loss_q90_naive",
-    # the ML-eval tier
-    "retrieval_label_eval_top10",
-    "fairness_gaps_by_segment",
-    "chi_square_brand_type",
-    "mutual_info_lang_source",
-    "cohens_kappa_doc_raters",
-    # dedup/ANN additions
-    "minhash_recall_report",
-    "ngram_jaccard_near_dup",
-    "embedding_near_dup_srp",
-    # graph / drift / retrieval / privacy additions
-    "lpa_communities_copurchase",
-    "adamic_adar_part_links",
-    "ks_temporal_drift_by_type",
-    "rrf_hybrid_retrieval",
-    "dp_noisy_segment_counts",
-    # deliberate holds past 2 greens: both indicator plans change AGAIN
-    # this round (MACD routes through the closed-form EMA + zoned
-    # machinery per r10 VERDICT item 2; Kalman's plan is evaluated for
-    # the same treatment) — the slots certify the new physical plans,
-    # exactly the r10 precedent for rsi/ema/hurst
-    "macd_12_26_9_5m",
-    "kalman_level_5m",
 )
 
-# Round-12 rotation candidates — 145 never-driver-certified
-# oracle-bearing names remain (all hash-matched by tools/oracle_check.py
-# locally). Natural next cohorts, tier by tier:
-# (a) the indicator tier: bollinger_20_5m, atr_14_5m, donchian_20_5m,
-#     stochastic_14_3_5m, obv_5m, variance_ratio_4x_5m,
-#     realized_vol_12bar_5m, rolling_zscore_anomalies_5m,
-#     mcleod_li_squared_returns_5m (r11 addition);
-# (b) the microstructure tier: roll_spread_estimator,
-#     amihud_illiquidity_daily, kyle_lambda_5m, corwin_schultz_spread,
-#     tick_rule_ofi, vwap_slippage_by_symbol;
-# (c) the portfolio/risk tier: var_es_daily, deflated_sharpe_zscore,
-#     risk_adjusted_metrics_5m, inverse_vol_portfolio, ulcer_index_5m,
-#     max_drawdown_duration_5m;
-# (d) the curation tier: quality_filter_docs, redact_pii_docs,
-#     train_test_contamination, balanced_downsample_per_lang,
-#     gopher_repetition_filters, boilerplate_ngrams;
-# (e) SQL-surface: cube_flag_status, grouping_sets_flag_status,
-#     pipe_syntax_priority_revenue, sql_udf_discounted_pricing.
+# Round-13 rotation candidates — never-driver-certified oracle-bearing
+# names remain (all hash-matched by tools/oracle_check.py locally).
+# Natural next cohorts, tier by tier:
+# (a) portfolio/risk remainder: inverse_vol_portfolio, ulcer_index_5m,
+#     max_drawdown_duration_5m, sortino_ratio_5m, calmar_ratio_daily;
+# (b) SQL-surface: cube_flag_status, grouping_sets_flag_status,
+#     pipe_syntax_priority_revenue, sql_udf_discounted_pricing;
+# (c) time-series remainder: engle_granger_pairs, half_life_mean_reversion,
+#     seasonal_decompose_daily, garman_klass_vol and peers;
+# (d) corpus/retrieval remainder: bpe_merge_table, bpe_token_stats_docs,
+#     unigram_lm_perplexity and peers.
 # Rotate against slots whose names hold >=2 recorded green rounds
-# (after the r11 driver run: the 22 round-10 entrants each hold 2).
+# (after the r12 driver run: the 26 round-11 entrants each hold 2).
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -246,6 +227,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 12 (the twenty-two round-10 entrants,
+        # green r10+r11, plus macd/kalman whose closed-form plan
+        # rewrites were certified by deliberate holds, green r9-r11)
+        "gini_order_value_by_priority",
+        "woe_iv_price_urgency",
+        "stratified_kfold_assignments",
+        "bloom_join_prefilter_audit",
+        "self_bleu_adjacent_docs",
+        "ewma_vol_5m",
+        "conformal_naive_intervals",
+        "reservoir_sample_docs",
+        "pinball_loss_q90_naive",
+        "retrieval_label_eval_top10",
+        "fairness_gaps_by_segment",
+        "chi_square_brand_type",
+        "mutual_info_lang_source",
+        "cohens_kappa_doc_raters",
+        "minhash_recall_report",
+        "ngram_jaccard_near_dup",
+        "embedding_near_dup_srp",
+        "lpa_communities_copurchase",
+        "adamic_adar_part_links",
+        "ks_temporal_drift_by_type",
+        "rrf_hybrid_retrieval",
+        "dp_noisy_segment_counts",
+        "macd_12_26_9_5m",
+        "kalman_level_5m",
+        # restored in round 12 (r11 VERDICT "What's missing" §2): early-
+        # round greens that were on record in CORRECTNESS_r0{1,2,8,9}
+        # but never copied into this hand-curated set when their slots
+        # rotated. The set is now DERIVED-CHECKED: tests/test_registry.py
+        # recomputes union(green) - DRIVER_WINDOW from the committed
+        # CORRECTNESS_r*.json files and pins frozenset equality.
+        "case_when_status",
+        "price_arithmetic",
+        "scalar_string_funcs",
+        "scalar_datetime_funcs",
+        "limit_sorted_lineitem",
+        "top5_orders_per_priority",
+        "lang_id_docs",
+        "token_count_docs",
+        "equity_curve_5m",
+        "trades_from_crossover_5m",
+        "strategy_summary_5m",
+        "asof_next_event_after_order",
+        "cumulative_factor_per_supplier",
+        "first_nth_value_per_customer",
         # rotated out in round 11 (each green 2-8 recorded rounds; the
         # twenty-six-slot rotation entering the round-10 analytics tier
         # plus the remaining never-certified retrieval/time-series/graph/

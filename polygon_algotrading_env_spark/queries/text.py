@@ -2099,7 +2099,14 @@ def minhash_recall_report(spark, sf_dir):
     sizes. Measured 29.3 s → ~7 s at the 100× corpus vs the former
     all-pairs array_intersect scan (which also needed a BNLJ allowlist
     entry — this plan is a plain broadcast hash join). Candidates come
-    from the shared banded equi-join generator."""
+    from the shared banded equi-join generator.
+
+    Precondition: every document carries ≥1 five-char shingle (text
+    length ≥ 5). The posting-list join can never produce an
+    empty∩empty pair, whereas the raw 10·|A∩B| ≥ 3·|A∪B| test accepts
+    one (0 ≥ 0) — so a sub-5-char doc would desynchronize this plan
+    from the oracle. tests/test_round10_queries.py pins the fixture
+    contract at every SF."""
     from polygon_algotrading_env_spark.functions.text import char_ngrams
 
     docs = load_table(spark, sf_dir, "documents")

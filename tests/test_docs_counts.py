@@ -117,3 +117,28 @@ def test_quoted_scale_metrics_match_scale_detail():
         gated["macd_12_26_9_5m"],
         gated["spearman_qty_price_by_flag"],
     ], quoted
+
+
+def test_zoned_oracle_artifact_covers_both_shapes_and_matches():
+    """The committed ZONED_ORACLE.json (tools/zoned_oracle.py) is the
+    durable hash evidence for the shape the 100 TB path runs: every
+    gated query x {global, zoned} x each recorded SF must be present
+    and hash-matched (r11 VERDICT item 3 — this lived only in a commit
+    message before). Regenerate with `python tools/zoned_oracle.py`
+    whenever a gated plan changes."""
+    import json
+
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        GATED_QUERIES,
+    )
+
+    rec = json.loads((README.parent / "ZONED_ORACLE.json").read_text())
+    assert rec["failures"] == []
+    assert sorted(rec["queries"]) == sorted(GATED_QUERIES)
+    for name, by_sf in rec["queries"].items():
+        assert len(by_sf) >= 2, (name, "need >=2 SFs")
+        for sf_key, shapes in by_sf.items():
+            assert sorted(shapes) == ["global", "zoned"], (name, sf_key)
+            for shape, r in shapes.items():
+                assert r["hash_match"] is True, (name, sf_key, shape)
+                assert r["rows"] > 0, (name, sf_key, shape)

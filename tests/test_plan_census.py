@@ -32,12 +32,11 @@ def test_gated_queries_census_clean_in_zoned_shape(spark, sf_dir, monkeypatch):
     under SPARK_GRAFT_ZONING=zoned also ran clean in round 11 — only
     these seven queries change shape with the gate.)"""
     monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
-    gated = [
-        "rsi_14_per_event_type", "hurst_exponent_by_type",
-        "ema_20_per_event_type", "ewma_vol_5m", "macd_12_26_9_5m",
-        "kalman_level_5m", "spearman_qty_price_by_flag",
-    ]
-    violations = census_violations(spark, sf_dir, names=gated)
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        GATED_QUERIES,
+    )
+
+    violations = census_violations(spark, sf_dir, names=list(GATED_QUERIES))
     assert not violations, violations
 
 

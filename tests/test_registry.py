@@ -148,3 +148,38 @@ def test_every_capability_family_in_window():
         if q not in window and q not in PRIOR_DRIVER_CERTIFIED
     }
     assert not missing, f"families without a certified query: {missing}"
+
+
+def test_prior_certified_ledger_derived_from_committed_records():
+    """PRIOR_DRIVER_CERTIFIED is no longer hand-trusted (r11 VERDICT
+    item 2 found a 14-name undercount): recompute the union of fully
+    green names (rows + schema + hash) across every committed
+    CORRECTNESS_r*.json, subtract the current DRIVER_WINDOW, and pin
+    frozenset EQUALITY. Any future rotation that forgets to move a
+    retiree into the ledger — or parks a never-green name there —
+    fails here, making the rotation self-auditing."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "no committed CORRECTNESS records found"
+    green: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            data = json.load(fh)
+        rec = data.get("parsed") or data
+        for name, r in rec.items():
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                green.add(name)
+    derived = frozenset(green - set(DRIVER_WINDOW))
+    assert derived == PRIOR_DRIVER_CERTIFIED, {
+        "missing_from_ledger": sorted(derived - PRIOR_DRIVER_CERTIFIED),
+        "not_green_on_record": sorted(PRIOR_DRIVER_CERTIFIED - derived),
+    }

@@ -397,3 +397,25 @@ def test_mcleod_li_detects_planted_arch_effects(spark):
     # plain returns don't come near
     assert q_sq > 100.0, q_sq
     assert q_plain < 15.0, q_plain
+
+
+def test_documents_fixture_min_shingle_contract():
+    """Fixture-contract pin for minhash_recall_report (queries/text.py):
+    the shingle-index ground truth and the oracle's raw Jaccard test
+    only agree when every document carries >=1 five-char shingle — an
+    empty-vs-empty pair satisfies 10*|A∩B| >= 3*|A∪B| (0 >= 0) but can
+    never appear in a posting-list join. Assert text length >= 5 at
+    every committed SF so a fixture refresh that breaks the
+    precondition fails here, not as a silent oracle mismatch."""
+    import os
+
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (shortest,) = duckdb.sql(
+            f"SELECT min(length(text)) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert shortest >= 5, (sf, shortest)
