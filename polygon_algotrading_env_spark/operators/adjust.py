@@ -112,3 +112,78 @@ def adjust_prices(
             c, F.col(c) * F.col("adj_factor")
         )
     return out
+
+
+def prefix_factors(
+    actions: DataFrame,
+    key: str = "ticker",
+    ex_date_col: str = "ex_date",
+    factor_col: str = "factor",
+) -> DataFrame:
+    """Per action row, the cumulative product of factors of all actions
+    at-or-BEFORE its ex_date (within key) — the causal mirror of
+    :func:`suffix_factors`, and the quantity a stream can maintain:
+    A(t) = product{ex_date <= t} only ever grows forward in time."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ex_date_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = F.col(factor_col)
+    checked = F.when(f > 0, f).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"non-positive {factor_col} for corporate action: "),
+                f.cast("string"),
+            )
+        )
+    )
+    return actions.select(
+        key,
+        ex_date_col,
+        F.exp(F.sum(F.log(checked)).over(w)).alias("prefix_factor"),
+    )
+
+
+def adjust_prices_firstday(
+    candles: DataFrame,
+    actions: DataFrame,
+    key: str = "ticker",
+    ts_col: str = "ts",
+    ex_date_col: str = "ex_date",
+    factor_col: str = "factor",
+    price_cols: tuple[str, ...] = ("open", "high", "low", "close"),
+) -> DataFrame:
+    """FIRST-DAY-BASIS adjustment: each price divided by A(t), the
+    prefix product of factors with ex_date at-or-before t. Related to
+    :func:`adjust_prices` (last-day basis) by one per-key scalar:
+
+        adjust_prices price == firstday price * product(ALL factors)
+
+    — the identity the streaming twin
+    (streaming/statev2.stream_adjusted_candles) emits under, since A(t)
+    is causal where the batch suffix product is forward-looking. Output
+    keeps raw prices under ``<col>_raw`` plus the applied ``a_prefix``
+    (1.0 before the first action). Same plan cost as adjust_prices: one
+    window over the actions dim + one backward as-of join."""
+    pf = prefix_factors(
+        actions, key=key, ex_date_col=ex_date_col, factor_col=factor_col
+    )
+    joined = asof_join(
+        candles,
+        pf,
+        on=key,
+        left_ts=ts_col,
+        right_ts=ex_date_col,
+        direction="backward",
+        allow_exact_matches=True,
+        tie_break=None,
+    )
+    out = joined.withColumn(
+        "a_prefix", F.coalesce(F.col("prefix_factor"), F.lit(1.0))
+    ).drop("prefix_factor", ex_date_col)
+    for c in price_cols:
+        out = out.withColumn(c + "_raw", F.col(c)).withColumn(
+            c, F.col(c) / F.col("a_prefix")
+        )
+    return out

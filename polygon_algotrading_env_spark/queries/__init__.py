@@ -162,7 +162,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (c) the portfolio/risk tier
     "var_es_daily",
     "deflated_sharpe_zscore",
-    "risk_adjusted_metrics_5m",
+    # (c') plan-change re-certification (the macd/kalman precedent from
+    #      r10/r11): kmeans' assignment expression was rewritten this
+    #      round (one nested centroid-array literal walked by transform,
+    #      bit-identical output) — the slot certifies the NEW physical
+    #      plan rather than letting it coast on the r10/r11 greens.
+    #      risk_adjusted_metrics_5m yields its slot to the r13 cohort.
+    "kmeans_clusters_embeddings",
     # (d) the corpus-curation tier
     "quality_filter_docs",
     "redact_pii_docs",
@@ -300,7 +306,6 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "full_outer_daily_activity",
         "theil_sen_trend_daily",
         "weekly_cohort_retention",
-        "kmeans_clusters_embeddings",
         "entity_resolution_parts",
         # rotated out in round 10 (each green 3-9 recorded rounds; the
         # twenty-four-slot rotation entering the round-9 additions and

@@ -516,6 +516,124 @@ def adjusted_candles_5m(spark, sf_dir):
 
 
 @register(
+    "adjusted_candles_firstday_5m",
+    oracle="""
+    WITH ms AS (
+      SELECT event_type, epoch_ns(ts) // 1000000 AS ms FROM events
+    ),
+    rng AS (
+      SELECT event_type, min(ms) AS lo, max(ms) AS hi FROM ms
+      GROUP BY event_type
+    ),
+    actions AS (
+      SELECT event_type, epoch_ms(lo + (hi - lo) // 3) AS ex_ts,
+             0.5 AS factor
+      FROM rng
+      UNION ALL
+      SELECT event_type, epoch_ms(lo + ((hi - lo) * 2) // 3) AS ex_ts,
+             0.8 AS factor
+      FROM rng
+    ),
+    bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY event_type, bucket_start
+    ),
+    fac AS (
+      SELECT b.event_type, b.bucket_start,
+             coalesce(exp(sum(ln(a.factor))), 1.0) AS a_prefix
+      FROM bars b
+      LEFT JOIN actions a
+        ON a.event_type = b.event_type AND a.ex_ts <= b.bucket_start
+      GROUP BY b.event_type, b.bucket_start
+    )
+    SELECT b.event_type, b.bucket_start,
+           round(b.open  / f.a_prefix, 6) AS open,
+           round(b.high  / f.a_prefix, 6) AS high,
+           round(b.low   / f.a_prefix, 6) AS low,
+           round(b.close / f.a_prefix, 6) AS close,
+           b.close AS close_raw,
+           round(f.a_prefix, 6) AS a_prefix
+    FROM bars b
+    JOIN fac f ON f.event_type = b.event_type
+              AND f.bucket_start = b.bucket_start
+    """,
+)
+def adjusted_candles_firstday_5m(spark, sf_dir):
+    """The CAUSAL form of the adjusted-candle gold path: prices on the
+    FIRST-DAY basis — each bar divided by A(t), the prefix product of
+    action factors with ex_date at-or-before the bar — instead of the
+    forward-looking suffix product `adjusted_candles_5m` certifies.
+    A(t) is what a live stream can actually maintain (no future
+    knowledge), and the two bases differ by one per-symbol scalar:
+    adjusted == firstday * product(ALL factors). The streaming twin
+    (streaming/statev2.stream_adjusted_candles) emits exactly this
+    basis; certifying it batch-side ties the stream's semantics to a
+    cross-engine hash-matched plan. Same derived corporate-actions dim
+    and rounding argument as adjusted_candles_5m; the oracle computes
+    A(t) by direct product over at-or-before actions, proving the
+    ascending-window prefix + backward as-of join against
+    first-principles semantics."""
+    from polygon_algotrading_env_spark.operators.adjust import (
+        adjust_prices_firstday,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("ts_ns DIV 1000000")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    rng = ev.groupBy("event_type").agg(
+        F.min(ms).alias("lo"), F.max(ms).alias("hi")
+    )
+    actions = rng.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr("lo + (hi - lo) DIV 3").alias("ex_ms"),
+                    F.lit(0.5).alias("factor"),
+                ),
+                F.struct(
+                    F.expr("lo + ((hi - lo) * 2) DIV 3").alias("ex_ms"),
+                    F.lit(0.8).alias("factor"),
+                ),
+            )
+        ).alias("a"),
+    ).select(
+        "event_type",
+        F.expr(f"timestampadd(MILLISECOND, a.ex_ms, {epoch})").alias("ex_ts"),
+        F.col("a.factor").alias("factor"),
+    )
+    bars = ohlcv_bars(
+        ev, ts_col="ts", price_col="value", duration="5 minutes",
+        keys=("event_type",), volume_col="value", order_col="ts_ns",
+    ).select("event_type", "bucket_start", "open", "high", "low", "close")
+    adj = adjust_prices_firstday(
+        bars,
+        actions,
+        key="event_type",
+        ts_col="bucket_start",
+        ex_date_col="ex_ts",
+        factor_col="factor",
+        price_cols=("open", "high", "low", "close"),
+    )
+    return adj.select(
+        "event_type",
+        "bucket_start",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "close_raw",
+        F.round("a_prefix", 6).alias("a_prefix"),
+    )
+
+
+@register(
     "strategy_summary_5m",
     oracle=_BT_CTE + """
     , eq AS (

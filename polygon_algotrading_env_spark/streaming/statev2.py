@@ -337,3 +337,179 @@ def stream_asof_join(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# --- streaming split/dividend-adjusted candles (the J3 gold path twin) -----
+
+_ADJ_OUT_SCHEMA = (
+    "key string, ts_ms bigint, open double, high double, low double, "
+    "close double, a_prefix double"
+)
+_ADJ_PRICES = ("open", "high", "low", "close")
+
+
+class AdjustedCandlesProcessor(StatefulProcessor):
+    """Watermark-correct streaming corporate-action adjustment — the
+    causal twin of ``operators/adjust.adjust_prices`` (the computation
+    the reference buys with ``adjusted=true``, main.py:43-44).
+
+    The batch operator is FORWARD-looking (a candle at t is scaled by
+    the product of factors with ex_date strictly AFTER t), which no
+    append-only stream can emit — later actions would retroactively
+    restate history. The causal reformulation: with A(t) = product of
+    factors with ex_date <= t (a prefix, so computable once the
+    watermark passes t) and P = product over ALL actions,
+
+        batch_adjusted(t) = raw(t) * P / A(t).
+
+    This operator emits the FIRST-DAY-BASIS series raw(t) / A(t) plus
+    ``a_prefix`` = A(t): dividing two emitted rows gives the correctly
+    relative-adjusted return immediately, and any fixed-basis
+    convention (e.g. the batch last-day basis) is one scalar multiply
+    away — the stream≡batch law in tests/test_statev2.py pins exactly
+    that identity. Emission of a candle waits for the shared watermark
+    to pass its event time, so every action with ex_date <= t has been
+    buffered first (the stream_asof_join argument).
+
+    State per ticker: the folded prefix (done-upto, log A) as one
+    ValueState, plus disorder-window-bounded ListStates of pending
+    actions and candles — O(watermark delay), never O(stream).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._prefix = handle.getValueState(
+            "prefix", "done_upto bigint, log_a double"
+        )
+        self._actions = handle.getListState(
+            "actions", "ex_ms bigint, factor double"
+        )
+        self._candles = handle.getListState(
+            "candles",
+            "ts_ms bigint, open double, high double, low double, "
+            "close double",
+        )
+
+    def _drain(self, key, wm: int):
+        import math
+
+        done_upto, log_a = (
+            tuple(self._prefix.get()) if self._prefix.exists() else (-(1 << 62), 0.0)
+        )
+        actions = sorted(tuple(a) for a in self._actions.get())
+        candles = sorted(tuple(c) for c in self._candles.get())
+        out, keep_candles = [], []
+        ai = 0
+        for row in candles:
+            ts = row[0]
+            if ts > wm:
+                keep_candles.append(row)
+                continue
+            while ai < len(actions) and actions[ai][0] <= ts:
+                f = actions[ai][1]
+                if not f > 0:
+                    raise ValueError(
+                        f"non-positive factor for corporate action: {f}"
+                    )
+                log_a += math.log(f)
+                ai += 1
+            a = math.exp(log_a)
+            out.append(
+                (key[0], ts, row[1] / a, row[2] / a, row[3] / a, row[4] / a, a)
+            )
+        while ai < len(actions) and actions[ai][0] <= wm:
+            f = actions[ai][1]
+            if not f > 0:
+                raise ValueError(
+                    f"non-positive factor for corporate action: {f}"
+                )
+            log_a += math.log(f)
+            ai += 1
+        self._prefix.update((max(done_upto, wm), log_a))
+        self._actions.clear()
+        if actions[ai:]:
+            self._actions.put(actions[ai:])
+        self._candles.clear()
+        if keep_candles:
+            self._candles.put(keep_candles)
+            self._h.registerTimer(min(c[0] for c in keep_candles))
+        return out
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for r in pdf.itertuples(index=False):
+                if r.side == "C":
+                    self._candles.appendValue(
+                        (int(r.ts_ms), float(r.open), float(r.high),
+                         float(r.low), float(r.close))
+                    )
+                elif r.side == "A":
+                    self._actions.appendValue((int(r.ts_ms), float(r.f)))
+        out = self._drain(key, timerValues.getCurrentWatermarkInMs())
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "ts_ms", *_ADJ_PRICES, "a_prefix"],
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        out = self._drain(key, timerValues.getCurrentWatermarkInMs())
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "ts_ms", *_ADJ_PRICES, "a_prefix"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_adjusted_candles(
+    candles: DataFrame,
+    actions: DataFrame,
+    key_col: str = "ticker",
+    ts_col: str = "ts",
+    ex_date_col: str = "ex_date",
+    factor_col: str = "factor",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming split/dividend adjustment: union-tag the candle and
+    corporate-action streams, one shared watermark of ``delay``, group
+    by ticker, run :class:`AdjustedCandlesProcessor` in event-time mode.
+    Output: (key, ts_ms, open/high/low/close on the FIRST-DAY basis,
+    a_prefix) — see the processor docstring for the exact batch law.
+
+    Scale shape: identical sharding to the batch plan's single candle
+    shuffle; per-key state is the disorder window plus one folded
+    (done_upto, log A) pair."""
+    import pyspark.sql.functions as F
+
+    c = candles.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.lit("C").alias("side"),
+        F.lit(None).cast("double").alias("f"),
+        F.col("open").cast("double"),
+        F.col("high").cast("double"),
+        F.col("low").cast("double"),
+        F.col("close").cast("double"),
+    )
+    a = actions.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ex_date_col).alias("ts"),
+        F.lit("A").alias("side"),
+        F.col(factor_col).cast("double").alias("f"),
+        *[F.lit(None).cast("double").alias(p) for p in _ADJ_PRICES],
+    )
+    union = c.unionByName(a)
+    tagged = union.withWatermark("ts", delay).withColumn(
+        "ts_ms", F.unix_millis(F.col("ts"))
+    )
+    return tagged.groupBy("key").transformWithStateInPandas(
+        AdjustedCandlesProcessor(),
+        outputStructType=_ADJ_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

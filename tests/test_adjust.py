@@ -77,3 +77,63 @@ def test_nonpositive_factor_raises(spark):
     )
     with pytest.raises(Exception, match="non-positive factor"):
         suffix_factors(bad).collect()
+
+
+def test_firstday_basis_law(spark, candles, splits):
+    """adjust_prices (last-day basis, forward-looking) and
+    adjust_prices_firstday (causal prefix basis — what the streaming
+    twin emits) differ by exactly one per-ticker scalar: the product of
+    ALL that ticker's action factors. Also pins the exact-tie boundary
+    (a candle ON an ex_date belongs to the prefix, i.e. is excluded
+    from the suffix) via the 2020-06-01 candles."""
+    import math
+
+    from polygon_algotrading_env_spark.operators.adjust import (
+        adjust_prices_firstday,
+    )
+
+    totals = {"AAPL": 0.25 * 0.5, "MSFT": 1.0}
+    last = {
+        (r["ticker"], r["ts"]): r
+        for r in adjust_prices(candles, splits).collect()
+    }
+    first = {
+        (r["ticker"], r["ts"]): r
+        for r in adjust_prices_firstday(candles, splits).collect()
+    }
+    assert last.keys() == first.keys() and len(last) == 4
+    for k, f in first.items():
+        b = last[k]
+        for col in ("open", "high", "low", "close"):
+            assert math.isclose(
+                f[col] * totals[k[0]], b[col], rel_tol=1e-12
+            ), (k, col)
+            assert f[col + "_raw"] == b[col + "_raw"]
+        assert math.isclose(
+            f["a_prefix"] * b["adj_factor"], totals[k[0]], rel_tol=1e-12
+        ), k
+
+
+def test_firstday_exact_tie_is_prefix(spark):
+    """allow_exact_matches=True on the prefix side: a candle timestamped
+    exactly at an ex_date is divided by that action's factor (the
+    strict-after suffix excludes it — the two conventions must
+    partition every action exactly once)."""
+    from datetime import datetime as dt
+
+    from polygon_algotrading_env_spark.operators.adjust import (
+        adjust_prices_firstday,
+    )
+
+    candles = spark.createDataFrame(
+        [("A", dt(2020, 8, 31), 10.0, 10.0, 10.0, 10.0)],
+        "ticker string, ts timestamp_ntz, open double, high double, "
+        "low double, close double",
+    )
+    splits = spark.createDataFrame(
+        [("A", dt(2020, 8, 31), 0.5)],
+        "ticker string, ex_date timestamp_ntz, factor double",
+    )
+    (row,) = adjust_prices_firstday(candles, splits).collect()
+    assert abs(row["a_prefix"] - 0.5) < 1e-12
+    assert abs(row["close"] - 20.0) < 1e-9

@@ -364,3 +364,306 @@ def test_stream_asof_join_matches_batch_under_disorder(spark, tmpdir):
         (r["k"], r["ts_ms"], r["v"], r["rv"]) for r in batch.collect()
     )
     assert got == expected, (got, expected)
+
+
+def test_stream_adjusted_candles_matches_batch_law_across_restart(
+    spark, tmpdir
+):
+    """Streaming corporate-action adjustment (the J3 gold path's twin —
+    the computation the reference bought with adjusted=true). The batch
+    operator is forward-looking, so the stream emits the FIRST-DAY basis
+    raw/A(t) plus a_prefix=A(t); the law pinned here:
+
+        stream.price * P_total == batch adjust_prices price   (P_total =
+        product of ALL action factors per key), and
+        stream.price * a_prefix == raw.
+
+    Delivery is disordered (candles a whole run before their actions,
+    inside the watermark delay) and split across TWO drains over the
+    same checkpoint, so buffered candles, buffered actions, and the
+    folded (done_upto, log A) ValueState all survive a restart. An
+    exact-tie candle (ts == ex_date) pins the strictly-after boundary."""
+    import math
+
+    from polygon_algotrading_env_spark.operators.adjust import adjust_prices
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_adjusted_candles,
+    )
+
+    cschema = (
+        "ticker string, ts timestamp, open double, high double, "
+        "low double, close double"
+    )
+    aschema = "ticker string, ex_date timestamp, factor double"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def t(s):
+        from datetime import timedelta
+
+        return base + timedelta(seconds=s)
+
+    candles = [
+        ("A", t(5), 100.0, 101.0, 99.0, 100.5),
+        ("A", t(10), 102.0, 103.0, 101.0, 102.5),   # ts == ex_date tie
+        ("A", t(20), 52.0, 53.0, 51.0, 52.5),
+        ("A", t(30), 41.0, 42.0, 40.0, 41.5),
+        ("B", t(7), 10.0, 10.5, 9.5, 10.2),          # no actions at all
+    ]
+    actions = [("A", t(10), 0.5), ("A", t(25), 0.8)]
+    totals = {"A": 0.5 * 0.8, "B": 1.0}
+
+    csrc, asrc = f"{tmpdir}/c", f"{tmpdir}/a"
+    # run 1: candles only (their actions arrive a run later, within the
+    # 60s watermark delay, so nothing may emit with a wrong prefix)
+    spark.createDataFrame(candles, cschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    spark.createDataFrame(
+        [("Z", t(0), 1.0)], aschema
+    ).coalesce(1).write.mode("append").parquet(asrc)
+
+    out: list = []
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        def drain():
+            cs = spark.readStream.schema(cschema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(csrc)
+            as_ = spark.readStream.schema(aschema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(asrc)
+            q = (
+                stream_adjusted_candles(cs, as_, delay="60 seconds")
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: out.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmpdir}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert q.exception() is None, q.exception()
+
+        drain()
+        # run 2: the real actions (late, inside the watermark) + a
+        # far-future flusher candle that advances the watermark past
+        # every pending row
+        spark.createDataFrame(actions, aschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(asrc)
+        spark.createDataFrame(
+            [("Z", t(3600), 1.0, 1.0, 1.0, 1.0)], cschema
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        drain()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = {
+        (r["key"], r["ts_ms"]): r for r in out if r["key"] in ("A", "B")
+    }
+    assert len(got) == len(candles), sorted(got)
+
+    cdf = spark.createDataFrame(candles, cschema)
+    adf = spark.createDataFrame(actions, aschema)
+    batch = {
+        (r["ticker"], int(r["ts"].timestamp() * 1000)): r
+        for r in adjust_prices(cdf, adf).collect()
+    }
+    for (k, ts_ms), s in got.items():
+        b = batch[(k, ts_ms)]
+        for col in ("open", "high", "low", "close"):
+            assert math.isclose(
+                s[col] * totals[k], b[col], rel_tol=1e-12
+            ), (k, ts_ms, col, s[col] * totals[k], b[col])
+            assert math.isclose(
+                s[col] * s["a_prefix"], b[col + "_raw"], rel_tol=1e-12
+            ), (k, ts_ms, col)
+
+
+def test_stream_adjusted_candles_rejects_nonpositive_factor(spark, tmpdir):
+    """Batch parity for corrupt input: adjust_prices raise_errors on a
+    non-positive split factor (log would silently NULL it out of the
+    product); the streaming twin must fail the query, not emit prices
+    scaled by garbage."""
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_adjusted_candles,
+    )
+
+    cschema = (
+        "ticker string, ts timestamp, open double, high double, "
+        "low double, close double"
+    )
+    aschema = "ticker string, ex_date timestamp, factor double"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    csrc, asrc = f"{tmpdir}/c", f"{tmpdir}/a"
+    from datetime import timedelta
+
+    spark.createDataFrame(
+        [("A", base, 1.0, 1.0, 1.0, 1.0),
+         ("A", base + timedelta(seconds=3600), 1.0, 1.0, 1.0, 1.0)],
+        cschema,
+    ).coalesce(1).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [("A", base + timedelta(seconds=1), 0.0)], aschema
+    ).coalesce(1).write.mode("append").parquet(asrc)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        cs = spark.readStream.schema(cschema).parquet(csrc)
+        as_ = spark.readStream.schema(aschema).parquet(asrc)
+        q = (
+            stream_adjusted_candles(cs, as_, delay="1 seconds")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass
+        exc = q.exception()
+        assert exc is not None and "non-positive factor" in str(exc), exc
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_stream_adjusted_candles_soak_midbatch_kill_and_restart(
+    spark, tmpdir
+):
+    """Fault-injection soak for the adjustment twin: a poison sink kills
+    the query on its first non-empty batch AFTER the processor mutated
+    its (prefix ValueState, pending ListStates) but BEFORE any write;
+    the restart over the same checkpoint must replay against the
+    PRE-batch RocksDB state — no double-folded action factors, no
+    dropped candles — and finish with emissions identical to an
+    uninterrupted twin over the same files through a fresh checkpoint."""
+    import os
+
+    from polygon_algotrading_env_spark.streaming.statev2 import (
+        ROCKSDB_PROVIDER,
+        stream_adjusted_candles,
+    )
+
+    cschema = (
+        "ticker string, ts timestamp, open double, high double, "
+        "low double, close double"
+    )
+    aschema = "ticker string, ex_date timestamp, factor double"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    from datetime import timedelta
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    csrc, asrc, poison = f"{tmpdir}/c", f"{tmpdir}/a", f"{tmpdir}/poison"
+    spark.createDataFrame(
+        [
+            ("A", t(5), 100.0, 101.0, 99.0, 100.5),
+            ("A", t(20), 52.0, 53.0, 51.0, 52.5),
+        ],
+        cschema,
+    ).coalesce(1).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [("Z", t(3600), 1.0, 1.0, 1.0, 1.0)], cschema
+    ).coalesce(1).write.mode("append").parquet(csrc)
+    spark.createDataFrame(
+        [("A", t(10), 0.5)], aschema
+    ).coalesce(1).write.mode("append").parquet(asrc)
+    spark.createDataFrame(
+        [("Z", t(7200), 1.0)], aschema
+    ).coalesce(1).write.mode("append").parquet(asrc)
+
+    def run(ckpt, out_dir, expect_fail):
+        def sink(bdf, bid):
+            rows = bdf.collect()
+            if rows and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError("injected mid-batch failure")
+            if rows:
+                spark.createDataFrame(rows, bdf.schema).write.mode(
+                    "append"
+                ).parquet(out_dir)
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        try:
+            cs = spark.readStream.schema(cschema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(csrc)
+            as_ = spark.readStream.schema(aschema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(asrc)
+            q = (
+                stream_adjusted_candles(cs, as_, delay="5 seconds")
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if expect_fail:
+                with pytest.raises(Exception, match="injected mid-batch"):
+                    q.awaitTermination(120)
+            else:
+                q.awaitTermination(120)
+                assert q.exception() is None, q.exception()
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    def emissions(out_dir):
+        return sorted(
+            (r["key"], r["ts_ms"], r["close"], r["a_prefix"])
+            for r in spark.read.parquet(out_dir).collect()
+            if r["key"] == "A"
+        )
+
+    open(poison, "w").close()
+    run(f"{tmpdir}/ckpt", f"{tmpdir}/out", expect_fail=True)
+    assert not os.path.exists(poison), "poison sink never fired"
+    run(f"{tmpdir}/ckpt", f"{tmpdir}/out", expect_fail=False)
+    got = emissions(f"{tmpdir}/out")
+
+    run(f"{tmpdir}/ckpt2", f"{tmpdir}/out2", expect_fail=False)
+    expected = emissions(f"{tmpdir}/out2")
+
+    # first candle precedes the split (a_prefix 1), second follows it
+    # (a_prefix 0.5, close 52.5/0.5 = 105)
+    import pyspark.sql.functions as F  # noqa: F401
+
+    want = [
+        ("A", int(t(5).timestamp() * 1000), 100.5, 1.0),
+        ("A", int(t(20).timestamp() * 1000), 105.0, 0.5),
+    ]
+    assert got == expected == want, (got, expected, want)
