@@ -123,7 +123,7 @@ def kmeans_quantized(
         by: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
             by.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
-        cents = [
+        new_cents = [
             [
                 _truncdiv(by[ci][p][0], by[ci][p][1])
                 for p in range(len(cents[ci]))
@@ -132,5 +132,16 @@ def kmeans_quantized(
             else cents[ci]
             for ci in range(k)
         ]
+        # Checkpoint-proven early exit (the CC/BFS precedent): the next
+        # centroid table is a pure function of the current one, so a
+        # fixed point makes EVERY remaining round a no-op — skipping
+        # them is bit-identical to the oracle's fixed n_rounds CTE
+        # chain. Integer centroids make the fixed-point test exact, and
+        # it costs zero extra jobs: the k x dim table is already on the
+        # driver.
+        converged = new_cents == cents
+        cents = new_cents
+        if converged:
+            break
 
     return assign(cents), cents

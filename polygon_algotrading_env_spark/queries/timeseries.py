@@ -5681,6 +5681,168 @@ def ks_temporal_drift_by_type(spark, sf_dir):
     )
 
 
+# --- two-sample ECDF drift: Wasserstein-1 + Cramér-von Mises ---------------
+@register(
+    "ecdf_drift_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_ns(ts) AS tns
+      FROM events
+    ),
+    rng AS (
+      SELECT event_type, min(tns) AS lo, max(tns) AS hi FROM ev GROUP BY 1
+    ),
+    tagged AS (
+      SELECT e.event_type, e.v,
+             CASE WHEN 2 * e.tns <= r.lo + r.hi THEN 1 ELSE 2 END AS grp
+      FROM ev e JOIN rng r USING (event_type)
+    ),
+    cell AS (
+      SELECT event_type, v,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v, c1, c2,
+             sum(c1) OVER w AS cum1,
+             sum(c2) OVER w AS cum2,
+             lead(v) OVER w AS v_next,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+      FROM cell
+      WINDOW w AS (PARTITION BY event_type ORDER BY v)
+    ),
+    terms AS (
+      SELECT event_type, n1, n2,
+             CAST(cum1 * n2 - cum2 * n1 AS DECIMAL(38,0)) AS d,
+             CAST(COALESCE(v_next - v, 0) AS DECIMAL(38,0)) AS gap,
+             CAST(c1 + c2 AS DECIMAL(38,0)) AS mult
+      FROM cum WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           TRY_CAST(sum(abs(d) * gap) AS BIGINT) AS w1_num,
+           round(CAST(sum(abs(d) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0),
+                 6) AS w1,
+           TRY_CAST(sum(d * d * mult) AS BIGINT) AS cvm_num,
+           round(CAST(sum(d * d * mult) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * power(CAST(n1 + n2 AS DOUBLE), 2)),
+                 6) AS cvm
+    FROM terms
+    GROUP BY event_type, n1, n2
+    """,
+)
+def ecdf_drift_by_type(spark, sf_dir):
+    """Two-sample ECDF drift per event_type, completing the classic trio
+    beside :func:`ks_temporal_drift_by_type` (KS = sup-norm): the
+    Wasserstein-1 distance (L1 — the area between the first-half and
+    second-half ECDFs over the integer-cent value grid, the earth-mover
+    cost that KS's single worst point misses) and the two-sample
+    Cramér-von Mises statistic (L2 — Σ (F1-F2)² over all N sample
+    points, sensitive to distributed small shifts). Same exact-integer
+    discipline as KS: the time-half split is the integer
+    cross-multiplication 2·ts_ns ≤ lo+hi, values quantize to cents (the
+    CUSUM idiom), ECDF gaps are the common-denominator form
+    d = cum1·n2 − cum2·n1, and the emitted numerators are exact
+    DECIMAL(38,0): w1_num = Σ|d|·(v_next − v) with
+    W1 = w1_num/(n1·n2·100), and cvm_num = Σ d²·(c1+c2) with
+    T = cvm_num/(n1·n2·N²). d fits a BIGINT for any n1·n2 < 2⁶³; the
+    sums accumulate as DECIMAL(38,0) and the emitted numerators are
+    TRY_CAST to BIGINT (the Kendall/Mann-Whitney idiom) — exact while
+    they fit, NULL on BOTH engines identically beyond (~4·10⁷ rows per
+    group for cvm_num's d²·N), never silent float drift. Scale:
+    identical shape to KS — one (type, cents) hash aggregate, then
+    window cumsums over the DISTINCT-value relation (bounded by the
+    price grid per type, not event count); the range table is dim-sized
+    and broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        "ts_ns",
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    )
+    tagged = ev.join(F.broadcast(rng), "event_type").withColumn(
+        "grp",
+        F.when(
+            F.col("ts_ns") * 2 <= F.col("lo") + F.col("hi"), F.lit(1)
+        ).otherwise(F.lit(2)),
+    )
+    cell = tagged.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    word = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    cum = cell.select(
+        "event_type",
+        "v",
+        (F.col("c1") + F.col("c2")).cast(dec).alias("mult"),
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        (F.lead("v").over(word) - F.col("v"))
+        .cast(dec)
+        .alias("gap_raw"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = (
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    ).cast(dec)
+    terms = cum.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "mult",
+        d.alias("d"),
+        F.coalesce(F.col("gap_raw"), F.lit(0).cast(dec)).alias("gap"),
+    )
+    nd = F.col("n1").cast("double")
+    md = F.col("n2").cast("double")
+    return (
+        terms.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum(F.abs(F.col("d")) * F.col("gap"))
+            .cast(dec)
+            .try_cast("bigint")
+            .alias("w1_num"),
+            F.sum(F.col("d") * F.col("d") * F.col("mult"))
+            .cast(dec)
+            .try_cast("bigint")
+            .alias("cvm_num"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "w1_num",
+            F.round(
+                F.col("w1_num").cast("double") / (nd * md * 100.0), 6
+            ).alias("w1"),
+            "cvm_num",
+            F.round(
+                F.col("cvm_num").cast("double")
+                / (nd * md * F.pow(nd + md, F.lit(2.0))),
+                6,
+            ).alias("cvm"),
+        )
+    )
+
+
 # --- CUSUM changepoint per symbol -----------------------------------------
 @register(
     "cusum_changepoint_by_type",
