@@ -97,3 +97,43 @@ def test_ks_drift_matches_python_reference(spark, sf_dir):
         for r in REGISTRY["ks_temporal_drift_by_type"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ecdf_drift_matches_hand_computed_textbook_case(spark, tmp_path):
+    """W1 and CvM semantics on a case small enough to do on paper:
+    first half {1.00, 2.00}, second half {3.00, 4.00} (one type).
+    Earth-mover distance between the two point sets is exactly 2.00;
+    CvM T = (n1*n2/N^2) * sum (F1-F2)^2 over the 4 sample points
+    = (4/16) * (0.25 + 1 + 0.25 + 0) = 0.375. Also pins the exact
+    integer numerators the oracle hashes (w1_num in cents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    base = 1_700_000_000_000_000  # epoch MICROS (ts_ns multiplies by 1e3)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base, base + 1, base + 10, base + 11], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["x"] * 4),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    rows = (
+        REGISTRY["ecdf_drift_by_type"].fn(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["event_type"], r["n1"], r["n2"]) == ("x", 2, 2)
+    # d over the cents grid {100,200,300,400} = 2,4,2,0; gaps 100 each
+    assert r["w1_num"] == 800
+    assert r["w1"] == 2.0
+    # d^2 * multiplicity = 4 + 16 + 4 + 0
+    assert r["cvm_num"] == 24
+    assert r["cvm"] == 0.375
