@@ -178,7 +178,11 @@ def main() -> None:
     # headline suite on it (min-of-2), recording per-query 100x/1x ratios
     # with the worst case named — the suite-wide version of the spot
     # measurements in ARCHITECTURE.md. Run it as a one-off against
-    # sf0.01 and commit SCALE_DETAIL.json for the record.
+    # sf0.01 and commit SCALE_DETAIL.json for the record. Set
+    # SPARK_GRAFT_DRIVER_MEM=96g for this block: local mode shares the
+    # driver heap with all 32 executor threads, and the default 8g dies
+    # with an uncaught executor OutOfMemoryError (JVM exit, not a
+    # retryable task failure) midway through the 100x spot passes.
     sf100 = None
     if os.environ.get("SPARK_GRAFT_SF100"):
         import tempfile

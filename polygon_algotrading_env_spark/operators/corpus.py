@@ -116,22 +116,27 @@ def cross_split_contamination(
     cap, join fan-out per shingle is ≤ ``max_train_df`` and the whole
     audit is two shingle-key shuffles plus a per-test-doc aggregate.
 
-    The per-shingle frequency is a hash aggregation joined back, NOT a
-    ``count() over (partition by shingle)`` window: the window shape
-    must Exchange+Sort the FULL exploded train relation with no partial
-    aggregation (the degenerate shape the :func:`doc_rarity_scores`
-    docstring documents), whereas the aggregate's exchange moves only
-    ≤ |distinct shingles per partition| partial rows and the join back
-    is sort-free — AQE broadcasts the capped frequency relation while
-    it fits, and beyond broadcast scale the join-back exchange on
-    ``shingle`` is exactly the partitioning the test⋈train join needs,
-    so the full train relation is exchanged at most once either way.
+    The per-shingle frequency is DELIBERATELY a
+    ``count() over (partition by shingle)`` window, not a hash
+    aggregation joined back. The usual rule (aggregate + join-back
+    beats a window because partial aggregation collapses the exchange —
+    the :func:`doc_rarity_scores` rationale) inverts here: 8-char
+    shingles are nearly unique per input partition, so the "df
+    relation" barely collapses and the aggregate variant pays a
+    full-width exchange for the model PLUS a second full exchange (and
+    a third explode) to join it back, while the window pays ONE
+    exchange + sort that the test⋈train sort-merge join then reuses.
+    Measured A/B on the deterministic 100× fixture (min-of-3, 96g
+    heap): window 8.3 s vs aggregate+join-back 15.0 s; dead heat at
+    1× (1.60 vs 1.56 s). High-collapse keys (word tokens) want the
+    aggregate; shingle-cardinality keys want the window.
 
     Returns (test ``id_col``, n_shared_shingles, n_train_docs) — exact
     integers, hash-comparable cross-engine. Test docs with no (capped)
     overlap produce no row.
     """
     from polygon_algotrading_env_spark.functions.text import char_ngrams
+    from pyspark.sql import Window
 
     sh = docs.filter(F.length(text_col) >= n).select(
         F.col(id_col),
@@ -140,16 +145,14 @@ def cross_split_contamination(
             "shingle"
         ),
     )
-    tr_raw = sh.filter(F.col(split_col) == train_label).select(
-        F.col(id_col).alias("train_doc_id"), "shingle"
-    )
-    capped = (
-        tr_raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    tr = (
+        sh.filter(F.col(split_col) == train_label)
+        .select(F.col(id_col).alias("train_doc_id"), "shingle")
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("df") <= max_train_df)
-        .select("shingle")
     )
-    tr = tr_raw.join(capped, "shingle")
     te = sh.filter(F.col(split_col) == test_label).select(
         F.col(id_col).alias("test_doc_id"), "shingle"
     )
