@@ -84,10 +84,10 @@ def test_quoted_scale_metrics_match_scale_detail():
     )
 
     arch = (base / "ARCHITECTURE.md").read_text()
-    m = re.search(r"recorded 100× ratio fell [\d.]+× → ([\d.]+)×", arch)
+    m = re.search(r"recorded 100× ratio now reads ([\d.]+)×", arch)
     assert m, "ARCHITECTURE.md spearman-ratio claim missing or reworded"
     assert float(m.group(1)) == spear
-    m = re.search(r"\((\w+) worst at ([\d.]+)×\)", arch)
+    m = re.search(r"\((\w+) worst at ([\d.]+)×", arch)
     assert m, "ARCHITECTURE.md spot-worst claim missing or reworded"
     assert (m.group(1), float(m.group(2))) == (worst_spot, worst_spot_r)
     m = re.search(r"worst headliner (\w+) at ([\d.]+)×", arch)
