@@ -222,7 +222,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (c) time-series remainder: engle_granger_pairs, half_life_mean_reversion,
 #     seasonal_decompose_daily, garman_klass_vol and peers;
 # (d) corpus/retrieval remainder: bpe_merge_table, bpe_token_stats_docs,
-#     unigram_lm_perplexity and peers.
+#     unigram_lm_perplexity and peers;
+# (e) registered round 12, never windowed: ecdf_drift_by_type (the
+#     W1 + Cramér-von Mises completion of the KS drift family).
 # Rotate against slots whose names hold >=2 recorded green rounds
 # (after the r12 driver run: the 26 round-11 entrants each hold 2).
 
