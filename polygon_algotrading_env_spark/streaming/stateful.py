@@ -598,3 +598,145 @@ def stream_kalman_level(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ECDF drift monitor: live KS / W1 / CvM vs a self-calibrated
+# reference distribution
+# ---------------------------------------------------------------------------
+
+_DRIFT_STATE_SCHEMA = (
+    "ref_v array<long>, ref_c array<long>, cur_v array<long>, "
+    "cur_c array<long>, n_ref_seen bigint, last_ts long"
+)
+_DRIFT_OUTPUT_SCHEMA = (
+    "event_type string, n1 bigint, n2 bigint, d_num bigint, ks double, "
+    "w1_num bigint, w1 double, cvm_num bigint, cvm double"
+)
+
+
+def _cents_half_up(values: pd.Series) -> list[int]:
+    """value → integer cents with ROUND HALF AWAY FROM ZERO — the exact
+    semantics of Spark's F.round(x*100) and DuckDB's round(), so the
+    stream, the batch plan, and the oracle quantize identically (Python's
+    built-in round() banker's-rounds and would desynchronize ties)."""
+    import numpy as np
+
+    x = values.to_numpy(dtype="float64") * 100.0
+    return np.where(
+        x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+    ).astype("int64").tolist()
+
+
+def _drift_stats(ref: dict, cur: dict):
+    """Exact-integer two-sample ECDF statistics from two cents→count maps
+    — the same common-denominator identities as the certified batch
+    `ecdf_drift_by_type` (d = cum1·n2 − cum2·n1 over the merged grid;
+    Python ints, so no 64-bit ceiling inside the fold)."""
+    grid = sorted(set(ref) | set(cur))
+    n1 = sum(ref.values())
+    n2 = sum(cur.values())
+    cum1 = cum2 = 0
+    d_num = 0
+    w1_num = 0
+    cvm_num = 0
+    for i, v in enumerate(grid):
+        c1 = ref.get(v, 0)
+        c2 = cur.get(v, 0)
+        cum1 += c1
+        cum2 += c2
+        d = cum1 * n2 - cum2 * n1
+        ad = d if d >= 0 else -d
+        if ad > d_num:
+            d_num = ad
+        if i + 1 < len(grid):
+            w1_num += ad * (grid[i + 1] - v)
+        cvm_num += d * d * (c1 + c2)
+    return n1, n2, d_num, w1_num, cvm_num
+
+
+def stream_ecdf_drift(
+    stream: DataFrame,
+    n_ref: int = 256,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Live distribution-drift monitor per key: the first ``n_ref``
+    observations (in event order) self-calibrate the REFERENCE
+    distribution; every micro-batch after that emits one row per active
+    key with the exact two-sample statistics of everything seen since
+    calibration vs the reference — KS (sup), Wasserstein-1 (earth-mover
+    on the cent grid), and Cramér-von Mises (L2), the same
+    exact-integer identities as the certified batch
+    ``ecdf_drift_by_type`` (which splits by time halves; the stream
+    can't know the horizon, so it calibrates by count — the law test
+    pins stream ≡ a first-n/rest batch split on the same feed).
+
+    State per key is two cents→count maps, bounded by the PRICE GRID
+    cardinality (not event count) — the same reason the batch plan's
+    window runs over the distinct-value relation. Rows at or before the
+    last applied timestamp are DROPPED (the cross-batch monotonicity
+    guard shared by every sequential twin here: a count that lands
+    before the calibration boundary retroactively would silently move
+    the reference). Emits in update mode, one row per key per batch once
+    calibration is complete and at least one post-calibration row
+    exists.
+    """
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ref: dict = {}
+        cur: dict = {}
+        n_seen, last_ts = 0, -(1 << 62)
+        if state.exists:
+            ref_v, ref_c, cur_v, cur_c, n_seen, last_ts = state.get
+            ref = dict(zip(ref_v, ref_c))
+            cur = dict(zip(cur_v, cur_c))
+        pdf = _merged_sorted(pdfs, ts_col)
+        if pdf is not None:
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            cents = _cents_half_up(pdf[value_col])
+            for t, v in zip(ts_us.tolist(), cents):
+                if t <= last_ts:
+                    continue
+                last_ts = t
+                if n_seen < n_ref:
+                    ref[v] = ref.get(v, 0) + 1
+                    n_seen += 1
+                else:
+                    cur[v] = cur.get(v, 0) + 1
+        state.update(
+            (
+                list(ref.keys()),
+                list(ref.values()),
+                list(cur.keys()),
+                list(cur.values()),
+                n_seen,
+                last_ts,
+            )
+        )
+        if n_seen >= n_ref and cur:
+            n1, n2, d_num, w1_num, cvm_num = _drift_stats(ref, cur)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n1": [n1],
+                    "n2": [n2],
+                    "d_num": [d_num],
+                    "ks": [round(d_num / (n1 * n2), 6)],
+                    "w1_num": [w1_num],
+                    "w1": [round(w1_num / (n1 * n2 * 100.0), 6)],
+                    "cvm_num": [cvm_num],
+                    "cvm": [
+                        round(cvm_num / (n1 * n2 * float(n1 + n2) ** 2), 6)
+                    ],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=_DRIFT_OUTPUT_SCHEMA,
+        stateStructType=_DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

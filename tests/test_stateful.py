@@ -646,3 +646,153 @@ def test_stream_kalman_equals_batch_and_survives_restart(spark, tmpdir):
     for k, v in ref.items():
         assert abs(got[k][0] - v[0]) < 1e-12, k
         assert got[k][1] == v[1], k  # gains bit-exact
+
+
+# --- streaming ECDF drift ≡ first-n/rest batch split -------------------------
+
+EV_SCHEMA = "event_type string, ts timestamp, value double"
+
+
+def _py_drift_reference(rows, n_ref):
+    """Independent pure-Python two-sample ECDF reference: first n_ref
+    rows per key (ts order) are the reference sample, the rest current;
+    KS/W1/CvM from sorted samples with bisect — no shared code with the
+    operator's map-fold."""
+    import bisect
+    from collections import defaultdict
+
+    def cents(x):
+        v = x * 100.0
+        return int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+
+    by_key = defaultdict(list)
+    for k, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key[k].append(cents(v))
+    want = {}
+    for k, vs in by_key.items():
+        s1 = sorted(vs[:n_ref])
+        s2 = sorted(vs[n_ref:])
+        if not s2:
+            continue
+        n1, n2 = len(s1), len(s2)
+        grid = sorted(set(s1) | set(s2))
+        d_at = [
+            bisect.bisect_right(s1, g) * n2 - bisect.bisect_right(s2, g) * n1
+            for g in grid
+        ]
+        d_num = max(abs(d) for d in d_at)
+        w1_num = sum(
+            abs(d_at[i]) * (grid[i + 1] - grid[i])
+            for i in range(len(grid) - 1)
+        )
+        mult = [s1.count(g) + s2.count(g) for g in grid]
+        cvm_num = sum(d * d * m for d, m in zip(d_at, mult))
+        want[k] = (n1, n2, d_num, w1_num, cvm_num)
+    return want
+
+
+def test_stream_ecdf_drift_equals_batch_split_across_batches(spark, tmpdir):
+    """Multi-micro-batch feed (maxFilesPerTrigger=1): the final emission
+    per key must equal the independent first-n/rest reference, with the
+    calibration boundary falling mid-file and mid-batch."""
+    import random
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    rnd = random.Random(7)
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    rows = []
+    for i in range(40):
+        # planted drift: key 'a' shifts location after calibration
+        rows.append(("a", t0 + timedelta(seconds=i), 10.0 + rnd.random() + (1.5 if i >= 12 else 0.0)))
+        rows.append(("b", t0 + timedelta(seconds=i), 20.0 + rnd.random()))
+    src = f"{tmpdir}/src"
+    for lo, hi in ((0, 30), (30, 56), (56, 80)):  # 3 files -> 3 batches
+        spark.createDataFrame(rows[lo:hi], EV_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_ecdf_drift(stream, n_ref=12)
+        .writeStream.format("memory")
+        .queryName("drift1")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n2 DESC) AS rn FROM drift1) "
+            "WHERE rn = 1"
+        ).collect()
+    }
+    want = _py_drift_reference(rows, n_ref=12)
+    assert set(got) == set(want)
+    for k, (n1, n2, d_num, w1_num, cvm_num) in want.items():
+        r = got[k]
+        assert (r["n1"], r["n2"], r["d_num"], r["w1_num"], r["cvm_num"]) == (
+            n1, n2, d_num, w1_num, cvm_num
+        ), k
+        assert abs(r["ks"] - round(d_num / (n1 * n2), 6)) < 1e-12
+        assert abs(r["w1"] - round(w1_num / (n1 * n2 * 100.0), 6)) < 1e-12
+    # the planted location shift must light up key 'a' far above 'b'
+    assert got["a"]["w1"] > 5 * got["b"]["w1"]
+    assert got["a"]["ks"] > got["b"]["ks"]
+
+
+def test_stream_ecdf_drift_state_survives_restart(spark, tmpdir):
+    """Kill/restart across the calibration boundary: reference counts and
+    the monotonicity cursor must recover from the checkpoint, final
+    statistics identical to the reference."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    vals = [1.0, 2.0, 1.5, 2.5, 3.0, 4.0, 3.5, 4.5, 5.0, 6.0]
+    rows = [("x", t0 + timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run_fb():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        q = (
+            stream_ecdf_drift(stream, n_ref=4)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:3], EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # dies mid-calibration (3 of 4 reference rows seen)
+    assert collected == []  # nothing emitted before calibration completes
+    spark.createDataFrame(rows[3:], EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_fb()  # restart: calibration completes from checkpointed state
+    assert collected, "no emission after restart"
+    last = collected[-1]
+    want = _py_drift_reference(rows, n_ref=4)["x"]
+    assert (
+        last["n1"], last["n2"], last["d_num"], last["w1_num"], last["cvm_num"]
+    ) == want
