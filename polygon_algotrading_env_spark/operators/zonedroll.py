@@ -94,6 +94,7 @@ GATED_QUERIES: tuple[str, ...] = (
     "macd_12_26_9_5m",
     "kalman_level_5m",
     "spearman_qty_price_by_flag",
+    "ecdf_drift_first_n_by_type",
 )
 
 

@@ -224,7 +224,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (d) corpus/retrieval remainder: bpe_merge_table, bpe_token_stats_docs,
 #     unigram_lm_perplexity and peers;
 # (e) registered round 12, never windowed: ecdf_drift_by_type (the
-#     W1 + Cramér-von Mises completion of the KS drift family).
+#     W1 + Cramér-von Mises completion of the KS drift family) and
+#     ecdf_drift_first_n_by_type (the streaming monitor's certified
+#     first-n/rest basis, gated through zoned_row_number).
 # Rotate against slots whose names hold >=2 recorded green rounds
 # (after the r12 driver run: the 26 round-11 entrants each hold 2).
 

@@ -5776,6 +5776,17 @@ def ecdf_drift_by_type(spark, sf_dir):
             F.col("ts_ns") * 2 <= F.col("lo") + F.col("hi"), F.lit(1)
         ).otherwise(F.lit(2)),
     )
+    return _ecdf_two_sample(tagged)
+
+
+def _ecdf_two_sample(tagged):
+    """Shared exact-integer two-sample ECDF scaffold: ``tagged`` carries
+    (event_type, v BIGINT cents, grp ∈ {1,2}); returns the certified
+    (n1, n2, w1_num, w1, cvm_num, cvm) emission. Factored so every split
+    rule (time halves, first-n/rest) certifies the identical statistics
+    pipeline."""
+    from pyspark.sql import Window
+
     cell = tagged.groupBy("event_type", "v").agg(
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("c2"),
@@ -5841,6 +5852,102 @@ def ecdf_drift_by_type(spark, sf_dir):
             ).alias("cvm"),
         )
     )
+
+
+# --- first-n/rest ECDF drift: the streaming monitor's certified basis ------
+@register(
+    "ecdf_drift_first_n_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type, v,
+             CASE WHEN rn <= 128 THEN 1 ELSE 2 END AS grp
+      FROM ev
+    ),
+    cell AS (
+      SELECT event_type, v,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS c2
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v, c1, c2,
+             sum(c1) OVER w AS cum1,
+             sum(c2) OVER w AS cum2,
+             lead(v) OVER w AS v_next,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+      FROM cell
+      WINDOW w AS (PARTITION BY event_type ORDER BY v)
+    ),
+    terms AS (
+      SELECT event_type, n1, n2,
+             CAST(cum1 * n2 - cum2 * n1 AS DECIMAL(38,0)) AS d,
+             CAST(COALESCE(v_next - v, 0) AS DECIMAL(38,0)) AS gap,
+             CAST(c1 + c2 AS DECIMAL(38,0)) AS mult
+      FROM cum WHERE n1 > 0 AND n2 > 0
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           TRY_CAST(sum(abs(d) * gap) AS BIGINT) AS w1_num,
+           round(CAST(sum(abs(d) * gap) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0),
+                 6) AS w1,
+           TRY_CAST(sum(d * d * mult) AS BIGINT) AS cvm_num,
+           round(CAST(sum(d * d * mult) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * power(CAST(n1 + n2 AS DOUBLE), 2)),
+                 6) AS cvm
+    FROM terms
+    GROUP BY event_type, n1, n2
+    """,
+)
+def ecdf_drift_first_n_by_type(spark, sf_dir):
+    """First-n/rest ECDF drift per event_type — the CERTIFIED batch basis
+    of the streaming monitor (streaming/stateful.py:stream_ecdf_drift),
+    the adjustment-twin pattern: the stream self-calibrates its
+    reference on the first n_ref observations per key because it cannot
+    know the time horizon, and this query certifies exactly that split
+    (n_ref = 128 — small enough that even the sf0.001 fixture, ~190-210
+    events per type, leaves a non-empty current sample at every SF)
+    against the DuckDB oracle (the sibling `ecdf_drift_by_type`
+    certifies the time-halves split). Identical exact-integer W1/CvM
+    scaffold (shared `_ecdf_two_sample`). The per-row rank over the
+    ~4-value key routes through :func:`zoned_row_number` under the
+    adaptive gate — the one new plan element vs the sibling, and the
+    reason this query joins GATED_QUERIES: a data-sized
+    row_number window partitioned on event_type alone would funnel the
+    stream through ≤4 tasks at 100 TB. A stream≡batch law test pins the
+    monitor's final emission to this query's rows on an in-order feed."""
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        zoned_row_number,
+        zoning_mode,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        "ts_ns",
+        "event_id",
+    )
+    rn = zoned_row_number(
+        ev,
+        ["event_type"],
+        ["ts_ns", "event_id"],
+        rn_col="__rn",
+        mode=zoning_mode(sf_dir),
+    )
+    tagged = rn.withColumn(
+        "grp",
+        F.when(F.col("__rn") <= 128, F.lit(1)).otherwise(F.lit(2)),
+    )
+    return _ecdf_two_sample(tagged)
 
 
 # --- CUSUM changepoint per symbol -----------------------------------------

@@ -796,3 +796,57 @@ def test_stream_ecdf_drift_state_survives_restart(spark, tmpdir):
     assert (
         last["n1"], last["n2"], last["d_num"], last["w1_num"], last["cvm_num"]
     ) == want
+
+
+def test_stream_ecdf_drift_matches_certified_batch_basis(spark, tmpdir, sf_dir):
+    """The monitor's final emission per key over an in-order feed of the
+    REAL events fixture equals the certified batch basis
+    `ecdf_drift_first_n_by_type` (n_ref=128) row for row — the
+    adjustment-twin law shape: stream ≡ certified batch on the same
+    data. The fixture carries unique (event_type, ts), so the
+    monotonicity guard drops nothing."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.catalog import load_table
+    from polygon_algotrading_env_spark.queries import REGISTRY
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    src = f"{tmpdir}/src"
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    q = (
+        stream_ecdf_drift(stream, n_ref=128)
+        .writeStream.format("memory")
+        .queryName("drift_basis")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_type"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n2 DESC) AS rn "
+            "FROM drift_basis) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in REGISTRY["ecdf_drift_first_n_by_type"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert want, "fixture produced no post-calibration rows — law vacuous"
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g["n1"], g["n2"], g["w1_num"], g["cvm_num"]) == (
+            w["n1"], w["n2"], w["w1_num"], w["cvm_num"]
+        ), k
+        assert abs(g["w1"] - w["w1"]) < 1e-12 and abs(g["cvm"] - w["cvm"]) < 1e-12
