@@ -247,19 +247,16 @@ def test_gated_queries_identical_across_shapes(spark, monkeypatch):
     forced-global and forced-zoned plans must produce the SAME rows
     through the registry functions (the law each mode's oracle hash
     certifies separately, asserted here directly in one run)."""
+    from polygon_algotrading_env_spark.operators.zonedroll import (
+        GATED_QUERIES,
+    )
     from polygon_algotrading_env_spark.queries import REGISTRY
 
-    gated = (
-        "rsi_14_per_event_type",
-        "hurst_exponent_by_type",
-        "ema_20_per_event_type",
-        "ewma_vol_5m",
-        "macd_12_26_9_5m",
-        "kalman_level_5m",
-        "spearman_qty_price_by_flag",
-    )
+    # single-sourced on GATED_QUERIES (not a hand list) so a new
+    # zoning_mode() consumer is law-covered the moment it registers —
+    # the same no-drift principle as the derived certified ledger
     sf = "/root/testdata/sf0.001"
-    for name in gated:
+    for name in GATED_QUERIES:
         monkeypatch.setenv("SPARK_GRAFT_ZONING", "global")
         a = {tuple(r) for r in REGISTRY[name].fn(spark, sf).collect()}
         monkeypatch.setenv("SPARK_GRAFT_ZONING", "zoned")
