@@ -102,6 +102,14 @@ def test_quoted_scale_metrics_match_scale_detail():
         m = m or re.search(r"like-plan zoned ratio .*? is ([\d.]+)×", text)
         assert m, f"{src} like-plan spearman claim missing or reworded"
         assert float(m.group(1)) == gated["spearman_qty_price_by_flag"], src
+    # r12 kmeans rationale row: its quoted 100× scaling must match the
+    # artifact (the r11 VERDICT item-4 "rationale row + doc-pin" close)
+    m = re.search(r"scales at ([\d.]+)× for 100× data", arch)
+    assert m, "ARCHITECTURE.md kmeans scaling claim missing or reworded"
+    assert float(m.group(1)) == detail["ratio_vs_base"][
+        "kmeans_clusters_embeddings"
+    ]
+
     m = re.search(
         r"rsi ([\d.]+)×, hurst ([\d.]+)×, ema ([\d.]+)×, ewma-vol ([\d.]+)×,"
         r" macd ([\d.]+)×, spearman ([\d.]+)× like-plan",
