@@ -130,17 +130,61 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-12 rotation (per r11 VERDICT item 1): TWENTY-FOUR slots
-    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-two round-10
+    # Round-13 rotation (per r12 VERDICT item 1): TWENTY-SIX slots
+    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-six round-11
     # entrants that now hold 2 recorded green rounds each
-    # (gini_order_value_by_priority ... dp_noisy_segment_counts) plus
-    # macd_12_26_9_5m and kalman_level_5m, whose deliberate holds
-    # certified their rewritten closed-form physical plans in r11. In
-    # exchange, twenty-four never-driver-certified oracle-bearing names
-    # enter — the indicator, microstructure, portfolio/risk, and
-    # curation tiers — all pre-verified by tools/oracle_check.py at
-    # sf0.001/sf0.01/sf0.1 this round (0 failures).
+    # (mann_whitney_u_price_urgency ... grid_backtest_sma_pairs_5m,
+    # CORRECTNESS_r11 + CORRECTNESS_r12). In exchange, twenty-six
+    # never-driver-certified oracle-bearing names enter, LEADING with
+    # the three round-12 registrations that anchor that round's
+    # flagship capabilities (the ECDF drift family and the causal
+    # first-day adjustment basis), then the registry's own tier list:
+    # portfolio/risk remainder, SQL-surface, time-series remainder,
+    # corpus/ANN remainder, set-op remainder. All pre-verified by
+    # tools/oracle_check.py at sf0.001/sf0.01/sf0.1 this round.
     #
+    # --- round-13 entrants -------------------------------------------
+    # (e→first) the round-12 registrations (r12 VERDICT item 1's leads):
+    # the W1 + Cramér–von Mises completion of the KS drift family, the
+    # streaming ECDF monitor's certified first-n/rest basis (gated:
+    # also carried by ZONED_ORACLE.json in both shapes), and the
+    # streaming adjustment twin's causal first-day basis
+    "ecdf_drift_by_type",
+    "ecdf_drift_first_n_by_type",
+    "adjusted_candles_firstday_5m",
+    # (a) portfolio/risk remainder (risk_adjusted_metrics_5m's slot was
+    #     explicitly yielded to this cohort by the r12 rotation note)
+    "risk_adjusted_metrics_5m",
+    "inverse_vol_portfolio",
+    "ulcer_index_5m",
+    "max_drawdown_duration_5m",
+    "beta_vs_market_5m",
+    # (b) SQL-surface remainder
+    "cube_flag_status",
+    "grouping_sets_flag_status",
+    "pipe_syntax_priority_revenue",
+    "sql_udf_discounted_pricing",
+    "intersect_order_slices",
+    # (c) time-series remainder
+    "engle_granger_pair",
+    "seasonal_decompose_hourly",
+    "range_vol_estimators_daily",
+    "frac_diff_close_5m",
+    "dollar_bars_events",
+    "gap_filled_bars_30m",
+    # (d) corpus / embedding-ANN remainder — lsh/ivf are the never-
+    #     certified scale-path ANN variants (bucket-probed, not
+    #     brute-force); semantic_dedup closes the embedding-dedup tier
+    "hashed_tfidf_features",
+    "char_entropy_docs",
+    "zipf_fit_tokens",
+    "kl_divergence_by_source",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "semantic_dedup_survivors",
+    # --- holdovers (below): the 24 round-12 entrants, one recorded
+    # green each (CORRECTNESS_r12.json) — they accrue their second
+    # round before retiring.
     # --- round-12 entrants -------------------------------------------
     # (a) the technical-indicator tier
     "bollinger_20_5m",
@@ -176,59 +220,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "balanced_downsample_per_lang",
     "gopher_repetition_filters",
     "boilerplate_ngrams",
-    # --- holdovers (below): the 26 round-11 entrants, one recorded
-    # green each (CORRECTNESS_r11.json) — they accrue their second
-    # round before retiring.
-    # (a) the round-10 analytics additions (rank/dispersion/diagnostic
-    #     statistics)
-    "mann_whitney_u_price_urgency",
-    "kruskal_wallis_price_by_priority",
-    "kendall_tau_qty_discount",
-    "theil_index_by_priority",
-    "atkinson_index_by_priority",
-    "herfindahl_brand_suppliers",
-    "hill_tail_index_by_priority",
-    "jarque_bera_returns_5m",
-    "brown_forsythe_price_by_status",
-    "runs_test_returns_5m",
-    "ljung_box_returns_5m",
-    # (b) never-certified time-series / changepoint tier
-    "cusum_changepoint_by_type",
-    "cusum_alarms_5m",
-    "acf_by_type",
-    "acf_returns_lags",
-    "asof_chunked_order_before_event",
-    # (c) never-certified retrieval / text tier
-    "phrase_search_docs",
-    "chunk_docs_overlap",
-    "hashed_token_features_docs",
-    "source_token_cosine_pairs",
-    "quality_percentile_by_lang",
-    "ngram_jaccard_adjacent",
-    "attribution_touch_points",
-    # (d) never-certified graph / privacy / backtest tier
-    "cheapest_supply_paths",
-    "l_diversity_release_audit",
-    "grid_backtest_sma_pairs_5m",
 )
 
-# Round-13 rotation candidates — never-driver-certified oracle-bearing
+# Round-14 rotation candidates — never-driver-certified oracle-bearing
 # names remain (all hash-matched by tools/oracle_check.py locally).
 # Natural next cohorts, tier by tier:
-# (a) portfolio/risk remainder: inverse_vol_portfolio, ulcer_index_5m,
-#     max_drawdown_duration_5m, sortino_ratio_5m, calmar_ratio_daily;
-# (b) SQL-surface: cube_flag_status, grouping_sets_flag_status,
-#     pipe_syntax_priority_revenue, sql_udf_discounted_pricing;
-# (c) time-series remainder: engle_granger_pairs, half_life_mean_reversion,
-#     seasonal_decompose_daily, garman_klass_vol and peers;
-# (d) corpus/retrieval remainder: bpe_merge_table, bpe_token_stats_docs,
-#     unigram_lm_perplexity and peers;
-# (e) registered round 12, never windowed: ecdf_drift_by_type (the
-#     W1 + Cramér-von Mises completion of the KS drift family) and
-#     ecdf_drift_first_n_by_type (the streaming monitor's certified
-#     first-n/rest basis, gated through zoned_row_number).
+# (a) market-quality / event-time remainder: intraday_volume_profile,
+#     swing_points_5m, candle_pattern_census, event_study_volume_spikes,
+#     kyle_lambda_by_type, trade_size_tail_index, stale_tick_fraction;
+# (b) TPC-H-style decision remainder: local_supplier_volume_asia,
+#     product_profit_by_nation_year, yoy_revenue_growth_by_nation,
+#     nation_pair_volume_by_year, top_revenue_supplier_quarter;
+# (c) sessions / behavioral: rfm_user_segments, event_transition_matrix,
+#     kaplan_meier_fulfillment, cohort_revenue_curve,
+#     ab_test_conversion_ztest;
+# (d) corpus/sampling remainder: quality_cap_per_source,
+#     stratified_sample_by_lang, curriculum_stages_by_length,
+#     novelty_by_first_occurrence, vocab_coverage_top64;
+# (e) SQL-surface remainder: except_order_slices, intersect_all_parts,
+#     except_all_parts, null_handling, from_json_struct,
+#     collect_set_priorities, date_arithmetic.
 # Rotate against slots whose names hold >=2 recorded green rounds
-# (after the r12 driver run: the 26 round-11 entrants each hold 2).
+# (after the r13 driver run: the 24 round-12 entrants each hold 2).
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -237,6 +250,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 13 (the twenty-six round-11 entrants,
+        # each green r11+r12 — CORRECTNESS_r11.json + CORRECTNESS_r12.json)
+        "mann_whitney_u_price_urgency",
+        "kruskal_wallis_price_by_priority",
+        "kendall_tau_qty_discount",
+        "theil_index_by_priority",
+        "atkinson_index_by_priority",
+        "herfindahl_brand_suppliers",
+        "hill_tail_index_by_priority",
+        "jarque_bera_returns_5m",
+        "brown_forsythe_price_by_status",
+        "runs_test_returns_5m",
+        "ljung_box_returns_5m",
+        "cusum_changepoint_by_type",
+        "cusum_alarms_5m",
+        "acf_by_type",
+        "acf_returns_lags",
+        "asof_chunked_order_before_event",
+        "phrase_search_docs",
+        "chunk_docs_overlap",
+        "hashed_token_features_docs",
+        "source_token_cosine_pairs",
+        "quality_percentile_by_lang",
+        "ngram_jaccard_adjacent",
+        "attribution_touch_points",
+        "cheapest_supply_paths",
+        "l_diversity_release_audit",
+        "grid_backtest_sma_pairs_5m",
         # rotated out in round 12 (the twenty-two round-10 entrants,
         # green r10+r11, plus macd/kalman whose closed-form plan
         # rewrites were certified by deliberate holds, green r9-r11)
