@@ -607,7 +607,7 @@ def stream_kalman_level(
 
 _DRIFT_STATE_SCHEMA = (
     "ref_v array<long>, ref_c array<long>, cur_v array<long>, "
-    "cur_c array<long>, n_ref_seen bigint, last_ts long"
+    "cur_c array<long>, n_ref_seen bigint, last_ts long, n_at_last bigint"
 )
 _DRIFT_OUTPUT_SCHEMA = (
     "event_type string, n1 bigint, n2 bigint, d_num bigint, ks double, "
@@ -655,9 +655,42 @@ def _drift_stats(ref: dict, cur: dict):
     return n1, n2, d_num, w1_num, cvm_num
 
 
+def _drift_emit_row(key0, ref: dict, cur: dict) -> pd.DataFrame:
+    """One emission row from the two cents→count maps. Mirrors the batch
+    TRY_CAST semantics at the BIGINT ceiling: the exact Python-int
+    numerator AND its derived double go NULL past 2⁶³−1 instead of
+    killing the query at Arrow conversion (the batch `_ecdf_two_sample`
+    derives w1/cvm from the TRY_CAST'd BIGINT, so both are NULL there
+    too). Factored out of the state-update closure so the overflow
+    boundary is unit-testable with synthetic count maps — no need to
+    stream ~10⁹ rows to cross it."""
+    n1, n2, d_num, w1_num, cvm_num = _drift_stats(ref, cur)
+    big = 1 << 63
+    w1_ok, cvm_ok = w1_num < big, cvm_num < big
+    return pd.DataFrame(
+        {
+            "event_type": [key0],
+            "n1": [n1],
+            "n2": [n2],
+            "d_num": [d_num],
+            "ks": [round(d_num / (n1 * n2), 6)],
+            "w1_num": [w1_num if w1_ok else None],
+            "w1": [
+                round(w1_num / (n1 * n2 * 100.0), 6) if w1_ok else None
+            ],
+            "cvm_num": [cvm_num if cvm_ok else None],
+            "cvm": [
+                round(cvm_num / (n1 * n2 * float(n1 + n2) ** 2), 6)
+                if cvm_ok
+                else None
+            ],
+        }
+    )
+
+
 def stream_ecdf_drift(
     stream: DataFrame,
-    n_ref: int = 256,
+    n_ref: int = 128,
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
@@ -675,31 +708,68 @@ def stream_ecdf_drift(
 
     State per key is two cents→count maps, bounded by the PRICE GRID
     cardinality (not event count) — the same reason the batch plan's
-    window runs over the distinct-value relation. Rows at or before the
-    last applied timestamp are DROPPED (the cross-batch monotonicity
-    guard shared by every sequential twin here: a count that lands
-    before the calibration boundary retroactively would silently move
-    the reference). Emits in update mode, one row per key per batch once
+    window runs over the distinct-value relation. Rows STRICTLY before
+    the last applied timestamp are DROPPED (the cross-batch
+    monotonicity guard shared by every sequential twin here: a count
+    that lands before the calibration boundary retroactively would
+    silently move the reference). Rows AT the last applied timestamp
+    are counted like the batch basis counts them: the cursor is the
+    composite (last_ts, rows-already-applied-at-last_ts), so
+    same-microsecond ties within a micro-batch are all applied, an
+    overlapping re-delivery re-skips exactly the prefix it already
+    contributed, and application order equals the batch basis's
+    (ts, event_id) order whenever the feed delivers ties in event_id
+    order (the stream carries no event_id column to re-sort by). The
+    one residual ambiguity without row ids: a FRESH tie at exactly
+    last_ts arriving in a LATER batch, alone, is indistinguishable
+    from a re-delivery and is dropped. Default ``n_ref=128`` is the hash-certified configuration —
+    the split `ecdf_drift_first_n_by_type` pins against the DuckDB
+    oracle; other values run fine but no committed artifact certifies
+    them. Emits in update mode, one row per key per batch once
     calibration is complete and at least one post-calibration row
     exists.
+
+    Overflow degrades exactly like the certified batch basis: the
+    batch emits TRY_CAST(numerator AS BIGINT) and derives w1/cvm from
+    that cast, so past 2⁶³−1 both the numerator and the derived double
+    go NULL rather than silently wrapping; the stream mirrors this by
+    emitting None once the exact Python-int numerator exceeds the
+    BIGINT ceiling (reachable for cvm_num at ~tens of thousands of
+    post-calibration events per key under strong drift, where
+    d ≈ n1·n2). d_num needs no guard: d_num ≤ n1·n2 < 2⁶³ for any
+    realistic n2 (with n1=128 the ceiling is n2 ≈ 7·10¹⁶).
     """
 
     def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         ref: dict = {}
         cur: dict = {}
-        n_seen, last_ts = 0, -(1 << 62)
+        n_seen, last_ts, n_at_last = 0, -(1 << 62), 0
         if state.exists:
-            ref_v, ref_c, cur_v, cur_c, n_seen, last_ts = state.get
+            ref_v, ref_c, cur_v, cur_c, n_seen, last_ts, n_at_last = state.get
             ref = dict(zip(ref_v, ref_c))
             cur = dict(zip(cur_v, cur_c))
         pdf = _merged_sorted(pdfs, ts_col)
         if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             cents = _cents_half_up(pdf[value_col])
+            # pos = this row's 1-based rank among the batch's rows at its
+            # own timestamp (stable-sorted, so arrival order). Composite
+            # cursor (last_ts, n_at_last): a row at last_ts is new only
+            # if its rank exceeds the count already applied there — so a
+            # replayed batch re-skips exactly the prefix it already
+            # contributed and in-batch ties are never dropped.
+            prev_t, pos = None, 0
             for t, v in zip(ts_us.tolist(), cents):
-                if t <= last_ts:
+                if t < last_ts:
                     continue
-                last_ts = t
+                pos = pos + 1 if t == prev_t else 1
+                prev_t = t
+                if t == last_ts:
+                    if pos <= n_at_last:
+                        continue
+                    n_at_last = pos
+                else:
+                    last_ts, n_at_last = t, pos
                 if n_seen < n_ref:
                     ref[v] = ref.get(v, 0) + 1
                     n_seen += 1
@@ -713,25 +783,11 @@ def stream_ecdf_drift(
                 list(cur.values()),
                 n_seen,
                 last_ts,
+                n_at_last,
             )
         )
         if n_seen >= n_ref and cur:
-            n1, n2, d_num, w1_num, cvm_num = _drift_stats(ref, cur)
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "n1": [n1],
-                    "n2": [n2],
-                    "d_num": [d_num],
-                    "ks": [round(d_num / (n1 * n2), 6)],
-                    "w1_num": [w1_num],
-                    "w1": [round(w1_num / (n1 * n2 * 100.0), 6)],
-                    "cvm_num": [cvm_num],
-                    "cvm": [
-                        round(cvm_num / (n1 * n2 * float(n1 + n2) ** 2), 6)
-                    ],
-                }
-            )
+            yield _drift_emit_row(key[0], ref, cur)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         _update,

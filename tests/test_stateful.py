@@ -798,6 +798,109 @@ def test_stream_ecdf_drift_state_survives_restart(spark, tmpdir):
     ) == want
 
 
+def test_stream_ecdf_drift_counts_same_timestamp_ties(spark, tmpdir):
+    """Tick data collides on the microsecond: rows sharing (key, ts)
+    within a micro-batch must ALL be counted, exactly as the certified
+    batch basis counts them (row_number over ts, event_id) — the
+    composite (last_ts, n_at_last) cursor, not a bare `t <= last_ts`
+    drop. Ties are planted inside the calibration window, straddling
+    the boundary, and in the current sample; the pure-Python reference
+    counts every row."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    rows = []
+    for i in range(12):
+        ts = t0 + timedelta(seconds=i // 2)  # every timestamp twice
+        rows.append(("a", ts, 10.0 + 0.25 * i))
+    # triple tie straddling the calibration boundary (n_ref=4 → rows
+    # 3,4,5 at one ts: one calibrates, two land in the current sample)
+    rows.extend(
+        ("b", t0 + timedelta(seconds=j // 3), 20.0 + 0.5 * j)
+        for j in range(9)
+    )
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(src)
+    q = (
+        stream_ecdf_drift(
+            spark.readStream.schema(EV_SCHEMA).parquet(src), n_ref=4
+        )
+        .writeStream.format("memory")
+        .queryName("drift_ties")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r
+        for r in spark.sql("SELECT * FROM drift_ties").collect()
+    }
+    want = _py_drift_reference(rows, n_ref=4)
+    assert set(got) == set(want)
+    for k, (n1, n2, d_num, w1_num, cvm_num) in want.items():
+        r = got[k]
+        assert (r["n1"], r["n2"], r["d_num"], r["w1_num"], r["cvm_num"]) == (
+            n1, n2, d_num, w1_num, cvm_num
+        ), k
+    # every planted row counted — nothing silently dropped at the guard
+    assert got["a"]["n1"] + got["a"]["n2"] == 12
+    assert got["b"]["n1"] + got["b"]["n2"] == 9
+
+
+def test_drift_emit_row_overflow_nulls_like_batch_trycast():
+    """Past the BIGINT ceiling the monitor must degrade exactly like the
+    certified batch basis (TRY_CAST → NULL for the numerator AND the
+    double derived from it), not crash at Arrow conversion. Synthetic
+    count maps cross the boundary without streaming ~10⁹ rows; each
+    statistic overflows independently."""
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        _drift_emit_row,
+    )
+
+    # (a) no overflow: exact ints round-trip
+    row = _drift_emit_row("k", {100: 4}, {200: 5}).iloc[0]
+    assert row["w1_num"] == 4 * 5 * 100 and row["cvm_num"] == 20**2 * 4
+    # (b) w1_num = |d|·gap = 20·(10¹⁸−100) > 2⁶³−1; cvm stays exact
+    row = _drift_emit_row("k", {100: 4}, {10**18: 5}).iloc[0]
+    assert row["w1_num"] is None and row["w1"] is None
+    assert row["cvm_num"] == 20**2 * 4 and row["cvm"] is not None
+    # (c) cvm_num = d²·mult = (4·10⁹)²·4 > 2⁶³−1; w1 stays exact
+    big = _drift_emit_row("k", {100: 4}, {200: 10**9})
+    row = big.iloc[0]
+    assert row["cvm_num"] is None and row["cvm"] is None
+    assert row["w1_num"] == 4 * 10**9 * 100 and row["w1"] is not None
+    # the overflowed frame still converts to the declared output types
+    # (the crash mode this guard exists to prevent: an unguarded Python
+    # int > 2⁶³−1 makes the column object-dtype and int64 casting raise)
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pandas(big, preserve_index=False)
+    for col in ("n1", "n2", "d_num", "w1_num", "cvm_num"):
+        tbl.column(col).cast(pa.int64())
+    for col in ("ks", "w1", "cvm"):
+        tbl.column(col).cast(pa.float64())
+
+
+def test_stream_ecdf_drift_default_nref_is_certified_basis():
+    """The default n_ref must be 128 — the one configuration the
+    committed oracle artifacts certify (ecdf_drift_first_n_by_type pins
+    rn <= 128 in both the Spark plan and the DuckDB SQL)."""
+    import inspect
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    sig = inspect.signature(stream_ecdf_drift)
+    assert sig.parameters["n_ref"].default == 128
+
+
 def test_stream_ecdf_drift_matches_certified_batch_basis(spark, tmpdir, sf_dir):
     """The monitor's final emission per key over an in-order feed of the
     REAL events fixture equals the certified batch basis
