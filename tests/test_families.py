@@ -30,7 +30,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 def _recorded_greens() -> set[str]:
     names: set[str] = set()
-    for f in sorted(REPO.glob("CORRECTNESS_r0*.json")):
+    # r* not r0*: the zero-padded pattern silently dropped rounds >= 10
+    # (caught by the twin-basis audit — cusum/ewma greens live in r11/r12)
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(f.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 names.add(name)
@@ -83,3 +85,53 @@ def test_ghost_names_now_hold_or_await_green_rows():
     for name in ("doc_fingerprints", "simhash_docs", "minhash_near_dup_pairs"):
         assert REGISTRY[name].oracle is not None, name
         assert name in greens or name in set(DRIVER_WINDOW), name
+
+
+# Streaming twin → certified batch basis (r12 VERDICT item 5). Every
+# stateful streaming operator whose semantics are law-tested against a
+# registered batch query must point at a basis that is driver-green on
+# record or currently holds a window slot (certification scheduled this
+# round) — a twin whose basis is only locally hash-matched has no
+# committed evidence chain.
+TWIN_BASES = {
+    "stream_cusum": "cusum_alarms_5m",
+    "stream_sma_signal": "sma_crossover_backtest_5m",
+    "stream_ewma_vol": "ewma_vol_5m",
+    "stream_rsi": "rsi_14_per_event_type",
+    "stream_macd": "macd_12_26_9_5m",
+    "stream_kalman_level": "kalman_level_5m",
+    "stream_ecdf_drift": "ecdf_drift_first_n_by_type",
+    "stream_asof_join": "asof_latest_order_before_event",
+    "stream_adjusted_candles": "adjusted_candles_firstday_5m",
+    "stream_ohlcv_bars": "ohlcv_bars_5m",
+    "stream_bars_from_page_store": "ohlcv_bars_5m",
+    "stream_session_stats": "session_windows_per_user",
+    "stream_mg_summary_table": "heavy_hitter_parts",
+    "stream_bottomk_sketch_table": "bottomk_sketch_quantiles",
+}
+
+
+def test_streaming_twin_bases_certified_or_scheduled():
+    greens = _recorded_greens()
+    window = set(DRIVER_WINDOW)
+    from polygon_algotrading_env_spark import streaming
+
+    import importlib
+
+    fns = set()
+    for mod in ("stateful", "statev2", "pipeline"):
+        m = importlib.import_module(
+            f"polygon_algotrading_env_spark.streaming.{mod}"
+        )
+        fns.update(n for n in dir(m) if n.startswith("stream_"))
+    missing_twin = [t for t in TWIN_BASES if t not in fns]
+    assert not missing_twin, f"twin map names unknown operators: {missing_twin}"
+    unanchored = {
+        t: b
+        for t, b in TWIN_BASES.items()
+        if b not in greens and b not in window
+    }
+    assert not unanchored, (
+        f"twins whose batch basis is neither driver-green on record nor "
+        f"in the current window: {unanchored}"
+    )
