@@ -164,7 +164,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grouping_sets_flag_status",
     "pipe_syntax_priority_revenue",
     "sql_udf_discounted_pricing",
-    "intersect_order_slices",
+    # (b') plan-change re-certification (the macd/kalman/kmeans
+    #      precedent): the minhash signature pass gained an input-aware
+    #      rebalance this round (bit-identical output, 5.38 s -> 1.50 s
+    #      fresh-JVM at sf0.1) — the slot certifies the NEW physical
+    #      plan rather than letting the r11 green coast. The sibling
+    #      consumers of the same rewritten sig subplan
+    #      (minhash_md5_signatures, minhash_near_dup_pairs,
+    #      ngram_jaccard_near_dup, minhash_recall_report) stay
+    #      hash-verified locally at three SFs. intersect_order_slices
+    #      yields its slot (set-op family anchored by
+    #      union_order_slices; the except/intersect variants queue for
+    #      r14).
+    "minhash_md5_band_pairs",
     # (c) time-series remainder
     "engle_granger_pair",
     "seasonal_decompose_hourly",
@@ -333,7 +345,9 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "simhash_docs",
         "minhash_near_dup_pairs",
         "ema_20_per_event_type",
-        "minhash_md5_band_pairs",
+        # (minhash_md5_band_pairs re-entered the round-13 window to
+        #  certify its rebalanced signature plan — not listed here while
+        #  it holds a slot; the derived-ledger law subtracts the window)
         "winnow_md5_overlap_pairs",
         "simhash_md5_signatures",
         "auc_urgent_price_by_status",

@@ -523,10 +523,37 @@ def _md5_band_cand_df(sig):
 
 
 def _mh_sig_df(spark, sf_dir):
+    """md5-MinHash signature relation: explode + one grouped aggregation
+    (8 min()s on one doc_id shuffle whose partial aggregation collapses
+    map-side, so the exchange carries ~|docs|x9 longs, not shingles).
+
+    Two A/Bs behind this shape (r12 VERDICT item 7, the b8a97ec
+    measure-don't-assume discipline):
+
+    - Folding the 8 grouped mins into array higher-order functions
+      (transform+array_min, or one aggregate() with a struct
+      accumulator) LOSES ~2x in every regime measured (sf0.1: 4.9 vs
+      9.4 s; 100x-of-sf0.01: 3.3 vs 4.9 s) — HOF lambdas evaluate
+      interpreted per element while the explode pipeline stays inside
+      whole-stage codegen, and the exchange the fold would remove was
+      already partial-aggregated to noise. Reverted.
+    - The heavy per-shingle work (md5) is STAGE-1 bound: parallelism =
+      input splits. The local single-file documents fixture scans as
+      ONE partition, serializing the whole pass (measured 5.2 s at
+      sf0.1 -> 1.5 s after a rebalance). The repartition below fires
+      only when the scan is under-split relative to the session's
+      cores — a local-fixture rebalance; a 100 TB scan has millions of
+      splits and never triggers it (and a blanket repartition there
+      would be a full-corpus text exchange, measured as a small loss
+      even at 25 splits/32 cores).
+    """
     from polygon_algotrading_env_spark.functions.text import char_ngrams
 
     a, b = _mh_consts()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < cores // 2:
+        docs = docs.repartition(cores)
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(char_ngrams("text", 5))).alias("g"),
