@@ -249,9 +249,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (d) corpus/sampling remainder: quality_cap_per_source,
 #     stratified_sample_by_lang, curriculum_stages_by_length,
 #     novelty_by_first_occurrence, vocab_coverage_top64;
-# (e) SQL-surface remainder: except_order_slices, intersect_all_parts,
+# (e) SQL-surface remainder: except_order_slices, intersect_order_slices
+#     (yielded its r13 slot to the minhash re-entry), intersect_all_parts,
 #     except_all_parts, null_handling, from_json_struct,
 #     collect_set_priorities, date_arithmetic.
+# (f) plan-rewrite re-entries, if their rewrites land in r14 (the
+#     macd/kalman/kmeans/minhash precedent — budget slots BEFORE
+#     rewriting a PRIOR-certified plan): dsir_weights_for_target (the
+#     same stage-1 input-split serialization the r13 minhash rebalance
+#     fixed — its tokenize+hash pass reads the single-file documents
+#     fixture as one partition) and entity_resolution_parts (its 4.5 s
+#     is fixed-round eager-checkpoint latency in hash_min_labels;
+#     checkpoint_every is A/B-able).
 # Rotate against slots whose names hold >=2 recorded green rounds
 # (after the r13 driver run: the 24 round-12 entrants each hold 2).
 
