@@ -953,3 +953,132 @@ def test_stream_ecdf_drift_matches_certified_batch_basis(spark, tmpdir, sf_dir):
             w["n1"], w["n2"], w["w1_num"], w["cvm_num"]
         ), k
         assert abs(g["w1"] - w["w1"]) < 1e-12 and abs(g["cvm"] - w["cvm"]) < 1e-12
+
+
+def test_stream_ecdf_drift_redelivery_skips_prefix_applies_new_ties(
+    spark, tmpdir
+):
+    """Overlapping re-delivery (at-least-once source): a later batch that
+    re-delivers the rows already applied at last_ts PLUS a genuinely new
+    tie at that same timestamp must skip exactly the already-applied
+    prefix and count the new tie once — the composite (last_ts,
+    n_at_last) cursor's designed case. Conversely (documented residual
+    ambiguity without row ids): a FRESH tie arriving alone in a later
+    batch is indistinguishable from a re-delivery and is dropped."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    tie_ts = t0 + timedelta(seconds=10)
+    base = [("k", t0 + timedelta(seconds=i), 10.0 + i) for i in range(4)]
+    ties = [("k", tie_ts, 50.0), ("k", tie_ts, 60.0)]
+    new_tie = [("k", tie_ts, 70.0)]
+    src = f"{tmpdir}/src"
+    # batch 1: calibration (n_ref=4) + two ties at tie_ts
+    spark.createDataFrame(base + ties, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: RE-delivers both ties and adds one new tie at the same ts
+    spark.createDataFrame(ties + new_tie, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        stream_ecdf_drift(
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            n_ref=4,
+        )
+        .writeStream.format("memory")
+        .queryName("drift_redeliver")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM drift_redeliver ORDER BY n2"
+    ).collect()
+    # batch 1 emission: 2 post-calibration rows; batch 2: exactly ONE
+    # more (the new third tie), the redelivered pair skipped
+    assert [r["n2"] for r in rows] == [2, 3]
+    assert all(r["n1"] == 4 for r in rows)
+
+    # fresh tie ALONE in a later batch (no redelivery context): dropped
+    src2 = f"{tmpdir}/src2"
+    spark.createDataFrame(base + ties, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    spark.createDataFrame(new_tie, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    q = (
+        stream_ecdf_drift(
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src2),
+            n_ref=4,
+        )
+        .writeStream.format("memory")
+        .queryName("drift_freshtie")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n2s = [
+        r["n2"]
+        for r in spark.sql(
+            "SELECT * FROM drift_freshtie ORDER BY n2"
+        ).collect()
+    ]
+    assert max(n2s) == 2  # the lone fresh tie at last_ts was dropped
+
+
+def test_stream_ecdf_drift_tie_cursor_survives_restart(spark, tmpdir):
+    """n_at_last must recover from the checkpoint: the stream dies after
+    applying two ties at T, restarts, and the next batch re-delivers
+    both plus one new tie at T — exactly one new row counted."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    tie_ts = t0 + timedelta(seconds=10)
+    base = [("k", t0 + timedelta(seconds=i), 10.0 + i) for i in range(4)]
+    ties = [("k", tie_ts, 50.0), ("k", tie_ts, 60.0)]
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run():
+        q = (
+            stream_ecdf_drift(
+                spark.readStream.schema(EV_SCHEMA).parquet(src), n_ref=4
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(base + ties, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run()  # applies both ties, checkpoints (last_ts=T, n_at_last=2)
+    assert collected and collected[-1]["n2"] == 2
+    spark.createDataFrame(
+        ties + [("k", tie_ts, 70.0)], EV_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run()  # restart: redelivered pair skipped via recovered cursor
+    assert collected[-1]["n2"] == 3 and collected[-1]["n1"] == 4
