@@ -130,6 +130,65 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # Round-14 rotation (per r13 VERDICT item 1): TWENTY-FIVE slots
+    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-four round-12
+    # entrants that now hold 2 recorded green rounds each
+    # (bollinger_20_5m ... boilerplate_ngrams, CORRECTNESS_r12 +
+    # CORRECTNESS_r13) plus minhash_md5_band_pairs, whose r13 slot
+    # certified the rebalanced signature plan (greens r11 + r13). In
+    # exchange, twenty-four never-driver-certified oracle-bearing names
+    # enter from the registry's own r14 tier list — market-quality/
+    # event-time (a), TPC-H decision remainder (b), sessions/behavioral
+    # (c), corpus/sampling remainder (d), and the set-op pair from the
+    # SQL-surface remainder (e) — plus ONE plan-rewrite re-entry:
+    # dsir_weights_for_target, whose stage-1 tokenize+hash scan gains
+    # the same under-split-only rebalance the r13 minhash fix proved
+    # (the macd/kalman/kmeans/minhash precedent — the slot certifies
+    # the NEW physical plan). All pre-verified by tools/oracle_check.py
+    # at sf0.001/sf0.01/sf0.1 this round.
+    #
+    # --- round-14 entrants -------------------------------------------
+    # (a) market-quality / event-time remainder
+    "intraday_volume_profile",
+    "swing_points_5m",
+    "candle_pattern_census",
+    "event_study_volume_spikes",
+    "kyle_lambda_by_type",
+    "trade_size_tail_index",
+    "stale_tick_fraction",
+    # (b) TPC-H-style decision remainder
+    "local_supplier_volume_asia",
+    "product_profit_by_nation_year",
+    "yoy_revenue_growth_by_nation",
+    "nation_pair_volume_by_year",
+    "top_revenue_supplier_quarter",
+    # (c) sessions / behavioral
+    "rfm_user_segments",
+    "event_transition_matrix",
+    "kaplan_meier_fulfillment",
+    "cohort_revenue_curve",
+    "ab_test_conversion_ztest",
+    # (d) corpus / sampling remainder
+    "quality_cap_per_source",
+    "stratified_sample_by_lang",
+    "curriculum_stages_by_length",
+    "novelty_by_first_occurrence",
+    "vocab_coverage_top64",
+    # (e) SQL-surface set-op remainder (intersect_order_slices yielded
+    #     its r13 slot to the minhash re-entry; both variants enter now)
+    "except_order_slices",
+    "intersect_order_slices",
+    # (f) plan-change re-certification (the macd/kalman/kmeans/minhash
+    #     precedent): dsir's stage-1 scan gained the input-aware
+    #     under-split rebalance this round (bit-identical output at
+    #     three SFs) — the slot certifies the NEW physical plan.
+    "dsir_weights_for_target",
+    # --- holdovers (below): 25 of the 26 round-13 entrants, one
+    # recorded green each (CORRECTNESS_r13.json) — they accrue their
+    # second round before retiring. minhash_md5_band_pairs retires now:
+    # its r13 slot WAS its second green (r11 + r13, the rebalanced-plan
+    # certification).
+    # --- round-13 entrants -------------------------------------------
     # Round-13 rotation (per r12 VERDICT item 1): TWENTY-SIX slots
     # retire to PRIOR_DRIVER_CERTIFIED — the twenty-six round-11
     # entrants that now hold 2 recorded green rounds each
@@ -164,19 +223,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grouping_sets_flag_status",
     "pipe_syntax_priority_revenue",
     "sql_udf_discounted_pricing",
-    # (b') plan-change re-certification (the macd/kalman/kmeans
-    #      precedent): the minhash signature pass gained an input-aware
-    #      rebalance this round (bit-identical output, 5.38 s -> 1.50 s
-    #      fresh-JVM at sf0.1) — the slot certifies the NEW physical
-    #      plan rather than letting the r11 green coast. The sibling
-    #      consumers of the same rewritten sig subplan
-    #      (minhash_md5_signatures, minhash_near_dup_pairs,
-    #      ngram_jaccard_near_dup, minhash_recall_report) stay
-    #      hash-verified locally at three SFs. intersect_order_slices
-    #      yields its slot (set-op family anchored by
-    #      union_order_slices; the except/intersect variants queue for
-    #      r14).
-    "minhash_md5_band_pairs",
+    # (b') minhash_md5_band_pairs held this slot in r13 to certify its
+    #      rebalanced signature plan; that green is on record
+    #      (CORRECTNESS_r13.json), so it retired at the r14 rotation.
     # (c) time-series remainder
     "engle_granger_pair",
     "seasonal_decompose_hourly",
@@ -194,75 +243,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lsh_ann_topk",
     "ivf_ann_topk",
     "semantic_dedup_survivors",
-    # --- holdovers (below): the 24 round-12 entrants, one recorded
-    # green each (CORRECTNESS_r12.json) — they accrue their second
-    # round before retiring.
-    # --- round-12 entrants -------------------------------------------
-    # (a) the technical-indicator tier
-    "bollinger_20_5m",
-    "atr_14_5m",
-    "donchian_20_5m",
-    "stochastic_14_3_5m",
-    "obv_5m",
-    "variance_ratio_4x_5m",
-    "realized_vol_12bar_5m",
-    "rolling_zscore_anomalies_5m",
-    "mcleod_li_squared_returns_5m",
-    # (b) the microstructure tier
-    "roll_spread_estimator",
-    "amihud_illiquidity_daily",
-    "kyle_lambda_5m",
-    "corwin_schultz_spread",
-    "tick_rule_ofi",
-    "vwap_slippage_by_symbol",
-    # (c) the portfolio/risk tier
-    "var_es_daily",
-    "deflated_sharpe_zscore",
-    # (c') plan-change re-certification (the macd/kalman precedent from
-    #      r10/r11): kmeans' assignment expression was rewritten this
-    #      round (one nested centroid-array literal walked by transform,
-    #      bit-identical output) — the slot certifies the NEW physical
-    #      plan rather than letting it coast on the r10/r11 greens.
-    #      risk_adjusted_metrics_5m yields its slot to the r13 cohort.
-    "kmeans_clusters_embeddings",
-    # (d) the corpus-curation tier
-    "quality_filter_docs",
-    "redact_pii_docs",
-    "train_test_contamination",
-    "balanced_downsample_per_lang",
-    "gopher_repetition_filters",
-    "boilerplate_ngrams",
 )
 
-# Round-14 rotation candidates — never-driver-certified oracle-bearing
+# Round-15 rotation candidates — never-driver-certified oracle-bearing
 # names remain (all hash-matched by tools/oracle_check.py locally).
 # Natural next cohorts, tier by tier:
-# (a) market-quality / event-time remainder: intraday_volume_profile,
-#     swing_points_5m, candle_pattern_census, event_study_volume_spikes,
-#     kyle_lambda_by_type, trade_size_tail_index, stale_tick_fraction;
-# (b) TPC-H-style decision remainder: local_supplier_volume_asia,
-#     product_profit_by_nation_year, yoy_revenue_growth_by_nation,
-#     nation_pair_volume_by_year, top_revenue_supplier_quarter;
-# (c) sessions / behavioral: rfm_user_segments, event_transition_matrix,
-#     kaplan_meier_fulfillment, cohort_revenue_curve,
-#     ab_test_conversion_ztest;
-# (d) corpus/sampling remainder: quality_cap_per_source,
-#     stratified_sample_by_lang, curriculum_stages_by_length,
-#     novelty_by_first_occurrence, vocab_coverage_top64;
-# (e) SQL-surface remainder: except_order_slices, intersect_order_slices
-#     (yielded its r13 slot to the minhash re-entry), intersect_all_parts,
-#     except_all_parts, null_handling, from_json_struct,
-#     collect_set_priorities, date_arithmetic.
-# (f) plan-rewrite re-entries, if their rewrites land in r14 (the
-#     macd/kalman/kmeans/minhash precedent — budget slots BEFORE
-#     rewriting a PRIOR-certified plan): dsir_weights_for_target (the
-#     same stage-1 input-split serialization the r13 minhash rebalance
-#     fixed — its tokenize+hash pass reads the single-file documents
-#     fixture as one partition) and entity_resolution_parts (its 4.5 s
-#     is fixed-round eager-checkpoint latency in hash_min_labels;
-#     checkpoint_every is A/B-able).
+# (a) SQL-surface remainder: intersect_all_parts, except_all_parts,
+#     null_handling, from_json_struct, collect_set_priorities,
+#     date_arithmetic;
+# (b) the time-series / market remainder and any round-14 registrations
+#     (the new quantile-sketch family queues here per the
+#     register-with-oracle-then-certify pattern);
+# (c) plan-rewrite re-entries, if their rewrites land (the
+#     macd/kalman/kmeans/minhash/dsir precedent — budget slots BEFORE
+#     rewriting a PRIOR-certified plan): entity_resolution_parts IF the
+#     r14 checkpoint_every A/B changed its plan (see the committed A/B
+#     record either way).
 # Rotate against slots whose names hold >=2 recorded green rounds
-# (after the r13 driver run: the 24 round-12 entrants each hold 2).
+# (after the r14 driver run: the 25 round-13 holdovers each hold 2).
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -271,6 +269,35 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 14 (the twenty-four round-12 entrants,
+        # each green r12+r13 — CORRECTNESS_r12.json + CORRECTNESS_r13.json
+        # — plus minhash_md5_band_pairs, whose deliberate r13 re-entry
+        # certified the rebalanced signature plan: greens r11 + r13)
+        "bollinger_20_5m",
+        "atr_14_5m",
+        "donchian_20_5m",
+        "stochastic_14_3_5m",
+        "obv_5m",
+        "variance_ratio_4x_5m",
+        "realized_vol_12bar_5m",
+        "rolling_zscore_anomalies_5m",
+        "mcleod_li_squared_returns_5m",
+        "roll_spread_estimator",
+        "amihud_illiquidity_daily",
+        "kyle_lambda_5m",
+        "corwin_schultz_spread",
+        "tick_rule_ofi",
+        "vwap_slippage_by_symbol",
+        "var_es_daily",
+        "deflated_sharpe_zscore",
+        "kmeans_clusters_embeddings",
+        "quality_filter_docs",
+        "redact_pii_docs",
+        "train_test_contamination",
+        "balanced_downsample_per_lang",
+        "gopher_repetition_filters",
+        "boilerplate_ngrams",
+        "minhash_md5_band_pairs",
         # rotated out in round 13 (the twenty-six round-11 entrants,
         # each green r11+r12 — CORRECTNESS_r11.json + CORRECTNESS_r12.json)
         "mann_whitney_u_price_urgency",
@@ -355,8 +382,8 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "minhash_near_dup_pairs",
         "ema_20_per_event_type",
         # (minhash_md5_band_pairs re-entered the round-13 window to
-        #  certify its rebalanced signature plan — not listed here while
-        #  it holds a slot; the derived-ledger law subtracts the window)
+        #  certify its rebalanced signature plan; it retired again at
+        #  the r14 rotation and is listed in the round-14 block above)
         "winnow_md5_overlap_pairs",
         "simhash_md5_signatures",
         "auc_urgent_price_by_status",
@@ -389,7 +416,9 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "bm25_topk_docs",
         "cluster_aware_split",
         "multigrain_bars_rollup",
-        "dsir_weights_for_target",
+        # (dsir_weights_for_target re-entered the round-14 window to
+        #  certify its rebalanced stage-1 scan — not listed here while
+        #  it holds a slot; the derived-ledger law subtracts the window)
         "kneser_ney_logprob_docs",
         "key_skew_profile",
         "bottomk_sketch_quantiles",
