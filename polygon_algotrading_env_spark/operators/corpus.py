@@ -253,18 +253,42 @@ def dsir_log_weights(
     vocabulary-free property the hashed TF-IDF vectorizer exploits —
     and both models are add-one smoothed so unseen buckets stay finite.
 
-    Plan shape (the 100 TB story): one posexplode + lead() gives the
-    bigram relation on a single (doc, pos) shuffle; per-doc bucket
-    counts are one hash aggregate; BOTH models are bucket-bounded
-    aggregates (≤ n_buckets rows each) broadcast back onto the per-doc
-    counts — the corpus text is never joined to itself and the scoring
-    join fan-in is bounded by n_buckets, independent of corpus size.
+    Plan shape (the 100 TB story): adjacent bigrams come straight off
+    each document's token array (zip_with over two shifted slices —
+    r14 rewrite; the former posexplode + lead() window exchanged and
+    per-doc-sorted the ENTIRE token relation just to pair neighbors),
+    so the only corpus-sized shuffle is the partial-aggregated per-doc
+    bucket-count exchange; BOTH models are bucket-bounded aggregates
+    (≤ n_buckets rows each) broadcast back onto the per-doc counts —
+    the corpus text is never joined to itself and the scoring join
+    fan-in is bounded by n_buckets, independent of corpus size. The
+    model and scoring branches are kept byte-identical below the
+    per-doc exchange (see the inline comment) so AQE stage reuse runs
+    the corpus pass ONCE — previously it ran twice per query.
 
     Returns (id_col, n_bigrams, log_weight) — rank or threshold
     ``log_weight`` downstream (> 0 ⇒ more target-like than raw-like).
     """
     from pyspark.sql import Window
 
+    # The tokenize+hash pass is STAGE-1 bound (parallelism = input
+    # splits); the local single-file documents fixture scans as ONE
+    # partition, serializing it. Rebalance ONLY when the scan is
+    # under-split relative to the session's cores — the same guard the
+    # MinHash signature pass proved (queries/text.py:_mh_sig_df); a
+    # 100 TB scan has millions of splits and never triggers it.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism)
+    # Adjacent bigrams via posexplode + lead() over (doc, pos). A
+    # zip_with-over-shifted-slices variant that pairs neighbors off the
+    # token array WITHOUT the window shuffle was A/B-measured in r14
+    # and LOST 2.7x at 100x-of-sf0.01 (scaled 6.4 s vs 2.4 s): the HOF
+    # lambda evaluates interpreted per token while this whole pipeline
+    # — regex, explode, lead, md5 — stays inside whole-stage codegen,
+    # the same lesson as the minhash HOF A/B (queries/text.py). The
+    # (doc, pos) exchange it keeps is partial-aggregation-free but
+    # sorts only within documents.
     toks = docs.select(
         F.col(id_col),
         target_cond.alias("__is_target"),
@@ -282,15 +306,32 @@ def dsir_log_weights(
         .where(F.col("__t2").isNotNull())
         .select(id_col, "__is_target", bucket.alias("__b"))
     )
-    per_doc = big.groupBy(id_col, "__b").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.any_value("__is_target").alias("__is_target"),
+    # Two deliberate quirks keep the model and scoring branches
+    # BYTE-IDENTICAL below the per-doc exchange so AQE's stage reuse
+    # computes the corpus tokenize+hash+aggregate pass ONCE:
+    # - the (vacuously true) isnotnull(__b): the scoring equi-join
+    #   pushes exactly this predicate into its copy of the subtree, so
+    #   the model copy must carry it too;
+    # - __is_target rides as a GROUP KEY (functionally dependent on
+    #   doc_id, so groups are unchanged) rather than an any_value()
+    #   aggregate: the scoring branch never references it downstream,
+    #   and column pruning would strip it from that branch's aggregate
+    #   — a key cannot be pruned, an aggregate function can.
+    # Without either, the two copies differ by one node and the corpus
+    # pass ran twice (plan-asserted in tests).
+    per_doc = (
+        big.where(F.col("__b").isNotNull())
+        .groupBy(id_col, "__is_target", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     # BOTH models in one aggregate (conditional sum), totals via a window
     # over the model itself — the model is <= n_buckets rows, so the
-    # single-partition window is trivial and the corpus-sized relation is
-    # derived exactly TWICE (model branch + scoring branch), the same
-    # recompute-over-persist tradeoff doc_rarity_scores documents.
+    # single-partition window is trivial. The model branch re-aggregates
+    # the SAME per_doc subplan the scoring branch consumes; because the
+    # two copies canonicalize identically (see the per_doc comment), AQE
+    # stage reuse materializes the corpus pass once and replays its
+    # shuffle output here — no persist() needed (plan-asserted in
+    # tests/test_plans.py).
     w_all = Window.partitionBy()
     model = (
         per_doc.groupBy("__b")

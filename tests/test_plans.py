@@ -283,3 +283,27 @@ def test_ema_closed_form_zoned_plan_shape(spark, sf_dir, q, mode, monkeypatch):
         assert st.broadcast_joins >= 1, st  # block carry
         assert st.shuffle_exchanges <= 3, st
         assert "__zone" not in plan and "__tzone" not in plan, plan[:500]
+
+
+def test_dsir_corpus_pass_runs_once(spark, sf_dir, q):
+    """DSIR derives its raw/target bucket models AND the per-doc scores
+    from one per-(doc, is_target, bucket) aggregate. The r14 rewrite
+    keeps the model branch's copy of that subplan byte-identical to the
+    scoring branch's (explicit isnotnull(__b); __is_target as a group
+    KEY so pruning can't strip it from one side), so AQE stage reuse
+    materializes the corpus tokenize+hash pass ONCE — previously it ran
+    twice per query. Pinned: the final adaptive plan replays the
+    per-doc shuffle via ReusedExchange, and the bigrams stay on the
+    codegen posexplode+lead() path (the zip_with HOF variant measured
+    2.7x slower at 100x — interpreted per-token lambdas; see the
+    operator comment)."""
+    df = q["dsir_weights_for_target"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final[:2000]
+    st = plan_stats(df)
+    assert st.sort_merge_joins == 0 and st.cartesian_products == 0
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" not in opt
+    assert "lead(" in opt
