@@ -152,6 +152,62 @@ def probe_main(names: list[str]) -> None:
     print(json.dumps({"probes": out}))
 
 
+# Iterative-graph spot families whose 100x/1x RATIO is ill-conditioned:
+# the sf0.01 base swings 2.9-4.4 s with host state while the scaled side
+# is stable (SPOT_PROBE_r13 reproduced this three rounds running), so the
+# tracked number is the SCALED WALL on the deterministic 100x-of-sf0.01
+# fixture, pinned to the band of r11-r13 fresh-probe records with margin.
+# A wall inside its band needs no adjudication regardless of the ratio a
+# drifted base produced; a wall OUTSIDE it is re-confirmed standalone.
+SCALED_WALL_PINS: dict[str, tuple[float, float]] = {
+    "lpa_communities_copurchase": (35.0, 62.0),
+    "kcore80_copurchase_parts": (40.0, 75.0),
+}
+
+
+def scale_outliers(
+    ratios: dict[str, float], pinned: set[str] | None = None
+) -> list[str]:
+    """Names whose 100x/1x ratio exceeds 2x the block's own median —
+    the SCALE_DETAIL rows that must not ship without a fresh-subprocess
+    confirmation (r13 committed dsir at 31x suite vs 2.3x standalone;
+    the honest number lived only in a side file). Pinned scaled-wall
+    families are excluded: their ratio is known-ill-conditioned and
+    they are judged by ``judge_walls`` instead."""
+    import statistics
+
+    pinned = pinned or set()
+    vals = [r for n, r in ratios.items() if n not in pinned]
+    if not vals:
+        return []
+    med = statistics.median(vals)
+    if med <= 0:
+        return []
+    return sorted(
+        n for n, r in ratios.items() if n not in pinned and r > 2 * med
+    )
+
+
+def judge_walls(
+    scaled: dict[str, float],
+    pins: dict[str, tuple[float, float]] | None = None,
+) -> dict[str, dict]:
+    """Scaled-wall verdicts for the pinned iterative-graph families:
+    each measured 100x wall against its pinned band. ``within=False``
+    (or a missing measurement) is the alarm that replaces three rounds
+    of re-litigating a denominator artifact."""
+    pins = SCALED_WALL_PINS if pins is None else pins
+    out: dict[str, dict] = {}
+    for name, (lo, hi) in pins.items():
+        t = scaled.get(name)
+        out[name] = {
+            "scaled_wall": t,
+            "band": [lo, hi],
+            "within": t is not None and lo <= t <= hi,
+        }
+    return out
+
+
 def adjudicate_movers(
     movers: dict,
     timings: dict,
@@ -194,11 +250,15 @@ def adjudicate_movers(
         for n in still_hot:
             movers[n]["standalone_error"] = str(exc)[:200]
         print(f"# standalone probe failed: {exc}", file=sys.stderr)
-    if not probes:
+    if probes is None:
         return
     for n in still_hot:
         t = probes.get(n)
         if t is None:
+            # A mover the probe failed to return must not LOOK fully
+            # adjudicated: its in-session ratio is drift-tainted, so
+            # record that the confirmation never ran.
+            movers[n]["standalone_error"] = "probe returned no time"
             continue
         m = movers[n]
         m["standalone"] = t
@@ -419,12 +479,68 @@ def main() -> None:
         spot_failed = sorted(
             n for n in SPOT if n not in spot_base or n not in spot_100
         )
+        # In-file adjudication (r13 VERDICT items 4/5): every ratio
+        # outlier (>2x its block median) is re-measured by
+        # tools/spot_probe.py — one fresh subprocess JVM per block,
+        # min-of-3 — and the standalone number lands IN THIS RECORD, so
+        # no committed row's honest value lives only in a side file.
+        # The pinned iterative-graph families are judged by scaled wall
+        # against their band instead of by ratio, and probed only when
+        # the wall leaves the band.
+        pinned = set(SCALED_WALL_PINS)
+        walls = judge_walls(spot_100)
+        susp = sorted(
+            set(scale_outliers(ratios, pinned))
+            | set(scale_outliers(spot_ratios, pinned))
+            | {n for n, w in walls.items() if not w["within"]}
+        )
+        standalone: dict[str, dict] = {}
+        if susp:
+            import subprocess
+
+            print(f"# scale adjudication probes: {susp}", file=sys.stderr)
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "tools",
+                            "spot_probe.py",
+                        ),
+                        sf_dir,
+                        *susp,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                sys.stderr.write(proc.stderr[-2000:])
+                if proc.returncode == 0:
+                    standalone = json.loads(
+                        proc.stdout.strip().splitlines()[-1]
+                    )["queries"]
+                else:
+                    standalone = {
+                        n: {"error": f"probe rc={proc.returncode}"}
+                        for n in susp
+                    }
+            except Exception as exc:  # noqa: BLE001
+                standalone = {n: {"error": str(exc)[:200]} for n in susp}
+        for n, w in walls.items():
+            if n in standalone and "scaled" in standalone[n]:
+                w["standalone_wall"] = standalone[n]["scaled"]
+                w["within"] = (
+                    w["band"][0] <= standalone[n]["scaled"] <= w["band"][1]
+                )
         sf100 = {
             "factor": 100,
             "total": round(sum(sf100_q.values()), 3),
             "queries": sf100_q,
             "ratio_vs_base": ratios,
             "failed": sf100_failed,
+            "standalone": standalone,
+            "scaled_wall_pins": walls,
             "gated_zoned_base": zoned_base,
             "gated_zoned_x100": zoned_100,
             "gated_ratio_vs_zoned_base": zoned_ratios,
@@ -553,7 +669,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--probe":
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        # A bare --probe must never fall through into the full
+        # multi-hour bench — that's a usage error, loudly.
+        if len(sys.argv) < 3:
+            print(
+                "usage: bench.py --probe QUERY [QUERY ...]", file=sys.stderr
+            )
+            sys.exit(2)
         probe_main(sys.argv[2:])
     else:
         main()

@@ -103,3 +103,77 @@ def test_adjudicate_probe_failure_keeps_conservative_flag():
     assert m["noise"] is False
     assert "subprocess died" in m["standalone_error"]
     assert timings["q"] == 1.9
+
+
+def test_adjudicate_probe_missing_name_is_marked_unconfirmed():
+    """A still-hot mover the probe dict omits keeps its conservative
+    flag AND carries standalone_error — without the marker it would
+    read as fully adjudicated while the confirmation never ran."""
+    import bench
+
+    movers = _movers({"q": 2.0}, {"q": 1.0})
+    timings = {"q": 2.0}
+    bench.adjudicate_movers(movers, timings, lambda n: 2.0, lambda names: {})
+    m = movers["q"]
+    assert m["noise"] is False
+    assert m["standalone_error"] == "probe returned no time"
+    assert "standalone" not in m
+
+
+def test_probe_cli_without_names_is_a_usage_error():
+    """A bare --probe must exit 2 with usage, never fall through into
+    the full multi-hour bench."""
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--probe"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "usage" in proc.stderr.lower()
+
+
+def test_scale_outliers_flags_only_2x_median_and_skips_pinned():
+    import bench
+
+    ratios = {"a": 1.0, "b": 2.0, "c": 3.0, "d": 30.0, "lpa": 40.0}
+    # median of non-pinned {1,2,3,30} = 2.5; threshold 5.0 -> only d
+    assert bench.scale_outliers(ratios, {"lpa"}) == ["d"]
+    assert bench.scale_outliers({}, set()) == []
+    # All-pinned blocks have nothing to judge by ratio.
+    assert bench.scale_outliers({"lpa": 40.0}, {"lpa"}) == []
+
+
+def test_judge_walls_band_verdicts():
+    import bench
+
+    pins = {"lpa": (35.0, 62.0), "kcore": (40.0, 75.0)}
+    out = bench.judge_walls({"lpa": 50.0, "kcore": 90.0}, pins)
+    assert out["lpa"]["within"] is True
+    assert out["kcore"]["within"] is False
+    # A missing measurement is an alarm, not a silent pass.
+    out = bench.judge_walls({}, pins)
+    assert all(not w["within"] and w["scaled_wall"] is None for w in out.values())
+
+
+def test_spot_probe_cli_arg_validation():
+    """Bounds-checked options and a non-directory positional must be
+    loud usage errors, not silent misparses (r13 ADVICE)."""
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools", "spot_probe.py"
+    )
+    for args in (["--factor"], ["--single"], []):
+        proc = subprocess.run(
+            [sys.executable, tool, *args],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert proc.returncode == 2, args
+        assert "usage" in proc.stderr.lower()
+    # A typo'd first positional is rejected as an unknown query, not
+    # silently treated as the sf_dir.
+    proc = subprocess.run(
+        [sys.executable, tool, "no_such_dir_or_query"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "unknown queries" in proc.stderr

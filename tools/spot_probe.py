@@ -67,12 +67,21 @@ def _single(sf_dir: str, names: list[str], passes: int = 3) -> None:
     print(json.dumps({"times": times}))
 
 
+USAGE = (
+    "usage: spot_probe.py [--rebuild] [--factor N] [sf_dir] query ...\n"
+    "       spot_probe.py --single DIR query ..."
+)
+
+
 def main() -> int:
     argv = sys.argv[1:]
     if "--single" in argv:
         i = argv.index("--single")
-        d = argv[i + 1]
+        d = argv[i + 1] if i + 1 < len(argv) else None
         names = argv[i + 2 :]
+        if d is None or not os.path.isdir(d) or not names:
+            print(USAGE, file=sys.stderr)
+            return 2
         _single(d, names)
         return 0
     rebuild = "--rebuild" in argv
@@ -84,14 +93,34 @@ def main() -> int:
             skip = False
             continue
         if a == "--factor":
+            if i + 1 >= len(argv):
+                print(USAGE, file=sys.stderr)
+                return 2
             factor = int(argv[i + 1])
             skip = True
-        elif not a.startswith("--"):
+        elif a == "--rebuild":
+            continue
+        elif a.startswith("--"):
+            print(f"unknown option {a}\n{USAGE}", file=sys.stderr)
+            return 2
+        else:
             args.append(a)
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    names = args[1:]
+    # The first positional is the base SF dir ONLY if it IS a directory
+    # — a typo'd query name must not silently become sf_dir.
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        names = args[1:]
+    else:
+        sf_dir = "/root/testdata/sf0.01"
+        names = args
     if not names:
-        print("usage: spot_probe.py [--rebuild] [sf_dir] query ...", file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 2
+    from polygon_algotrading_env_spark.queries import REGISTRY
+
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
     scaled = os.path.join(
