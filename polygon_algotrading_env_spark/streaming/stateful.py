@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def _merged_sorted(
-    pdfs: Iterator[pd.DataFrame], ts_col: str
+    pdfs: Iterator[pd.DataFrame], ts_col: str | list[str]
 ) -> pd.DataFrame | None:
     """Concatenate a group's Arrow chunk iterator and sort ONCE.
 
@@ -607,7 +607,8 @@ def stream_kalman_level(
 
 _DRIFT_STATE_SCHEMA = (
     "ref_v array<long>, ref_c array<long>, cur_v array<long>, "
-    "cur_c array<long>, n_ref_seen bigint, last_ts long, n_at_last bigint"
+    "cur_c array<long>, n_ref_seen bigint, last_ts long, n_at_last bigint, "
+    "last_id bigint"
 )
 _DRIFT_OUTPUT_SCHEMA = (
     "event_type string, n1 bigint, n2 bigint, d_num bigint, ks double, "
@@ -694,6 +695,7 @@ def stream_ecdf_drift(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Live distribution-drift monitor per key: the first ``n_ref``
     observations (in event order) self-calibrate the REFERENCE
@@ -719,10 +721,30 @@ def stream_ecdf_drift(
     overlapping re-delivery re-skips exactly the prefix it already
     contributed, and application order equals the batch basis's
     (ts, event_id) order whenever the feed delivers ties in event_id
-    order (the stream carries no event_id column to re-sort by). The
-    one residual ambiguity without row ids: a FRESH tie at exactly
-    last_ts arriving in a LATER batch, alone, is indistinguishable
-    from a re-delivery and is dropped. Default ``n_ref=128`` is the hash-certified configuration —
+    order (without ``id_col`` the stream has no event_id column to
+    re-sort by). The one residual ambiguity without row ids: a FRESH
+    tie at exactly last_ts arriving in a LATER batch, alone, is
+    indistinguishable from a re-delivery and is dropped.
+
+    Pass ``id_col`` (a stable BIGINT event id, unique within each
+    (key, ts)) to close that ambiguity outright: rows sort by (ts, id)
+    and the cursor becomes the lexicographic (last_ts, last_id) —
+    exactly the batch basis's tie-break — so a fresh tie at last_ts
+    (id > last_id) is applied once no matter which batch delivers it,
+    and a re-delivery (id <= last_id) is always skipped. The id must be
+    stable across re-deliveries (an event id, not an arrival counter).
+
+    Checkpoint compatibility: the state row gained ``n_at_last`` (the
+    tie cursor) and ``last_id`` (the id cursor); state rows are stored
+    as binary UnsafeRows, so a checkpoint written before either change
+    cannot be restored against the current schema — the state-store
+    schema check fails the restart loudly (and disabling the check
+    would misparse the old binary rows, which is strictly worse).
+    Discard the old checkpoint directory on upgrade and let the monitor
+    recalibrate from the live feed: the reference window is the first
+    ``n_ref`` events, so recalibration costs one window, not history.
+
+    Default ``n_ref=128`` is the hash-certified configuration —
     the split `ecdf_drift_first_n_by_type` pins against the DuckDB
     oracle; other values run fine but no committed artifact certifies
     them. Emits in update mode, one row per key per batch once
@@ -744,32 +766,51 @@ def stream_ecdf_drift(
         ref: dict = {}
         cur: dict = {}
         n_seen, last_ts, n_at_last = 0, -(1 << 62), 0
+        last_id = -(1 << 62)
         if state.exists:
-            ref_v, ref_c, cur_v, cur_c, n_seen, last_ts, n_at_last = state.get
+            (
+                ref_v, ref_c, cur_v, cur_c, n_seen, last_ts, n_at_last,
+                last_id,
+            ) = state.get
             ref = dict(zip(ref_v, ref_c))
             cur = dict(zip(cur_v, cur_c))
-        pdf = _merged_sorted(pdfs, ts_col)
+        pdf = _merged_sorted(
+            pdfs, [ts_col, id_col] if id_col else ts_col
+        )
         if pdf is not None:
             ts_us = pdf[ts_col].astype("int64") // 1000
             cents = _cents_half_up(pdf[value_col])
-            # pos = this row's 1-based rank among the batch's rows at its
-            # own timestamp (stable-sorted, so arrival order). Composite
-            # cursor (last_ts, n_at_last): a row at last_ts is new only
-            # if its rank exceeds the count already applied there — so a
-            # replayed batch re-skips exactly the prefix it already
-            # contributed and in-batch ties are never dropped.
+            ids = (
+                pdf[id_col].astype("int64").tolist()
+                if id_col
+                else [0] * len(cents)
+            )
+            # Without id_col — pos = this row's 1-based rank among the
+            # batch's rows at its own timestamp (stable-sorted, so
+            # arrival order). Composite cursor (last_ts, n_at_last): a
+            # row at last_ts is new only if its rank exceeds the count
+            # already applied there — so a replayed batch re-skips
+            # exactly the prefix it already contributed and in-batch
+            # ties are never dropped.
+            # With id_col — the cursor is the exact lexicographic
+            # (last_ts, last_id): apply iff (t, i) > (last_ts, last_id).
             prev_t, pos = None, 0
-            for t, v in zip(ts_us.tolist(), cents):
+            for t, v, i in zip(ts_us.tolist(), cents, ids):
                 if t < last_ts:
                     continue
-                pos = pos + 1 if t == prev_t else 1
-                prev_t = t
-                if t == last_ts:
-                    if pos <= n_at_last:
+                if id_col:
+                    if t == last_ts and i <= last_id:
                         continue
-                    n_at_last = pos
+                    last_ts, last_id = t, i
                 else:
-                    last_ts, n_at_last = t, pos
+                    pos = pos + 1 if t == prev_t else 1
+                    prev_t = t
+                    if t == last_ts:
+                        if pos <= n_at_last:
+                            continue
+                        n_at_last = pos
+                    else:
+                        last_ts, n_at_last = t, pos
                 if n_seen < n_ref:
                     ref[v] = ref.get(v, 0) + 1
                     n_seen += 1
@@ -784,6 +825,7 @@ def stream_ecdf_drift(
                 n_seen,
                 last_ts,
                 n_at_last,
+                last_id,
             )
         )
         if n_seen >= n_ref and cur:

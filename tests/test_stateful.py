@@ -1082,3 +1082,116 @@ def test_stream_ecdf_drift_tie_cursor_survives_restart(spark, tmpdir):
     ).coalesce(1).write.mode("append").parquet(src)
     _run()  # restart: redelivered pair skipped via recovered cursor
     assert collected[-1]["n2"] == 3 and collected[-1]["n1"] == 4
+
+
+EV_ID_SCHEMA = "event_type string, ts timestamp, value double, event_id long"
+
+
+def test_stream_ecdf_drift_id_cursor_closes_fresh_tie_ambiguity(
+    spark, tmpdir
+):
+    """With id_col the cursor is the exact lexicographic (ts, event_id)
+    of the batch basis, so the documented no-id residual case vanishes:
+    a FRESH tie at last_ts arriving ALONE in a later batch (id beyond
+    the cursor) is applied once, while a re-delivered prefix (ids at or
+    below the cursor) is still skipped — including when one batch mixes
+    both."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    tie_ts = t0 + timedelta(seconds=10)
+    base = [
+        ("k", t0 + timedelta(seconds=i), 10.0 + i, i) for i in range(4)
+    ]
+    ties = [("k", tie_ts, 50.0, 10), ("k", tie_ts, 60.0, 11)]
+    fresh = [("k", tie_ts, 70.0, 12)]
+    mixed = [("k", tie_ts, 60.0, 11), ("k", tie_ts, 80.0, 13)]
+    src = f"{tmpdir}/src"
+    # batch 1: calibration (n_ref=4) + two post-calibration ties
+    spark.createDataFrame(base + ties, EV_ID_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: a fresh tie at the SAME ts, alone — the no-id cursor's
+    # documented drop case
+    spark.createDataFrame(fresh, EV_ID_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 3: a re-delivery plus another fresh tie in one batch
+    spark.createDataFrame(mixed, EV_ID_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = (
+        stream_ecdf_drift(
+            spark.readStream.schema(EV_ID_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            n_ref=4,
+            id_col="event_id",
+        )
+        .writeStream.format("memory")
+        .queryName("drift_idcursor")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM drift_idcursor ORDER BY n2"
+    ).collect()
+    # 2 ties applied in batch 1, the lone fresh tie in batch 2 now
+    # COUNTS (n2=3), and batch 3 adds exactly the one new id (n2=4)
+    assert [r["n2"] for r in rows] == [2, 3, 4]
+    assert all(r["n1"] == 4 for r in rows)
+
+
+def test_stream_ecdf_drift_id_cursor_survives_restart(spark, tmpdir):
+    """last_id must recover from the checkpoint: kill after the ties,
+    restart onto a batch that re-delivers them plus one fresh tie —
+    exactly one new row counted, none dropped."""
+    from datetime import datetime, timedelta
+
+    from polygon_algotrading_env_spark.streaming.stateful import (
+        stream_ecdf_drift,
+    )
+
+    t0 = datetime(2024, 1, 1, 9, 30, 0)
+    tie_ts = t0 + timedelta(seconds=10)
+    base = [
+        ("k", t0 + timedelta(seconds=i), 10.0 + i, i) for i in range(4)
+    ]
+    ties = [("k", tie_ts, 50.0, 10), ("k", tie_ts, 60.0, 11)]
+    src = f"{tmpdir}/src"
+    collected: list = []
+
+    def _run():
+        q = (
+            stream_ecdf_drift(
+                spark.readStream.schema(EV_ID_SCHEMA).parquet(src),
+                n_ref=4,
+                id_col="event_id",
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(base + ties, EV_ID_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run()  # applies both ties, checkpoints (last_ts=T, last_id=11)
+    assert collected and collected[-1]["n2"] == 2
+    spark.createDataFrame(
+        ties + [("k", tie_ts, 70.0, 12)], EV_ID_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run()  # restart: redelivered pair skipped via recovered last_id
+    assert collected[-1]["n2"] == 3 and collected[-1]["n1"] == 4
