@@ -332,3 +332,188 @@ def kmv_overlap(kmv_a, kmv_b, k: int):
         F.array_intersect(F.array_intersect(union_k, kmv_a), kmv_b)
     )
     return overlap, F.size(union_k)
+
+
+# ---------------------------------------------------------------------------
+# Canonical q-digest: the deterministic mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+#: Compression constant: sketch holds O(k·domain_bits) nodes, rank error
+#: is bounded by n·domain_bits/k. 256 with 24 domain bits → ≤ 9.4% worst
+#: case (observed ~1% on real distributions), ~6k-node ceiling.
+QDIGEST_K = 256
+QDIGEST_BITS = 24
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = QDIGEST_K,
+    domain_bits: int = QDIGEST_BITS,
+) -> tuple[DataFrame, int]:
+    """Canonical q-digest (Shrivastava et al. 2004, SenSys — "Medians
+    and beyond") over a NON-NEGATIVE INTEGER value column (cents grid):
+    the deterministic, mergeable quantile sketch distributed systems use
+    where t-digest/KLL would inject RNG or order-dependence.
+
+    The value domain [0, 2^domain_bits) is a conceptual complete binary
+    tree; a node at level l with index i covers [i·2^l, (i+1)·2^l).
+    Counts start at the observed leaves and the LEVEL-SYNCHRONOUS
+    canonical compression runs bottom-up: at round l, each parent sums
+    its surviving level-l children (plus its own count, when merging
+    pre-compressed digests); families at or under the n//k threshold
+    absorb into the parent and stay active, heavier families freeze
+    their children into the sketch. Classic q-digest leaves the
+    per-node visit order unspecified — processing whole levels at once
+    pins ONE deterministic result, which is what makes the sketch
+    SQL-replayable as chained CTEs (the PageRank/Bellman-Ford recipe).
+
+    Scale shape: ONE corpus-sized aggregation (the value histogram,
+    map-side partial → grid-bounded); every round after operates on the
+    grid-bounded (and shrinking) sketch relation — cost independent of
+    row count, the same bounded-model story as DSIR/k-means.
+
+    Returns ``(nodes, n)``: nodes (lvl, idx, cnt) with
+    lo = idx·2^lvl, hi = (idx+1)·2^lvl − 1 derivable, and the exact
+    total count n (one bounded 1-row collect). n < k ⇒ threshold 0 ⇒
+    no compression ⇒ the sketch IS the exact histogram.
+    """
+    leaves = (
+        df.select(F.col(value_col).cast("bigint").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n = leaves.agg(F.sum("cnt")).collect()[0][0] or 0
+    nodes = leaves.select(F.lit(0).alias("lvl"), "idx", "cnt")
+    return _qdigest_compress(nodes, int(n), k, domain_bits), int(n)
+
+
+def _qdigest_compress(
+    nodes: DataFrame,
+    n: int,
+    k: int,
+    domain_bits: int,
+) -> DataFrame:
+    """Level-synchronous canonical compression of a (lvl, idx, cnt) node
+    relation (single-level for a fresh build; multi-level when merging
+    digests — a pre-existing parent's own count joins its children's sum
+    before the threshold test, per the classic violation rule).
+
+    The whole ladder is ONE declarative linear plan: the state relation
+    carries a ``frz`` flag instead of splitting into frozen/active
+    branches, a pre-existing parent rides the family window as itself
+    (lvl = l+1 → family key = idx, no pseudo-row union), and each round
+    is one window (sum + row_number on the same partition spec → one
+    exchange) plus row-wise CASEs, referencing the previous round
+    EXACTLY once. Earlier shapes needed mid-loop localCheckpoints to
+    stop copy-blowup (three references to the prior round) and spent
+    ~1.7 s of physical planning per checkpoint — 27 s at sf0.01;
+    this plan runs the same 24 rounds in one job with zero mid-loop
+    planning. Determinism: row_number orders by (lvl DESC, idx),
+    unique within a family."""
+    thresh = n // k
+    # SinglePartition satisfies every window's clustering requirement,
+    # so the whole ladder plans as ONE exchange + domain_bits sorts in
+    # one stage — no per-round shuffle. Sound at scale for the same
+    # reason the dsir/ECDF models are: the relation entering the ladder
+    # is the value HISTOGRAM, bounded by the price-grid cardinality
+    # (and shrinking every round), never by row count.
+    active = nodes.coalesce(1).selectExpr("lvl", "idx", "cnt", "false AS frz")
+    for l in range(domain_bits):
+        part = f"(NOT frz) AND (lvl = {l} OR lvl = {l + 1})"
+        fkey = (
+            f"CASE WHEN (NOT frz) AND lvl = {l} THEN idx >> 1 "
+            f"WHEN (NOT frz) AND lvl = {l + 1} THEN idx END"
+        )
+        ann = active.selectExpr(
+            "lvl",
+            "idx",
+            "cnt",
+            "frz",
+            f"sum(CASE WHEN {part} THEN cnt END) "
+            f"OVER (PARTITION BY {fkey}) AS fs",
+            f"row_number() OVER (PARTITION BY {fkey} "
+            f"ORDER BY lvl DESC, idx) AS rn",
+        )
+        light = f"({part} AND fs <= {thresh})"
+        active = ann.where(f"NOT ({light} AND rn > 1)").selectExpr(
+            f"CASE WHEN {light} THEN {l + 1} ELSE lvl END AS lvl",
+            f"CASE WHEN {light} AND lvl = {l} THEN idx >> 1 "
+            f"ELSE idx END AS idx",
+            f"CASE WHEN {light} THEN fs ELSE cnt END AS cnt",
+            f"frz OR ({part} AND fs > {thresh} AND lvl = {l}) AS frz",
+        )
+    return active.select("lvl", "idx", "cnt")
+
+
+def qdigest_merge(
+    nodes_a: DataFrame,
+    nodes_b: DataFrame,
+    n_total: int,
+    k: int = QDIGEST_K,
+    domain_bits: int = QDIGEST_BITS,
+) -> DataFrame:
+    """Merge two q-digests: sum counts of identical (lvl, idx) nodes,
+    then re-run the canonical compression against the COMBINED n's
+    threshold. The 100 TB pattern: per-segment digests persist in a
+    silver table and any union-of-segments quantile question is
+    answered from sketches alone — no rescan (the HLL economics, for
+    ranks). Error bounds add: each input contributes ≤ n_i·bits/k, so
+    the merged digest stays within n_total·bits/k (law-tested)."""
+    both = (
+        nodes_a.unionByName(nodes_b)
+        .groupBy("lvl", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _qdigest_compress(both, n_total, k, domain_bits)
+
+
+def qdigest_quantiles(
+    nodes: DataFrame, n: int, q_bps: Sequence[int] = (2500, 5000, 7500, 9000, 9900)
+) -> DataFrame:
+    """Quantile estimates from a q-digest: nodes sort by
+    (hi = (idx+1)·2^lvl − 1, lvl) — post-order, children before the
+    ancestors that cover them — the running count accumulates, and the
+    q-quantile estimate is the hi of the first node whose cumulative
+    count reaches target = ceil(n·q). Quantile fractions ride as exact
+    BASIS POINTS so target ranks are integers and the whole output is
+    cross-engine hashable. The ordering window is a single partition
+    over the SKETCH (≤ ~3k·bits nodes), never the data."""
+    from pyspark.sql import Window
+
+    ranked = nodes.select(
+        F.col("lvl"),
+        F.col("cnt"),
+        F.expr(
+            "(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT)) - 1"
+        ).alias("hi"),
+    ).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("hi", "lvl").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    # Target ranks are plain Python ints (n is already collected, the
+    # fractions are constants), so the per-quantile first-crossing reads
+    # as conditional mins in ONE aggregate over the sketch — no
+    # theta-join the plan census would have to excuse.
+    targets = [(int(q), (n * int(q) + 9999) // 10000) for q in q_bps]
+    row = ranked.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col("hi"))).alias(f"__e{q}")
+            for q, t in targets
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({q} AS BIGINT), CAST({t} AS BIGINT), __e{q}"
+        for q, t in targets
+    )
+    return row.selectExpr(
+        f"stack({len(targets)}, {stack}) AS (q_bp, target_rank, est_cents)",
+        f"CAST({n} AS BIGINT) AS n_rows",
+        "CAST(n_nodes AS BIGINT) AS n_nodes",
+    )

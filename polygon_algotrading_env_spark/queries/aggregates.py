@@ -491,3 +491,94 @@ def kmv_audience_overlap(spark, sf_dir):
         uk.cast("int").alias("union_k_size"),
         F.round(ov.cast("double") / uk, 6).alias("jaccard_est"),
     )
+
+
+def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
+    """Replay the canonical level-synchronous q-digest as chained CTEs
+    (the PageRank/Bellman-Ford fixed-round recipe): one CTE trio per
+    level — parent sums, frozen heavy children, promoted light parents —
+    then the post-order (hi, lvl) running count and the per-quantile
+    first crossing. Empty levels propagate empties, matching the Spark
+    loop's early exit bit-for-bit."""
+    rounds = []
+    for l in range(bits):
+        rounds.append(f"""
+    p{l} AS MATERIALIZED (SELECT idx // 2 AS pidx, sum(cnt) AS s FROM a{l} GROUP BY 1),
+    k{l} AS MATERIALIZED (
+      SELECT c.idx, c.cnt FROM a{l} c
+      JOIN p{l} p ON c.idx // 2 = p.pidx
+      CROSS JOIN th WHERE p.s > th.t
+    ),
+    a{l + 1} AS MATERIALIZED (
+      SELECT p.pidx AS idx, p.s AS cnt FROM p{l} p
+      CROSS JOIN th WHERE p.s <= th.t
+    )""")
+    frozen = "\n      UNION ALL ".join(
+        f"SELECT {l} AS lvl, idx, cnt FROM k{l}" for l in range(bits)
+    )
+    qvals = ", ".join(f"({q})" for q in (2500, 5000, 7500, 9000, 9900))
+    return f"""
+    WITH a0 AS MATERIALIZED (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS idx,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    th AS (SELECT n // {k} AS t FROM tot),
+    {",".join(rounds)},
+    nodes AS (
+      {frozen}
+      UNION ALL SELECT {bits} AS lvl, idx, cnt FROM a{bits}
+    ),
+    ranked AS (
+      SELECT lvl, cnt,
+             (idx + 1) * CAST(power(2, lvl) AS BIGINT) - 1 AS hi,
+             sum(cnt) OVER (
+               ORDER BY (idx + 1) * CAST(power(2, lvl) AS BIGINT) - 1, lvl
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM nodes
+    ),
+    t AS (
+      SELECT q_bp, (tot.n * q_bp + 9999) // 10000 AS target_rank, tot.n
+      FROM (VALUES {qvals}) AS q(q_bp) CROSS JOIN tot
+    )
+    SELECT CAST(t.q_bp AS BIGINT) AS q_bp,
+           CAST(t.target_rank AS BIGINT) AS target_rank,
+           CAST((SELECT min(hi) FROM ranked
+                 WHERE cum >= t.target_rank) AS BIGINT) AS est_cents,
+           CAST(t.n AS BIGINT) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes
+    FROM t
+    """
+
+
+@register("qdigest_quantiles_price", oracle=_qdigest_oracle())
+def qdigest_quantiles_price(spark, sf_dir):
+    """Quantile estimates of lineitem extended price (exact cents grid)
+    from a canonical q-digest (operators/sketches.py: qdigest_build —
+    Shrivastava et al. 2004), the deterministic MERGEABLE quantile
+    sketch: per-segment digests persist in a silver table and any
+    union-of-segments quantile question is answered by merging sketches
+    with no rescan — the HLL economics, for ranks — where t-digest/KLL
+    would inject RNG or merge-order dependence and lose the cross-engine
+    oracle. One corpus-sized histogram aggregation; every compression
+    round runs on the grid-bounded (and shrinking) node relation, cost
+    independent of row count. The level-SYNCHRONOUS canonical rule pins
+    the one deterministic result both engines can replay; the oracle
+    runs the same {bits} fixed rounds as chained CTEs. Output is all
+    BIGINT (quantiles as basis points, estimates in cents): exact hash
+    equality, with n_nodes certifying the compression actually fired
+    (~600 nodes for 600k rows at sf0.1)."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        )
+    )
+    nodes, n = qdigest_build(li, "cents", k=256, domain_bits=24)
+    return qdigest_quantiles(nodes, n)

@@ -276,3 +276,112 @@ def test_kmv_sketch_estimates_and_set_algebra(spark):
         (ov.cast("double") / uk).alias("jaccard"),
     ).collect()[0]
     assert abs(got["jaccard"] - 1 / 3) < 0.07, got
+
+
+def test_qdigest_exact_when_uncompressed(spark):
+    """n ≤ k ⇒ threshold 0 ⇒ no family merges ⇒ the sketch IS the exact
+    histogram and every quantile estimate equals the exact ceil-rank
+    order statistic."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    rnd = random.Random(1)
+    vals = [rnd.randint(0, 1000) for _ in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    nodes, n = qdigest_build(df, "v", k=256, domain_bits=12)
+    assert n == 100
+    svals = sorted(vals)
+    for r in qdigest_quantiles(nodes, n).collect():
+        assert r["est_cents"] == svals[r["target_rank"] - 1], r
+
+
+def test_qdigest_rank_error_bound_and_compression(spark):
+    """The q-digest guarantee on compressed data: for every reported
+    quantile, the estimate's true rank covers the target and overshoots
+    by at most n·domain_bits/k; and the sketch is materially smaller
+    than the distinct-value histogram (the point of the structure)."""
+    import bisect
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    rnd = random.Random(7)
+    vals = [rnd.randint(0, 4000) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    nodes, n = qdigest_build(df, "v", k=64, domain_bits=12)
+    n_nodes = nodes.count()
+    assert n_nodes < len(set(vals)) // 10
+    sv = sorted(vals)
+    bound = n * 12 / 64
+    for r in qdigest_quantiles(nodes, n).collect():
+        rank_of_est = bisect.bisect_right(sv, r["est_cents"])
+        assert rank_of_est >= r["target_rank"], r
+        assert rank_of_est - r["target_rank"] <= bound, r
+
+
+def test_qdigest_partitioning_invariance(spark):
+    """The canonical level-synchronous rule is a pure function of the
+    value multiset: node sets are identical across input partitionings
+    (the determinism that buys the cross-engine oracle)."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+    )
+
+    rnd = random.Random(3)
+    vals = [rnd.randint(0, 4000) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    n1 = {
+        (r["lvl"], r["idx"], r["cnt"])
+        for r in qdigest_build(df.repartition(1), "v", k=64, domain_bits=12)[
+            0
+        ].collect()
+    }
+    n7 = {
+        (r["lvl"], r["idx"], r["cnt"])
+        for r in qdigest_build(df.repartition(7), "v", k=64, domain_bits=12)[
+            0
+        ].collect()
+    }
+    assert n1 == n7 and n1
+
+
+def test_qdigest_merge_preserves_bound(spark):
+    """The silver-table pattern: per-segment digests merge (sum matching
+    nodes, recompress at the combined threshold) into a digest whose
+    rank error on the COMBINED data still honors n_total·bits/k, with
+    the size staying sketch-bounded — union quantile questions never
+    rescan the segments."""
+    import bisect
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    rnd = random.Random(11)
+    va = [rnd.randint(0, 2000) for _ in range(12000)]
+    vb = [rnd.randint(1500, 4000) for _ in range(8000)]
+    da = spark.createDataFrame([(v,) for v in va], "v long")
+    db = spark.createDataFrame([(v,) for v in vb], "v long")
+    na_nodes, na = qdigest_build(da, "v", k=64, domain_bits=12)
+    nb_nodes, nb = qdigest_build(db, "v", k=64, domain_bits=12)
+    merged = qdigest_merge(na_nodes, nb_nodes, na + nb, k=64, domain_bits=12)
+    n_nodes = merged.count()
+    sv = sorted(va + vb)
+    assert n_nodes < len(set(sv)) // 5
+    bound = (na + nb) * 12 / 64
+    for r in qdigest_quantiles(merged, na + nb).collect():
+        rank_of_est = bisect.bisect_right(sv, r["est_cents"])
+        assert rank_of_est >= r["target_rank"], r
+        assert rank_of_est - r["target_rank"] <= bound, r
