@@ -208,6 +208,42 @@ def judge_walls(
     return out
 
 
+def run_scale_probes(sf_dir: str, names: list[str]) -> dict[str, dict]:
+    """Fresh-subprocess 1x/100x adjudication via tools/spot_probe.py.
+    MUST run with no live SparkSession in this process (callers quiesce
+    first): a probe JVM launched beside a live 96 GiB session inherits
+    its memory pressure and reads several times slow — observed as a
+    poisoned standalone confirm. Errors land per-name in the result so
+    a failed confirmation is visible, never silent."""
+    import subprocess
+
+    print(f"# scale adjudication probes: {names}", file=sys.stderr)
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "spot_probe.py",
+                ),
+                sf_dir,
+                *names,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode == 0:
+            return json.loads(proc.stdout.strip().splitlines()[-1])[
+                "queries"
+            ]
+        return {n: {"error": f"probe rc={proc.returncode}"} for n in names}
+    except Exception as exc:  # noqa: BLE001
+        return {n: {"error": str(exc)[:200]} for n in names}
+
+
 def adjudicate_movers(
     movers: dict,
     timings: dict,
@@ -341,6 +377,7 @@ def main() -> None:
     # with an uncaught executor OutOfMemoryError (JVM exit, not a
     # retryable task failure) midway through the 100x spot passes.
     sf100 = None
+    scale_probe_names: list[str] = []
     if os.environ.get("SPARK_GRAFT_SF100"):
         import tempfile
 
@@ -489,50 +526,17 @@ def main() -> None:
         # the wall leaves the band.
         pinned = set(SCALED_WALL_PINS)
         walls = judge_walls(spot_100)
-        susp = sorted(
+        scale_probe_names = sorted(
             set(scale_outliers(ratios, pinned))
             | set(scale_outliers(spot_ratios, pinned))
             | {n for n, w in walls.items() if not w["within"]}
         )
+        # Probes DEFER to after the last in-session stage (see below):
+        # a fresh-JVM subprocess launched beside this run's live 96 GiB
+        # session inherits its memory pressure and reads 3-6x slow —
+        # observed as a poisoned standalone=11.4 s for a 2 s query. The
+        # dicts are patched in place once the session has been stopped.
         standalone: dict[str, dict] = {}
-        if susp:
-            import subprocess
-
-            print(f"# scale adjudication probes: {susp}", file=sys.stderr)
-            try:
-                proc = subprocess.run(
-                    [
-                        sys.executable,
-                        os.path.join(
-                            os.path.dirname(os.path.abspath(__file__)),
-                            "tools",
-                            "spot_probe.py",
-                        ),
-                        sf_dir,
-                        *susp,
-                    ],
-                    capture_output=True,
-                    text=True,
-                    timeout=3600,
-                )
-                sys.stderr.write(proc.stderr[-2000:])
-                if proc.returncode == 0:
-                    standalone = json.loads(
-                        proc.stdout.strip().splitlines()[-1]
-                    )["queries"]
-                else:
-                    standalone = {
-                        n: {"error": f"probe rc={proc.returncode}"}
-                        for n in susp
-                    }
-            except Exception as exc:  # noqa: BLE001
-                standalone = {n: {"error": str(exc)[:200]} for n in susp}
-        for n, w in walls.items():
-            if n in standalone and "scaled" in standalone[n]:
-                w["standalone_wall"] = standalone[n]["scaled"]
-                w["within"] = (
-                    w["band"][0] <= standalone[n]["scaled"] <= w["band"][1]
-                )
         sf100 = {
             "factor": 100,
             "total": round(sum(sf100_q.values()), 3),
@@ -557,21 +561,25 @@ def main() -> None:
                 ),
             },
         }
-        try:
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "SCALE_DETAIL.json",
-                ),
-                "w",
-            ) as fh:
-                json.dump(
-                    {"sf": sf, "base_queries": timings, "sf100": sf100}, fh,
-                    indent=1,
-                )
-                fh.write("\n")
-        except OSError as exc:
-            print(f"# SCALE_DETAIL.json not written: {exc}", file=sys.stderr)
+    # (SCALE_DETAIL.json is written AFTER the deferred adjudication
+    # probes below, so the committed record always carries the patched
+    # standalone/wall numbers.)
+
+    # Any fresh-JVM probe from here on must run with this process's
+    # session STOPPED (once, idempotently): a subprocess JVM beside the
+    # live 96 GiB heap inherits its memory pressure and reads several
+    # times slow — r14 committed a poisoned standalone=11.4 s for a 2 s
+    # query before this guard. Everything after this point that needs
+    # the session (stage-1 retimes) runs BEFORE the first probe.
+    _quiesced = []
+
+    def _quiesce() -> None:
+        if not _quiesced:
+            _quiesced.append(True)
+            try:
+                spark.stop()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# spark.stop failed: {exc}", file=sys.stderr)
 
     regressions = None
     prior = _prior_round(float(sf) if sf.replace(".", "").isdigit() else sf)
@@ -599,6 +607,7 @@ def main() -> None:
         def _fresh_probe(names: list[str]) -> dict[str, float]:
             import subprocess
 
+            _quiesce()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--probe",
                  *names],
@@ -613,6 +622,36 @@ def main() -> None:
         regressions = {"vs": prior_name, "threshold": 1.3, "movers": movers}
         if movers:
             print(f"# REGRESSED vs {prior_name}: {sorted(movers)}", file=sys.stderr)
+
+    if scale_probe_names and sf100 is not None:
+        # The deferred SF100 adjudication (see the block above): run the
+        # fresh-subprocess probes only now that no in-session stage
+        # remains, and patch the record's standalone/wall dicts in place.
+        _quiesce()
+        probed = run_scale_probes(sf_dir, scale_probe_names)
+        sf100["standalone"].update(probed)
+        for n, w in sf100["scaled_wall_pins"].items():
+            hit = probed.get(n)
+            if hit and "scaled" in hit:
+                w["standalone_wall"] = hit["scaled"]
+                w["within"] = w["band"][0] <= hit["scaled"] <= w["band"][1]
+
+    if sf100 is not None:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "SCALE_DETAIL.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(
+                    {"sf": sf, "base_queries": timings, "sf100": sf100}, fh,
+                    indent=1,
+                )
+                fh.write("\n")
+        except OSError as exc:
+            print(f"# SCALE_DETAIL.json not written: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the TAIL of stdout (~2.2 KB); round 5's
