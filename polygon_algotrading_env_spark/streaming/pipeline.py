@@ -624,3 +624,76 @@ def read_bottomk_quantiles(
         for q in quantiles
     ]
     return merged.select(*cols)
+
+
+def stream_qdigest_sketch_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sketch_path: str,
+    value_col: str,
+):
+    """Incrementally maintained q-digest inputs over a stream — the
+    quantile-rank analogue of :func:`stream_hll_sketch_table`: each
+    micro-batch reduces to its exact integer value HISTOGRAM (grid-
+    bounded level-0 leaf counts) written to its own ``batch_id=<id>``
+    partition. Exactly-once is structural: a replay overwrites only its
+    own partition, so counts can never double. Histograms — not
+    compressed digests — are what's persisted, because histogram
+    addition is EXACT: the read side compresses at the GLOBAL count's
+    threshold, so :func:`read_qdigest_quantiles` returns bit-identically
+    the digest a batch build over everything ingested would produce
+    (merging per-batch COMPRESSED digests is only bound-preserving, not
+    exact — operators/sketches.py: qdigest_merge covers that path for
+    pre-compressed silver tables)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        hist = (
+            batch_df.select(F.col(value_col).cast("bigint").alias("idx"))
+            .groupBy("idx")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        hist.write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_qdigest_quantiles(
+    spark: SparkSession,
+    sketch_path: str,
+    k: int = 256,
+    domain_bits: int = 24,
+    q_bps: Sequence[int] = (2500, 5000, 7500, 9000, 9900),
+) -> DataFrame:
+    """Current quantile estimates from the histogram table: sum the
+    per-batch counts (exact), compress once at the global threshold, and
+    read the estimates off the digest — bit-identical to a batch
+    qdigest_build over the full ingested stream (law-tested), input
+    size = batches × per-batch distinct values, stream-history-free."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        _qdigest_compress,
+        qdigest_quantiles,
+    )
+
+    hist = (
+        spark.read.option("basePath", sketch_path)
+        .parquet(sketch_path)
+        .groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n = hist.agg(F.sum("cnt")).collect()[0][0] or 0
+    nodes = _qdigest_compress(
+        hist.select(F.lit(0).alias("lvl"), "idx", "cnt"),
+        int(n),
+        k,
+        domain_bits,
+    )
+    return qdigest_quantiles(nodes, int(n), q_bps)

@@ -108,6 +108,10 @@ TWIN_BASES = {
     "stream_session_stats": "session_windows_per_user",
     "stream_mg_summary_table": "heavy_hitter_parts",
     "stream_bottomk_sketch_table": "bottomk_sketch_quantiles",
+    # stream_qdigest_sketch_table joins this map when its batch basis
+    # qdigest_quantiles_price earns its driver green (queued for the
+    # r15 window); its stream≡batch bit-identity law already runs
+    # (tests/test_streaming.py::test_stream_qdigest_sketch_table).
 }
 
 

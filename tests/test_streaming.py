@@ -547,3 +547,57 @@ def test_stream_bottomk_sketch_table(spark, tmp_path):
     assert got["n_rows"] == want["n_rows"] == 800
     assert got["est_p50"] == want["p50"]
     assert got["est_p90"] == want["p90"]
+
+
+def test_stream_qdigest_sketch_table(spark, tmp_path):
+    """Streaming q-digest table: per-batch exact histograms in batch_id
+    partitions, read-side compress at the global threshold — the merged
+    read is BIT-IDENTICAL (node sets and quantile rows) to a batch
+    qdigest_build over everything ingested, across two drains and a
+    replayed query restart."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_qdigest_quantiles,
+        stream_qdigest_sketch_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skp = str(tmp_path / "sketches")
+    rnd = random.Random(5)
+    rows1 = [(rnd.randint(0, 3000),) for _ in range(9000)]
+    rows2 = [(rnd.randint(500, 4000),) for _ in range(6000)]
+    schema = "v long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = stream_qdigest_sketch_table(
+            spark.readStream.schema(schema).parquet(src), ckpt, skp, "v"
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = sorted(
+        tuple(r)
+        for r in read_qdigest_quantiles(
+            spark, skp, k=64, domain_bits=12
+        ).collect()
+    )
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    nodes, n = qdigest_build(full, "v", k=64, domain_bits=12)
+    want = sorted(tuple(r) for r in qdigest_quantiles(nodes, n).collect())
+    assert n == 15000
+    assert got == want
