@@ -436,7 +436,7 @@ def main() -> None:
             "lpa_communities_copurchase", "substring_span_dedup",
             "train_test_contamination", "boilerplate_ngrams",
             "source_token_cosine_pairs", "macd_12_26_9_5m",
-            "ewma_vol_5m",
+            "ewma_vol_5m", "qdigest_quantiles_price",
         ]
         from polygon_algotrading_env_spark.queries import REGISTRY
 
