@@ -307,3 +307,17 @@ def test_dsir_corpus_pass_runs_once(spark, sf_dir, q):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "zip_with" not in opt
     assert "lead(" in opt
+
+
+def test_qdigest_ladder_is_exchange_free(spark, sf_dir, q):
+    """The q-digest compression ladder plans with ZERO shuffle
+    exchanges: the only exchange in the query's lifetime is inside the
+    eagerly-checkpointed leaf histogram (already materialized by the
+    time this plan exists), and the coalesce(1)'d ladder satisfies
+    every window's clustering requirement via SinglePartition — 24
+    rounds fuse into sorts within one stage. Regressing this (e.g.
+    dropping the coalesce) re-inserts ~24 per-round exchanges."""
+    df = q["qdigest_quantiles_price"](spark, sf_dir)
+    st = plan_stats(df)
+    assert st.shuffle_exchanges == 0, st
+    assert st.sort_merge_joins == 0 and st.cartesian_products == 0
