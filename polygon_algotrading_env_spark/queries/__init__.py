@@ -254,11 +254,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # (b) the time-series / market remainder and any round-14 registrations
 #     (the new quantile-sketch family queues here per the
 #     register-with-oracle-then-certify pattern);
-# (c) plan-rewrite re-entries, if their rewrites land (the
-#     macd/kalman/kmeans/minhash/dsir precedent — budget slots BEFORE
-#     rewriting a PRIOR-certified plan): entity_resolution_parts IF the
-#     r14 checkpoint_every A/B changed its plan (see the committed A/B
-#     record either way).
+# (c) plan-rewrite re-entries (the macd/kalman/kmeans/minhash/dsir
+#     precedent — budget slots BEFORE rewriting a PRIOR-certified
+#     plan): entity_resolution_parts MUST re-enter — its r14 rewrites
+#     landed (hash_min_labels checkpoint_every 3->2, measured A/B in
+#     the docstring, AND the proven-fixpoint early exit, law-tested
+#     bit-identical); the r15 slot certifies the new physical plan.
 # Rotate against slots whose names hold >=2 recorded green rounds
 # (after the r14 driver run: the 25 round-13 holdovers each hold 2).
 

@@ -489,3 +489,43 @@ def test_bellman_ford_duplicate_edges_keep_min(spark):
     out = bellman_ford(edges, seeds=[0], n_rounds=3).collect()
     got = {r["id"]: r["dist"] for r in out}
     assert got == {0: 0, 1: 2}
+
+
+def test_hash_min_early_exit_is_bit_identical(spark):
+    """The proven-fixpoint early exit (two identical consecutive
+    checkpoints => every remaining fixed round is an exact no-op) must
+    return the SAME rows — labels and the converged flag — as running
+    the full cap, on a graph that converges immediately (a star: one
+    round) and on one that uses every round (a path of length equal to
+    the cap, which never exits and reports converged=false)."""
+    from polygon_algotrading_env_spark.operators.graph import (
+        hash_min_labels,
+    )
+
+    star = spark.createDataFrame(
+        [(1, i) for i in range(2, 10)], "src long, dst long"
+    )
+    a = sorted(
+        tuple(r)
+        for r in hash_min_labels(star, n_rounds=8, early_exit=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in hash_min_labels(star, n_rounds=8, early_exit=False).collect()
+    )
+    assert a == b
+    assert all(r[2] for r in a)  # converged
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    a = sorted(
+        tuple(r)
+        for r in hash_min_labels(path, n_rounds=4, early_exit=True).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in hash_min_labels(path, n_rounds=4, early_exit=False).collect()
+    )
+    assert a == b
+    assert not any(r[2] for r in a)  # still moving at the cap
