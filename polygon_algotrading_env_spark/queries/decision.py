@@ -322,10 +322,10 @@ def product_profit_by_nation_year(spark, sf_dir):
     "returnflag_priority_counts",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
@@ -878,7 +878,8 @@ def reorder_interval_by_segment(spark, sf_dir):
     )
     SELECT p.p_brand,
            count(*)                                            AS n_parts,
-           sum(CASE WHEN s.n_suppliers = 1 THEN 1 ELSE 0 END)  AS single_source,
+           CAST(sum(CASE WHEN s.n_suppliers = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS single_source,
            round(avg(CASE WHEN s.n_suppliers = 1
                           THEN 1.0 ELSE 0.0 END), 6)           AS single_source_rate
     FROM src s JOIN part p ON p.p_partkey = s.l_partkey

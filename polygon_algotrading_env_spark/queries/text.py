@@ -1816,7 +1816,8 @@ def quality_percentile_by_lang(spark, sf_dir):
     tf AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
     SELECT source,
            count(*)                                        AS vocab,
-           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)          AS hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS hapax,
            round(sum(CASE WHEN n = 1 THEN 1.0 ELSE 0 END)
                  / count(*), 6)                            AS hapax_ratio
     FROM tf GROUP BY 1

@@ -3122,7 +3122,8 @@ def lead_lag_xcorr_pair(spark, sf_dir):
     )
     SELECT bucket_start,
            count(*)                                            AS n_syms,
-           sum(CASE WHEN close > sma20 THEN 1 ELSE 0 END)      AS n_above,
+           CAST(sum(CASE WHEN close > sma20 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_above,
            round(avg(CASE WHEN close > sma20
                           THEN 1.0 ELSE 0.0 END), 6)           AS breadth
     FROM s WHERE nw = 20
@@ -4056,7 +4057,7 @@ def updown_streak_stats(spark, sf_dir):
     )
     SELECT event_type, gap_dir,
            count(*)                    AS n_gaps,
-           sum(filled)                 AS n_filled,
+           CAST(sum(filled) AS BIGINT) AS n_filled,
            round(avg(filled * 1.0), 6) AS fill_rate
     FROM cls GROUP BY 1, 2
     """,
@@ -4123,10 +4124,10 @@ def overnight_gap_fill_rates(spark, sf_dir):
                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
     )
     SELECT event_type,
-           sum(CASE WHEN high = hmax AND nw = 5 THEN 1 ELSE 0 END)
-             AS n_swing_highs,
-           sum(CASE WHEN low = lmin AND nw = 5 THEN 1 ELSE 0 END)
-             AS n_swing_lows
+           CAST(sum(CASE WHEN high = hmax AND nw = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_swing_highs,
+           CAST(sum(CASE WHEN low = lmin AND nw = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_swing_lows
     FROM sw GROUP BY 1
     """,
 )
@@ -4222,7 +4223,7 @@ def interarrival_cv(spark, sf_dir):
     )
     SELECT event_type,
            count(*)                   AS n_ticks,
-           sum(stale)                 AS n_stale,
+           CAST(sum(stale) AS BIGINT) AS n_stale,
            round(avg(stale * 1.0), 6) AS stale_fraction
     FROM d GROUP BY 1
     """,
@@ -4276,15 +4277,15 @@ def stale_tick_fraction(spark, sf_dir):
     )
     SELECT event_type,
            count(*) AS n_bars,
-           sum(CASE WHEN range > 0 AND body * 10 <= range
-                    THEN 1 ELSE 0 END)                       AS n_doji,
-           sum(CASE WHEN range > 0 AND lower_wick >= 2 * body
+           CAST(sum(CASE WHEN range > 0 AND body * 10 <= range
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_doji,
+           CAST(sum(CASE WHEN range > 0 AND lower_wick >= 2 * body
                      AND upper_wick * 3 <= range
-                    THEN 1 ELSE 0 END)                       AS n_hammer,
-           sum(CASE WHEN p_close IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_hammer,
+           CAST(sum(CASE WHEN p_close IS NOT NULL
                      AND close > open AND p_close < p_open
                      AND close >= p_open AND open <= p_close
-                    THEN 1 ELSE 0 END)                       AS n_bull_engulf
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_bull_engulf
     FROM f GROUP BY 1
     """,
 )

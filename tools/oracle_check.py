@@ -54,6 +54,25 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return errs
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
+        # Driver-hash-faithful dtype gate (r14 post-mortem): the driver
+        # hashes stringified representations, so a DuckDB HUGEINT/DECIMAL
+        # column that pandas renders float64 ("3.0") fails the driver hash
+        # against a Spark bigint ("3") even when every value is numerically
+        # identical. Flag any dtype-KIND mismatch (int vs float vs object
+        # vs bool ...) as a failure in its own right. Same-kind widths
+        # (int32 vs int64) stringify identically and are fine; NULL-induced
+        # float64 on BOTH sides is same-kind and passes, matching the
+        # driver's observed behavior on asof_next_event_after_order et al.
+        sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+        if sk != ok_:
+            errs.append(
+                f"col {c}: DTYPE kind spark={s[c].dtype} oracle={o[c].dtype}"
+                " (driver hashes representations; cast the oracle, e.g."
+                " CAST(sum(...) AS BIGINT))"
+            )
+    if errs:
+        return errs
+    for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating) and np.issubdtype(ov.dtype, np.floating):
             both_nan = pd.isna(sv) & pd.isna(ov)
