@@ -711,7 +711,7 @@ def hash_min_labels(
     dst: str = "dst",
     n_rounds: int = 8,
     checkpoint_every: int = 2,
-    early_exit: bool = True,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Fixed-round hash-min component labels: every round each vertex
     keeps the minimum label among itself and its neighbors; after
@@ -731,12 +731,19 @@ def hash_min_labels(
     Per round: one equi-join of the symmetric edge set against the label
     relation + one min aggregate — two narrow (id)-keyed shuffles.
 
-    ``early_exit`` (default on) stops at a PROVEN fixpoint: labels only
-    ever decrease, so two identical consecutive checkpoints mean every
-    remaining fixed round is an exact no-op — output (labels AND the
-    converged flag) is bit-identical to the full cap, keeping the
-    fixed-round DuckDB oracle valid (law-tested both ways; the
-    CC/k-core/BFS early-exit discipline, r9 item 5).
+    ``early_exit`` (default OFF — opt in) stops at a PROVEN fixpoint:
+    labels only ever decrease, so two identical consecutive checkpoints
+    mean every remaining fixed round is an exact no-op — output (labels
+    AND the converged flag) is bit-identical to the full cap, keeping
+    the fixed-round DuckDB oracle valid (law-tested both ways; the
+    CC/k-core/BFS early-exit discipline, r9 item 5). It defaults OFF
+    because the probe is one join+count job per checkpoint from the
+    second checkpoint on, which is pure overhead on graphs that do NOT
+    converge before the cap — the entity-resolution bench graph is one
+    (r14/r15 A/B, fresh-JVM min-of-3 at sf0.1: early_exit=True 4.92 s
+    vs False 4.53 s, ~8%). Opt in only when the graph's diameter is
+    expected to be far below ``n_rounds`` (e.g. star-shaped blocked
+    linkage), where skipped rounds repay the probe many times over.
 
     ``checkpoint_every=2`` is a measured optimum, not a guess (r14 A/B,
     fresh-JVM min-of-3 on entity_resolution_parts at sf0.1):

@@ -1569,6 +1569,10 @@ def entity_resolution_parts(spark, sf_dir):
         )
         .select("u", "v")
     )
+    # early_exit stays OFF (the default): this match graph does not
+    # converge before the 8-round cap, so the per-checkpoint fixpoint
+    # probe is pure overhead here (measured ~8%: 4.92 s vs 4.53 s
+    # fresh-JVM min-of-3 at sf0.1, r14 verdict What's-wrong-3).
     labels = hash_min_labels(pairs, src="u", dst="v", n_rounds=8)
     return (
         labels.join(
