@@ -253,12 +253,17 @@ def dsir_log_weights(
     vocabulary-free property the hashed TF-IDF vectorizer exploits —
     and both models are add-one smoothed so unseen buckets stay finite.
 
-    Plan shape (the 100 TB story): adjacent bigrams come straight off
-    each document's token array (zip_with over two shifted slices —
-    r14 rewrite; the former posexplode + lead() window exchanged and
-    per-doc-sorted the ENTIRE token relation just to pair neighbors),
-    so the only corpus-sized shuffle is the partial-aggregated per-doc
-    bucket-count exchange; BOTH models are bucket-bounded aggregates
+    Plan shape (the 100 TB story): adjacent bigrams are paired via
+    posexplode + lead() over a (doc, pos) window — which DOES exchange
+    and per-doc-sort the token relation, so the plan carries TWO
+    corpus-sized shuffles: the (doc, pos) window exchange and the
+    partial-aggregated per-doc bucket-count exchange. A zip_with-over-
+    shifted-slices variant that pairs neighbors off the token array
+    without the window shuffle was A/B-measured in r14 and REJECTED
+    (2.7× slower at 100×: the HOF lambda evaluates interpreted per
+    token while posexplode/lead/md5 stay inside whole-stage codegen —
+    see the inline comment); both shuffles partition on doc id and stay
+    frontier-narrow. BOTH models are bucket-bounded aggregates
     (≤ n_buckets rows each) broadcast back onto the per-doc counts —
     the corpus text is never joined to itself and the scoring join
     fan-in is bounded by n_buckets, independent of corpus size. The

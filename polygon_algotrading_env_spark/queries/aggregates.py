@@ -498,8 +498,10 @@ def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
     (the PageRank/Bellman-Ford fixed-round recipe): one CTE trio per
     level — parent sums, frozen heavy children, promoted light parents —
     then the post-order (hi, lvl) running count and the per-quantile
-    first crossing. Empty levels propagate empties, matching the Spark
-    loop's early exit bit-for-bit."""
+    first crossing. Both engines run the full fixed ``bits`` rounds —
+    neither side early-exits — with empty levels propagating as no-ops
+    (empty CTEs here, empty per-level frames in the Spark loop), so the
+    two ladders stay bit-for-bit aligned round by round."""
     rounds = []
     for l in range(bits):
         rounds.append(f"""

@@ -727,12 +727,20 @@ def stream_ecdf_drift(
     indistinguishable from a re-delivery and is dropped.
 
     Pass ``id_col`` (a stable BIGINT event id, unique within each
-    (key, ts)) to close that ambiguity outright: rows sort by (ts, id)
-    and the cursor becomes the lexicographic (last_ts, last_id) —
-    exactly the batch basis's tie-break — so a fresh tie at last_ts
-    (id > last_id) is applied once no matter which batch delivers it,
-    and a re-delivery (id <= last_id) is always skipped. The id must be
+    (key, ts)) to close that ambiguity: rows sort by (ts, id) and the
+    cursor becomes the lexicographic (last_ts, last_id) — exactly the
+    batch basis's tie-break — so a fresh tie at last_ts (id > last_id)
+    is applied once no matter which batch delivers it, and a
+    re-delivery (id <= last_id) is always skipped. The id must be
     stable across re-deliveries (an event id, not an arrival counter).
+    PRECONDITION (mirroring the no-id caveat above): the guarantee
+    holds only when the feed delivers same-timestamp events in id
+    order ACROSS batches — a fresh event at exactly last_ts whose id
+    is BELOW last_id (cross-batch out-of-id-order delivery) is still
+    indistinguishable from a re-delivery and is silently dropped by
+    the ``id <= last_id`` guard. Within a batch, id order is imposed
+    by the (ts, id) sort, so only cross-batch inversions at the exact
+    cursor timestamp hit this residual case.
 
     Checkpoint compatibility: the state row gained ``n_at_last`` (the
     tie cursor) and ``last_id`` (the id cursor); state rows are stored
