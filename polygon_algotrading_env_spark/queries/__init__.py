@@ -130,23 +130,64 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Round-14 rotation (per r13 VERDICT item 1): TWENTY-FIVE slots
-    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-four round-12
+    # Round-15 rotation (per r14 VERDICT items 1-3): TWENTY-SIX slots
+    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-five round-13
     # entrants that now hold 2 recorded green rounds each
-    # (bollinger_20_5m ... boilerplate_ngrams, CORRECTNESS_r12 +
-    # CORRECTNESS_r13) plus minhash_md5_band_pairs, whose r13 slot
-    # certified the rebalanced signature plan (greens r11 + r13). In
-    # exchange, twenty-four never-driver-certified oracle-bearing names
-    # enter from the registry's own r14 tier list — market-quality/
-    # event-time (a), TPC-H decision remainder (b), sessions/behavioral
-    # (c), corpus/sampling remainder (d), and the set-op pair from the
-    # SQL-surface remainder (e) — plus ONE plan-rewrite re-entry:
-    # dsir_weights_for_target, whose stage-1 tokenize+hash scan gains
-    # the same under-split-only rebalance the r13 minhash fix proved
-    # (the macd/kalman/kmeans/minhash precedent — the slot certifies
-    # the NEW physical plan). All pre-verified by tools/oracle_check.py
-    # at sf0.001/sf0.01/sf0.1 this round.
+    # (ecdf_drift_by_type ... semantic_dedup_survivors,
+    # CORRECTNESS_r13 + CORRECTNESS_r14) plus dsir_weights_for_target,
+    # whose r14 re-entry certified the stage-reuse plan rewrite
+    # (greens r4-r10 era + r14). In exchange, twenty-six names enter:
+    # the queued r14 registration (q-digest), ONE plan-rewrite
+    # re-entry (entity_resolution_parts — its label loop gained
+    # checkpoint_every 3->2 in r14 and the early_exit default-OFF in
+    # r15; the slot certifies the new physical plan), the FIVE latent
+    # HUGEINT-sum oracle carriers whose oracles gained CAST(... AS
+    # BIGINT) this round (r14 verdict What's-wrong-2 — entering now so
+    # they can never burn a future slot), and nineteen
+    # never-driver-certified oracle-bearing names from the tier list.
+    # All pre-verified by the now DTYPE-FAITHFUL tools/oracle_check.py
+    # (kind-level dtype gate added this round) at sf0.001/0.01/0.1.
     #
+    # --- round-15 entrants -------------------------------------------
+    # (a) queued r14 registration + plan-rewrite re-entry
+    "qdigest_quantiles_price",
+    "entity_resolution_parts",
+    # (b) the five latent HUGEINT-sum carriers, oracles fixed r15
+    "market_breadth_5m",
+    "overnight_gap_fill_rates",
+    "hapax_ratio_by_source",
+    "returnflag_priority_counts",
+    "single_source_parts_by_brand",
+    # (c) SQL-surface remainder
+    "intersect_all_parts",
+    "except_all_parts",
+    "null_handling",
+    "from_json_struct",
+    "collect_set_priorities",
+    "date_arithmetic",
+    # (d) time-series / market remainder
+    "corwin_schultz_spread_daily",
+    "cross_sectional_momentum",
+    "mtf_trend_filter_5m",
+    "volume_profile_poc",
+    "updown_streak_stats",
+    "v_reversal_patterns",
+    "overnight_intraday_returns",
+    "sliding_bars_10m_5m",
+    "interpolated_bars_30m",
+    # (e) text / corpus remainder
+    "source_vocab_overlap",
+    "token_burstiness_topk",
+    "top_terms_per_doc",
+    "ngram_containment_adjacent",
+    # --- holdovers (below): the 25 round-14 entrants — 22 hold one
+    # recorded green each (CORRECTNESS_r14.json) and accrue their
+    # second round before retiring; swing_points_5m,
+    # candle_pattern_census and stale_tick_fraction hold NO green (the
+    # r14 oracle-typing casualties: rows/schema matched, the driver's
+    # representation hash failed on uncast HUGEINT sums) — their
+    # oracles gained CAST(... AS BIGINT) this round and the same slots
+    # now certify the fix.
     # --- round-14 entrants -------------------------------------------
     # (a) market-quality / event-time remainder
     "intraday_volume_profile",
@@ -174,94 +215,34 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curriculum_stages_by_length",
     "novelty_by_first_occurrence",
     "vocab_coverage_top64",
-    # (e) SQL-surface set-op remainder (intersect_order_slices yielded
-    #     its r13 slot to the minhash re-entry; both variants enter now)
+    # (e) SQL-surface set-op remainder
     "except_order_slices",
     "intersect_order_slices",
-    # (f) plan-change re-certification (the macd/kalman/kmeans/minhash
-    #     precedent): dsir's stage-1 scan gained the input-aware
-    #     under-split rebalance this round (bit-identical output at
-    #     three SFs) — the slot certifies the NEW physical plan.
-    "dsir_weights_for_target",
-    # --- holdovers (below): 25 of the 26 round-13 entrants, one
-    # recorded green each (CORRECTNESS_r13.json) — they accrue their
-    # second round before retiring. minhash_md5_band_pairs retires now:
-    # its r13 slot WAS its second green (r11 + r13, the rebalanced-plan
-    # certification).
-    # --- round-13 entrants -------------------------------------------
-    # Round-13 rotation (per r12 VERDICT item 1): TWENTY-SIX slots
-    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-six round-11
-    # entrants that now hold 2 recorded green rounds each
-    # (mann_whitney_u_price_urgency ... grid_backtest_sma_pairs_5m,
-    # CORRECTNESS_r11 + CORRECTNESS_r12). In exchange, twenty-six
-    # never-driver-certified oracle-bearing names enter, LEADING with
-    # the three round-12 registrations that anchor that round's
-    # flagship capabilities (the ECDF drift family and the causal
-    # first-day adjustment basis), then the registry's own tier list:
-    # portfolio/risk remainder, SQL-surface, time-series remainder,
-    # corpus/ANN remainder, set-op remainder. All pre-verified by
-    # tools/oracle_check.py at sf0.001/sf0.01/sf0.1 this round.
-    #
-    # --- round-13 entrants -------------------------------------------
-    # (e→first) the round-12 registrations (r12 VERDICT item 1's leads):
-    # the W1 + Cramér–von Mises completion of the KS drift family, the
-    # streaming ECDF monitor's certified first-n/rest basis (gated:
-    # also carried by ZONED_ORACLE.json in both shapes), and the
-    # streaming adjustment twin's causal first-day basis
-    "ecdf_drift_by_type",
-    "ecdf_drift_first_n_by_type",
-    "adjusted_candles_firstday_5m",
-    # (a) portfolio/risk remainder (risk_adjusted_metrics_5m's slot was
-    #     explicitly yielded to this cohort by the r12 rotation note)
-    "risk_adjusted_metrics_5m",
-    "inverse_vol_portfolio",
-    "ulcer_index_5m",
-    "max_drawdown_duration_5m",
-    "beta_vs_market_5m",
-    # (b) SQL-surface remainder
-    "cube_flag_status",
-    "grouping_sets_flag_status",
-    "pipe_syntax_priority_revenue",
-    "sql_udf_discounted_pricing",
-    # (b') minhash_md5_band_pairs held this slot in r13 to certify its
-    #      rebalanced signature plan; that green is on record
-    #      (CORRECTNESS_r13.json), so it retired at the r14 rotation.
-    # (c) time-series remainder
-    "engle_granger_pair",
-    "seasonal_decompose_hourly",
-    "range_vol_estimators_daily",
-    "frac_diff_close_5m",
-    "dollar_bars_events",
-    "gap_filled_bars_30m",
-    # (d) corpus / embedding-ANN remainder — lsh/ivf are the never-
-    #     certified scale-path ANN variants (bucket-probed, not
-    #     brute-force); semantic_dedup closes the embedding-dedup tier
-    "hashed_tfidf_features",
-    "char_entropy_docs",
-    "zipf_fit_tokens",
-    "kl_divergence_by_source",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "semantic_dedup_survivors",
 )
 
-# Round-15 rotation candidates — never-driver-certified oracle-bearing
-# names remain (all hash-matched by tools/oracle_check.py locally).
-# Natural next cohorts, tier by tier:
-# (a) SQL-surface remainder: intersect_all_parts, except_all_parts,
-#     null_handling, from_json_struct, collect_set_priorities,
-#     date_arithmetic;
-# (b) the time-series / market remainder and any round-14 registrations
-#     (the new quantile-sketch family queues here per the
+# Round-16 rotation candidates — never-driver-certified oracle-bearing
+# names remain (all hash-matched by the dtype-faithful
+# tools/oracle_check.py locally). Natural next cohorts, tier by tier:
+# (a) any round-15 registrations (new families queue here per the
 #     register-with-oracle-then-certify pattern);
-# (c) plan-rewrite re-entries (the macd/kalman/kmeans/minhash/dsir
-#     precedent — budget slots BEFORE rewriting a PRIOR-certified
-#     plan): entity_resolution_parts MUST re-enter — its r14 rewrites
-#     landed (hash_min_labels checkpoint_every 3->2, measured A/B in
-#     the docstring, AND the proven-fixpoint early exit, law-tested
-#     bit-identical); the r15 slot certifies the new physical plan.
+# (b) market/time-series remainder: lead_lag_xcorr_pair,
+#     lead_lag_best_correlation, rank_ic_momentum_5m,
+#     momentum_rank_stability, post_shock_drift_5bar,
+#     return_dispersion_5m, am_pm_return_corr, weekday_effect_tstat,
+#     interarrival_cv, benford_price_digits, price_histogram_20bins,
+#     max_underwater_duration,
+#     volume_concentration_hhi, naive_forecast_eval,
+#     almgren_chriss_schedule, cross-sectional/decision remainder
+#     (order_price_deciles, decile_lift_urgent_orders, ...);
+# (c) embedding/vector remainder: embedding_norms,
+#     embedding_gram_matrix, embedding_outliers_per_label,
+#     explode_embedding_head, lang_label_confusion;
+# (d) dedup/linkage remainder: levenshtein_adjacent_parts,
+#     dup_cluster_size_histogram, minhash_md5_signatures,
+#     part_pair_lift_topk.
 # Rotate against slots whose names hold >=2 recorded green rounds
-# (after the r14 driver run: the 25 round-13 holdovers each hold 2).
+# (after the r15 driver run: the 22 round-14 holdovers each hold 2;
+# the 3 re-certified oracle-typing casualties hold 1 and stay).
 
 # Queries that HAVE been driver-certified (hash-matched in a recorded
 # CORRECTNESS_r0N.json) in one or more prior rounds and have since rotated
@@ -270,6 +251,36 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 15 (the twenty-five round-13 entrants,
+        # each green r13+r14 — CORRECTNESS_r13.json + CORRECTNESS_r14
+        # — plus dsir_weights_for_target, whose deliberate r14
+        # re-entry certified the stage-reuse plan rewrite)
+        "ecdf_drift_by_type",
+        "ecdf_drift_first_n_by_type",
+        "adjusted_candles_firstday_5m",
+        "risk_adjusted_metrics_5m",
+        "inverse_vol_portfolio",
+        "ulcer_index_5m",
+        "max_drawdown_duration_5m",
+        "beta_vs_market_5m",
+        "cube_flag_status",
+        "grouping_sets_flag_status",
+        "pipe_syntax_priority_revenue",
+        "sql_udf_discounted_pricing",
+        "engle_granger_pair",
+        "seasonal_decompose_hourly",
+        "range_vol_estimators_daily",
+        "frac_diff_close_5m",
+        "dollar_bars_events",
+        "gap_filled_bars_30m",
+        "hashed_tfidf_features",
+        "char_entropy_docs",
+        "zipf_fit_tokens",
+        "kl_divergence_by_source",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+        "semantic_dedup_survivors",
+        "dsir_weights_for_target",
         # rotated out in round 14 (the twenty-four round-12 entrants,
         # each green r12+r13 — CORRECTNESS_r12.json + CORRECTNESS_r13.json
         # — plus minhash_md5_band_pairs, whose deliberate r13 re-entry
@@ -402,7 +413,11 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "full_outer_daily_activity",
         "theil_sen_trend_daily",
         "weekly_cohort_retention",
-        "entity_resolution_parts",
+        # (entity_resolution_parts re-entered the round-15 window to
+        #  certify its rewritten label loop — checkpoint_every 3->2
+        #  plus early_exit default-OFF — and is not listed here while
+        #  it holds a slot; the derived-ledger law subtracts the
+        #  window)
         # rotated out in round 10 (each green 3-9 recorded rounds; the
         # twenty-four-slot rotation entering the round-9 additions and
         # the remaining never-certified ML-eval/graph/privacy tiers)
@@ -418,8 +433,9 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "cluster_aware_split",
         "multigrain_bars_rollup",
         # (dsir_weights_for_target re-entered the round-14 window to
-        #  certify its rebalanced stage-1 scan — not listed here while
-        #  it holds a slot; the derived-ledger law subtracts the window)
+        #  certify its rebalanced stage-1 scan; that green is on record
+        #  in CORRECTNESS_r14.json, so it retired at the r15 rotation
+        #  and is listed in the round-15 block above)
         "kneser_ney_logprob_docs",
         "key_skew_profile",
         "bottomk_sketch_quantiles",
