@@ -517,3 +517,125 @@ def qdigest_quantiles(
         f"CAST({n} AS BIGINT) AS n_rows",
         "CAST(n_nodes AS BIGINT) AS n_nodes",
     )
+
+
+# --- Count-Min Sketch (Cormode & Muthukrishnan 2005) -----------------------
+
+#: default grid: 4 hash rows x 1024 counters = 4096 bigints per sketch.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(value, row, width: int):
+    """Deterministic row-salted bucket: first 8 hex digits of
+    md5("<row>|<value>") as a BIGINT, mod width — the registry's
+    md5-bucket idiom (queries/text.py: doc fingerprints, dsir), chosen
+    over Spark's hash() because DuckDB replays it verbatim
+    (('0x' || substring(md5(...), 1, 8))::BIGINT % width), keeping the
+    sketch integer-exact cross-engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", row.cast("string"), value)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min Sketch of a column as a (row, bucket, cnt) counter
+    relation: ``depth`` independent md5-salted hash rows over ``width``
+    counters each; a key's frequency estimate is the MIN of its
+    ``depth`` counters (:func:`cms_point_estimates`) and NEVER
+    undercounts — collisions only ever add.
+
+    Fully deterministic (hash-based, no RNG) and MERGEABLE BY EXACT
+    ADDITION: counters are plain sums, so summing two sketches'
+    counters (:func:`cms_merge`) IS the sketch of the concatenated
+    input, bit-for-bit — stronger than q-digest/HLL merging, which is
+    only bound-preserving. That makes the silver-table economics exact:
+    per-segment sketches sum into any union-of-segments sketch with no
+    rescan and no approximation beyond the fixed grid.
+
+    Scale shape: the explode multiplies the scan by ``depth`` CPU-side,
+    but partial aggregation collapses each task's output to at most
+    depth x width rows before the exchange, so the shuffle is GRID-
+    bounded (depth x width x tasks), independent of row count — the
+    same bounded-model story as dsir/k-means/q-digest."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("row")
+    return (
+        df.select(F.col(value_col).cast("string").alias("__v"))
+        .select(rows, "__v")
+        .select(
+            "row",
+            _cms_bucket(F.col("__v"), F.col("row"), width).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Sum two CMS counter relations element-wise. EXACT: the result is
+    bit-identical to ``cms_build`` over the concatenated inputs
+    (law-tested), because counters are linear — no threshold, no
+    recompression, no bound growth."""
+    return (
+        cms_a.unionByName(cms_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for a probe-key relation: re-derive each
+    key's ``depth`` buckets, left-join the counter relation (an absent
+    counter is an exact 0 — the key was never seen), and take the MIN
+    across rows. Estimates OVERCOUNT or match, never undercount
+    (est >= true for every key, law-tested).
+
+    Join shape at scale: the sketch side is grid-bounded (<= depth x
+    width rows), so it broadcasts; the probe side is keys x depth.
+    Returns (key_col, est_cnt)."""
+    probes = (
+        keys.select(F.col(key_col))
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.array(*[F.lit(r) for r in range(depth)])
+            ).alias("row"),
+        )
+        .select(
+            key_col,
+            "row",
+            _cms_bucket(
+                F.col(key_col).cast("string"), F.col("row"), width
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_cnt")
+        )
+    )

@@ -584,3 +584,80 @@ def qdigest_quantiles_price(spark, sf_dir):
     )
     nodes, n = qdigest_build(li, "cents", k=256, domain_bits=24)
     return qdigest_quantiles(nodes, n)
+
+
+_CMS_ORACLE = """
+    WITH r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(row)),
+    vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+    cms AS MATERIALIZED (
+      SELECT row,
+             ('0x' || substring(md5(CAST(row AS VARCHAR) || '|' || v),
+                                1, 8))::BIGINT % 1024 AS bucket,
+             count(*) AS cnt
+      FROM vals CROSS JOIN r GROUP BY 1, 2
+    ),
+    tc AS (SELECT l_partkey, count(*) AS true_cnt FROM lineitem GROUP BY 1),
+    top AS (
+      SELECT l_partkey, true_cnt FROM tc
+      ORDER BY true_cnt DESC, l_partkey LIMIT 32
+    ),
+    probes AS (
+      SELECT t.l_partkey, r.row,
+             ('0x' || substring(md5(CAST(r.row AS VARCHAR) || '|' ||
+                 CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM top t CROSS JOIN r
+    ),
+    est AS (
+      SELECT p.l_partkey, min(c.cnt) AS est_cnt
+      FROM probes p JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+      GROUP BY 1
+    )
+    SELECT t.l_partkey,
+           CAST(t.true_cnt AS BIGINT)             AS true_cnt,
+           CAST(e.est_cnt AS BIGINT)              AS est_cnt,
+           CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overshoot
+    FROM top t JOIN est e ON e.l_partkey = t.l_partkey
+    """
+
+
+@register("cms_partkey_freq_topk", oracle=_CMS_ORACLE)
+def cms_partkey_freq_topk(spark, sf_dir):
+    """Count-Min Sketch frequency estimates (Cormode & Muthukrishnan
+    2005) for the 32 heaviest part keys in lineitem, next to their
+    exact counts (operators/sketches.py: cms_build — 4 md5-salted hash
+    rows x 1024 counters; estimate = min across rows, which OVERCOUNTS
+    or matches, never undercounts). The r15 registration completing the
+    mergeable-sketch tier: unlike q-digest/HLL, CMS merges by EXACT
+    counter addition, so per-segment sketches in a silver table sum
+    into any union-of-segments sketch bit-for-bit — frequency answers
+    with no rescan. Scale shape: the depth-x explode collapses under
+    map-side partial aggregation to a GRID-bounded shuffle
+    (depth x width x tasks, independent of row count) and the probe
+    join broadcasts the <=4096-row counter relation. Output all-BIGINT
+    (key, true_cnt, est_cnt, overshoot); the oracle replays the same
+    md5 buckets, making the sketch itself — not a tolerance band —
+    the certified artifact. Probe keys are picked by the total order
+    (true_cnt DESC, l_partkey) so both engines choose the same set."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cms = cms_build(li, "l_partkey", depth=4, width=1024)
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "l_partkey")
+        .limit(32)
+    )
+    est = cms_point_estimates(cms, top, "l_partkey", depth=4, width=1024)
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias(
+            "overshoot"
+        ),
+    )

@@ -697,3 +697,68 @@ def read_qdigest_quantiles(
         domain_bits,
     )
     return qdigest_quantiles(nodes, int(n), q_bps)
+
+
+def stream_cms_sketch_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sketch_path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Incrementally maintained Count-Min Sketch over a stream — the
+    frequency analogue of :func:`stream_qdigest_sketch_table`: each
+    micro-batch reduces to its own (row, bucket, cnt) counter relation
+    (grid-bounded: <= depth x width rows) written to its own
+    ``batch_id=<id>`` partition. Exactly-once is structural: a replay
+    overwrites only its own partition, so counters can never double.
+    Because CMS counters are LINEAR, the read side's per-bucket sum
+    (:func:`read_cms_estimates`) is bit-identical to a batch
+    ``cms_build`` over everything ingested — for CMS the persisted
+    per-batch sketches ARE exact partial states, not bound-preserving
+    approximations, so this twin needs no read-side recompression
+    step at all."""
+    from polygon_algotrading_env_spark.operators.sketches import cms_build
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cms_build(batch_df, value_col, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    sketch_path: str,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Current frequency estimates from the streaming CMS table: sum
+    the per-batch counters (exact — counter addition IS the merge),
+    then answer point queries for the probe keys. Bit-identical to a
+    batch cms_build + cms_point_estimates over the full ingested
+    stream (law-tested); input size = batches x grid, never stream
+    history."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_point_estimates,
+    )
+
+    merged = (
+        spark.read.option("basePath", sketch_path)
+        .parquet(sketch_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_point_estimates(
+        merged, keys, key_col, depth=depth, width=width
+    )

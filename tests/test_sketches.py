@@ -385,3 +385,126 @@ def test_qdigest_merge_preserves_bound(spark):
         rank_of_est = bisect.bisect_right(sv, r["est_cents"])
         assert rank_of_est >= r["target_rank"], r
         assert rank_of_est - r["target_rank"] <= bound, r
+
+
+# --- Count-Min Sketch laws --------------------------------------------------
+
+
+def _cms_fixture_vals():
+    import random
+
+    rnd = random.Random(11)
+    # Zipf-ish: a few heavy keys, a long tail — the regime CMS is for.
+    vals = []
+    for k in range(1, 40):
+        vals += [k] * (2000 // k)
+    vals += [rnd.randint(100, 5000) for _ in range(5000)]
+    rnd.shuffle(vals)
+    return vals
+
+
+def test_cms_never_undercounts_and_rows_partition_n(spark):
+    """The CMS guarantee, deterministically: est >= true for EVERY
+    distinct key (collisions only add), and each hash row's counters
+    sum to exactly n (each row partitions the input)."""
+    from collections import Counter
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    vals = _cms_fixture_vals()
+    true = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cms = cms_build(df, "v", depth=4, width=256)
+    per_row = {
+        r["row"]: r["s"]
+        for r in cms.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {0: len(vals), 1: len(vals), 2: len(vals), 3: len(vals)}
+    keys = spark.createDataFrame([(k,) for k in true], "v long")
+    est = {
+        r["v"]: r["est_cnt"]
+        for r in cms_point_estimates(cms, keys, "v", depth=4, width=256)
+        .collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+def test_cms_absent_key_estimate_is_collision_mass_only(spark):
+    """A key never inserted reads the pure collision mass of its
+    buckets — possibly 0 via the left-join's exact-zero path — and a
+    key whose buckets are all empty reads exactly 0."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [1, 1, 2]], "v long")
+    # Wide grid: 3 rows can't fill 1024 buckets, so SOME absent key
+    # reads 0; every absent estimate is >= 0 and bounded by n.
+    cms = cms_build(df, "v", depth=4, width=1024)
+    probes = spark.createDataFrame(
+        [(k,) for k in range(1000, 1200)], "v long"
+    )
+    ests = [
+        r["est_cnt"]
+        for r in cms_point_estimates(cms, probes, "v", depth=4, width=1024)
+        .collect()
+    ]
+    assert len(ests) == 200
+    assert all(0 <= e <= 3 for e in ests)
+    assert any(e == 0 for e in ests)
+
+
+def test_cms_merge_is_exact_counter_addition(spark):
+    """cms_merge(build(A), build(B)) is BIT-IDENTICAL to build(A ++ B):
+    counters are linear, so merging loses nothing — the property that
+    makes per-segment CMS silver tables exact, where q-digest/HLL
+    merges are only bound-preserving."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    vals = _cms_fixture_vals()
+    half = len(vals) // 2
+    a = spark.createDataFrame([(v,) for v in vals[:half]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[half:]], "v long")
+    both = spark.createDataFrame([(v,) for v in vals], "v long")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(a, "v", depth=4, width=256),
+            cms_build(b, "v", depth=4, width=256),
+        ).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(both, "v", depth=4, width=256).collect()
+    }
+    assert merged == direct
+
+
+def test_cms_partitioning_invariance(spark):
+    """The sketch is a pure function of the value multiset: counter
+    relations are identical across input partitionings (the determinism
+    that buys the cross-engine oracle)."""
+    from polygon_algotrading_env_spark.operators.sketches import cms_build
+
+    vals = _cms_fixture_vals()
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    one = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(df.coalesce(1), "v", depth=4, width=256).collect()
+    }
+    many = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            df.repartition(13, "v"), "v", depth=4, width=256
+        ).collect()
+    }
+    assert one == many

@@ -601,3 +601,79 @@ def test_stream_qdigest_sketch_table(spark, tmp_path):
     want = sorted(tuple(r) for r in qdigest_quantiles(nodes, n).collect())
     assert n == 15000
     assert got == want
+
+
+def test_stream_cms_sketch_table(spark, tmp_path):
+    """Streaming CMS table: per-batch exact counter relations in
+    batch_id partitions, read-side per-bucket sum — the merged read's
+    point estimates are BIT-IDENTICAL to a batch cms_build +
+    cms_point_estimates over everything ingested, across two drains
+    (counter addition IS the merge, so nothing is approximate about
+    the streaming path)."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_cms_estimates,
+        stream_cms_sketch_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skp = str(tmp_path / "sketches")
+    rnd = random.Random(9)
+    rows1 = [(rnd.randint(0, 300),) for _ in range(7000)]
+    rows2 = [(rnd.randint(100, 500),) for _ in range(5000)]
+    schema = "v long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = stream_cms_sketch_table(
+            spark.readStream.schema(schema).parquet(src),
+            ckpt,
+            skp,
+            "v",
+            depth=4,
+            width=256,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    probes = spark.createDataFrame([(k,) for k in range(0, 501)], schema)
+    got = sorted(
+        tuple(r)
+        for r in read_cms_estimates(
+            spark, skp, probes, "v", depth=4, width=256
+        ).collect()
+    )
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        tuple(r)
+        for r in cms_point_estimates(
+            cms_build(full, "v", depth=4, width=256),
+            probes,
+            "v",
+            depth=4,
+            width=256,
+        ).collect()
+    )
+    assert got == want
+    # And the estimates really are estimates OF the ingested stream:
+    # never below the true counts.
+    from collections import Counter
+
+    true = Counter(v for (v,) in rows1 + rows2)
+    est = dict(got)
+    for k in range(0, 501):
+        assert est[k] >= true.get(k, 0)
