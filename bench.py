@@ -464,6 +464,9 @@ def main() -> None:
             "train_test_contamination", "boilerplate_ngrams",
             "source_token_cosine_pairs", "macd_12_26_9_5m",
             "ewma_vol_5m", "qdigest_quantiles_price",
+            # r15 family registration: record the CMS 1x/100x ratio in
+            # the same round its oracle lands (the qdigest precedent).
+            "cms_partkey_freq_topk",
         ]
         from polygon_algotrading_env_spark.queries import REGISTRY
 

@@ -661,3 +661,49 @@ def cms_partkey_freq_topk(spark, sf_dir):
             "overshoot"
         ),
     )
+
+
+@register("cms_merged_halves_freq", oracle=_CMS_ORACLE)
+def cms_merged_halves_freq(spark, sf_dir):
+    """The CMS MERGE path certified against the SAME answer as the
+    single build (the salted_pricing_summary precedent: an alternate
+    physical plan pinned to an identical result): lineitem splits into
+    even/odd order-key halves, each half builds its own sketch, the two
+    merge by counter addition, and the merged sketch answers the same
+    top-32 point queries as cms_partkey_freq_topk. Counters are linear,
+    so the merged sketch is BIT-IDENTICAL to one build over everything
+    — the oracle (a single whole-table CMS replay) passing against THIS
+    plan is the cross-engine proof of that linearity, which is the
+    property the silver-table economics rest on: per-segment sketches
+    persisted per day/partition sum into any union-of-segments answer
+    with no rescan and no approximation drift."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_point_estimates,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    even = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
+    odd = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    merged = cms_merge(
+        cms_build(even, "l_partkey", depth=4, width=1024),
+        cms_build(odd, "l_partkey", depth=4, width=1024),
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "l_partkey")
+        .limit(32)
+    )
+    est = cms_point_estimates(merged, top, "l_partkey", depth=4, width=1024)
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias(
+            "overshoot"
+        ),
+    )

@@ -910,3 +910,86 @@ def single_source_parts_by_brand(spark, sf_dir):
             ),
         )
     )
+
+
+# --- A-Priori frequent pairs (market-basket, candidate-pruned plan) -------
+@register(
+    "apriori_frequent_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    f AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS support
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.support AS BIGINT) AS support,
+           CAST(fa.n AS BIGINT)      AS n_a,
+           CAST(fb.n AS BIGINT)      AS n_b
+    FROM p
+    JOIN f fa ON fa.l_partkey = p.part_a
+    JOIN f fb ON fb.l_partkey = p.part_b
+    """,
+)
+def apriori_frequent_pairs(spark, sf_dir):
+    """All co-purchased part pairs at support >= 3 baskets, with each
+    member's own basket count — the frequent-itemset k=2 pass, run the
+    A-PRIORI way (Agrawal & Srikant 1994): prune baskets to FREQUENT
+    singletons before the pair self-join, because support is monotone
+    (a pair can never out-support its rarest member). The oracle runs
+    the UNpruned self-join + HAVING, so the hash match certifies the
+    pruning is lossless cross-engine, not just asserted.
+
+    Scale shape (where this differs from part_pair_lift_topk's direct
+    join): at 100 TB the basket relation self-joined raw explodes on
+    popular-basket skew; pruning first bounds the joined relation to
+    baskets' FREQUENT items only — the candidate set shrinks with the
+    support threshold, which is the knob a real market-basket run
+    turns. The frequent-singleton relation is support-bounded, so it
+    broadcasts; the pair aggregate partial-combines map-side."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq1 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
+    pruned = li.join(
+        F.broadcast(freq1.select("l_partkey")), "l_partkey"
+    ).select("l_orderkey", "l_partkey")
+    a = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    fa = freq1.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    fb = freq1.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )
