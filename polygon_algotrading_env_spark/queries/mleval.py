@@ -1249,3 +1249,93 @@ def hill_tail_index_by_priority(spark, sf_dir):
         F.round(hinv, 6).alias("hill_inv_alpha"),
         F.round(1.0 / hinv, 6).alias("alpha"),
     )
+
+
+# --- Brier score decomposition (Murphy 1973) -------------------------------
+@register(
+    "brier_decomposition_urgent",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    ),
+    pb AS (
+      SELECT o_orderstatus, bin, count(*) AS nk, sum(y) AS pos,
+             (2.0 * bin - 1) / 20.0 AS p
+      FROM b GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(sum(nk) AS BIGINT)  AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(sum(nk * p * p - 2 * p * pos + pos) / sum(nk), 6)
+             AS brier,
+           round(sum(nk * (p - pos * 1.0 / nk) * (p - pos * 1.0 / nk))
+                 / sum(nk), 6) AS reliability,
+           round(sum(pos * pos * 1.0 / nk) / sum(nk)
+                 - (sum(pos) * 1.0 / sum(nk))
+                   * (sum(pos) * 1.0 / sum(nk)), 6) AS resolution,
+           round((sum(pos) * 1.0 / sum(nk))
+                 * (1 - sum(pos) * 1.0 / sum(nk)), 6) AS uncertainty
+    FROM pb GROUP BY 1
+    """,
+)
+def brier_decomposition_urgent(spark, sf_dir):
+    """Murphy (1973) decomposition of the Brier score for a
+    price-decile forecast of order urgency, per order status:
+    brier = reliability - resolution + uncertainty, where the forecast
+    is the decile midpoint p_k = (2k-1)/20 of the (price, orderkey)
+    total order — ntile over a TOTAL order is deterministic in both
+    engines, so the bins (and everything derived) hash exactly.
+    reliability penalizes mis-calibrated bins (forecast vs observed
+    rate), resolution rewards bins that separate outcomes from the
+    base rate, uncertainty is the base rate's own variance — the
+    standard scoreboard for "is this signal calibrated or merely
+    discriminative" that AUC (auc_urgent_price_by_status) cannot see.
+    All three terms and the measured Brier reduce over one 10-bin
+    relation per status (sufficient statistics nk, pos as BIGINTs;
+    doubles derived by the same scalar recipe both engines evaluate —
+    the file's exact-integer discipline), so cost after the one
+    per-status exchange is bins x statuses, independent of row
+    count."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    b = orders.select(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    pb = (
+        b.groupBy("o_orderstatus", "bin")
+        .agg(F.count(F.lit(1)).alias("nk"), F.sum("y").alias("pos"))
+        .withColumn("p", (F.lit(2.0) * F.col("bin") - 1) / F.lit(20.0))
+    )
+    nk, pos, p = F.col("nk"), F.col("pos"), F.col("p")
+    ybar = F.sum(pos) * 1.0 / F.sum(nk)
+    return pb.groupBy("o_orderstatus").agg(
+        F.sum(nk).cast("bigint").alias("n"),
+        F.sum(pos).cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(nk * p * p - 2 * p * pos + pos) / F.sum(nk), 6
+        ).alias("brier"),
+        F.round(
+            F.sum(nk * (p - pos * 1.0 / nk) * (p - pos * 1.0 / nk))
+            / F.sum(nk),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(pos * pos * 1.0 / nk) / F.sum(nk) - ybar * ybar, 6
+        ).alias("resolution"),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+    )

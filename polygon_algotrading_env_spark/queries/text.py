@@ -2606,3 +2606,84 @@ def self_bleu_adjacent_docs(spark, sf_dir):
         F.coalesce("b_len", F.lit(0)).cast("bigint").alias("t2"),
         F.round(bleu, 6).alias("bleu2"),
     )
+
+
+# --- CMS token frequencies (the corpus-scale counter use case) -------------
+@register(
+    "cms_token_freq_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(row)),
+    cms AS MATERIALIZED (
+      SELECT row,
+             ('0x' || substring(md5(CAST(row AS VARCHAR) || '|' || t),
+                                1, 8))::BIGINT % 1024 AS bucket,
+             count(*) AS cnt
+      FROM tok CROSS JOIN r GROUP BY 1, 2
+    ),
+    tc AS (SELECT t, count(*) AS true_cnt FROM tok GROUP BY 1),
+    top AS (
+      SELECT t, true_cnt FROM tc ORDER BY true_cnt DESC, t LIMIT 32
+    ),
+    probes AS (
+      SELECT tp.t, r.row,
+             ('0x' || substring(md5(CAST(r.row AS VARCHAR) || '|' || tp.t),
+                                1, 8))::BIGINT % 1024 AS bucket
+      FROM top tp CROSS JOIN r
+    ),
+    est AS (
+      SELECT p.t, min(c.cnt) AS est_cnt
+      FROM probes p JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+      GROUP BY 1
+    )
+    SELECT tp.t                                    AS token,
+           CAST(tp.true_cnt AS BIGINT)             AS true_cnt,
+           CAST(e.est_cnt AS BIGINT)               AS est_cnt,
+           CAST(e.est_cnt - tp.true_cnt AS BIGINT) AS overshoot
+    FROM top tp JOIN est e ON e.t = tp.t
+    """,
+)
+def cms_token_freq_topk(spark, sf_dir):
+    """Count-Min token frequencies over the document corpus — the
+    LLM-pipeline use the sketch exists for: token/n-gram counting at
+    corpus scale where the exact per-token aggregate is the shuffle you
+    can't afford and a grid-bounded counter relation (4 x 1024 bigints
+    here) is the state you can. The 32 heaviest whitespace tokens ride
+    along with exact counts so the certified output pins estimate vs
+    truth; estimates never undercount (law-tested on the operator).
+    Same plan economics as cms_partkey_freq_topk: the depth-x explode
+    partial-aggregates map-side to a grid-bounded exchange and the
+    probe join broadcasts the counter relation; the tokenizer is the
+    hapax oracle's whitespace split so both engines count identical
+    tokens."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+    )
+    cms = cms_build(toks, "token", depth=4, width=1024)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "token")
+        .limit(32)
+    )
+    est = cms_point_estimates(cms, top, "token", depth=4, width=1024)
+    return top.join(est, "token").select(
+        "token",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias(
+            "overshoot"
+        ),
+    )
