@@ -7073,3 +7073,125 @@ def mcleod_li_squared_returns_5m(spark, sf_dir):
         "event_type", "bucket_start", (r * r).alias("r")
     ).where(F.col("r").isNotNull())
     return _ljung_box_q5(v, "ml_q5")
+
+
+# --- PACF via Durbin-Levinson (the ACF family's missing half) --------------
+@register(
+    "pacf_returns_lags",
+    oracle=_HLC_BARS_CTE + """
+    , r AS (
+      SELECT event_type, bucket_start,
+             close / nullif(lag(close) OVER w, 0) - 1 AS ret
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    l AS (
+      SELECT event_type, ret,
+             lag(ret)    OVER w AS ret_l1,
+             lag(ret, 2) OVER w AS ret_l2,
+             lag(ret, 3) OVER w AS ret_l3,
+             lag(ret, 4) OVER w AS ret_l4
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    ),
+    rho AS (
+      SELECT event_type, count(ret) AS n_obs,
+             round(corr(ret, ret_l1), 6) AS r1,
+             round(corr(ret, ret_l2), 6) AS r2,
+             round(corr(ret, ret_l3), 6) AS r3,
+             round(corr(ret, ret_l4), 6) AS r4
+      FROM l GROUP BY 1
+    ),
+    d1 AS (SELECT *, r1 AS p11 FROM rho),
+    d2 AS (SELECT *, (r2 - p11 * r1) / (1 - p11 * r1) AS p22 FROM d1),
+    d2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM d2),
+    d3 AS (
+      SELECT *, (r3 - (p21 * r2 + p22 * r1))
+                / (1 - (p21 * r1 + p22 * r2)) AS p33
+      FROM d2b
+    ),
+    d3b AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM d3
+    ),
+    d4 AS (
+      SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                / (1 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+      FROM d3b
+    )
+    SELECT event_type,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           round(p11, 6) AS pacf_1,
+           round(p22, 6) AS pacf_2,
+           round(p33, 6) AS pacf_3,
+           round(p44, 6) AS pacf_4
+    FROM d4
+    """,
+)
+def pacf_returns_lags(spark, sf_dir):
+    """Partial autocorrelation of 5m returns at lags 1-4 per symbol via
+    the Durbin-Levinson recursion — the AR-order fingerprint the ACF
+    cannot give (acf_returns_lags measures raw serial correlation; the
+    PACF removes the shorter-lag pass-through, so a spike at lag k
+    reads "AR(k) term needed"). Cross-engine determinism comes from
+    ANCHORING the recursion on the round-6 ACF values — the same
+    anchor the certified acf_returns_lags hashes — then evaluating the
+    identical scalar expression tree on identical doubles in both
+    engines (one recursion level per chained CTE / withColumn, same
+    parenthesization). The heavy work is the one per-symbol window
+    partitioning carrying the return and its four lagged copies; the
+    recursion itself runs on the symbols-sized aggregate — cost
+    independent of row count past the one exchange."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type", "bucket_start", "close"
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    r = bars.withColumn(
+        "ret",
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1,
+    )
+    l = r.select(
+        "event_type",
+        "ret",
+        F.lag("ret").over(w).alias("ret_l1"),
+        F.lag("ret", 2).over(w).alias("ret_l2"),
+        F.lag("ret", 3).over(w).alias("ret_l3"),
+        F.lag("ret", 4).over(w).alias("ret_l4"),
+    )
+    rho = l.groupBy("event_type").agg(
+        F.count("ret").alias("n_obs"),
+        F.round(F.corr("ret", "ret_l1"), 6).alias("r1"),
+        F.round(F.corr("ret", "ret_l2"), 6).alias("r2"),
+        F.round(F.corr("ret", "ret_l3"), 6).alias("r3"),
+        F.round(F.corr("ret", "ret_l4"), 6).alias("r4"),
+    )
+    r1, r2, r3, r4 = (F.col(c) for c in ("r1", "r2", "r3", "r4"))
+    d = rho.withColumn("p11", r1)
+    p11 = F.col("p11")
+    d = d.withColumn("p22", (r2 - p11 * r1) / (1 - p11 * r1))
+    p22 = F.col("p22")
+    d = d.withColumn("p21", p11 - p22 * p11)
+    p21 = F.col("p21")
+    d = d.withColumn(
+        "p33",
+        (r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2)),
+    )
+    p33 = F.col("p33")
+    d = d.withColumn("p31", p21 - p33 * p22).withColumn(
+        "p32", p22 - p33 * p21
+    )
+    p31, p32 = F.col("p31"), F.col("p32")
+    d = d.withColumn(
+        "p44",
+        (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+        / (1 - (p31 * r1 + p32 * r2 + p33 * r3)),
+    )
+    return d.select(
+        "event_type",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(p11, 6).alias("pacf_1"),
+        F.round(p22, 6).alias("pacf_2"),
+        F.round(p33, 6).alias("pacf_3"),
+        F.round(F.col("p44"), 6).alias("pacf_4"),
+    )
