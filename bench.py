@@ -467,6 +467,8 @@ def main() -> None:
             # r15 family registration: record the CMS 1x/100x ratio in
             # the same round its oracle lands (the qdigest precedent).
             "cms_partkey_freq_topk",
+            # late-r15 family registration: AMS F2 tug-of-war sketch.
+            "ams_f2_partkey",
         ]
         from polygon_algotrading_env_spark.queries import REGISTRY
 

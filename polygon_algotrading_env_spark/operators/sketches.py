@@ -639,3 +639,122 @@ def cms_point_estimates(
             .alias("est_cnt")
         )
     )
+
+
+# --- AMS F2 / Tug-of-War sketch (Alon, Matias & Szegedy 1996) --------------
+
+#: default estimator grid: 32 sign rows, medianed in 4 groups of 8.
+AMS_ROWS = 32
+AMS_GROUPS = 4
+
+
+def _ams_sign(value, row):
+    """Deterministic row-salted ±1 sign: low bit of the first hex digit
+    of md5("<row>|<value>"), mapped to {+1, -1}. Same md5-bucket idiom
+    as :func:`_cms_bucket` so DuckDB replays it verbatim
+    ((('0x' || substring(md5(...), 1, 1))::BIGINT % 2) and 1 - 2*bit),
+    keeping every counter integer-exact cross-engine."""
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", row.cast("string"), value)), 1, 1
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    return F.lit(1) - F.lit(2) * bit
+
+
+def ams_build(
+    df: DataFrame,
+    value_col: str,
+    rows: int = AMS_ROWS,
+) -> DataFrame:
+    """AMS "tug-of-war" sketch of a column as a (row, signed_sum)
+    relation: ``rows`` independent md5-salted ±1 sign functions, each
+    summed over every input item. Each row's square is an unbiased
+    estimator of the second frequency moment F2 = Σ_k count(k)² — the
+    self-join size, the quantity a planner wants for join-size/skew
+    estimation without an exact per-key aggregate.
+
+    Fully deterministic (hash signs, no RNG) and LINEAR: the sketch of
+    a union is the element-wise SUM of the parts' sketches
+    (:func:`ams_merge`), bit-for-bit — the same exact-merge economics
+    as CMS, but for a quadratic statistic. State is ``rows`` bigints
+    regardless of input size.
+
+    Scale shape: the explode multiplies the scan ``rows``-fold CPU-side,
+    but partial aggregation collapses each task's output to at most
+    ``rows`` rows before the exchange, so the shuffle is grid-bounded
+    (rows x tasks), independent of row count."""
+    rws = F.explode(F.array(*[F.lit(r) for r in range(rows)])).alias("row")
+    return (
+        df.select(F.col(value_col).cast("string").alias("__v"))
+        .select(rws, "__v")
+        .select("row", _ams_sign(F.col("__v"), F.col("row")).alias("s"))
+        .groupBy("row")
+        .agg(F.sum("s").cast("bigint").alias("signed_sum"))
+    )
+
+
+def ams_merge(ams_a: DataFrame, ams_b: DataFrame) -> DataFrame:
+    """Sum two AMS sketches element-wise. EXACT: signed sums are linear
+    in the input multiset, so the merged relation is bit-identical to
+    ``ams_build`` over the concatenated inputs (law-tested)."""
+    return (
+        ams_a.unionByName(ams_b)
+        .groupBy("row")
+        .agg(F.sum("signed_sum").cast("bigint").alias("signed_sum"))
+    )
+
+
+def ams_f2_estimate(
+    ams: DataFrame,
+    rows: int = AMS_ROWS,
+    groups: int = AMS_GROUPS,
+) -> DataFrame:
+    """Median-of-means F2 estimate from a sketch relation: square each
+    signed sum (exact bigint), mean within each of ``groups`` groups of
+    ``rows/groups`` consecutive rows, median across groups. With the
+    default 4 groups the median of the sorted group sums is
+    (g2 + g3) / 2, so the whole estimator is INTEGER arithmetic until
+    one final division by ``2 * rows/groups`` — both engines convert
+    the same exact bigints and divide by the same constant, giving
+    identical doubles (the cross-engine discipline every certified
+    float query in this registry follows).
+
+    Error: each row's square is unbiased with variance ≤ 2·F2²; the
+    mean-of-8 then median-of-4 brings the typical relative error to
+    ~sqrt(2/8) ≈ 50% with exponentially small tail — a planner-grade
+    magnitude estimate from 32 bigints of state (pinned against exact
+    F2 in the registered queries). Returns one row: (est_f2 double)."""
+    from pyspark.sql import Window
+
+    if rows % groups:
+        raise ValueError("rows must divide evenly into groups")
+    per = rows // groups
+    grouped = (
+        ams.select(
+            (F.col("row") / per).cast("bigint").alias("grp"),
+            (F.col("signed_sum") * F.col("signed_sum")).alias("sq"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("sq").cast("bigint").alias("gsum"))
+    )
+    ranked = grouped.select(
+        "gsum",
+        F.row_number().over(
+            Window.orderBy(F.col("gsum"), F.col("grp"))
+        ).alias("rk"),
+    )
+    mid = ranked.where(
+        F.col("rk").isin(groups // 2, groups // 2 + 1)
+    )
+    return mid.agg(
+        (
+            F.sum("gsum").cast("double")
+            / F.lit(float(2 * per))
+        ).alias("est_f2")
+    )

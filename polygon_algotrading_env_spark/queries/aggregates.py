@@ -707,3 +707,120 @@ def cms_merged_halves_freq(spark, sf_dir):
             "overshoot"
         ),
     )
+
+
+_AMS_ORACLE = """
+    WITH r AS (SELECT unnest(range(32)) AS row),
+    vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+    sk AS MATERIALIZED (
+      SELECT row,
+             SUM(1 - 2 * (('0x' || substring(md5(CAST(row AS VARCHAR)
+                 || '|' || v), 1, 1))::BIGINT % 2)) AS signed_sum
+      FROM vals CROSS JOIN r GROUP BY 1
+    ),
+    g AS (
+      SELECT row // 8 AS grp, SUM(signed_sum * signed_sum) AS gsum
+      FROM sk GROUP BY 1
+    ),
+    rk AS (
+      SELECT gsum, row_number() OVER (ORDER BY gsum, grp) AS rk FROM g
+    ),
+    est AS (
+      SELECT CAST(SUM(gsum) AS DOUBLE) / 16.0 AS est_f2
+      FROM rk WHERE rk IN (2, 3)
+    ),
+    ex AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+      FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT ex.exact_f2,
+           est.est_f2,
+           ROUND(est.est_f2 / ex.exact_f2, 6) AS est_ratio
+    FROM ex, est
+    """
+
+
+@register("ams_f2_partkey", oracle=_AMS_ORACLE)
+def ams_f2_partkey(spark, sf_dir):
+    """AMS tug-of-war estimate (Alon, Matias & Szegedy 1996) of
+    lineitem's second frequency moment over part keys — F2 = Σ count(k)²,
+    the SELF-JOIN SIZE, the quantity a planner needs to size an equi-join
+    or detect key skew without paying the exact per-key aggregate
+    (operators/sketches.py: ams_build — 32 md5-salted ±1 sign rows,
+    median-of-4-means of the squared sums). Completes the mergeable-
+    sketch tier's linear wing next to CMS: signed sums are LINEAR, so
+    per-segment sketches in a silver table sum into any union-of-segments
+    F2 answer bit-for-bit, from 32 bigints of state. Scale shape: the
+    32x explode collapses under map-side partial aggregation to a
+    grid-bounded exchange (32 x tasks, independent of row count); the
+    estimator is integer-exact until ONE final division by 16 (a power
+    of two), so both engines produce the identical double — the sketch
+    itself, not a tolerance band, is the certified artifact. Exact F2
+    rides along: est_ratio pins the estimator's accuracy in the record
+    (median-of-means typical error ~sqrt(2/8) ≈ 50%)."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_f2_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    est = ams_f2_estimate(ams_build(li, "l_partkey", rows=32))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias(
+                "exact_f2"
+            )
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_f2",
+        "est_f2",
+        F.round(F.col("est_f2") / F.col("exact_f2"), 6).alias("est_ratio"),
+    )
+
+
+@register("ams_merged_halves_f2", oracle=_AMS_ORACLE)
+def ams_merged_halves_f2(spark, sf_dir):
+    """The AMS MERGE path certified against the SAME answer as the
+    single build (the cms_merged_halves_freq precedent): lineitem splits
+    into even/odd order-key halves, each half builds its own 32-row
+    sketch, the two merge by signed-sum addition, and the merged sketch
+    feeds the same median-of-means estimator. Signed sums are linear in
+    the input multiset, so the merged sketch is BIT-IDENTICAL to one
+    build over everything — the oracle (a single whole-table replay)
+    passing against THIS plan is the cross-engine proof of the linearity
+    the silver-table economics rest on. Unlike CMS (counters only ever
+    add) the AMS merge exercises genuine cancellation: opposite-sign
+    contributions from the two halves must net exactly."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_f2_estimate,
+        ams_merge,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    even = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
+    odd = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    merged = ams_merge(
+        ams_build(even, "l_partkey", rows=32),
+        ams_build(odd, "l_partkey", rows=32),
+    )
+    est = ams_f2_estimate(merged)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias(
+                "exact_f2"
+            )
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_f2",
+        "est_f2",
+        F.round(F.col("est_f2") / F.col("exact_f2"), 6).alias("est_ratio"),
+    )

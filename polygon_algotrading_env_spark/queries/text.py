@@ -2687,3 +2687,91 @@ def cms_token_freq_topk(spark, sf_dir):
             "overshoot"
         ),
     )
+
+
+# --- PMI collocations (the classic corpus-phrase miner) ---------------------
+@register(
+    "pmi_collocations_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.token AS t1, b.token AS t2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cxy AS MATERIALIZED (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM big GROUP BY 1, 2
+    ),
+    cl AS (SELECT t1, CAST(sum(pair_cnt) AS BIGINT) AS cl FROM cxy GROUP BY 1),
+    cr AS (SELECT t2, CAST(sum(pair_cnt) AS BIGINT) AS cr FROM cxy GROUP BY 1),
+    tot AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS n FROM cxy)
+    SELECT x.t1, x.t2, x.pair_cnt,
+           ROUND(ln(CAST(x.pair_cnt * tot.n AS DOUBLE)
+                    / CAST(cl.cl * cr.cr AS DOUBLE)), 6) AS pmi
+    FROM cxy x
+    JOIN cl ON cl.t1 = x.t1
+    JOIN cr ON cr.t2 = x.t2
+    CROSS JOIN tot
+    WHERE x.pair_cnt >= 5
+    ORDER BY pmi DESC, x.t1, x.t2
+    LIMIT 20
+    """,
+)
+def pmi_collocations_topk(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information — the
+    classic corpus-phrase miner (Church & Hanks 1990): PMI =
+    ln(p(x,y) / (p(x)·p(y))) over the adjacent-bigram event space, with
+    all three marginals taken from the SAME bigram relation so the
+    probabilities share one denominator. High-PMI pairs are the
+    multi-word expressions a tokenizer/phrase-vocab pass should learn;
+    the min-count 5 floor is the standard guard against PMI's
+    low-frequency bias. Cross-engine determinism: every count is an
+    exact BIGINT, the ratio (pair_cnt·N)/(cl·cr) is ONE double division
+    of exact products (< 2^53 through 100x) and ONE ln call, and the
+    top-20 cut orders by the ROUNDED pmi with (t1, t2) tie-breaks —
+    identical sort keys on both engines. Plan shape: the (doc, pos)
+    window exchange is the only corpus-sized shuffle (the bigram-LM
+    plan); the pair-count relation is vocab²-bounded, its marginals
+    vocab-bounded broadcasts, the total a 1-row cross join."""
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select(F.col("token").alias("t1"), "t2")
+    )
+    cxy = big.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_cnt")
+    )
+    cl = cxy.groupBy("t1").agg(F.sum("pair_cnt").cast("bigint").alias("cl"))
+    cr = cxy.groupBy("t2").agg(F.sum("pair_cnt").cast("bigint").alias("cr"))
+    tot = cxy.agg(F.sum("pair_cnt").cast("bigint").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_cnt") * F.col("n")).cast("double")
+            / (F.col("cl") * F.col("cr")).cast("double")
+        ),
+        6,
+    )
+    return (
+        cxy.join(F.broadcast(cl), "t1")
+        .join(F.broadcast(cr), "t2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("pair_cnt") >= 5)
+        .select("t1", "t2", "pair_cnt", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )

@@ -508,3 +508,85 @@ def test_cms_partitioning_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+# --- AMS F2 / tug-of-war laws ----------------------------------------------
+
+
+def test_ams_merge_is_exact_and_cancels(spark):
+    """ams_merge(build(A), build(B)) is BIT-IDENTICAL to build(A ++ B).
+    Unlike CMS counters (which only add), signed sums genuinely cancel:
+    the law covers the negative-contribution path too."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_merge,
+    )
+
+    vals = _cms_fixture_vals()
+    half = len(vals) // 2
+    a = spark.createDataFrame([(v,) for v in vals[:half]], "v long")
+    b = spark.createDataFrame([(v,) for v in vals[half:]], "v long")
+    both = spark.createDataFrame([(v,) for v in vals], "v long")
+    merged = {
+        r["row"]: r["signed_sum"]
+        for r in ams_merge(
+            ams_build(a, "v", rows=16), ams_build(b, "v", rows=16)
+        ).collect()
+    }
+    direct = {
+        r["row"]: r["signed_sum"]
+        for r in ams_build(both, "v", rows=16).collect()
+    }
+    assert merged == direct
+    assert len(direct) == 16
+
+
+def test_ams_partitioning_invariance_and_estimate_quality(spark):
+    """The sketch is a pure function of the value multiset (identical
+    across partitionings — the determinism that buys the cross-engine
+    oracle), and the median-of-means estimate lands within the
+    analytic band around exact F2 on a Zipf-ish fixture."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_f2_estimate,
+    )
+
+    vals = _cms_fixture_vals()
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    one = {
+        r["row"]: r["signed_sum"]
+        for r in ams_build(df.coalesce(1), "v").collect()
+    }
+    many = {
+        r["row"]: r["signed_sum"]
+        for r in ams_build(df.repartition(13), "v").collect()
+    }
+    assert one == many
+
+    from collections import Counter
+
+    exact = sum(c * c for c in Counter(vals).values())
+    est = ams_f2_estimate(ams_build(df, "v")).collect()[0]["est_f2"]
+    # median-of-4-means over 8 rows: typical rel. error sqrt(2/8)=0.5;
+    # the fixture is fixed and hash signs are deterministic, so this is
+    # a stable pin, not a flaky statistical assertion.
+    assert 0.5 * exact <= est <= 1.5 * exact
+
+
+def test_ams_sign_sums_bounded_and_rows_validated(spark):
+    """Each |signed_sum| <= n (signs are ±1), and rows not divisible by
+    groups is rejected up front."""
+    import pytest as _pytest
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_f2_estimate,
+    )
+
+    vals = _cms_fixture_vals()
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = ams_build(df, "v", rows=8)
+    for r in sk.collect():
+        assert abs(r["signed_sum"]) <= len(vals)
+    with _pytest.raises(ValueError):
+        ams_f2_estimate(sk, rows=8, groups=3)
