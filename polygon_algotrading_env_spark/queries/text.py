@@ -2775,3 +2775,110 @@ def pmi_collocations_topk(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "t1", "t2")
         .limit(20)
     )
+
+
+# --- TextRank keywords (graph centrality over the co-occurrence graph) -----
+@register(
+    "textrank_keywords_top20",
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS token,
+             generate_subscripts(regexp_extract_all(lower(text),
+                                                    '[\p{L}\p{N}]+'), 1) AS pos
+      FROM documents
+    ),
+    raw AS (
+      SELECT a.token AS t1, b.token AS t2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.token <> b.token
+    ),
+    -- single DISTINCT over a UNION ALL, NOT two DISTINCTs merged by
+    -- UNION: a set-semantics UNION referenced from inside the recursive
+    -- member degrades to UNION ALL under DuckDB 1.0.0's recursive
+    -- planner (observed: 1770 edge rows inside the loop vs 900 outside,
+    -- which skews every outdeg), while a plain DISTINCT — the certified
+    -- pagerank_copurchase_top20 shape — survives intact.
+    edges AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT t1 AS u, t2 AS v FROM raw
+        UNION ALL
+        SELECT t2 AS u, t1 AS v FROM raw
+      )
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    deg AS (SELECT u, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+    ranks(iter, id, rank) AS (
+      SELECT 0, id, 1.0 / (SELECT count(*) FROM verts) FROM verts
+      UNION ALL
+      SELECT iter + 1, id,
+             (1 - 0.85) / (SELECT count(*) FROM verts)
+             + (0.85 / (SELECT count(*) FROM verts))
+               * (1.0 - sum(inflow) OVER ())
+             + 0.85 * inflow
+      FROM (
+        SELECT r.iter, v.id, COALESCE(c.inflow, 0.0) AS inflow
+        FROM (SELECT DISTINCT iter FROM ranks) r
+        CROSS JOIN verts v
+        LEFT JOIN (
+          SELECT e.v AS id, sum(ranks.rank / d.outdeg) AS inflow
+          FROM ranks JOIN edges e ON ranks.id = e.u JOIN deg d ON d.u = e.u
+          GROUP BY e.v
+        ) c ON c.id = v.id
+      )
+      WHERE iter < 6
+    )
+    SELECT id AS token, round(rank, 8) AS rank
+    FROM ranks WHERE iter = 6
+    ORDER BY round(rank, 8) DESC, id
+    LIMIT 20
+    """,
+)
+def textrank_keywords_top20(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    (6 rounds, d=0.85) over the UNWEIGHTED distinct adjacent-token
+    co-occurrence graph — the original paper's keyword configuration —
+    top-20 tokens by centrality. The graph tier meeting the corpus
+    tier: where tf/idf ranks tokens by counting, TextRank ranks them by
+    recommendation flow through the co-occurrence structure, surfacing
+    connector terms frequency alone misses. Plan: one (doc, pos)
+    window exchange builds the bigram stream (the bigram-LM shape);
+    the distinct edge relation and everything after it are
+    VOCAB²-bounded, so the six power-iteration rounds run on a graph
+    whose size is independent of corpus row count (operators/graph.py:
+    pagerank — degree pinned once, dangling mass via exchange reuse,
+    lineage checkpointed). Oracle: the same 6 fixed rounds as the
+    certified pagerank_copurchase_top20 recursive CTE, with the
+    emitted-mass window SUM enforcing rank conservation; consumers
+    round to 8dp (float inflow sums carry last-ulp order noise)."""
+    from pyspark.sql import Window
+
+    from polygon_algotrading_env_spark.functions.text import word_tokens
+    from polygon_algotrading_env_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    raw = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull() & (F.col("token") != F.col("t2")))
+        .select(F.col("token").alias("t1"), "t2")
+    )
+    und = (
+        raw.select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
+        .unionByName(
+            raw.select(F.col("t2").alias("src"), F.col("t1").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    pr = pagerank(und, n_iter=6)
+    return (
+        pr.select(
+            F.col("id").alias("token"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "token")
+        .limit(20)
+    )
