@@ -648,21 +648,15 @@ AMS_ROWS = 32
 AMS_GROUPS = 4
 
 
-def _ams_sign(value, row):
-    """Deterministic row-salted ±1 sign: low bit of the first hex digit
-    of md5("<row>|<value>"), mapped to {+1, -1}. Same md5-bucket idiom
-    as :func:`_cms_bucket` so DuckDB replays it verbatim
-    ((('0x' || substring(md5(...), 1, 1))::BIGINT % 2) and 1 - 2*bit),
-    keeping every counter integer-exact cross-engine."""
+def _ams_sign(digest, row: int):
+    """Deterministic ±1 sign for row ``row``: the parity of hex digit
+    ``row + 1`` of the item's single md5 digest, mapped to {+1, -1}.
+    One digest yields up to 32 signs (128 bits / 4 per hex char), so
+    the scan hashes each item ONCE — not once per row. DuckDB replays
+    it verbatim ((('0x' || substring(d, row+1, 1))::BIGINT % 2) and
+    1 - 2*bit), keeping every counter integer-exact cross-engine."""
     bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", row.cast("string"), value)), 1, 1
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
+        F.conv(F.substring(digest, row + 1, 1), 16, 10).cast("bigint") % 2
     )
     return F.lit(1) - F.lit(2) * bit
 
@@ -673,11 +667,11 @@ def ams_build(
     rows: int = AMS_ROWS,
 ) -> DataFrame:
     """AMS "tug-of-war" sketch of a column as a (row, signed_sum)
-    relation: ``rows`` independent md5-salted ±1 sign functions, each
-    summed over every input item. Each row's square is an unbiased
-    estimator of the second frequency moment F2 = Σ_k count(k)² — the
-    self-join size, the quantity a planner wants for join-size/skew
-    estimation without an exact per-key aggregate.
+    relation: ``rows`` ±1 sign functions (one md5 hex-digit parity
+    each), each summed over every input item. Each row's square is an
+    unbiased estimator of the second frequency moment F2 = Σ_k count(k)²
+    — the self-join size, the quantity a planner wants for join-size /
+    skew estimation without an exact per-key aggregate.
 
     Fully deterministic (hash signs, no RNG) and LINEAR: the sketch of
     a union is the element-wise SUM of the parts' sketches
@@ -685,17 +679,36 @@ def ams_build(
     as CMS, but for a quadratic statistic. State is ``rows`` bigints
     regardless of input size.
 
-    Scale shape: the explode multiplies the scan ``rows``-fold CPU-side,
-    but partial aggregation collapses each task's output to at most
-    ``rows`` rows before the exchange, so the shuffle is grid-bounded
-    (rows x tasks), independent of row count."""
-    rws = F.explode(F.array(*[F.lit(r) for r in range(rows)])).alias("row")
-    return (
-        df.select(F.col(value_col).cast("string").alias("__v"))
-        .select(rws, "__v")
-        .select("row", _ams_sign(F.col("__v"), F.col("row")).alias("s"))
-        .groupBy("row")
-        .agg(F.sum("s").cast("bigint").alias("signed_sum"))
+    Scale shape: ONE md5 per item and ``rows`` codegen'd sum
+    aggregates over its hex digits — no explode, no row blowup; the
+    partial aggregate carries ``rows`` counters per task and the final
+    exchange is one row. (A row-salted explode variant — 32 md5s per
+    item, 32x the rows — was the first implementation and measured
+    2.1 s at sf0.1 / 4.2x at 100x; this shape removes both factors.)
+    The one-row wide aggregate then unpivots to the (row, signed_sum)
+    relation so merge/estimate compose relationally."""
+    if rows > 32:
+        raise ValueError("rows > 32 exceeds one md5 digest's hex digits")
+    digest = F.md5(F.col(value_col).cast("string"))
+    wide = df.select(digest.alias("__d")).agg(
+        *[
+            F.coalesce(F.sum(_ams_sign(F.col("__d"), r)), F.lit(0))
+            .cast("bigint")
+            .alias(f"s{r}")
+            for r in range(rows)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), F.col(f"s{r}").alias("signed_sum")
+            )
+            for r in range(rows)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select(
+        F.col("p.row").alias("row"),
+        F.col("p.signed_sum").alias("signed_sum"),
     )
 
 

@@ -711,11 +711,11 @@ def cms_merged_halves_freq(spark, sf_dir):
 
 _AMS_ORACLE = """
     WITH r AS (SELECT unnest(range(32)) AS row),
-    vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+    vals AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS d FROM lineitem),
     sk AS MATERIALIZED (
       SELECT row,
-             SUM(1 - 2 * (('0x' || substring(md5(CAST(row AS VARCHAR)
-                 || '|' || v), 1, 1))::BIGINT % 2)) AS signed_sum
+             SUM(1 - 2 * (('0x' || substring(d, row + 1, 1))::BIGINT % 2))
+               AS signed_sum
       FROM vals CROSS JOIN r GROUP BY 1
     ),
     g AS (
