@@ -223,8 +223,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # Round-16 rotation candidates — never-driver-certified oracle-bearing
 # names remain (all hash-matched by the dtype-faithful
 # tools/oracle_check.py locally). Natural next cohorts, tier by tier:
-# (a) any round-15 registrations (new families queue here per the
-#     register-with-oracle-then-certify pattern);
+# (a) the round-15 registrations (register-with-oracle-then-certify):
+#     cms_partkey_freq_topk (+ its merge-path twin
+#     cms_merged_halves_freq), cms_token_freq_topk,
+#     apriori_frequent_pairs, brier_decomposition_urgent,
+#     pacf_returns_lags, and the late-r15 four — ams_f2_partkey +
+#     ams_merged_halves_f2 (AMS F2 tug-of-war, the linear sketch
+#     wing), pmi_collocations_topk, textrank_keywords_top20 — all
+#     verified at 3 SFs, all queued;
 # (b) market/time-series remainder: lead_lag_xcorr_pair,
 #     lead_lag_best_correlation, rank_ic_momentum_5m,
 #     momentum_rank_stability, post_shock_drift_5bar,

@@ -762,3 +762,59 @@ def read_cms_estimates(
     return cms_point_estimates(
         merged, keys, key_col, depth=depth, width=width
     )
+
+
+def stream_ams_sketch_table(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sketch_path: str,
+    value_col: str,
+    rows: int = 32,
+):
+    """Incrementally maintained AMS F2 sketch over a stream — the
+    self-join-size analogue of :func:`stream_cms_sketch_table`: each
+    micro-batch reduces to its own (row, signed_sum) relation (exactly
+    ``rows`` bigints) written to its own ``batch_id=<id>`` partition.
+    Exactly-once is structural (a replay overwrites only its own
+    partition), and because signed sums are LINEAR the read side's
+    per-row sum is bit-identical to a batch ``ams_build`` over
+    everything ingested — a live join-size / skew monitor whose state
+    is ``rows`` bigints per batch, independent of stream volume."""
+    from polygon_algotrading_env_spark.operators.sketches import ams_build
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ams_build(batch_df, value_col, rows=rows).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ams_f2(
+    spark: SparkSession,
+    sketch_path: str,
+    rows: int = 32,
+    groups: int = 4,
+) -> DataFrame:
+    """Current F2 estimate from the streaming AMS table: sum the
+    per-batch signed sums (exact — addition IS the merge), then run
+    the median-of-means estimator. Bit-identical to a batch ams_build
+    + ams_f2_estimate over the full ingested stream (law-tested);
+    input size = batches x rows, never stream history."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_f2_estimate,
+    )
+
+    merged = (
+        spark.read.option("basePath", sketch_path)
+        .parquet(sketch_path)
+        .groupBy("row")
+        .agg(F.sum("signed_sum").cast("bigint").alias("signed_sum"))
+    )
+    return ams_f2_estimate(merged, rows=rows, groups=groups)

@@ -112,6 +112,10 @@ TWIN_BASES = {
     # qdigest_quantiles_price earns its driver green (queued for the
     # r15 window); its stream≡batch bit-identity law already runs
     # (tests/test_streaming.py::test_stream_qdigest_sketch_table).
+    # stream_cms_sketch_table and stream_ams_sketch_table likewise join
+    # when cms_partkey_freq_topk / ams_f2_partkey earn driver greens
+    # (both queued for the r16 window); their stream≡batch bit-identity
+    # laws already run (tests/test_streaming.py).
 }
 
 

@@ -677,3 +677,57 @@ def test_stream_cms_sketch_table(spark, tmp_path):
     est = dict(got)
     for k in range(0, 501):
         assert est[k] >= true.get(k, 0)
+
+
+def test_stream_ams_sketch_table(spark, tmp_path):
+    """Streaming AMS table: per-batch exact (row, signed_sum) relations
+    in batch_id partitions, read-side per-row sum — the merged read's
+    F2 estimate is BIT-IDENTICAL to a batch ams_build + ams_f2_estimate
+    over everything ingested, across two drains (signed-sum addition IS
+    the merge; the second batch exercises genuine cancellation against
+    the first's sums)."""
+    import random
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        ams_build,
+        ams_f2_estimate,
+    )
+    from polygon_algotrading_env_spark.streaming.pipeline import (
+        read_ams_f2,
+        stream_ams_sketch_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    skp = str(tmp_path / "sketches")
+    rnd = random.Random(17)
+    rows1 = [(rnd.randint(0, 300),) for _ in range(6000)]
+    rows2 = [(rnd.randint(100, 500),) for _ in range(4000)]
+    schema = "v long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = stream_ams_sketch_table(
+            spark.readStream.schema(schema).parquet(src),
+            ckpt,
+            skp,
+            "v",
+            rows=16,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    drain()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = read_ams_f2(spark, skp, rows=16, groups=4).collect()[0]["est_f2"]
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = ams_f2_estimate(
+        ams_build(full, "v", rows=16), rows=16, groups=4
+    ).collect()[0]["est_f2"]
+    assert got == want
