@@ -771,3 +771,35 @@ def ams_f2_estimate(
             / F.lit(float(2 * per))
         ).alias("est_f2")
     )
+
+
+def cms_inner_product(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+) -> DataFrame:
+    """Equi-join SIZE estimate between two keyed relations from their
+    CMS counter relations (Cormode & Muthukrishnan 2005, §4.2): for
+    each hash row, Σ_bucket cntA·cntB upper-bounds the true inner
+    product Σ_k a_k·b_k (every matching key pair lands in the same
+    bucket and all terms are non-negative, so collisions only ever
+    ADD); the estimate is the MIN across rows and NEVER undercounts —
+    the cross-relation companion of the AMS self-join size. All
+    arithmetic is exact BIGINT (counters ≤ row count, products·width
+    well under 2^53 at every certified scale).
+
+    This is the planner-statistics use: size a fact⋈fact equi-join
+    from two grid-bounded sketches built in one scan each — no key
+    shuffle, no sampling, mergeable across segments by counter
+    addition before probing. Returns one row (est_join_size bigint)."""
+    prod = cms_a.select(
+        "row", "bucket", F.col("cnt").alias("cnt_a")
+    ).join(
+        cms_b.select("row", "bucket", F.col("cnt").alias("cnt_b")),
+        ["row", "bucket"],
+    )
+    per_row = prod.groupBy("row").agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("ip")
+    )
+    return per_row.agg(
+        F.min("ip").cast("bigint").alias("est_join_size")
+    )

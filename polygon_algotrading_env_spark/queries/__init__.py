@@ -229,8 +229,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #     apriori_frequent_pairs, brier_decomposition_urgent,
 #     pacf_returns_lags, and the late-r15 four — ams_f2_partkey +
 #     ams_merged_halves_f2 (AMS F2 tug-of-war, the linear sketch
-#     wing), pmi_collocations_topk, textrank_keywords_top20 — all
-#     verified at 3 SFs, all queued;
+#     wing), cms_join_size_events_orders (CMS inner-product
+#     join-size), pmi_collocations_topk, textrank_keywords_top20 —
+#     all verified at 3 SFs, all queued;
 # (b) market/time-series remainder: lead_lag_xcorr_pair,
 #     lead_lag_best_correlation, rank_ic_momentum_5m,
 #     momentum_rank_stability, post_shock_drift_5bar,

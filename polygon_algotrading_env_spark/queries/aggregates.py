@@ -824,3 +824,86 @@ def ams_merged_halves_f2(spark, sf_dir):
         "est_f2",
         F.round(F.col("est_f2") / F.col("exact_f2"), 6).alias("est_ratio"),
     )
+
+
+@register(
+    "cms_join_size_events_orders",
+    oracle="""
+    WITH r AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(row)),
+    cms_e AS MATERIALIZED (
+      SELECT row,
+             ('0x' || substring(md5(CAST(row AS VARCHAR) || '|' ||
+                 CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN r GROUP BY 1, 2
+    ),
+    cms_o AS MATERIALIZED (
+      SELECT row,
+             ('0x' || substring(md5(CAST(row AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+             count(*) AS cnt
+      FROM orders CROSS JOIN r GROUP BY 1, 2
+    ),
+    per_row AS (
+      SELECT a.row, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+      FROM cms_e a JOIN cms_o b ON a.row = b.row AND a.bucket = b.bucket
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM per_row),
+    ex AS (
+      SELECT CAST(SUM(e.cnt * o.cnt) AS BIGINT) AS exact_join_size
+      FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1) e
+      JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+        ON e.user_id = o.o_custkey
+    )
+    SELECT ex.exact_join_size,
+           est.est_join_size,
+           CAST(est.est_join_size - ex.exact_join_size AS BIGINT)
+             AS overshoot
+    FROM ex, est
+    """,
+)
+def cms_join_size_events_orders(spark, sf_dir):
+    """Equi-join size of events ⋈ orders on (user_id = o_custkey),
+    estimated from two Count-Min sketches via the CMS inner product
+    (operators/sketches.py: cms_inner_product — Cormode & Muthukrishnan
+    §4.2): per hash row Σ_bucket cntE·cntO, MIN across the 4 rows. The
+    cross-relation companion of the AMS self-join size and the other
+    half of the sketch-based planner-statistics story: each relation is
+    sketched in ONE scan with no key shuffle (grid-bounded partial
+    aggregation), sketches persist/merge by counter addition, and any
+    fact⋈fact join between sketched relations is sized from 2×4×1024
+    bigints. The estimate NEVER undercounts (matching keys share
+    buckets; collision terms are non-negative — law-tested), so it is
+    a safe upper bound for broadcast/shuffle planning. Exact join size
+    rides along (a per-key count join — the computation the sketch
+    avoids at scale) to pin the overshoot in the certified record;
+    every output is exact BIGINT."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    est = cms_inner_product(
+        cms_build(ev, "user_id", depth=4, width=1024),
+        cms_build(od, "o_custkey", depth=4, width=1024),
+    )
+    ce = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt_e"))
+    co = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt_o"))
+    exact = (
+        ce.join(co, ce["user_id"] == co["o_custkey"])
+        .agg(
+            F.sum(F.col("cnt_e") * F.col("cnt_o"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size"))
+        .cast("bigint")
+        .alias("overshoot"),
+    )

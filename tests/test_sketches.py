@@ -590,3 +590,31 @@ def test_ams_sign_sums_bounded_and_rows_validated(spark):
         assert abs(r["signed_sum"]) <= len(vals)
     with _pytest.raises(ValueError):
         ams_f2_estimate(sk, rows=8, groups=3)
+
+
+def test_cms_inner_product_never_undercounts_join_size(spark):
+    """CMS inner product >= the true equi-join size (matching keys share
+    buckets on every row; collision cross-terms are non-negative), and
+    with a collision-free width it is EXACT."""
+    from collections import Counter
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    vals = _cms_fixture_vals()
+    a_vals = vals[: len(vals) // 2]
+    b_vals = vals[len(vals) // 3 :]
+    ca, cb = Counter(a_vals), Counter(b_vals)
+    true_join = sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    est = cms_inner_product(
+        cms_build(a, "v", depth=4, width=256),
+        cms_build(b, "v", depth=4, width=256),
+    ).collect()[0]["est_join_size"]
+    assert est >= true_join
+    # generous width -> few collisions -> estimate close; exactness is
+    # not guaranteed at any finite width, the bound is.
+    assert est <= 2 * true_join
