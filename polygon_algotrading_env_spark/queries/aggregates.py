@@ -493,7 +493,13 @@ def kmv_audience_overlap(spark, sf_dir):
     )
 
 
-def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
+def _qdigest_oracle(
+    k: int = 256,
+    bits: int = 24,
+    idx_sql: str = "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    est_col: str = "est_cents",
+    est_map: str = "{hi}",
+) -> str:
     """Replay the canonical level-synchronous q-digest as chained CTEs
     (the PageRank/Bellman-Ford fixed-round recipe): one CTE trio per
     level — parent sums, frozen heavy children, promoted light parents —
@@ -501,7 +507,12 @@ def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
     first crossing. Both engines run the full fixed ``bits`` rounds —
     neither side early-exits — with empty levels propagating as no-ops
     (empty CTEs here, empty per-level frames in the Spark loop), so the
-    two ladders stay bit-for-bit aligned round by round."""
+    two ladders stay bit-for-bit aligned round by round.
+
+    ``idx_sql`` is the integer domain transform (defaults to the exact
+    cents grid); ``est_map`` post-maps the estimated index back to a
+    reported value (``{hi}`` is the raw crossing index) under output
+    column ``est_col`` — the log-domain variant plugs in here."""
     rounds = []
     for l in range(bits):
         rounds.append(f"""
@@ -519,9 +530,12 @@ def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
         f"SELECT {l} AS lvl, idx, cnt FROM k{l}" for l in range(bits)
     )
     qvals = ", ".join(f"({q})" for q in (2500, 5000, 7500, 9000, 9900))
+    est_sql = est_map.format(
+        hi="(SELECT min(hi) FROM ranked WHERE cum >= t.target_rank)"
+    )
     return f"""
     WITH a0 AS MATERIALIZED (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS idx,
+      SELECT {idx_sql} AS idx,
              count(*) AS cnt
       FROM lineitem GROUP BY 1
     ),
@@ -547,8 +561,7 @@ def _qdigest_oracle(k: int = 256, bits: int = 24) -> str:
     )
     SELECT CAST(t.q_bp AS BIGINT) AS q_bp,
            CAST(t.target_rank AS BIGINT) AS target_rank,
-           CAST((SELECT min(hi) FROM ranked
-                 WHERE cum >= t.target_rank) AS BIGINT) AS est_cents,
+           CAST({est_sql} AS BIGINT) AS {est_col},
            CAST(t.n AS BIGINT) AS n_rows,
            (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes
     FROM t
@@ -906,4 +919,75 @@ def cms_join_size_events_orders(spark, sf_dir):
         (F.col("est_join_size") - F.col("exact_join_size"))
         .cast("bigint")
         .alias("overshoot"),
+    )
+
+
+#: exact integer log-bucket transform: 16 sub-buckets per octave above 32
+#: (5 mantissa bits), identity below — monotone, all-integer, so both
+#: engines bucket identically and the bucket width bounds RELATIVE value
+#: error by 1/16.
+_LOGB_SQL = (
+    "CASE WHEN cents < 32 THEN cents "
+    "ELSE 32 + (length(bin(cents)) - 5) * 16 "
+    "+ (cents DIV CAST(power(2, length(bin(cents)) - 5) AS BIGINT) - 16) "
+    "END"
+)
+_LOGB_DUCK = _LOGB_SQL.replace("cents DIV", "cents // ").replace(
+    "cents", "CAST(round(l_extendedprice * 100) AS BIGINT)"
+)
+#: bucket -> lower-bound cents (the reported representative): identity
+#: below 32, m·2^octave above.
+_LOGB_LO = (
+    "CASE WHEN {b} < 32 THEN {b} "
+    "ELSE CAST((16 + ({b} - 32) % 16) "
+    "* power(2, ({b} - 32) DIV 16) AS BIGINT) END"
+)
+
+
+@register(
+    "qdigest_relative_quantiles_price",
+    oracle=_qdigest_oracle(
+        k=64,
+        bits=9,
+        idx_sql=_LOGB_DUCK,
+        est_col="est_lo_cents",
+        est_map=_LOGB_LO.format(b="({hi})").replace("DIV", "//"),
+    ),
+)
+def qdigest_relative_quantiles_price(spark, sf_dir):
+    """VALUE-RELATIVE-error quantiles — the complement of
+    qdigest_quantiles_price's uniform cents grid (where a $9 item and a
+    $90,000 item get the same absolute resolution): prices map onto an
+    exact integer log grid (identity below 32 cents, then 16 sub-buckets
+    per octave = 5 mantissa bits — the transform is all-integer and
+    monotone, so both engines bucket identically and every bucket's
+    width is ≤ 1/16 of its value), and the SAME canonical q-digest
+    machinery runs over the 9-bit bucket domain (k=64). Estimates map
+    back to the bucket's exact lower-bound cents: the answer is wrong by
+    at most the digest's rank error PLUS 6.25% of the VALUE, at any
+    price magnitude, from a ~hundreds-of-buckets mergeable sketch —
+    where KLL/REQ would buy similar guarantees with RNG and lose the
+    cross-engine oracle. Same silver-table economics: log-domain
+    digests merge exactly like cents-domain ones."""
+    from polygon_algotrading_env_spark.operators.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents")
+    )
+    logb = li.selectExpr(f"{_LOGB_SQL} AS logb")
+    nodes, n = qdigest_build(logb, "logb", k=64, domain_bits=9)
+    q = qdigest_quantiles(nodes, n).withColumnRenamed(
+        "est_cents", "est_bucket"
+    )
+    return q.selectExpr(
+        "q_bp",
+        "target_rank",
+        f"CAST({_LOGB_LO.format(b='est_bucket')} AS BIGINT) AS est_lo_cents",
+        "n_rows",
+        "n_nodes",
     )
