@@ -227,11 +227,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #     cms_partkey_freq_topk (+ its merge-path twin
 #     cms_merged_halves_freq), cms_token_freq_topk,
 #     apriori_frequent_pairs, brier_decomposition_urgent,
-#     pacf_returns_lags, and the late-r15 four — ams_f2_partkey +
+#     pacf_returns_lags, and the late-r15 six — ams_f2_partkey +
 #     ams_merged_halves_f2 (AMS F2 tug-of-war, the linear sketch
 #     wing), cms_join_size_events_orders (CMS inner-product
-#     join-size), pmi_collocations_topk, textrank_keywords_top20 —
-#     all verified at 3 SFs, all queued;
+#     join-size), qdigest_relative_quantiles_price (log-domain
+#     value-relative quantiles), pmi_collocations_topk,
+#     textrank_keywords_top20 — all verified at 3 SFs, all queued;
 # (b) market/time-series remainder: lead_lag_xcorr_pair,
 #     lead_lag_best_correlation, rank_ic_momentum_5m,
 #     momentum_rank_stability, post_shock_drift_5bar,
