@@ -44,6 +44,13 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
         "train_test_contamination",
         "copurchase_triangles",
         "pagerank_copurchase_top20",
+        "textrank_keywords_top20",    # the same pagerank iteration over the
+                                      # checkpointed token co-occurrence edge
+                                      # set — ranks ⋈ degree-annotated edges
+                                      # is fact-derived both sides (vocab²-
+                                      # bounded, but built from the corpus
+                                      # scan); AQE broadcasts the rank side
+                                      # at fixture scale in most rounds
         "ppr_related_parts",          # same co-ordered-parts self-join family
         "lpa_communities_copurchase",
         "kcore80_copurchase_parts",   # per-round semi-join restriction of the
@@ -109,6 +116,7 @@ SMJ_BUDGET: dict[str, int] = {
     # above that the shrink-to-broadcast behavior regressed.
     "kcore80_copurchase_parts": 6,
     "pagerank_copurchase_top20": 1,
+    "textrank_keywords_top20": 1,
     "ppr_related_parts": 1,
     "full_outer_daily_activity": 1,
 }
