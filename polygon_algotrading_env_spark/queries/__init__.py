@@ -227,7 +227,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #     cms_partkey_freq_topk (+ its merge-path twin
 #     cms_merged_halves_freq), cms_token_freq_topk,
 #     apriori_frequent_pairs, brier_decomposition_urgent,
-#     pacf_returns_lags, and the late-r15 six — ams_f2_partkey +
+#     pacf_returns_lags, and the late-r15 seven — haar_energy_5m
+#     (integer-exact wavelet energy by scale), ams_f2_partkey +
 #     ams_merged_halves_f2 (AMS F2 tug-of-war, the linear sketch
 #     wing), cms_join_size_events_orders (CMS inner-product
 #     join-size), qdigest_relative_quantiles_price (log-domain

@@ -7195,3 +7195,108 @@ def pacf_returns_lags(spark, sf_dir):
         F.round(p33, 6).alias("pacf_3"),
         F.round(F.col("p44"), 6).alias("pacf_4"),
     )
+
+
+# --- Haar wavelet energy by scale (multi-resolution volatility) ------------
+@register(
+    "haar_energy_5m",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT event_type,
+             CAST(round(close * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY bucket_start
+             ) - 1 AS i
+      FROM bars
+    ),
+    lv AS (SELECT unnest(range(1, 7)) AS l),
+    g AS (
+      SELECT event_type, l,
+             i // CAST(power(2, l) AS BIGINT) AS block,
+             SUM((1 - 2 * ((i // CAST(power(2, l - 1) AS BIGINT)) % 2))
+                 * cents) AS d,
+             count(*) AS n
+      FROM cb CROSS JOIN lv GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(l AS BIGINT)          AS level,
+           CAST(count(*) AS BIGINT)   AS n_blocks,
+           CAST(SUM(d * d) AS BIGINT) AS energy
+    FROM g WHERE n = CAST(power(2, l) AS BIGINT)
+    GROUP BY 1, 2
+    """,
+)
+def haar_energy_5m(spark, sf_dir):
+    """Haar wavelet energy decomposition of the 5-minute close series,
+    levels 1-6 — the multi-resolution volatility profile (wavelet
+    variance, Percival & Walden 2000): the level-l detail coefficient of
+    each complete 2^l-bar block is (sum of first half) − (sum of second
+    half) of close cents, and Σd² per (symbol, level) attributes price
+    fluctuation energy to the 2^l-bar horizon. A trending series loads
+    the coarse levels, a mean-reverting one the fine levels — the
+    horizon-resolved complement of the single-number realized-vol /
+    variance-ratio rows. UNNORMALIZED Haar (pairwise sums/differences,
+    no 1/sqrt(2)) keeps every coefficient an exact BIGINT of cents, so
+    the whole decomposition is integer-exact cross-engine — no float
+    recursion, no rounding grid. Incomplete tail blocks are excluded by
+    the exact n = 2^l count, identically on both sides. Plan: the bar
+    aggregate (one shuffle), one ordinal window per symbol, then a
+    6-level explode of the BAR-grain relation (bounded by bars, not
+    ticks) into two hash aggregates."""
+    from pyspark.sql import Window
+
+    bars = _bars(spark, sf_dir, "5 minutes").select(
+        "event_type",
+        "bucket_start",
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    cb = bars.select(
+        "event_type",
+        "cents",
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+    lvls = cb.select(
+        "event_type",
+        "cents",
+        "i",
+        F.explode(F.array(*[F.lit(l) for l in range(1, 7)])).alias("l"),
+    )
+    g = (
+        lvls.selectExpr(
+            "event_type",
+            "l",
+            "i DIV CAST(power(2, l) AS BIGINT) AS block",
+            "(1 - 2 * ((i DIV CAST(power(2, l - 1) AS BIGINT)) % 2))"
+            " * cents AS sc",
+        )
+        .groupBy("event_type", "l", "block")
+        .agg(
+            F.sum("sc").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        g.where(
+            F.col("n")
+            == F.expr("CAST(power(2, l) AS BIGINT)")
+        )
+        .groupBy("event_type", "l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+        )
+        .select(
+            "event_type",
+            F.col("l").cast("bigint").alias("level"),
+            "n_blocks",
+            "energy",
+        )
+    )
