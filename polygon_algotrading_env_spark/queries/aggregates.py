@@ -798,17 +798,22 @@ def ams_f2_partkey(spark, sf_dir):
 def ams_merged_halves_f2(spark, sf_dir):
     """The AMS MERGE path certified against the SAME answer as the
     single build (the cms_merged_halves_freq precedent): lineitem splits
-    into even/odd order-key halves, each half builds its own 32-row
-    sketch, the two merge by signed-sum addition, and the merged sketch
-    feeds the same median-of-means estimator. Signed sums are linear in
-    the input multiset, so the merged sketch is BIT-IDENTICAL to one
-    build over everything — the oracle (a single whole-table replay)
-    passing against THIS plan is the cross-engine proof of the linearity
-    the silver-table economics rest on. Unlike CMS (counters only ever
-    add) the AMS merge exercises genuine cancellation: opposite-sign
-    contributions from the two halves must net exactly."""
+    into even/odd order-key halves, each half's 32-row sketch comes out
+    of ONE grouped scan (groupBy half-parity — the per-half wide sums
+    are bit-identical to independent ams_build calls, the identity the
+    law test proves), the two merge by signed-sum addition, and the
+    merged sketch feeds the same median-of-means estimator. Signed sums
+    are linear in the input multiset, so the merged sketch is
+    BIT-IDENTICAL to one build over everything — the oracle (a single
+    whole-table replay) passing against THIS plan is the cross-engine
+    proof of the linearity the silver-table economics rest on. Unlike
+    CMS (counters only ever add) the AMS merge exercises genuine
+    cancellation: opposite-sign contributions from the two halves must
+    net exactly. (A first cut scanned lineitem once per half — two
+    full scans for a 2-group aggregate; the grouped build halves the
+    probe's 100x wall.)"""
     from polygon_algotrading_env_spark.operators.sketches import (
-        ams_build,
+        _ams_sign,
         ams_f2_estimate,
         ams_merge,
     )
@@ -816,11 +821,37 @@ def ams_merged_halves_f2(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    even = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
-    odd = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    wide = (
+        li.select(
+            (F.col("l_orderkey") % 2).alias("half"),
+            F.md5(F.col("l_partkey").cast("string")).alias("__d"),
+        )
+        .groupBy("half")
+        .agg(
+            *[
+                F.coalesce(F.sum(_ams_sign(F.col("__d"), r)), F.lit(0))
+                .cast("bigint")
+                .alias(f"s{r}")
+                for r in range(32)
+            ]
+        )
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), F.col(f"s{r}").alias("signed_sum")
+            )
+            for r in range(32)
+        ]
+    )
+    sketches = wide.select("half", F.explode(pairs).alias("p")).select(
+        "half",
+        F.col("p.row").alias("row"),
+        F.col("p.signed_sum").alias("signed_sum"),
+    )
     merged = ams_merge(
-        ams_build(even, "l_partkey", rows=32),
-        ams_build(odd, "l_partkey", rows=32),
+        sketches.where(F.col("half") == 0).drop("half"),
+        sketches.where(F.col("half") == 1).drop("half"),
     )
     est = ams_f2_estimate(merged)
     exact = (
