@@ -681,17 +681,22 @@ def cms_merged_halves_freq(spark, sf_dir):
     """The CMS MERGE path certified against the SAME answer as the
     single build (the salted_pricing_summary precedent: an alternate
     physical plan pinned to an identical result): lineitem splits into
-    even/odd order-key halves, each half builds its own sketch, the two
-    merge by counter addition, and the merged sketch answers the same
-    top-32 point queries as cms_partkey_freq_topk. Counters are linear,
-    so the merged sketch is BIT-IDENTICAL to one build over everything
+    even/odd order-key halves, each half's counter relation comes out
+    of ONE grouped scan (half-parity joins the (row, bucket) group key
+    — the per-half counters are bit-identical to independent cms_build
+    calls, the identity the merge law test proves), the two merge by
+    counter addition, and the merged sketch answers the same top-32
+    point queries as cms_partkey_freq_topk. Counters are linear, so
+    the merged sketch is BIT-IDENTICAL to one build over everything
     — the oracle (a single whole-table CMS replay) passing against THIS
     plan is the cross-engine proof of that linearity, which is the
     property the silver-table economics rest on: per-segment sketches
     persisted per day/partition sum into any union-of-segments answer
-    with no rescan and no approximation drift."""
+    with no rescan and no approximation drift. (A first cut scanned
+    lineitem once per half — the ams_merged_halves_f2 lesson applied
+    back.)"""
     from polygon_algotrading_env_spark.operators.sketches import (
-        cms_build,
+        _cms_bucket,
         cms_merge,
         cms_point_estimates,
     )
@@ -699,11 +704,24 @@ def cms_merged_halves_freq(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    even = li.where(F.col("l_orderkey") % 2 == 0).select("l_partkey")
-    odd = li.where(F.col("l_orderkey") % 2 == 1).select("l_partkey")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row")
+    halved = (
+        li.select(
+            (F.col("l_orderkey") % 2).alias("half"),
+            F.col("l_partkey").cast("string").alias("__v"),
+        )
+        .select("half", rows, "__v")
+        .select(
+            "half",
+            "row",
+            _cms_bucket(F.col("__v"), F.col("row"), 1024).alias("bucket"),
+        )
+        .groupBy("half", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     merged = cms_merge(
-        cms_build(even, "l_partkey", depth=4, width=1024),
-        cms_build(odd, "l_partkey", depth=4, width=1024),
+        halved.where(F.col("half") == 0).drop("half"),
+        halved.where(F.col("half") == 1).drop("half"),
     )
     top = (
         li.groupBy("l_partkey")
