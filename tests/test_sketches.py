@@ -618,3 +618,67 @@ def test_cms_inner_product_never_undercounts_join_size(spark):
     # generous width -> few collisions -> estimate close; exactness is
     # not guaranteed at any finite width, the bound is.
     assert est <= 2 * true_join
+
+
+def test_grouped_half_builds_equal_independent_builds(spark):
+    """The merged-halves queries derive both halves' sketches from ONE
+    grouped scan; this pins the identity their docstrings cite: the
+    per-half grouped relations equal independent cms_build/ams_build
+    calls on the filtered halves, bit for bit."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.operators.sketches import (
+        _ams_sign,
+        _cms_bucket,
+        ams_build,
+        cms_build,
+    )
+
+    vals = _cms_fixture_vals()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    # CMS: half joins the (row, bucket) key
+    rows = F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("row")
+    halved = (
+        df.select((F.col("k") % 2).alias("half"), F.col("v").cast("string").alias("__v"))
+        .select("half", rows, "__v")
+        .select("half", "row", _cms_bucket(F.col("__v"), F.col("row"), 256).alias("bucket"))
+        .groupBy("half", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    for h in (0, 1):
+        got = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in halved.where(F.col("half") == h).collect()
+        }
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(
+                df.where(F.col("k") % 2 == h), "v", depth=4, width=256
+            ).collect()
+        }
+        assert got == want, f"cms half {h}"
+    # AMS: half joins the wide-aggregate group key
+    wide = (
+        df.select((F.col("k") % 2).alias("half"), F.md5(F.col("v").cast("string")).alias("__d"))
+        .groupBy("half")
+        .agg(
+            *[
+                F.coalesce(F.sum(_ams_sign(F.col("__d"), r)), F.lit(0))
+                .cast("bigint")
+                .alias(f"s{r}")
+                for r in range(16)
+            ]
+        )
+    )
+    for h in (0, 1):
+        row = wide.where(F.col("half") == h).collect()[0]
+        got = {r: row[f"s{r}"] for r in range(16)}
+        want = {
+            r["row"]: r["signed_sum"]
+            for r in ams_build(
+                df.where(F.col("k") % 2 == h), "v", rows=16
+            ).collect()
+        }
+        assert got == want, f"ams half {h}"
