@@ -682,3 +682,52 @@ def test_grouped_half_builds_equal_independent_builds(spark):
             ).collect()
         }
         assert got == want, f"ams half {h}"
+
+
+def test_log_bucket_transform_monotone_and_relative_bound(spark):
+    """The relative-quantile query's integer log grid: bucket(v) is
+    monotone non-decreasing in v, the bucket's lower bound lo satisfies
+    lo <= v, and the bucket width is <= lo/16 for v >= 32 (the <=6.25%
+    relative-error claim) and 0 below 32 (identity region)."""
+    import pyspark.sql.functions as F
+
+    from polygon_algotrading_env_spark.queries.aggregates import (
+        _LOGB_LO,
+        _LOGB_SQL,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    vals = sorted(
+        set(
+            list(range(1, 70))
+            + [rnd.randint(1, 10**8) for _ in range(3000)]
+            + [2**k for k in range(1, 27)]
+            + [2**k - 1 for k in range(2, 27)]
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    out = (
+        df.selectExpr("cents", f"{_LOGB_SQL} AS b")
+        .selectExpr(
+            "cents",
+            "b",
+            f"CAST({_LOGB_LO.format(b='b')} AS BIGINT) AS lo",
+        )
+        .orderBy("cents")
+        .collect()
+    )
+    prev_b = -1
+    for r in out:
+        assert r["b"] >= prev_b, (r["cents"], r["b"], prev_b)
+        prev_b = r["b"]
+        assert r["lo"] <= r["cents"], (r["cents"], r["b"], r["lo"])
+        if r["cents"] < 32:
+            assert r["lo"] == r["cents"]
+        else:
+            # next bucket's lo bounds this bucket's width
+            assert r["cents"] < r["lo"] + max(1, r["lo"] // 16) + 1, (
+                r["cents"],
+                r["lo"],
+            )
