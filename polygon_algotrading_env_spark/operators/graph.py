@@ -729,7 +729,12 @@ def hash_min_labels(
     record-linkage graphs, where a component lives inside one block).
 
     Per round: one equi-join of the symmetric edge set against the label
-    relation + one min aggregate — two narrow (id)-keyed shuffles.
+    relation + one min aggregate — two narrow (id)-keyed shuffles. Round
+    1 is special-cased algebraically (r15): against identity labels the
+    join is the edge set itself, so the first round is a single
+    ``groupBy(u).min(least(u, v))`` aggregate over the checkpointed
+    edges — one join and the vertex-distinct init removed from the plan,
+    bit-identical output by construction.
 
     ``early_exit`` (default OFF — opt in) stops at a PROVEN fixpoint:
     labels only ever decrease, so two identical consecutive checkpoints
@@ -766,15 +771,37 @@ def hash_min_labels(
     penult = labels
     prev_ck = None
     for i in range(n_rounds):
-        offers = sym.join(
-            labels.select(F.col("id").alias("v"), F.col("label").alias("l")),
-            "v",
-        ).select(F.col("u").alias("id"), F.col("l").alias("label"))
-        nxt = (
-            labels.unionAll(offers)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
+        if i == 0:
+            # Round 1 algebraic skip (r15 optimization, guide §2.4):
+            # labels start as the identity (label[x] = x), so round 1's
+            # join offers each u exactly its neighbors' ids and the
+            # min-aggregate reduces to min(u, min neighbors) =
+            # groupBy(u).min(least(u, v)) over sym alone — identical
+            # rows by algebra (least(u,v) <= u covers the identity
+            # union; sym is symmetric, so every vertex appears as u).
+            # One join and the vertex-distinct init drop out of the
+            # plan: the loop's first round is a single exchange-in,
+            # exchange-out aggregate over the checkpointed edge set.
+            nxt = (
+                sym.select(
+                    F.col("u").alias("id"),
+                    F.least("u", "v").alias("label"),
+                )
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+        else:
+            offers = sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("label").alias("l")
+                ),
+                "v",
+            ).select(F.col("u").alias("id"), F.col("l").alias("label"))
+            nxt = (
+                labels.unionAll(offers)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
         is_ck = (i + 1) % checkpoint_every == 0 or i + 1 == n_rounds
         if is_ck:
             nxt = nxt.localCheckpoint(eager=True)

@@ -392,6 +392,36 @@ def test_adamic_adar_matches_python_reference(spark, sf_dir):
     )
 
 
+def test_hash_min_labels_single_round_algebraic(spark):
+    """The r15 round-1 algebraic skip (round 1 against identity labels
+    is groupBy(u).min(least(u, v)) over the symmetric edge set): at
+    n_rounds=1 the output must be exactly min(id, min neighbors), and
+    converged must stay FALSE whenever round 1 changed any label
+    (penult is the identity — the pre-rewrite semantics)."""
+    from polygon_algotrading_env_spark.operators.graph import (
+        hash_min_labels,
+    )
+
+    # 4 -- 7, 9 -- 8: one round reaches each component's min, but the
+    # round itself changed labels (7 and 9), so converged is False.
+    edges = spark.createDataFrame(
+        [(7, 4), (9, 8)], "src long, dst long"
+    )
+    out = hash_min_labels(edges, n_rounds=1).collect()
+    got = {r["id"]: r["label"] for r in out}
+    assert got == {4: 4, 7: 4, 8: 8, 9: 8}
+    assert not any(r["converged"] for r in out)
+
+    # chain 1-2-3-4: after one round 4 holds 3, not 1 => unconverged.
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = hash_min_labels(chain, n_rounds=1).collect()
+    got = {r["id"]: r["label"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3}
+    assert not any(r["converged"] for r in out)
+
+
 def test_hash_min_labels_components_and_flag(spark):
     """Two components: labels are each component's min id; one round on
     a long chain must report unconverged."""
