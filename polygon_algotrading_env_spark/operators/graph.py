@@ -637,9 +637,11 @@ def bfs_hops(
     recipe), and the flag makes an unconverged cap loud instead of
     silently truncated.
 
-    Per round: one equi-join of the symmetric edge set against the
-    reached relation + one min aggregate — two narrow (id)-keyed
-    shuffles; the reached set only grows, never the edge set, and
+    Per round: one equi-join of the zero-increment self-looped
+    symmetric edge set against the reached relation + one min aggregate
+    — two narrow (id)-keyed shuffles (the self-loops stand in for the
+    textbook ``unionAll(reached)`` branch, r15); the reached set only
+    grows, never the edge set, and
     lineage is truncated every ``checkpoint_every`` rounds like the
     other iterative graph loops. At 100 TB the reached relation is
     (id, hops) — two bigints per vertex — and each round's join is
@@ -658,25 +660,44 @@ def bfs_hops(
     )
     sym = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
     spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], "u BIGINT"
+    )
+    # Zero-increment self-loops fold the per-round ``unionAll(reached)``
+    # branch into the join (r15, the hash_min_labels discipline): with
+    # (x, x) present for every graph vertex AND every seed, each reached
+    # vertex offers ITSELF hops + 0 through the join, so a round is
+    # join + min-aggregate — one plan branch fewer per round, identical
+    # hop labels by algebra (the self-offer is exactly the row the
+    # union used to contribute; seeds outside the edge set keep their
+    # row through their own self-loop).
+    sym = sym.unionAll(
+        sym.select("u", F.col("u").alias("v"))
+        .unionAll(seed_df.select("u", F.col("u").alias("v")))
+        .distinct()
+    ).localCheckpoint(eager=True)
     reached = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "id BIGINT, hops INT"
     )
     penult = reached
     prev_n: int | None = len(set(int(s) for s in seeds))
     for i in range(n_rounds):
-        offers = (
+        nxt = (
             sym.join(
                 reached.select(
                     F.col("id").alias("u"), F.col("hops").alias("h")
                 ),
                 "u",
             )
-            .select(F.col("v").alias("id"), (F.col("h") + 1).alias("hops"))
-        )
-        nxt = (
-            reached.unionAll(offers)
+            .select(
+                F.col("v").alias("id"),
+                (
+                    F.col("h")
+                    + (F.col("u") != F.col("v")).cast("int")
+                ).alias("hops"),
+            )
             .groupBy("id")
             .agg(F.min("hops").cast("int").alias("hops"))
         )
@@ -880,9 +901,11 @@ def bellman_ford(
 
     Deterministic fixed rounds + exact integer distances make the table
     SQL-replayable as chained MATERIALIZED CTEs. Per round: one
-    equi-join of the weighted symmetric edge set against the reached
-    relation + one min aggregate — two narrow (id)-keyed shuffles,
-    lineage truncated every ``checkpoint_every`` rounds."""
+    equi-join of the weight-0 self-looped symmetric edge set against
+    the reached relation + one min aggregate — two narrow (id)-keyed
+    shuffles (the self-loops stand in for the textbook
+    ``unionAll(reached)`` branch, r15), lineage truncated every
+    ``checkpoint_every`` rounds."""
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).where(F.col(src) != F.col(dst))
@@ -894,20 +917,42 @@ def bellman_ford(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], "u BIGINT"
+    )
+    # Weight-0 self-loops fold the per-round ``unionAll(reached)``
+    # branch into the join (r15, the hash_min_labels / bfs_hops
+    # discipline): each reached vertex offers itself dist + 0, so a
+    # round is join + min-aggregate — identical distances by algebra
+    # (weights are non-negative, and the self-offer is exactly the row
+    # the union used to contribute; seeds outside the edge set keep
+    # their row through their own self-loop).
+    sym = sym.unionAll(
+        sym.select("u", F.col("u").alias("v"))
+        .unionAll(seed_df.select("u", F.col("u").alias("v")))
+        .distinct()
+        .select(
+            "u", "v", F.lit(0).cast(sym.schema["w"].dataType).alias("w")
+        )
+    ).localCheckpoint(eager=True)
     reached = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "id BIGINT, dist BIGINT"
     )
     penult = reached
     for i in range(n_rounds):
-        offers = sym.join(
-            reached.select(F.col("id").alias("u"), F.col("dist").alias("d")),
-            "u",
-        ).select(F.col("v").alias("id"), (F.col("d") + F.col("w")).alias("dist"))
         nxt = (
-            reached.unionAll(offers)
+            sym.join(
+                reached.select(
+                    F.col("id").alias("u"), F.col("dist").alias("d")
+                ),
+                "u",
+            )
+            .select(
+                F.col("v").alias("id"),
+                (F.col("d") + F.col("w")).alias("dist"),
+            )
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
