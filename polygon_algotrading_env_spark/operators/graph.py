@@ -658,9 +658,13 @@ def bfs_hops(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
-    sym = e.unionAll(
+    # Materialize the PLAIN symmetric set first — the self-loop union
+    # references it twice, and an uncheckpointed reference recomputes
+    # the upstream edge derivation per branch (the hash_min_labels
+    # 100x lesson).
+    sym0 = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
     seed_df = spark.createDataFrame(
         [(int(s),) for s in seeds], "u BIGINT"
@@ -673,8 +677,8 @@ def bfs_hops(
     # hop labels by algebra (the self-offer is exactly the row the
     # union used to contribute; seeds outside the edge set keep their
     # row through their own self-loop).
-    sym = sym.unionAll(
-        sym.select("u", F.col("u").alias("v"))
+    sym = sym0.unionAll(
+        sym0.select("u", F.col("u").alias("v"))
         .unionAll(seed_df.select("u", F.col("u").alias("v")))
         .distinct()
     ).localCheckpoint(eager=True)
@@ -786,9 +790,14 @@ def hash_min_labels(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
-    sym = e.unionAll(
+    # Materialize the PLAIN symmetric set first: the self-loop union
+    # below references it twice, and an uncheckpointed reference would
+    # recompute the whole upstream edge derivation (e.g. the
+    # entity-resolution blocking join + levenshtein) once per branch —
+    # measured 5.9 -> 15.5 s at 100x-of-sf0.01 before this pin.
+    sym0 = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     # Self-loops fold the per-round ``unionAll(labels)`` branch into the
     # join itself (r15 optimization, guide §2.4): with (x, x) present
     # for every vertex, the neighbor-label join offers each vertex its
@@ -796,9 +805,10 @@ def hash_min_labels(
     # branch (and its analysis) per round instead of two, identical
     # labels by algebra. Adds |V| rows to the checkpointed edge set,
     # negligible beside 2|E| (measured 4/4 paired wins, ~15-20% on the
-    # entity-resolution bench graph at sf0.1).
-    sym = sym.unionAll(
-        sym.select("u", F.col("u").alias("v")).distinct()
+    # entity-resolution bench graph at sf0.1; 4.05 -> 3.76 s for the
+    # isolated 8-round loop at 100x-of-sf0.01).
+    sym = sym0.unionAll(
+        sym0.select("u", F.col("u").alias("v")).distinct()
     ).localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -909,7 +919,11 @@ def bellman_ford(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).where(F.col(src) != F.col(dst))
-    sym = (
+    # Materialize the PLAIN weighted symmetric set first — the
+    # self-loop union references it twice (the hash_min_labels 100x
+    # lesson: an uncheckpointed reference recomputes the upstream edge
+    # derivation per branch).
+    sym0 = (
         e.unionAll(
             e.select(
                 F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
@@ -917,6 +931,7 @@ def bellman_ford(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
     seed_df = spark.createDataFrame(
@@ -929,12 +944,12 @@ def bellman_ford(
     # (weights are non-negative, and the self-offer is exactly the row
     # the union used to contribute; seeds outside the edge set keep
     # their row through their own self-loop).
-    sym = sym.unionAll(
-        sym.select("u", F.col("u").alias("v"))
+    sym = sym0.unionAll(
+        sym0.select("u", F.col("u").alias("v"))
         .unionAll(seed_df.select("u", F.col("u").alias("v")))
         .distinct()
         .select(
-            "u", "v", F.lit(0).cast(sym.schema["w"].dataType).alias("w")
+            "u", "v", F.lit(0).cast(sym0.schema["w"].dataType).alias("w")
         )
     ).localCheckpoint(eager=True)
     reached = spark.createDataFrame(
