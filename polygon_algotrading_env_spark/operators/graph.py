@@ -783,10 +783,14 @@ def hash_min_labels(
     every=1 → 4.2 s, every=2 → 3.3 s, every=3 → 5.9 s, every=4 → 4.8 s,
     every=8 → 10.2 s. The cost is lineage RE-OPTIMIZATION between
     checkpoints (each uncheckpointed round re-analyzes the whole join
-    chain built since the last cut), not data volume — at
-    100×-of-sf0.01 the same switch still wins (scaled wall 7.0 → 6.1 s,
-    ratio 2.0× → 1.9×), and labels are bit-identical at all three SFs
-    (checkpoint placement is physical only)."""
+    chain built since the last cut), not data volume — and labels are
+    bit-identical at all three SFs (checkpoint placement is physical
+    only). Re-confirmed r15 on the self-looped loop (fresh-JVM
+    min-of-3, paired): every=2 ∈ 2.9-3.3 s vs every=1 ∈ 3.0-3.5 s
+    (a wash within host noise), every=3 → 3.5 s, every=4 → 3.9 s —
+    every=2 stays the default; the r15 query-level scaled wall is
+    5.2 s at 100×-of-sf0.01 (vs 6.9 s for the r14 loop shape on the
+    same host/fixture)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
