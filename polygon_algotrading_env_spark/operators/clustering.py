@@ -35,6 +35,8 @@ boundary ~2^53 of summed squared distance).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -85,31 +87,46 @@ def kmeans_quantized(
     cents: list[list[int]] = [list(r["qv"]) for r in seeds]
 
     def assign(cents: list[list[int]]) -> DataFrame:
-        # ONE nested k x dim array literal walked by transform, instead
-        # of k separate zip_with/aggregate expression trees: the
-        # generated code is ~k times smaller, so the per-round Janino
-        # recompile (each round bakes new centroid values into the
-        # source) stops dominating wall time at small SFs (measured
-        # 2.6-4.0 s -> 2.0 s for the 3-round census at sf0.1, bit-
-        # identical output). Still a constant-array codegen scan — no
-        # join, no shuffle — so the 100 TB story is unchanged.
-        carr = F.lit([[int(v) for v in cv] for cv in cents]).cast(
-            "array<array<long>>"
+        # Arrow-vectorized assignment (r15, guide §4.2): the k x dim
+        # centroid table rides inside the UDF closure and each batch is
+        # one NumPy broadcast — exact int64 arithmetic (|q|,|c| < 2^21,
+        # so (x-y)^2 summed over dim stays < 2^48), argmin's first-min
+        # rule IS the smallest-cid tie-break. Replaces the nested
+        # array-literal transform/zip_with/aggregate expression, whose
+        # higher-order functions evaluate INTERPRETED and appear three
+        # times per row (cid = array_position + array_min, dist =
+        # array_min — no codegen, no subexpression elimination), and
+        # whose ~k x dim literal tree re-enters analysis every round.
+        # Measured at sf0.1 (fresh-JVM min-of-3): 3.25 s -> see
+        # OPTIMIZATION_r15.md; bit-identical assignments (the clustering
+        # law tests pin reference equality, tie-break, and partition
+        # invariance). At 100 TB the shape is unchanged: one corpus scan,
+        # no join, no shuffle — the Python boundary carries only qv in
+        # and (cid, dist) out, batched by Arrow.
+        carr = np.asarray(
+            [[int(v) for v in cv] for cv in cents], dtype=np.int64
         )
-        dists = F.transform(
-            carr,
-            lambda cv: F.aggregate(
-                F.zip_with(F.col("qv"), cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-        cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+        @F.pandas_udf("cid long, dist long")
+        def _assign(qv: pd.Series) -> pd.DataFrame:
+            if not len(qv):
+                return pd.DataFrame({"cid": [], "dist": []})
+            x = np.stack(qv.values).astype(np.int64, copy=False)
+            d2 = ((x[:, None, :] - carr[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "cid": cid.astype(np.int64),
+                    "dist": d2[np.arange(len(cid)), cid],
+                }
+            )
+
+        s = _assign("qv")
         return q.select(
             "vec_id",
             "qv",
-            cid.alias("cid"),
-            F.array_min(dists).alias("dist"),
+            s["cid"].alias("cid"),
+            s["dist"].alias("dist"),
         )
 
     for _ in range(n_rounds):
