@@ -254,16 +254,18 @@ def dsir_log_weights(
     and both models are add-one smoothed so unseen buckets stay finite.
 
     Plan shape (the 100 TB story): adjacent bigrams are paired via
-    posexplode + lead() over a (doc, pos) window — which DOES exchange
-    and per-doc-sort the token relation, so the plan carries TWO
-    corpus-sized shuffles: the (doc, pos) window exchange and the
-    partial-aggregated per-doc bucket-count exchange. A zip_with-over-
-    shifted-slices variant that pairs neighbors off the token array
-    without the window shuffle was A/B-measured in r14 and REJECTED
-    (2.7× slower at 100×: the HOF lambda evaluates interpreted per
-    token while posexplode/lead/md5 stay inside whole-stage codegen —
-    see the inline comment); both shuffles partition on doc id and stay
-    frontier-narrow. BOTH models are bucket-bounded aggregates
+    explode(sequence(2, n_tokens)) + element_at(tokens, i−1/i) over the
+    token array — pure index arithmetic inside whole-stage codegen, so
+    the plan's ONLY corpus-sized shuffle is the partial-aggregated
+    per-doc bucket-count exchange (r15; the r14 shape paired bigrams
+    with lead() over a (doc, pos) window, paying a second corpus-sized
+    exchange plus a per-doc sort). A zip_with-over-shifted-slices
+    variant was A/B-measured in r14 and REJECTED (2.7× slower at 100×:
+    HOF lambdas evaluate interpreted per token); the sequence+element_at
+    form is the same shuffle-free shape without the lambda tax
+    (A/B'd in r15 — see OPTIMIZATION_r15.md). The remaining shuffle
+    partitions on doc id and stays frontier-narrow. BOTH models are
+    bucket-bounded aggregates
     (≤ n_buckets rows each) broadcast back onto the per-doc counts —
     the corpus text is never joined to itself and the scoring join
     fan-in is bounded by n_buckets, independent of corpus size. The
@@ -285,30 +287,55 @@ def dsir_log_weights(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         docs = docs.repartition(sc.defaultParallelism)
-    # Adjacent bigrams via posexplode + lead() over (doc, pos). A
-    # zip_with-over-shifted-slices variant that pairs neighbors off the
-    # token array WITHOUT the window shuffle was A/B-measured in r14
-    # and LOST 2.7x at 100x-of-sf0.01 (scaled 6.4 s vs 2.4 s): the HOF
-    # lambda evaluates interpreted per token while this whole pipeline
-    # — regex, explode, lead, md5 — stays inside whole-stage codegen,
-    # the same lesson as the minhash HOF A/B (queries/text.py). The
-    # (doc, pos) exchange it keeps is partial-aggregation-free but
-    # sorts only within documents.
-    toks = docs.select(
+    # Adjacent bigrams via explode(sequence) + element_at over the token
+    # ARRAY — index arithmetic, not lambdas, so the whole pipeline
+    # (regex, generate, element_at, md5) stays inside whole-stage
+    # codegen AND the (doc, pos) window exchange + per-doc sort the r14
+    # posexplode+lead() shape paid is gone outright (r15, guide §2.4):
+    # the plan's ONLY corpus-sized shuffle is now the partial-aggregated
+    # per-doc bucket-count exchange. (A zip_with-over-shifted-slices
+    # variant was A/B-measured in r14 and REJECTED 2.7x — its HOF
+    # lambdas evaluate interpreted per token; this formulation is the
+    # shuffle-free shape WITHOUT the lambda tax, A/B'd against
+    # posexplode+lead in r15: see OPTIMIZATION_r15.md. The token array
+    # is never copied per generated row — Generate and the element_at
+    # projection fuse into one codegen stage, and the partial aggregate
+    # prunes the array before anything is materialized.)
+    toks_arr = docs.select(
         F.col(id_col),
         target_cond.alias("__is_target"),
-        F.posexplode(word_tokens(text_col)).alias("pos", "token"),
+        word_tokens(text_col).alias("__a"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
     bucket = (
         F.conv(
-            F.substring(F.md5(F.concat_ws(" ", "token", "__t2")), 1, 6), 16, 10
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__a"), F.col("__i") - 1),
+                        F.element_at(F.col("__a"), F.col("__i")),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
         ).cast("bigint")
         % n_buckets
     )
     big = (
-        toks.withColumn("__t2", F.lead("token").over(w))
-        .where(F.col("__t2").isNotNull())
+        toks_arr.select(
+            id_col,
+            "__is_target",
+            "__a",
+            F.explode(
+                F.when(
+                    F.size("__a") >= 2,
+                    F.sequence(F.lit(2), F.size("__a")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("__i"),
+        )
         .select(id_col, "__is_target", bucket.alias("__b"))
     )
     # Two deliberate quirks keep the model and scoring branches

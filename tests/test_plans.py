@@ -293,10 +293,12 @@ def test_dsir_corpus_pass_runs_once(spark, sf_dir, q):
     KEY so pruning can't strip it from one side), so AQE stage reuse
     materializes the corpus tokenize+hash pass ONCE — previously it ran
     twice per query. Pinned: the final adaptive plan replays the
-    per-doc shuffle via ReusedExchange, and the bigrams stay on the
-    codegen posexplode+lead() path (the zip_with HOF variant measured
-    2.7x slower at 100x — interpreted per-token lambdas; see the
-    operator comment)."""
+    per-doc shuffle via ReusedExchange, and the bigrams ride the r15
+    explode(sequence)+element_at path — pure codegen index arithmetic,
+    NO (doc, pos) window exchange, no per-doc sort, and no interpreted
+    HOF lambdas (the zip_with variant measured 2.7x slower at 100x;
+    the r14 posexplode+lead() shape paid one extra corpus-sized
+    exchange + sort — see the operator comment)."""
     df = q["dsir_weights_for_target"](spark, sf_dir)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
@@ -306,7 +308,12 @@ def test_dsir_corpus_pass_runs_once(spark, sf_dir, q):
     assert st.sort_merge_joins == 0 and st.cartesian_products == 0
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "zip_with" not in opt
-    assert "lead(" in opt
+    assert "lead(" not in opt  # the (doc, pos) window shape is gone
+    assert "element_at" in opt and "sequence(2" in opt
+    # No Window node may remain over the corpus relation: the only
+    # Window left is the trivial single-partition model-totals one.
+    n_windows = final.count("Window")
+    assert n_windows <= 1, final[:2000]
 
 
 def test_qdigest_ladder_is_exchange_free(spark, sf_dir, q):
