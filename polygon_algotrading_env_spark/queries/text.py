@@ -2735,23 +2735,29 @@ def pmi_collocations_topk(spark, sf_dir):
     exact BIGINT, the ratio (pair_cnt·N)/(cl·cr) is ONE double division
     of exact products (< 2^53 through 100x) and ONE ln call, and the
     top-20 cut orders by the ROUNDED pmi with (t1, t2) tie-breaks —
-    identical sort keys on both engines. Plan shape: the (doc, pos)
-    window exchange is the only corpus-sized shuffle (the bigram-LM
-    plan); the pair-count relation is vocab²-bounded, its marginals
-    vocab-bounded broadcasts, the total a 1-row cross join."""
-    from pyspark.sql import Window
-
+    identical sort keys on both engines. Plan shape: bigrams pair via
+    explode(sequence)+element_at over the token array — codegen index
+    arithmetic, no (doc, pos) window exchange, no per-doc sort (r15;
+    the dsir shape) — so the only corpus-sized shuffle is the
+    partial-aggregated global pair-count exchange (bigram counts repeat
+    heavily across documents, so map-side combine collapses it toward
+    the vocab²-bounded grid; measured 2× at 100×-of-sf0.01, see
+    OPTIMIZATION_r15.md); the marginals are vocab-bounded broadcasts,
+    the total a 1-row cross join."""
     from polygon_algotrading_env_spark.functions.text import word_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("t2", F.lead("token").over(w))
-        .where(F.col("t2").isNotNull())
-        .select(F.col("token").alias("t1"), "t2")
+    arr = docs.select(word_tokens("text").alias("__a"))
+    big = arr.select(
+        "__a",
+        F.explode(
+            F.when(
+                F.size("__a") >= 2, F.sequence(F.lit(2), F.size("__a"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        F.element_at(F.col("__a"), F.col("__i") - 1).alias("t1"),
+        F.element_at(F.col("__a"), F.col("__i")).alias("t2"),
     )
     cxy = big.groupBy("t1", "t2").agg(
         F.count(F.lit(1)).cast("bigint").alias("pair_cnt")
@@ -2842,36 +2848,47 @@ def textrank_keywords_top20(spark, sf_dir):
     top-20 tokens by centrality. The graph tier meeting the corpus
     tier: where tf/idf ranks tokens by counting, TextRank ranks them by
     recommendation flow through the co-occurrence structure, surfacing
-    connector terms frequency alone misses. Plan: one (doc, pos)
-    window exchange builds the bigram stream (the bigram-LM shape);
-    the distinct edge relation and everything after it are
-    VOCAB²-bounded, so the six power-iteration rounds run on a graph
-    whose size is independent of corpus row count (operators/graph.py:
-    pagerank — degree pinned once, dangling mass via exchange reuse,
-    lineage checkpointed). Oracle: the same 6 fixed rounds as the
-    certified pagerank_copurchase_top20 recursive CTE, with the
-    emitted-mass window SUM enforcing rank conservation; consumers
-    round to 8dp (float inflow sums carry last-ulp order noise)."""
-    from pyspark.sql import Window
-
+    connector terms frequency alone misses. Plan: bigrams pair via
+    explode(sequence)+element_at over the token array — codegen index
+    arithmetic, no (doc, pos) window exchange, no per-doc sort — and
+    BOTH edge directions fan out of the same generated row (a 2-element
+    struct array explode), so the union-free corpus pass feeds the
+    distinct-edge aggregate directly (r15; measured 3.6× at
+    100×-of-sf0.01, see OPTIMIZATION_r15.md). The distinct edge
+    relation and everything after it are VOCAB²-bounded, so the six
+    power-iteration rounds run on a graph whose size is independent of
+    corpus row count (operators/graph.py: pagerank — degree pinned
+    once, dangling mass via exchange reuse, lineage checkpointed).
+    Oracle: the same 6 fixed rounds as the certified
+    pagerank_copurchase_top20 recursive CTE, with the emitted-mass
+    window SUM enforcing rank conservation; consumers round to 8dp
+    (float inflow sums carry last-ulp order noise)."""
     from polygon_algotrading_env_spark.functions.text import word_tokens
     from polygon_algotrading_env_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(word_tokens("text")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    raw = (
-        toks.withColumn("t2", F.lead("token").over(w))
-        .where(F.col("t2").isNotNull() & (F.col("token") != F.col("t2")))
-        .select(F.col("token").alias("t1"), "t2")
-    )
+    arr = docs.select(word_tokens("text").alias("__a"))
+    t1 = F.element_at(F.col("__a"), F.col("__i") - 1)
+    t2 = F.element_at(F.col("__a"), F.col("__i"))
     und = (
-        raw.select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
-        .unionByName(
-            raw.select(F.col("t2").alias("src"), F.col("t1").alias("dst"))
+        arr.select(
+            "__a",
+            F.explode(
+                F.when(
+                    F.size("__a") >= 2, F.sequence(F.lit(2), F.size("__a"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("__i"),
         )
+        .where(t1 != t2)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(t1.alias("src"), t2.alias("dst")),
+                    F.struct(t2.alias("src"), t1.alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .dropDuplicates(["src", "dst"])
     )
     pr = pagerank(und, n_iter=6)
