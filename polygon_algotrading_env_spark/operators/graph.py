@@ -51,9 +51,15 @@ def connected_components(
 
     Returns ``(id, component)`` with ``component`` = min id reachable.
     """
+    # Pin the directed edge set before fanning it out (r15): sym's
+    # union references it twice and the endpoint census twice more — an
+    # uncheckpointed reference re-runs the caller's edge derivation
+    # (e.g. semantic dedup's blocked pairwise-cosine join) per branch,
+    # and a broadcast upstream join leaves no shuffle exchange for AQE
+    # to reuse across branches.
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
@@ -153,9 +159,13 @@ def connected_components_star(
     Equivalence with hash-min is test-asserted on chains, cliques,
     forests, self-loops, and isolated vertices.
     """
+    # Pin the directed edge set before fanning it out (r15): the
+    # self-looped init and the endpoint census reference it up to three
+    # times; an uncheckpointed reference re-runs the caller's edge
+    # derivation per branch.
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+    ).localCheckpoint(eager=True)
     if vertices is not None:
         ids = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
     else:
@@ -655,16 +665,16 @@ def bfs_hops(
     definition at a fixpoint), returning bit-identical results to the
     fixed cap the DuckDB oracle replays; the count runs on the already-
     materialized checkpoint."""
+    # Materialize the DIRECTED edge set first (r15): every branch of the
+    # symmetric/self-loop union below references it, and an
+    # uncheckpointed reference re-runs the caller's whole edge
+    # derivation once per branch — a broadcast blocking join has no
+    # shuffle exchange for AQE to reuse across branches, so e.g. the
+    # entity-resolution levenshtein pass provably evaluated TWICE
+    # (plan-counted) before this pin.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
-    )
-    # Materialize the PLAIN symmetric set first — the self-loop union
-    # references it twice, and an uncheckpointed reference recomputes
-    # the upstream edge derivation per branch (the hash_min_labels
-    # 100x lesson).
-    sym0 = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     seed_df = spark.createDataFrame(
         [(int(s),) for s in seeds], "u BIGINT"
@@ -676,12 +686,18 @@ def bfs_hops(
     # join + min-aggregate — one plan branch fewer per round, identical
     # hop labels by algebra (the self-offer is exactly the row the
     # union used to contribute; seeds outside the edge set keep their
-    # row through their own self-loop).
-    sym = sym0.unionAll(
-        sym0.select("u", F.col("u").alias("v"))
+    # row through their own self-loop). All four branches read the
+    # MATERIALIZED e, and ONE distinct covers symmetrization and loop
+    # dedup together — same set as the former two-step
+    # (sym0 ckpt → sym ckpt) build, one fewer pass over the upstream.
+    sym = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionAll(e.select("u", F.col("u").alias("v")))
+        .unionAll(e.select(F.col("v").alias("u"), F.col("v").alias("v")))
         .unionAll(seed_df.select("u", F.col("u").alias("v")))
         .distinct()
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     reached = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "id BIGINT, hops INT"
     )
@@ -791,17 +807,20 @@ def hash_min_labels(
     every=2 stays the default; the r15 query-level scaled wall is
     5.2 s at 100×-of-sf0.01 (vs 6.9 s for the r14 loop shape on the
     same host/fixture)."""
+    # Materialize the DIRECTED edge set first (r15): every branch of the
+    # symmetric/self-loop union below references it, and an
+    # uncheckpointed reference re-runs the caller's whole edge
+    # derivation once per branch. The former two-step build
+    # (sym0 = (e ∪ swap).distinct() ckpt, then sym = sym0 ∪ loops ckpt)
+    # pinned AFTER the first union, so the entity-resolution blocking
+    # join + levenshtein still evaluated TWICE inside the sym0 job —
+    # plan-counted (2× levenshtein, 2× BroadcastHashJoin, nothing for
+    # AQE to reuse: a broadcast join has no shuffle exchange). Pinning e
+    # runs the upstream once and writes |E| rows instead of 2|E| at the
+    # first pin.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
-    )
-    # Materialize the PLAIN symmetric set first: the self-loop union
-    # below references it twice, and an uncheckpointed reference would
-    # recompute the whole upstream edge derivation (e.g. the
-    # entity-resolution blocking join + levenshtein) once per branch —
-    # measured 5.9 -> 15.5 s at 100x-of-sf0.01 before this pin.
-    sym0 = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     # Self-loops fold the per-round ``unionAll(labels)`` branch into the
     # join itself (r15 optimization, guide §2.4): with (x, x) present
     # for every vertex, the neighbor-label join offers each vertex its
@@ -810,10 +829,16 @@ def hash_min_labels(
     # labels by algebra. Adds |V| rows to the checkpointed edge set,
     # negligible beside 2|E| (measured 4/4 paired wins, ~15-20% on the
     # entity-resolution bench graph at sf0.1; 4.05 -> 3.76 s for the
-    # isolated 8-round loop at 100x-of-sf0.01).
-    sym = sym0.unionAll(
-        sym0.select("u", F.col("u").alias("v")).distinct()
-    ).localCheckpoint(eager=True)
+    # isolated 8-round loop at 100x-of-sf0.01). All four branches read
+    # the MATERIALIZED e, and ONE distinct covers symmetrization and
+    # loop dedup together — the same (u, v) set as the two-step build.
+    sym = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionAll(e.select("u", F.col("u").alias("v")))
+        .unionAll(e.select(F.col("v").alias("u"), F.col("v").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -920,42 +945,51 @@ def bellman_ford(
     shuffles (the self-loops stand in for the textbook
     ``unionAll(reached)`` branch, r15), lineage truncated every
     ``checkpoint_every`` rounds."""
+    # Materialize the DIRECTED weighted edge set first (r15): every
+    # branch of the symmetric/self-loop union references it, and an
+    # uncheckpointed reference re-runs the caller's whole edge
+    # derivation once per branch (the hash_min_labels plan-counted
+    # lesson: a broadcast upstream join has no shuffle exchange for
+    # AQE to reuse across branches).
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    ).where(F.col(src) != F.col(dst))
-    # Materialize the PLAIN weighted symmetric set first — the
-    # self-loop union references it twice (the hash_min_labels 100x
-    # lesson: an uncheckpointed reference recomputes the upstream edge
-    # derivation per branch).
-    sym0 = (
-        e.unionAll(
-            e.select(
-                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
-            )
-        )
-        .groupBy("u", "v")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    ).where(F.col(src) != F.col(dst)).localCheckpoint(eager=True)
     spark = edges.sparkSession
     seed_df = spark.createDataFrame(
         [(int(s),) for s in seeds], "u BIGINT"
     )
+    wt = e.schema["w"].dataType
+    w0 = F.lit(0).cast(wt)
     # Weight-0 self-loops fold the per-round ``unionAll(reached)``
     # branch into the join (r15, the hash_min_labels / bfs_hops
     # discipline): each reached vertex offers itself dist + 0, so a
     # round is join + min-aggregate — identical distances by algebra
     # (weights are non-negative, and the self-offer is exactly the row
     # the union used to contribute; seeds outside the edge set keep
-    # their row through their own self-loop).
-    sym = sym0.unionAll(
-        sym0.select("u", F.col("u").alias("v"))
-        .unionAll(seed_df.select("u", F.col("u").alias("v")))
-        .distinct()
-        .select(
-            "u", "v", F.lit(0).cast(sym0.schema["w"].dataType).alias("w")
+    # their row through their own self-loop). All branches read the
+    # MATERIALIZED e; the single min-weight groupBy covers parallel-edge
+    # dedup AND loop dedup (no (u, u) exists in e, so loop cells only
+    # ever hold w = 0) — the same (u, v, w) set as the former two-step
+    # sym0-then-loops build, one fewer pass over the upstream.
+    sym = (
+        e.unionAll(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
         )
-    ).localCheckpoint(eager=True)
+        .unionAll(e.select("u", F.col("u").alias("v"), w0.alias("w")))
+        .unionAll(
+            e.select(
+                F.col("v").alias("u"), F.col("v").alias("v"), w0.alias("w")
+            )
+        )
+        .unionAll(
+            seed_df.select("u", F.col("u").alias("v"), w0.alias("w"))
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     reached = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "id BIGINT, dist BIGINT"
     )
