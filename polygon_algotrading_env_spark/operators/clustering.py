@@ -17,9 +17,13 @@ keeping the plan the one you'd run at 100 TB:
   runs a pinned ``n_rounds``; the only driver-side data is the k x dim
   centroid table (KB-sized, independent of corpus scale — the PQ-codebook
   precedent), refreshed once per round from one per-(cluster, dim) sum
-  aggregate. Assignment is a constant-array codegen expression — no
-  Python in the scan, no join, no shuffle; the update aggregate shuffles
-  k x dim partial sums after map-side combine.
+  aggregate. Assignment is one Arrow-vectorized ``pandas_udf`` carrying
+  the centroid table in its closure — the Python boundary moves only the
+  quantized vector in and (cid, dist) out per row, and each batch is a
+  single exact-int64 NumPy broadcast (r15: the previous constant-array
+  HOF expression evaluated the k x dim distance tree interpreted, three
+  times per row). No join, no shuffle in the scan; the update aggregate
+  shuffles k x dim partial sums after map-side combine.
 
 Centroid update uses TRUNCATING integer division (DuckDB's ``//``
 semantics, matched exactly on the driver) and keeps the previous centroid

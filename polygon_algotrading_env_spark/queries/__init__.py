@@ -130,6 +130,56 @@ from polygon_algotrading_env_spark.queries import (  # noqa: E402,F401
 # family holds >=3 recorded green rounds and moves to
 # PRIOR_DRIVER_CERTIFIED.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # Round-16 rotation (per r15 VERDICT item 1): TWENTY-TWO slots
+    # retire to PRIOR_DRIVER_CERTIFIED — the twenty-one round-14
+    # entrants that now hold 2 recorded green rounds each
+    # (CORRECTNESS_r14 + CORRECTNESS_r15) plus entity_resolution_parts,
+    # whose deliberate r15 re-entry certified the rewritten label loop
+    # (4 greens on record). In exchange, twenty-two names enter — the
+    # r15-rewrite certification cohort first (the r15 VERDICT's
+    # certification-debt list): the four plan-rewrite re-entries /
+    # first-certifications (kmeans, dsir, pmi, textrank), the three
+    # graph-loop consumers covering bellman_ford / bfs / CC
+    # (cheapest_supply_paths, bfs_hops_part_supplier,
+    # semantic_dedup_survivors), and the FIVE iterative paths rewritten
+    # THIS round (lpa, pagerank, ppr, kcore, train_test_contamination —
+    # their r16 plan rewrites are certified by these slots); then ten
+    # never-driver-certified oracle-bearing sketch-tier registrations.
+    # All pre-verified by the dtype-faithful tools/oracle_check.py at
+    # sf0.001/0.01/0.1 on the post-rewrite plans.
+    #
+    # --- round-16 entrants -------------------------------------------
+    # (a) r15 plan-rewrite re-entries / first certifications
+    "kmeans_clusters_embeddings",
+    "dsir_weights_for_target",
+    "pmi_collocations_topk",
+    "textrank_keywords_top20",
+    # (b) graph-loop consumers (r15 directed-edge-pin rewrite)
+    "cheapest_supply_paths",
+    "bfs_hops_part_supplier",
+    "semantic_dedup_survivors",
+    # (c) iterative paths rewritten in r16 (certify the new plans)
+    "lpa_communities_copurchase",
+    "pagerank_copurchase_top20",
+    "ppr_related_parts",
+    "kcore80_copurchase_parts",
+    "train_test_contamination",
+    # (d) sketch-tier first certifications (r15 registrations)
+    "cms_partkey_freq_topk",
+    "cms_merged_halves_freq",
+    "cms_token_freq_topk",
+    "apriori_frequent_pairs",
+    "brier_decomposition_urgent",
+    "haar_energy_5m",
+    "ams_f2_partkey",
+    "ams_merged_halves_f2",
+    "cms_join_size_events_orders",
+    "qdigest_relative_quantiles_price",
+    # --- holdovers: the round-15 entrants (one green each,
+    # CORRECTNESS_r15 — they accrue their second round before retiring)
+    # plus the three re-certified oracle-typing casualties
+    # (swing_points_5m, candle_pattern_census, stale_tick_fraction —
+    # one green each, r15).
     # Round-15 rotation (per r14 VERDICT items 1-3): TWENTY-SIX slots
     # retire to PRIOR_DRIVER_CERTIFIED — the twenty-five round-13
     # entrants that now hold 2 recorded green rounds each
@@ -149,9 +199,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (kind-level dtype gate added this round) at sf0.001/0.01/0.1.
     #
     # --- round-15 entrants -------------------------------------------
-    # (a) queued r14 registration + plan-rewrite re-entry
+    # (a) queued r14 registration (entity_resolution_parts, the other
+    #     r15 (a)-entrant, retired at the r16 rotation: its re-entry
+    #     purpose — certifying the rewritten label loop — completed
+    #     with the r15 green, its 4th on record)
     "qdigest_quantiles_price",
-    "entity_resolution_parts",
     # (b) the five latent HUGEINT-sum carriers, oracles fixed r15
     "market_breadth_5m",
     "overnight_gap_fill_rates",
@@ -188,36 +240,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # representation hash failed on uncast HUGEINT sums) — their
     # oracles gained CAST(... AS BIGINT) this round and the same slots
     # now certify the fix.
-    # --- round-14 entrants -------------------------------------------
-    # (a) market-quality / event-time remainder
-    "intraday_volume_profile",
+    # --- round-14 entrants still in-window: the three oracle-typing
+    # casualties whose slots re-certified the CAST fix in r15 (their
+    # only green on record) — they accrue a second green before
+    # retiring; the other twenty-one round-14 entrants (2 greens each,
+    # r14+r15) retired at the r16 rotation above.
     "swing_points_5m",
     "candle_pattern_census",
-    "event_study_volume_spikes",
-    "kyle_lambda_by_type",
-    "trade_size_tail_index",
     "stale_tick_fraction",
-    # (b) TPC-H-style decision remainder
-    "local_supplier_volume_asia",
-    "product_profit_by_nation_year",
-    "yoy_revenue_growth_by_nation",
-    "nation_pair_volume_by_year",
-    "top_revenue_supplier_quarter",
-    # (c) sessions / behavioral
-    "rfm_user_segments",
-    "event_transition_matrix",
-    "kaplan_meier_fulfillment",
-    "cohort_revenue_curve",
-    "ab_test_conversion_ztest",
-    # (d) corpus / sampling remainder
-    "quality_cap_per_source",
-    "stratified_sample_by_lang",
-    "curriculum_stages_by_length",
-    "novelty_by_first_occurrence",
-    "vocab_coverage_top64",
-    # (e) SQL-surface set-op remainder
-    "except_order_slices",
-    "intersect_order_slices",
 )
 
 # Round-16 rotation candidates — never-driver-certified oracle-bearing
@@ -260,6 +290,40 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # occupy a slot.
 PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
     {
+        # rotated out in round 16 (the twenty-one round-14 entrants,
+        # each green r14+r15, plus entity_resolution_parts, whose
+        # deliberate r15 re-entry certified the rewritten label loop —
+        # greens r11-era + r15, 4 on record)
+        "entity_resolution_parts",
+        "intraday_volume_profile",
+        "event_study_volume_spikes",
+        "kyle_lambda_by_type",
+        "trade_size_tail_index",
+        "local_supplier_volume_asia",
+        "product_profit_by_nation_year",
+        "yoy_revenue_growth_by_nation",
+        "nation_pair_volume_by_year",
+        "top_revenue_supplier_quarter",
+        "rfm_user_segments",
+        "event_transition_matrix",
+        "kaplan_meier_fulfillment",
+        "cohort_revenue_curve",
+        "ab_test_conversion_ztest",
+        "quality_cap_per_source",
+        "stratified_sample_by_lang",
+        "curriculum_stages_by_length",
+        "novelty_by_first_occurrence",
+        "vocab_coverage_top64",
+        "except_order_slices",
+        "intersect_order_slices",
+        # (ten prior-certified names re-entered the round-16 window to
+        #  certify plan rewrites — kmeans_clusters_embeddings,
+        #  dsir_weights_for_target, cheapest_supply_paths,
+        #  bfs_hops_part_supplier, semantic_dedup_survivors,
+        #  lpa_communities_copurchase, pagerank_copurchase_top20,
+        #  ppr_related_parts, kcore80_copurchase_parts,
+        #  train_test_contamination — and are not listed here while
+        #  they hold slots; the derived-ledger law subtracts the window)
         # rotated out in round 15 (the twenty-five round-13 entrants,
         # each green r13+r14 — CORRECTNESS_r13.json + CORRECTNESS_r14
         # — plus dsir_weights_for_target, whose deliberate r14
@@ -288,8 +352,6 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "kl_divergence_by_source",
         "lsh_ann_topk",
         "ivf_ann_topk",
-        "semantic_dedup_survivors",
-        "dsir_weights_for_target",
         # rotated out in round 14 (the twenty-four round-12 entrants,
         # each green r12+r13 — CORRECTNESS_r12.json + CORRECTNESS_r13.json
         # — plus minhash_md5_band_pairs, whose deliberate r13 re-entry
@@ -311,10 +373,8 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "vwap_slippage_by_symbol",
         "var_es_daily",
         "deflated_sharpe_zscore",
-        "kmeans_clusters_embeddings",
         "quality_filter_docs",
         "redact_pii_docs",
-        "train_test_contamination",
         "balanced_downsample_per_lang",
         "gopher_repetition_filters",
         "boilerplate_ngrams",
@@ -344,7 +404,6 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "quality_percentile_by_lang",
         "ngram_jaccard_adjacent",
         "attribution_touch_points",
-        "cheapest_supply_paths",
         "l_diversity_release_audit",
         "grid_backtest_sma_pairs_5m",
         # rotated out in round 12 (the twenty-two round-10 entrants,
@@ -367,7 +426,6 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "minhash_recall_report",
         "ngram_jaccard_near_dup",
         "embedding_near_dup_srp",
-        "lpa_communities_copurchase",
         "adamic_adar_part_links",
         "ks_temporal_drift_by_type",
         "rrf_hybrid_retrieval",
@@ -411,14 +469,10 @@ PRIOR_DRIVER_CERTIFIED: frozenset[str] = frozenset(
         "spearman_qty_price_by_flag",
         "confusion_f1_price_median",
         "k_anonymous_customer_release",
-        "kcore80_copurchase_parts",
-        "bfs_hops_part_supplier",
         "hits_part_supplier_top10",
         "pq_ann_topk",
         "bootstrap_sharpe_ci",
         "hurst_exponent_by_type",
-        "pagerank_copurchase_top20",
-        "ppr_related_parts",
         "full_outer_daily_activity",
         "theil_sen_trend_daily",
         "weekly_cohort_retention",
