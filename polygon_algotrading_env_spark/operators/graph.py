@@ -351,23 +351,36 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    # Static across iterations: every edge with its source's out-degree,
+    # pinned once (the old shape re-joined ranks against the degree table
+    # every round AND collected dangling mass to the driver every round).
+    # r16: pinned FIRST — with a partitioned+sorted persist, not a
+    # localCheckpoint — for two measured reasons: (a) the vertex set is
+    # then derived from the MATERIALIZED edge rows, so the caller's edge
+    # derivation (e.g. the co-purchase self-join + dedup) evaluates ONCE
+    # instead of once for the vertex job and once for the edge pin
+    # (plan-counted: both init jobs carried the full upstream); (b) a
+    # cached relation keeps its outputPartitioning/ordering where a
+    # checkpointed one under AQE does not, so every round's rank ⋈ edges
+    # join plans with NO edge-side exchange and NO edge-side sort — the
+    # old shape re-shuffled and re-sorted the full edge relation every
+    # iteration.
+    e_deg = (
+        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
+        .repartition("u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
     verts = (
         vertices.select(F.col(id_col).alias("id"))
         if vertices is not None
-        else e.select(F.col("u").alias("id")).unionAll(
-            e.select(F.col("v").alias("id"))
+        else e_deg.select(F.col("u").alias("id")).unionAll(
+            e_deg.select(F.col("v").alias("id"))
         )
     ).dropDuplicates(["id"]).localCheckpoint(eager=True)
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    # Static across iterations: every edge with its source's out-degree,
-    # pinned once (the old shape re-joined ranks against the degree table
-    # every round AND collected dangling mass to the driver every round).
-    e_deg = (
-        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
-        .localCheckpoint(eager=True)
-    )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(n_iter):
@@ -406,7 +419,10 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            # Non-eager (r16): truncates lineage at plan-build time with
+            # no blocking per-cadence job; the next round's eager contribs
+            # pin materializes it.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -437,41 +453,89 @@ def label_propagation(
     every ``checkpoint_every`` rounds like the CC/PageRank loops. Labels
     must be numeric (the −label tiebreak); rows-only semantics — pinned
     against a straight Python reference in tests, not a SQL oracle.
+
+    r16 loop shape (measured on the co-purchase consumer, 100× of
+    sf0.01: 118.6 s → see OPTIMIZATION_r16.md): the old round updated
+    ``labels = labels ⋈ best`` — labels referenced TWICE per round, so
+    with no intra-loop checkpoint the final plan doubled per round
+    (plan-counted: 30 SortMergeJoins / 62 Exchanges for 4 rounds).
+    Every vertex of the restricted symmetric edge set appears as a join
+    target each round (sym is symmetric), so ``best`` already covers
+    every connected vertex and IS the new label relation — no join-back,
+    single labels reference, linear lineage. Vertices with no
+    (restricted) edge never receive an offer and keep their own id
+    label; they are a STATIC set, unioned once after the loop. Round 1
+    is special-cased algebraically (the hash-min discipline): against
+    identity labels every neighbor label occurs exactly once (sym is
+    distinct), so the count-then-smallest-label argmax reduces to
+    ``groupBy(v).min(u)``. The pinned edge set is repartitioned and
+    sorted on the join key BEFORE the persist — a cached relation keeps
+    its partitioning and ordering (unlike a localCheckpoint under AQE),
+    so the per-round join plans with NO sym-side exchange and NO
+    sym-side sort.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col(src) != F.col(dst))
     )
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     verts = (
-        vertices.select(F.col(id_col).alias("id"))
+        vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
         if vertices is not None
-        else sym.select(F.col("u").alias("id"))
-    ).dropDuplicates(["id"]).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
-    labels = verts.select("id", F.col("id").cast("long").alias("label"))
+        else None
+    )
+    if verts is not None:
+        # The declared semantics propagate labels only BETWEEN supplied
+        # vertices (an endpoint outside ``vertices`` is never labeled and
+        # never contributes) — restrict the edge set once, up front.
+        verts = verts.localCheckpoint(eager=True)
+        sym = sym.join(verts.withColumnRenamed("id", "u"), "u").join(
+            verts.select(F.col("id").alias("v")), "v"
+        )
+    sym = (
+        sym.repartition("u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
+    # n_iter == 0 degenerates to identity labels over the connected set.
+    labels = sym.select(F.col("u").alias("id")).dropDuplicates(["id"]).select(
+        "id", F.col("id").cast("long").alias("label")
+    )
     for i in range(n_iter):
-        nbr = (
-            labels.join(sym, labels["id"] == sym["u"])
-            .groupBy(F.col("v").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = nbr.groupBy("id").agg(
-            F.max(
-                F.struct(
-                    F.col("cnt").alias("c"),
-                    (-F.col("label")).alias("nl"),
-                )
-            ).alias("m")
-        ).select("id", (-F.col("m.nl")).cast("long").alias("new_label"))
-        labels = (
-            labels.join(best, "id", "left_outer")
-            .select(
-                "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+        if i == 0:
+            # Identity labels ⇒ every neighbor label counts once ⇒ the
+            # most-frequent/smallest argmax is the smallest neighbor id.
+            labels = sym.groupBy(F.col("v").alias("id")).agg(
+                F.min("u").cast("long").alias("label")
             )
-        )
+        else:
+            nbr = (
+                sym.join(
+                    labels.select(F.col("id").alias("u"), "label"), "u"
+                )
+                .groupBy(F.col("v").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = nbr.groupBy("id").agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("m")
+            ).select("id", (-F.col("m.nl")).cast("long").alias("label"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            labels = labels.localCheckpoint(eager=True)
+            # Non-eager: truncates lineage at plan-build time without a
+            # blocking per-cadence job — materialization rides the final
+            # consuming action (the persist keeps multi-reference reads
+            # single-compute).
+            labels = labels.localCheckpoint(eager=False)
+    if verts is not None:
+        # Static keep-set: supplied vertices with no restricted edge
+        # never receive an offer in ANY round — they keep their own id.
+        keep = verts.join(
+            sym.select(F.col("u").alias("id")), "id", "left_anti"
+        ).select("id", F.col("id").cast("long").alias("label"))
+        labels = labels.unionByName(keep)
     return labels
 
 
@@ -506,19 +570,26 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    # r16: degree-annotated edges pinned FIRST with a partitioned+sorted
+    # persist, vertex set derived from the materialized rows — the
+    # caller's edge derivation evaluates once, and every round's
+    # rank ⋈ edges join plans with no edge-side exchange or sort (the
+    # pagerank() rationale; see that operator's comment).
+    e_deg = (
+        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
+        .repartition("u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
     verts = (
         vertices.select(F.col(id_col).alias("id"))
         if vertices is not None
-        else e.select(F.col("u").alias("id")).unionAll(
-            e.select(F.col("v").alias("id"))
+        else e_deg.select(F.col("u").alias("id")).unionAll(
+            e_deg.select(F.col("v").alias("id"))
         )
     ).dropDuplicates(["id"]).localCheckpoint(eager=True)
     p = F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(
         F.lit(0.0)
-    )
-    e_deg = (
-        e.join(e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")), "u")
-        .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", p)
     for i in range(n_iter):
@@ -552,7 +623,10 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            # Non-eager (r16): truncates lineage at plan-build time with
+            # no blocking per-cadence job; the next round's eager contribs
+            # pin materializes it.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -573,17 +647,28 @@ def k_core(
     cap loud instead of silently approximate.
 
     Per round: one semi-join restriction of the (checkpointed) symmetric
-    edge set to surviving endpoints + one degree aggregate — two narrow
-    shuffles, lineage truncated every ``checkpoint_every`` rounds like
-    the other iterative graph loops. Cascades shrink the vertex set
-    monotonically, so round cost only decreases — and that monotonicity
-    buys a FREE convergence check at every checkpoint: equal survivor
-    counts across a checkpoint interval mean no peel removed anything,
-    i.e. a fixpoint, and every remaining round is an exact no-op — so
-    breaking out early returns bit-identical results to the fixed cap
-    (the DuckDB oracle keeps replaying all rounds; its post-fixpoint
-    rounds are the same no-ops). The count runs on the already-
-    materialized checkpoint, so the check costs one metadata-cheap job."""
+    edge set to surviving endpoints + one degree aggregate — AQE
+    broadcast-converts the survivor sides at runtime, so the symmetric
+    set is never re-shuffled. The survivor list is pinned with a
+    NON-eager localCheckpoint EVERY round (r16): the old cadence-only
+    pin left ``alive`` referenced twice per round with lineage doubling
+    between checkpoints (plan-counted: 14 SortMergeJoins / 29 Exchanges
+    in the round-3 checkpoint job); the per-round pin keeps every round's
+    plan linear at zero blocking-job cost — non-eager means
+    materialization rides the cadence count / final action, and the
+    pin's persist keeps the double-reference (u-side + v-side join)
+    single-compute. (A shrinking restricted-edge-set variant — degree
+    over cur, cur ∩ alive² per round — was built and REJECTED on a
+    paired 100× A/B: 65.3 s vs 50.9 s for this shape on the same host;
+    it replaced the runtime broadcast joins over the pinned symmetric
+    set with SMJ shuffles and per-round caching of the restricted edge
+    relation.) Cascades shrink the vertex set monotonically, so round
+    cost only decreases — and that monotonicity buys a FREE convergence
+    check at every checkpoint: equal survivor counts across a checkpoint
+    interval mean no peel removed anything, i.e. a fixpoint, and every
+    remaining round is an exact no-op — so breaking out early returns
+    bit-identical results to the fixed cap (the DuckDB oracle keeps
+    replaying all rounds; its post-fixpoint rounds are the same no-ops)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     )
@@ -599,9 +684,12 @@ def k_core(
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = deg.where(F.col("deg") >= k).select(F.col("u").alias("id"))
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("u").alias("id"))
+            .localCheckpoint(eager=False)
+        )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
-            alive = alive.localCheckpoint(eager=True)
             n_now = alive.count()
             if prev_n is not None and n_now == prev_n:
                 break  # fixpoint: remaining rounds are exact no-ops
@@ -879,9 +967,17 @@ def hash_min_labels(
             )
         is_ck = (i + 1) % checkpoint_every == 0 or i + 1 == n_rounds
         if is_ck:
-            nxt = nxt.localCheckpoint(eager=True)
+            # Non-eager (r16): the pin truncates lineage at plan-build
+            # time either way; eager=False drops the blocking job per
+            # cadence — with early_exit off the loop runs NO driver
+            # action, so the whole 8-round chain executes inside the
+            # final consuming job (the pins' persist keeps each
+            # materialized round single-compute across its references).
+            # Measured on entity_resolution_parts (fresh-JVM min-of-3,
+            # sf0.1, paired): see OPTIMIZATION_r16.md.
+            nxt = nxt.localCheckpoint(eager=early_exit)
         if i + 1 == n_rounds:
-            penult = labels.localCheckpoint(eager=True)
+            penult = labels.localCheckpoint(eager=False)
         labels = nxt
         # Early exit on a PROVEN fixpoint (the CC/k-core discipline,
         # r9 item 5, applied here in r14): labels only ever decrease,

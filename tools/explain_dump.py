@@ -65,7 +65,13 @@ def main() -> int:
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain-dump")
-    from pyspark.sql import DataFrame
+    # Spark 4: pyspark.sql.DataFrame is the ABC; live (non-Connect)
+    # instances are classic.dataframe.DataFrame, which OVERRIDES
+    # localCheckpoint — patch the class whose method actually runs.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3.x layout
+        from pyspark.sql import DataFrame
 
     orig_ckpt = DataFrame.localCheckpoint
     rc = 0
