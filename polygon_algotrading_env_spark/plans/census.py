@@ -109,7 +109,12 @@ SMJ_ALLOWED: frozenset[str] = frozenset(
 DIM_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 SMJ_BUDGET: dict[str, int] = {
     "copurchase_triangles": 10,      # pair/triangle self-join ladder
-    "lpa_communities_copurchase": 30,  # per-iteration label join, n_iter pinned
+    # r16 loop shape: the per-round join-back is gone (labels = the
+    # argmax relation) and the pinned edge set is a cached partitioned
+    # relation, so only the rank-1 SMJ ladder of the final top-20 pass
+    # remains — measured 3 at both gate scales (was 30 before the
+    # rewrite). Budget 4 = measured + headroom.
+    "lpa_communities_copurchase": 4,
     # 8 peel rounds x 2 endpoint restrictions + the final degree pair, but
     # AQE broadcasts the shrinking survivor set in most rounds: measured 4
     # at BOTH gate scales (stable). Budget 6 = measured + small headroom;
